@@ -1,0 +1,414 @@
+"""LakeTable: an Iceberg-style table with atomic, idempotent snapshot commits.
+
+The reference "commits" by writing a whole new timestamped parquet object and
+treating the newest key as current (/root/reference/src/storage/minio_client.rs:
+121-166, 219-228) — at-least-once, whole-snapshot replacement. This module
+implements the real thing the north_star asks for, against plain
+parquet + JSON metadata ("icelite") so it runs in this sandbox; the API is a
+drop-in for Iceberg (`MERGE INTO`-equivalent, snapshot log, summary
+properties, time travel, schema evolution) when the runtime jar is available.
+
+Layout::
+
+    table_dir/
+      metadata/
+        v{N}.metadata.json    # full table metadata at version N (immutable)
+        version-hint.text     # current N; updated via tmp + atomic rename
+      data/
+        commit-{snapshot}/bucket=K/part-*.parquet
+
+Metadata carries: schemas (versioned), current schema id, key column, bucket
+count, and the snapshot list; each snapshot lists its data files
+``{path, bucket, schema_id}`` plus a summary dict (including
+``engine.epoch`` — the idempotency key: re-applying a committed epoch is a
+structural no-op).
+
+Scale posture:
+
+- Data files are hash-bucketed by key (``pmod(xxhash64(url), n_buckets)``) —
+  the icelite analog of Iceberg's ``bucket(N, url)`` hidden partitioning.
+  A merge touches only buckets containing changed keys, so per-epoch work is
+  O(epoch ∩ buckets), not O(table).
+- Commits never move data: a snapshot is a file *list*; commit = write one
+  JSON + two renames. Crash between steps leaves either the old version
+  current (safe) or an orphan metadata file (harmless).
+- Reads align old-schema files to the current schema (missing column → null,
+  retyped column → cast) — Iceberg-style resolve-at-scan evolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..operators.skew import with_salt
+
+BUCKET_COL = "__bucket"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class LakeTable:
+    """Single-writer lake table. All mutation goes through ``_commit``."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        key_col: str = "url",
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        """CREATE TABLE IF NOT EXISTS semantics (S13)."""
+        if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+            return cls.load(spark, path)
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "table_uuid": uuid.uuid4().hex,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schemas": {"1": json.loads(schema.json())},
+            "current_schema_id": 1,
+            "snapshots": [],
+            "current_snapshot_id": None,
+            "version": 0,
+        }
+        tbl = cls(spark, path, meta)
+        tbl._write_version(0)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        hint = os.path.join(path, "metadata", "version-hint.text")
+        with open(hint, encoding="utf-8") as f:
+            version = int(f.read().strip())
+        with open(
+            os.path.join(path, "metadata", f"v{version}.metadata.json"), encoding="utf-8"
+        ) as f:
+            meta = json.load(f)
+        return cls(spark, path, meta)
+
+    def _write_version(self, version: int) -> None:
+        self.meta["version"] = version
+        meta_path = os.path.join(self.path, "metadata", f"v{version}.metadata.json")
+        _atomic_write(meta_path, json.dumps(self.meta, indent=1))
+        _atomic_write(
+            os.path.join(self.path, "metadata", "version-hint.text"), str(version)
+        )
+
+    # -- schema ----------------------------------------------------------------
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.meta["schemas"][str(self.meta["current_schema_id"])])
+
+    @property
+    def key_col(self) -> str:
+        return self.meta["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.meta["n_buckets"]
+
+    def schema_for(self, schema_id: int) -> StructType:
+        return StructType.fromJson(self.meta["schemas"][str(schema_id)])
+
+    def evolve(self, new_schema: StructType, summary: dict | None = None) -> int:
+        """Register a new schema version and make it current (ALTER TABLE).
+
+        Existing data files keep their schema_id; reads resolve at scan:
+        added column → null, dropped column → not selected, retyped column →
+        cast. Mirrors the registry-driven evolution the north_star requires
+        (reference analog: FieldClassifier's canonical mapping,
+        /root/reference/src/processor/field_classifier.rs:196-232).
+        """
+        new_id = max(int(k) for k in self.meta["schemas"]) + 1
+        self.meta["schemas"][str(new_id)] = json.loads(new_schema.json())
+        self.meta["current_schema_id"] = new_id
+        snap = dict(self._current_snapshot() or {"files": []})
+        self._commit(
+            files=snap.get("files", []),
+            summary={"operation": "evolve-schema", **(summary or {})},
+        )
+        return new_id
+
+    # -- snapshots ---------------------------------------------------------------
+
+    def _current_snapshot(self) -> dict | None:
+        sid = self.meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        if snapshot_id is None:
+            return self._current_snapshot()
+        return next(
+            (s for s in self.meta["snapshots"] if s["snapshot_id"] == snapshot_id), None
+        )
+
+    def history(self) -> list[dict]:
+        return list(self.meta["snapshots"])
+
+    def committed_epochs(self) -> set[int]:
+        """Epochs recorded in snapshot summaries — the exactly-once ledger."""
+        out = set()
+        for s in self.meta["snapshots"]:
+            e = s["summary"].get("engine.epoch")
+            if e is not None:
+                out.add(int(e))
+        return out
+
+    def _commit(self, files: list[dict], summary: dict) -> dict:
+        parent = self.meta["current_snapshot_id"]
+        snapshot_id = (parent or 0) + 1
+        snap = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent,
+            "schema_id": self.meta["current_schema_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "summary": {k: str(v) for k, v in summary.items()},
+            "files": files,
+        }
+        self.meta["snapshots"].append(snap)
+        self.meta["current_snapshot_id"] = snapshot_id
+        self._write_version(self.meta["version"] + 1)
+        return snap
+
+    # -- read ---------------------------------------------------------------------
+
+    def _align(self, df: DataFrame, target: StructType) -> DataFrame:
+        """Project/cast a file-schema DataFrame onto the target schema."""
+        cols = []
+        have = {f.name: f for f in df.schema.fields}
+        for f in target.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def read(
+        self, snapshot_id: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Scan the table (optionally time-traveled / bucket-pruned).
+
+        Files are grouped by schema_id; each group is read with its stored
+        schema and aligned to the *current* schema, then unioned — the
+        icelite version of Iceberg's scan-time schema resolution.
+        """
+        snap = self.snapshot(snapshot_id)
+        target = self.schema
+        if snap is None or not snap["files"]:
+            return self.spark.createDataFrame([], target)
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+            if not files:
+                return self.spark.createDataFrame([], target)
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for schema_id, paths in by_schema.items():
+            df = self.spark.read.schema(self.schema_for(schema_id)).parquet(*paths)
+            parts.append(self._align(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write ---------------------------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
+
+    def _write_data_files(
+        self, df: DataFrame, snapshot_id: int, salt_buckets: int = 4
+    ) -> list[dict]:
+        """Write rows (already in current schema + BUCKET_COL) as data files.
+
+        Salted repartition bounds files-per-bucket while spreading hot
+        buckets over several tasks (north_rule skew handling). Deterministic
+        salt — task retries rewrite identical partitions.
+        """
+        commit_dir = f"data/commit-{snapshot_id}"
+        out_path = os.path.join(self.path, commit_dir)
+        salted = with_salt(df, salt_buckets, salt_from=[self.key_col, "__rowhash"]
+                           if "__rowhash" in df.columns else None)
+        (
+            salted.repartition(F.col(BUCKET_COL), F.col("_salt"))
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_path)
+        )
+        files = []
+        for entry in sorted(os.listdir(out_path)):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(out_path, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    files.append(
+                        {
+                            "path": f"{commit_dir}/{entry}/{fn}",
+                            "bucket": bucket,
+                            "schema_id": self.meta["current_schema_id"],
+                        }
+                    )
+        return files
+
+    def append(self, df: DataFrame, epoch: int | None = None) -> dict:
+        """Blind append (no key resolution) — bulk backfill path."""
+        summary: dict = {"operation": "append"}
+        if epoch is not None:
+            if epoch in self.committed_epochs():
+                return {"skipped": True, "epoch": epoch}
+            summary["engine.epoch"] = epoch
+        staged = self._align(df, self.schema).withColumn(BUCKET_COL, self._bucket_expr())
+        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+        new_files = self._write_data_files(staged, snapshot_id)
+        prior = self._current_snapshot()
+        files = (prior["files"] if prior else []) + new_files
+        snap = self._commit(files, summary)
+        return {"skipped": False, "epoch": epoch, "snapshot_id": snap["snapshot_id"]}
+
+    def merge(
+        self,
+        staged: DataFrame,
+        epoch: int | None = None,
+        op_col: str = "op",
+        delete_op: str = "delete",
+        broadcast_threshold: int = 2_000_000,
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """MERGE INTO: upsert/delete ``staged`` (one row per key) by key.
+
+        Semantics = ``MERGE INTO target t USING staged s ON t.key = s.key
+        WHEN MATCHED AND s.op='delete' THEN DELETE / WHEN MATCHED THEN UPDATE
+        SET * / WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *``
+        (SURVEY.md §2.6).
+
+        Physical strategy (scale-first):
+
+        1. bucket-prune: only buckets containing staged keys are read;
+        2. survivors = target ⟕anti staged-keys (AQE may broadcast the key
+           set — it is per-epoch small);
+        3. new bucket data = survivors ∪ staged upserts, rewritten as new
+           files; untouched buckets carry over by reference;
+        4. single atomic snapshot commit carrying ``engine.epoch`` — applying
+           the same epoch twice is a no-op (exactly-once).
+
+        ``staged`` must already be LWW-deduped (one row per key).
+        """
+        if epoch is not None and epoch in self.committed_epochs():
+            return {"skipped": True, "epoch": epoch, "reason": "epoch already committed"}
+
+        key = self.key_col
+        staged = staged.withColumn(BUCKET_COL, self._bucket_expr())
+        # Cache: staged is used for buckets, upserts, anti-join and counting.
+        staged.persist()
+        try:
+            staged_count = staged.count()  # also materializes the cache
+            touched = [
+                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
+            ]  # ≤ n_buckets ints — metadata-scale collect
+
+            upserts = (
+                self._align(staged.where(F.col(op_col) != delete_op), self.schema)
+                .withColumn(BUCKET_COL, self._bucket_expr())
+            )
+            target = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
+
+            keys = staged.select(key)
+            if staged_count <= broadcast_threshold:
+                keys = F.broadcast(keys)
+            survivors = target.join(keys, on=key, how="left_anti")
+
+            out = survivors.unionByName(upserts)
+            snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+            new_files = self._write_data_files(out, snapshot_id)
+
+            prior = self._current_snapshot()
+            touched_set = set(touched)
+            carried = [
+                f for f in (prior["files"] if prior else []) if f["bucket"] not in touched_set
+            ]
+            summary = {
+                "operation": "merge",
+                "staged-rows": staged_count,
+                "touched-buckets": len(touched),
+                "new-files": len(new_files),
+                "carried-files": len(carried),
+                **(extra_summary or {}),
+            }
+            if epoch is not None:
+                summary["engine.epoch"] = epoch
+            snap = self._commit(carried + new_files, summary)
+        finally:
+            staged.unpersist()
+        return {
+            "skipped": False,
+            "epoch": epoch,
+            "snapshot_id": snap["snapshot_id"],
+            "staged_rows": staged_count,
+            "touched_buckets": len(touched),
+            "new_files": len(new_files),
+        }
+
+    # -- maintenance -----------------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 5) -> int:
+        """Drop old snapshots and physically delete data files no live
+        snapshot references (S16 / Iceberg snapshot expiry)."""
+        snaps = self.meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        live = {f["path"] for s in keep for f in s["files"]}
+        dropped = snaps[:-keep_last]
+        dead = {f["path"] for s in dropped for f in s["files"]} - live
+        for rel in dead:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        # Remove now-empty commit dirs.
+        data_dir = os.path.join(self.path, "data")
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if os.path.isdir(full) and not any(
+                files for _, _, files in os.walk(full)
+            ):
+                shutil.rmtree(full)
+        self.meta["snapshots"] = keep
+        self._write_version(self.meta["version"] + 1)
+        return len(dead)

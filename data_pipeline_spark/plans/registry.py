@@ -1,0 +1,232 @@
+"""Schema registry: versioned schemas + column-classification rules (C1-C6).
+
+Replaces the reference's hardcoded ``FieldClassifier``
+(/root/reference/src/processor/field_classifier.rs:9-232) with a versioned,
+JSON-serializable registry. Two roles:
+
+1. **CDC table schemas**: the lake table's schema per ``schema_version``
+   observed in the change log; evolution = diff between versions → the runner
+   rewrites the merge plan + evolves the table (north_star).
+2. **Column classification**: mapping arbitrary source column names onto the
+   canonical schema, with the reference's three tiers — exact match, fuzzy
+   (bidirectional substring containment), content-based — preserving the
+   order-sensitivity the reference regression-tests (sku guard before
+   discount, field_classifier.rs:93-156 and verify_column_fix.rs:86-109).
+
+Classification is driver-side metadata work (it renames columns, it doesn't
+touch rows), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ---------------------------------------------------------------------------
+# CDC lake-table schema versions (input_hint shape + v2 evolution)
+# ---------------------------------------------------------------------------
+
+_PAGE_V1 = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+# v2: added payload column (schema evolution mid-log).
+_PAGE_V2 = StructType(list(_PAGE_V1.fields) + [StructField("fetch_status", IntegerType(), True)])
+
+DEFAULT_TABLE_SCHEMAS: dict[int, StructType] = {1: _PAGE_V1, 2: _PAGE_V2}
+
+
+# ---------------------------------------------------------------------------
+# Canonical-field classification (reference C1-C6)
+# ---------------------------------------------------------------------------
+
+# C1: mapping table (field_classifier.rs:9-51) — source-name → canonical.
+DEFAULT_FIELD_MAPPINGS: dict[str, str] = {
+    # prices
+    "cost_price": "cost_price", "costprice": "cost_price", "special_price": "cost_price",
+    "specialprice": "cost_price", "discountedprice": "cost_price", "price": "cost_price",
+    "mrp": "mrp", "product_price": "mrp", "productprice": "mrp", "actualprice": "mrp",
+    "originalprice": "mrp", "dcimsmrp": "mrp",
+    # identity
+    "product_id": "product_id", "productid": "product_id", "id": "product_id",
+    "varianttitleslug": "product_id",
+    "sku": "sku",
+    # naming
+    "name": "name", "title": "name", "productname": "name",
+    # discount
+    "sku_percent_off": "discount", "skupercentoff": "discount",
+    "discount_percentage": "discount", "discountpercentage": "discount",
+    "discount": "discount",
+    # category
+    "category_name": "category", "categoryname": "category", "category": "category",
+    "category_section": "category", "categorysection": "category",
+    # units
+    "units_of_mass": "units_of_mass", "unitsofmass": "units_of_mass",
+    "unit": "units_of_mass", "baseunit": "units_of_mass",
+}
+
+CANONICAL_FIELDS = [
+    "name", "sku", "product_id", "cost_price", "mrp", "discount",
+    "category", "units_of_mass",
+]
+
+_PRICE_VAL = re.compile(r"^\$?\s*\d[\d,]*(\.\d+)?$")
+_DISCOUNT_VAL = re.compile(r"^\d+(\.\d+)?\s*%|%\s*off|percent", re.IGNORECASE)
+
+
+def normalize_field_name(name: str) -> str:
+    """C2: lowercase, strip ``_``/``-``/space ("Cost-Price" → "costprice",
+    field_classifier.rs:86-91)."""
+    return name.lower().replace("_", "").replace("-", "").replace(" ", "")
+
+
+class SchemaRegistry:
+    """Versioned schemas + classification rules, JSON round-trippable."""
+
+    def __init__(
+        self,
+        table_schemas: dict[int, StructType] | None = None,
+        field_mappings: dict[str, str] | None = None,
+    ):
+        self.table_schemas = dict(table_schemas or DEFAULT_TABLE_SCHEMAS)
+        self.field_mappings = dict(field_mappings or DEFAULT_FIELD_MAPPINGS)
+
+    # -- persistence ---------------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "table_schemas": {
+                    str(v): json.loads(s.json()) for v, s in self.table_schemas.items()
+                },
+                "field_mappings": self.field_mappings,
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "SchemaRegistry":
+        doc = json.loads(payload)
+        return cls(
+            table_schemas={
+                int(v): StructType.fromJson(s) for v, s in doc["table_schemas"].items()
+            },
+            field_mappings=doc["field_mappings"],
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "SchemaRegistry":
+        with open(path, encoding="utf-8") as f:
+            return cls.from_json(f.read())
+
+    # -- CDC schemas -----------------------------------------------------------
+
+    def table_schema(self, version: int) -> StructType:
+        return self.table_schemas[version]
+
+    def register_version(self, version: int, schema: StructType) -> None:
+        self.table_schemas[version] = schema
+
+    def diff(self, old_version: int, new_version: int) -> dict:
+        """added / dropped / retyped columns between two versions — the plan
+        the runner turns into ALTER TABLE + merge-plan rewrite."""
+        old = {f.name: f.dataType for f in self.table_schemas[old_version].fields}
+        new = {f.name: f.dataType for f in self.table_schemas[new_version].fields}
+        return {
+            "added": sorted(set(new) - set(old)),
+            "dropped": sorted(set(old) - set(new)),
+            "retyped": sorted(
+                n for n in set(old) & set(new) if old[n].simpleString() != new[n].simpleString()
+            ),
+        }
+
+    # -- classification (C3-C5) -------------------------------------------------
+
+    @staticmethod
+    def looks_like_price(values: list[str]) -> bool:
+        vals = [v for v in values if v]
+        return bool(vals) and all(_PRICE_VAL.match(v.strip()) for v in vals)
+
+    @staticmethod
+    def looks_like_discount(values: list[str]) -> bool:
+        vals = [v for v in values if v]
+        return bool(vals) and all(_DISCOUNT_VAL.search(v.strip()) for v in vals)
+
+    def classify_field(self, name: str, sample_values: list[str] | None = None) -> str | None:
+        """Three-tier classification (field_classifier.rs:53-156).
+
+        Tier order is semantics-bearing: the sku guard must run before the
+        discount name-pattern so ``sku_percent_off`` cannot contaminate
+        ``sku`` (regression: verify_column_fix.rs:86-109).
+        """
+        norm = normalize_field_name(name)
+        # C3 exact
+        if norm in self.field_mappings:
+            return self.field_mappings[norm]
+        # C4 fuzzy: bidirectional substring containment
+        for known, canonical in self.field_mappings.items():
+            if known in norm or norm in known:
+                return canonical
+        # C5 content/name-pattern tier (ordered)
+        if "sku" in norm and "percent" not in norm and "off" not in norm:
+            return "sku"
+        if any(t in norm for t in ("price", "cost", "mrp")):
+            return "cost_price" if "mrp" not in norm else "mrp"
+        if any(t in norm for t in ("name", "title")):
+            return "name"
+        if norm.endswith("id") or norm == "id":
+            return "product_id"
+        if any(t in norm for t in ("discount", "off", "percent")):
+            return "discount"
+        if any(t in norm for t in ("category", "type", "class")):
+            return "category"
+        # C5 value-shape tier
+        if sample_values:
+            if self.looks_like_price(sample_values):
+                return "cost_price"
+            if self.looks_like_discount(sample_values):
+                return "discount"
+        return None
+
+    def map_to_canonical(self, df: DataFrame, sample_rows: int = 5) -> DataFrame:
+        """C6: rename every classifiable column to its canonical name in one
+        ``select`` (single projection — Catalyst collapses it into the scan).
+
+        Sampling for the value-shape tier reads ≤ ``sample_rows`` values per
+        unresolved column (P13, registry-build-time, driver-side).
+        """
+        aliases: dict[str, str] = {}
+        taken: set[str] = set()
+        for col in df.columns:
+            canonical = self.classify_field(col)
+            if canonical is None and sample_rows:
+                samples = [
+                    str(r[0])
+                    for r in df.select(col).where(f"`{col}` is not null").limit(sample_rows).collect()
+                ]
+                canonical = self.classify_field(col, samples)
+            target = canonical if canonical and canonical not in taken else col
+            aliases[col] = target
+            taken.add(target)
+        import pyspark.sql.functions as F
+
+        return df.select(*[F.col(f"`{c}`").alias(a) for c, a in aliases.items()])
