@@ -1,0 +1,193 @@
+"""Typed parse: JSON flatten + fallback coalesce cascades P1-P12 (SURVEY.md §2.2).
+
+Re-expresses /root/reference/src/processor/json_flattener.rs:131-436 — which
+probes many alternative field names per logical column across four source
+shapes — as ONE declarative ``select`` of ``coalesce`` cascades. Catalyst
+prunes to exactly the referenced fields; per-row lazy evaluation of
+``coalesce`` reproduces the reference's short-circuit "first present field
+wins" semantics natively (no UDF).
+
+Works on any DataFrame produced by ``spark.read.json`` (or ``from_json``);
+missing fields/shapes in a given source's schema resolve to null columns, so
+all source shapes (krave_mart / bazaar_app / dealcart / pandamart / html)
+flow through the same plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+STAGING_COLUMNS = [
+    "cost_price", "mrp", "name", "sku", "product_id", "sku_percent_off",
+    "category_name", "units_of_mass",
+]
+
+
+def _has(df: DataFrame, path: str) -> bool:
+    """True if dotted ``path`` resolves in df's schema."""
+    fields = df.schema
+    for part in path.split("."):
+        try:
+            names = {f.name: f for f in fields.fields}  # type: ignore[union-attr]
+        except AttributeError:
+            return False
+        if part not in names:
+            return False
+        fields = names[part].dataType
+        # unwrap array element for [0]-style hops
+        while hasattr(fields, "elementType"):
+            fields = fields.elementType
+    return True
+
+
+def _col(df: DataFrame, path: str) -> Column:
+    """Column at ``path`` if it exists in the schema, else null literal."""
+    return F.col(path) if _has(df, path) else F.lit(None)
+
+
+def _is_array(df: DataFrame, name: str) -> bool:
+    for f in df.schema.fields:
+        if f.name == name:
+            return hasattr(f.dataType, "elementType")
+    return False
+
+
+def canonical_number(col: Column) -> Column:
+    """P11 (json_flattener.rs:143-169): numeric → integer string when the
+    fractional part is 0, else float string ("390.00"→"390", 99.5→"99.5").
+    Non-numeric strings pass through unchanged. Semantics-bearing for byte
+    equality of staged values."""
+    d = col.cast("double")
+    return (
+        F.when(d.isNull(), col.cast("string"))
+        .when(d == F.floor(d), d.cast("long").cast("string"))
+        .otherwise(d.cast("string"))
+    )
+
+
+def _num_cascade(*cols: Column) -> Column:
+    """Coalesce over alternatives, canonicalizing each numeric candidate
+    (the reference canonicalizes per-field at extraction time)."""
+    return F.coalesce(*[canonical_number(c) for c in cols])
+
+
+def flatten_products(df: DataFrame) -> DataFrame:
+    """Project any source-shaped product records onto the fixed 8-column
+    string staging schema (P12, json_flattener.rs:408-436).
+
+    Cascade order per column is semantics-bearing (first present wins):
+
+    - product_id: product_id → productID → sku → id → variantTitleSlug (P3)
+    - name: name → title → productName (P4)
+    - cost_price: cost_price → special_price → discountedPrice →
+      discounted_price → price → groupRanges[0].discountedPrice (P5)
+    - mrp: mrp → product_price → actualPrice → actual_price →
+      originalPrice → original_price → inventories[0].dcImsMrp (P6)
+    - sku: sku → attributes[key=='sku'].value → "SKU_{id}" (P7)
+    - sku_percent_off: sku_percent_off → discount_percentage →
+      discountPercentage → "0.00" iff productID present (P8)
+    - units_of_mass: units_of_mass → unit → baseUnit →
+      attributes[key=='baseUnit'].value → "N/A" (P9)
+    - category_name: categories[].category_name (lower, ", "-joined) →
+      productCategory[].category.name → category_section → category (P10)
+    """
+    c = lambda p: _col(df, p)  # noqa: E731
+
+    product_id = _num_cascade(
+        c("product_id"), c("productID"), c("sku"), c("id"), c("variantTitleSlug")
+    )
+    name = F.coalesce(
+        c("name").cast("string"), c("title").cast("string"),
+        c("productName").cast("string"),
+    )
+    cost_price = _num_cascade(
+        c("cost_price"), c("special_price"), c("discountedPrice"),
+        c("discounted_price"), c("price"),
+        c("groupRanges")[0]["discountedPrice"] if _has(df, "groupRanges.discountedPrice") else F.lit(None),
+    )
+    if _has(df, "inventories.dcImsMrp"):
+        inv_mrp = (
+            c("inventories")[0]["dcImsMrp"]
+            if _is_array(df, "inventories")
+            else c("inventories")["dcImsMrp"]
+        )
+    else:
+        inv_mrp = F.lit(None)
+    mrp = _num_cascade(
+        c("mrp"), c("product_price"), c("actualPrice"), c("actual_price"),
+        c("originalPrice"), c("original_price"), inv_mrp,
+    )
+
+    # P7: key-value array lookup with synthesized fallback SKU_{id}.
+    if _has(df, "attributes.key"):
+        attr_sku = F.element_at(
+            F.filter(c("attributes"), lambda x: x["key"] == "sku"), 1
+        )["value"]
+        attr_unit = F.element_at(
+            F.filter(c("attributes"), lambda x: x["key"] == "baseUnit"), 1
+        )["value"]
+    else:
+        attr_sku = F.lit(None)
+        attr_unit = F.lit(None)
+    sku = F.coalesce(
+        c("sku").cast("string"), attr_sku.cast("string"),
+        F.when(product_id.isNotNull(), F.concat(F.lit("SKU_"), product_id)),
+    )
+
+    # P8: discount cascade; literal "0.00" iff a productID-bearing source.
+    sku_percent_off = F.coalesce(
+        c("sku_percent_off").cast("string"),
+        _num_cascade(c("discount_percentage"), c("discountPercentage")),
+        F.when(c("productID").isNotNull(), F.lit("0.00")),
+    )
+
+    units = F.coalesce(
+        c("units_of_mass").cast("string"), c("unit").cast("string"),
+        c("baseUnit").cast("string"), attr_unit.cast("string"), F.lit("N/A"),
+    )
+
+    # P10: category array flatten (lowercased, ", "-joined) → alternatives.
+    if _has(df, "categories.category_name"):
+        cat_arr = F.array_join(
+            F.transform(
+                c("categories"), lambda x: F.lower(F.trim(x["category_name"]))
+            ),
+            ", ",
+        )
+        cat_arr = F.when(F.size(c("categories")) > 0, cat_arr)
+    else:
+        cat_arr = F.lit(None)
+    if _has(df, "productCategory.category.name"):
+        pc_arr = F.array_join(
+            F.transform(c("productCategory"), lambda x: F.trim(x["category"]["name"])),
+            ", ",
+        )
+        pc_arr = F.when(F.size(c("productCategory")) > 0, pc_arr)
+    else:
+        pc_arr = F.lit(None)
+    category = F.coalesce(
+        cat_arr, pc_arr, c("category_section").cast("string"),
+        c("category_name").cast("string"), c("category").cast("string"),
+    )
+
+    out = df.select(
+        cost_price.alias("cost_price"),
+        mrp.alias("mrp"),
+        name.alias("name"),
+        sku.alias("sku"),
+        product_id.alias("product_id"),
+        sku_percent_off.alias("sku_percent_off"),
+        category.alias("category_name"),
+        units.alias("units_of_mass"),
+    )
+    # P12: fixed schema — missing values land as "" (json_flattener.rs:414-423).
+    return out.select(
+        *[F.coalesce(F.col(col), F.lit("")).alias(col) for col in STAGING_COLUMNS]
+    )
+
+
+def extract_json_path(col: Column, *path: str) -> Column:
+    """P1: dotted-path extraction over a JSON *string* column
+    (unified_fetcher.rs:483-507) — ``get_json_object`` keeps it JVM-side."""
+    return F.get_json_object(col, "$." + ".".join(path))

@@ -1,0 +1,161 @@
+"""HTML extraction tests (H1-H7): selector-cascade semantics, entities,
+nesting, exclusion, price-attr priority, fallbacks — plus UDF/oracle parity.
+
+Semantics mirror /root/reference/src/fetcher/html_fetcher.rs:269-551 and
+naheed.toml:18-64; the same Python implementation runs in the pandas UDF, so
+these tests pin the engine AND the oracle simultaneously.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.functions.extract import (
+    clean_price,
+    extract_price_from_text,
+    extract_products,
+    extract_text,
+    extract_text_udf,
+    extract_products_udf,
+    looks_like_price,
+)
+
+PAGE = """
+<html><body>
+<span class="base" data-ui-id="page-title-wrapper">Fresh Fruits</span>
+<div class="product-item-info" data-product-id="101">
+  <h3>Red Apples &amp; Pears (1 kg)</h3>
+  <span class="price" data-price-amount="350">Rs. 350</span>
+</div>
+<div class="product-item-info">
+  <h3>Bananas Dozen</h3>
+  <span class="price">PKR 1,250</span>
+  <a data-product-id="102">buy</a>
+</div>
+<div class="product-item-info" data-product-id="103">
+  <h3>Advertisement banner special</h3>
+  <span class="price">Rs. 999</span>
+</div>
+</body></html>
+"""
+
+
+def test_container_cascade_first_selector_wins():
+    """.product-item-info is tried before .product-item; presence of the
+    former must shadow the latter entirely."""
+    html = PAGE.replace("product-item-info", "product-item-info") + ""
+    prods = extract_products(html)
+    ids = [p["product_id"] for p in prods]
+    assert ids == ["101", "102"]  # 103 excluded (advertisement/banner)
+
+
+def test_data_price_amount_priority():
+    prods = extract_products(PAGE)
+    assert prods[0]["cost_price"] == "350"  # attr, not "Rs. 350" text
+    assert prods[0]["mrp"] == "350"
+    assert prods[1]["cost_price"] == "1250"  # PKR 1,250 → cleaned
+
+
+def test_entity_decoding_and_category():
+    prods = extract_products(PAGE)
+    assert prods[0]["name"] == "Red Apples & Pears (1 kg)"
+    assert prods[0]["category_name"] == "Fresh Fruits"
+    assert prods[0]["sku"] == "101"
+    assert prods[0]["sku_percent_off"] == "0.00"
+
+
+def test_product_id_from_descendant():
+    prods = extract_products(PAGE)
+    assert prods[1]["product_id"] == "102"
+
+
+def test_exclusion_keywords():
+    prods = extract_products(PAGE)
+    assert all("banner" not in p["name"].lower() for p in prods)
+
+
+def test_fallback_container_selector():
+    html = """
+    <ul>
+      <li class="list-item" data-product-id="7">
+        <strong>Mango Crate</strong> <span class="cost">Rs. 2,500</span>
+      </li>
+    </ul>"""
+    prods = extract_products(html, category_name="Fruit")
+    assert len(prods) == 1
+    assert prods[0]["product_id"] == "7"
+    assert prods[0]["cost_price"] == "2500"
+    assert prods[0]["category_name"] == "Fruit"  # no page category → arg
+
+
+def test_name_fallback_first_nonprice_line():
+    html = """
+    <div class="product" data-product-id="9">
+      Rs. 450
+      Golden Syrup Bottle
+    </div>"""
+    prods = extract_products(html)
+    assert len(prods) == 1
+    assert prods[0]["name"] == "Golden Syrup Bottle"
+    assert prods[0]["cost_price"] == "450"
+
+
+def test_price_regex_fallback_over_all_text():
+    html = """
+    <div class="product" data-product-id="11">
+      <h3>Basmati Rice Bag</h3>
+      <p>only 925 Rs today</p>
+    </div>"""
+    prods = extract_products(html)
+    assert prods[0]["cost_price"] == "925"
+
+
+def test_nested_containers_no_price_rejected():
+    html = '<div class="product" data-product-id="1"><h3>Thing One</h3></div>'
+    assert extract_products(html) == []
+
+
+def test_invalid_price_rejected():
+    html = ('<div class="product" data-product-id="1"><h3>Zero Item</h3>'
+            '<span class="price" data-price-amount="0">Rs. 0</span></div>')
+    assert extract_products(html) == []
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("Rs. 1,500", "Rs. 1,500"), ("price PKR 99 each", "PKR 99"),
+        ("₨. 75", "₨. 75"), ("450 Rs", "450 Rs"), ("no price here", None),
+    ],
+)
+def test_extract_price_from_text(text, expected):
+    assert extract_price_from_text(text) == expected
+
+
+def test_looks_like_price():
+    assert looks_like_price("Rs. 20")
+    assert not looks_like_price("Apples")
+
+
+def test_extract_text_determinism_and_entities():
+    html = "<div><script>var x=1;</script><p>A &amp; B</p>\n<p>C   D</p></div>"
+    assert extract_text(html) == "A & B C D"
+    # idempotent / deterministic
+    assert extract_text(html) == extract_text(html)
+
+
+def test_udfs_match_oracle(spark):
+    pages = [PAGE, "<div class='product' data-product-id='5'><h4>Tea Box</h4>"
+                   "<span class='price'>Rs. 320</span></div>", "<p>nothing</p>"]
+    df = spark.createDataFrame([(p.encode(),) for p in pages], "html binary")
+    got = df.select(
+        extract_text_udf()(F.col("html")).alias("text"),
+        extract_products_udf()(F.col("html")).alias("prods"),
+    ).collect()
+    for page, row in zip(pages, got):
+        assert row["text"] == extract_text(page)  # byte-identical
+        oracle = extract_products(page)
+        assert len(row["prods"]) == len(oracle)
+        for got_p, exp_p in zip(row["prods"], oracle):
+            assert got_p["name"] == exp_p["name"]
+            assert got_p["cost_price"] == exp_p["cost_price"]
+            assert got_p["product_id"] == exp_p["product_id"]

@@ -1,0 +1,73 @@
+"""Schema evolution mid-log: the registry rewrites the table schema and the
+merge plan in-flight (north_star); old data resolves at scan (null-filled)."""
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.plans.registry import SchemaRegistry
+from data_pipeline_spark.sources import changelog
+from data_pipeline_spark.sources.datagen import gen_changes
+from data_pipeline_spark.streaming.checkpoint import CheckpointStore
+from data_pipeline_spark.streaming.runner import ReplayRunner, make_table_for_log
+
+
+def test_evolution_mid_replay(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    df = gen_changes(
+        spark, 2000, events_per_epoch=500, seed=11, evolve_at_epoch=2
+    )
+    changelog.write_log(df, log_dir)
+
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t"), registry, n_buckets=4)
+    assert "fetch_status" not in [f.name for f in table.schema.fields]
+
+    runner = ReplayRunner(spark, log_dir, table, CheckpointStore(str(tmp_path / "cp")), registry)
+    results = runner.run()
+    assert len(results) == 4
+
+    # Table evolved to v2 schema.
+    names = [f.name for f in table.schema.fields]
+    assert names == ["url", "warc_ts", "html", "text", "lang", "fetch_status"]
+
+    final = table.read()
+    # Rows whose winner came from epochs >= 2 carry fetch_status; winners
+    # from earlier epochs read as null (scan-time alignment).
+    with_status = final.where(F.col("fetch_status").isNotNull()).count()
+    without = final.where(F.col("fetch_status").isNull()).count()
+    assert with_status > 0 and without > 0
+
+    # An evolve-schema snapshot is in the history, before the epoch-2 merge.
+    ops = [(s["summary"].get("operation"), s["summary"].get("engine.epoch")) for s in table.history()]
+    assert ("evolve-schema", None) in ops
+    evolve_idx = ops.index(("evolve-schema", None))
+    merge2_idx = ops.index(("merge", "2"))
+    assert evolve_idx < merge2_idx
+
+    # diff() reports the evolution plan.
+    d = registry.diff(1, 2)
+    assert d == {"added": ["fetch_status"], "dropped": [], "retyped": []}
+
+
+def test_registry_roundtrip(tmp_path):
+    reg = SchemaRegistry()
+    p = str(tmp_path / "registry.json")
+    reg.save(p)
+    reg2 = SchemaRegistry.load(p)
+    assert reg2.table_schema(2).json() == reg.table_schema(2).json()
+    assert reg2.field_mappings == reg.field_mappings
+
+
+def test_classifier_tiers():
+    """Reference regression tests (field_classifier.rs:258-375)."""
+    reg = SchemaRegistry()
+    # exact + normalization: "Cost-Price" → costprice → cost_price
+    assert reg.classify_field("Cost-Price") == "cost_price"
+    assert reg.classify_field("productID") == "product_id"
+    assert reg.classify_field("dcImsMrp") == "mrp"
+    # sku guard: sku → sku, sku_percent_off → discount, no contamination
+    assert reg.classify_field("sku") == "sku"
+    assert reg.classify_field("sku_percent_off") == "discount"
+    # content-based value shapes
+    assert reg.classify_field("mystery_col", ["$19.99", "5.00"]) == "cost_price"
+    assert reg.classify_field("mystery_col", ["50% off", "25%"]) == "discount"
+    assert reg.classify_field("zzz", ["hello world"]) is None
