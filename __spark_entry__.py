@@ -1,38 +1,1035 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every operator family from SURVEY.md §2 plus the
+training-data extensions (dedup / similarity / text-analysis / multimodal)
+as (spark, sf_dir) → DataFrame callables; `oracle_sql()` carries DuckDB
+twins generated from the SAME constant tables and regexes
+(data_pipeline_spark.functions.textstats / operators.textdedup), so the
+driver's sf=0.01 comparison checks true cross-engine parity.
+
+Float discipline: every floating output column is rounded (≤6 dp) on BOTH
+sides so summation-order noise (~1e-13) can't flip the driver's value hash;
+orderings are over rounded values with an id tie-break.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from data_pipeline_spark.functions import normalize as N
+from data_pipeline_spark.functions import textstats as TS
+from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
+from data_pipeline_spark.operators import similarity as SIM
+from data_pipeline_spark.operators import textdedup as TD
+from data_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_window
+from data_pipeline_spark.plans.registry import SchemaRegistry
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC core (D1/D2, SURVEY.md §2.6): LWW dedup, snapshot diff, replay
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: last event per user by (ts, event_id) — max_by scale path."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup(
+        ev.select("user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 window twin: row_number()==1 — must equal the max_by path."""
+    ev = _t(spark, sf_dir, "events")
+    return lww_dedup_window(
+        ev.select("user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+    )
+
+
+_SQL_LWW = """
+WITH src AS (
+  SELECT user_id, event_id, ts, event_type, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, value FROM src WHERE rn = 1
+"""
+
+
+def q_cdc_key_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: two-directional anti-join key diff between two snapshots."""
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderkey") % 7 != 0).select("o_orderkey")
+    snap_b = o.where(F.col("o_orderkey") % 5 != 0).select("o_orderkey")
+    inserts = snap_b.join(snap_a, "o_orderkey", "left_anti").withColumn(
+        "op", F.lit("insert")
+    )
+    deletes = snap_a.join(snap_b, "o_orderkey", "left_anti").withColumn(
+        "op", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
+_SQL_KEY_DIFF = """
+WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+     b AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT o_orderkey, 'insert' AS op FROM b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM a)
+UNION ALL
+SELECT o_orderkey, 'delete' AS op FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b)
+"""
+
+
+def q_cdc_update_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 update leg: inner-join value comparison between snapshots."""
+    o = _t(spark, sf_dir, "orders")
+    live = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(10.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    old = o.select("o_orderkey", F.col("o_totalprice").alias("old_price"))
+    new = live.select("o_orderkey", F.col("o_totalprice").alias("new_price"))
+    return (
+        old.join(new, "o_orderkey")
+        .where(F.col("old_price") != F.col("new_price"))
+        .select(
+            "o_orderkey",
+            F.round("old_price", 2).alias("old_price"),
+            F.round("new_price", 2).alias("new_price"),
+        )
+    )
+
+
+_SQL_UPDATE_DETECT = """
+WITH live AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS new_price
+  FROM orders
+)
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS old_price, round(l.new_price, 2) AS new_price
+FROM orders o JOIN live l ON o.o_orderkey = l.o_orderkey
+WHERE o.o_totalprice <> l.new_price
+"""
+
+
+def _event_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → synthetic CDC change log: op by event_type, key=user_id."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return ev.select(
+        op.alias("op"),
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("warc_ts"),
+        F.col("event_id").alias("lsn"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: change-event tail → per-key (warc_ts, lsn) LWW → final
+    state (delete winners drop their key) — the engine's replay semantics
+    as one declarative plan (merge/commit machinery is pytest-verified)."""
+    log = _event_changelog(spark, sf_dir)
+    latest = lww_dedup(log, key_cols=("key",), order_cols=("warc_ts", "lsn"))
+    return latest.where(F.col("op") != "delete").select(
+        "key", "op", "warc_ts", "lsn", "event_type", "value"
+    )
+
+
+_SQL_REPLAY_FINAL = """
+WITH log AS (
+  SELECT CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         user_id AS key, ts AS warc_ts, event_id AS lsn,
+         event_type, round(value, 6) AS value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY key ORDER BY warc_ts DESC, lsn DESC) AS rn
+  FROM log
+)
+SELECT key, op, warc_ts, lsn, event_type, value
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / joins / windows (A1-A8, D4)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join + agg + deterministic top-10 (broadcastable dims)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_Q3 = """
+SELECT o_orderkey, o_orderdate, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderkey, o_orderdate, c_mktsegment
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: value-frequency top-k with deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_EVENT_TYPES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, event_type ASC LIMIT 10
+"""
+
+
+def q_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: min/max/avg stats per group."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+
+
+_SQL_BRAND_STATS = """
+SELECT p_brand, round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price,
+       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def q_nation_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: dimension enrichment via broadcast joins through 2 hops."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+_SQL_NATION_ROLLUP = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(avg(s_acctbal), 4) AS avg_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_null_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-column null counts / completeness (nulls synthesized
+    deterministically so the check is non-trivial)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    total = F.count("*").cast("long")
+    return ev.agg(
+        total.alias("total"),
+        F.sum(F.col("value").isNull().cast("long")).cast("long").alias("value_nulls"),
+        F.sum(F.col("props").isNull().cast("long")).cast("long").alias("props_nulls"),
+        F.round(
+            F.lit(100.0) * (total - F.sum(F.col("value").isNull().cast("long"))) / total, 4
+        ).alias("value_complete_pct"),
+    )
+
+
+_SQL_NULLS = """
+WITH ev AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value, props
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS total,
+       CAST(count(*) FILTER (value IS NULL) AS BIGINT) AS value_nulls,
+       CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS props_nulls,
+       round(100.0 * (count(*) - count(*) FILTER (value IS NULL)) / count(*), 4)
+         AS value_complete_pct
+FROM ev
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-style time rollup: per-hour event counts + value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-user running total ordered by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+_SQL_RUNNING = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization family (N1-N5) + classification (C1-C6) + flatten (P3-P12)
+# ---------------------------------------------------------------------------
+
+def _price_str_cols():
+    """Deterministic price-string construction shared by Spark + SQL."""
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    int_part = F.floor(cents / 100).cast("long")
+    frac = F.lpad((cents % 100).cast("string"), 2, "0")
+    with_comma = F.concat(
+        F.floor(int_part / 1000).cast("string"),
+        F.lit(","),
+        F.lpad((int_part % 1000).cast("string"), 3, "0"),
+    )
+    int_str = F.when(
+        (F.col("p_partkey") % 2 == 0) & (int_part >= 1000), with_comma
+    ).otherwise(int_part.cast("string"))
+    return F.concat(F.lit("$"), int_str, F.lit("."), frac)
+
+
+def q_normalize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: '$1,234.56' → 1234.56 (strip $/commas, cast)."""
+    p = _t(spark, sf_dir, "part")
+    df = p.select("p_partkey", _price_str_cols().alias("price_str"))
+    return df.withColumn("price", N.normalize_price(F.col("price_str")))
+
+
+_SQL_NORM_PRICES = """
+WITH base AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+         p_retailprice
+  FROM part
+), built AS (
+  SELECT p_partkey,
+         '$' ||
+         CASE WHEN p_partkey % 2 = 0 AND cents // 100 >= 1000
+              THEN (cents // 100 // 1000)::VARCHAR || ',' ||
+                   lpad((cents // 100 % 1000)::VARCHAR, 3, '0')
+              ELSE (cents // 100)::VARCHAR END ||
+         '.' || lpad((cents % 100)::VARCHAR, 2, '0') AS price_str
+  FROM base
+)
+SELECT p_partkey, price_str,
+       CASE WHEN regexp_matches(trim(regexp_replace(price_str, '[$,]', '', 'g')),
+                                '^-?\\d+(\\.\\d+)?$')
+            THEN CAST(trim(regexp_replace(price_str, '[$,]', '', 'g')) AS DOUBLE)
+       END AS price
+FROM built
+"""
+
+
+def q_parse_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: '40% off' / 'discount 12 percent' → 40.0 / 12.0."""
+    p = _t(spark, sf_dir, "part")
+    disc_str = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.col("p_size").cast("string"), F.lit("% off")))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(F.lit("discount "), F.col("p_size").cast("string"), F.lit(" percent")),
+        )
+        .otherwise(F.concat(F.col("p_size").cast("string"), F.lit(".5% OFF")))
+    )
+    df = p.select("p_partkey", disc_str.alias("disc_str"))
+    return df.withColumn("discount", N.parse_discount(F.col("disc_str")))
+
+
+_SQL_PARSE_DISC = """
+WITH built AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN p_size::VARCHAR || '% off'
+              WHEN p_partkey % 3 = 1 THEN 'discount ' || p_size::VARCHAR || ' percent'
+              ELSE p_size::VARCHAR || '.5% OFF' END AS disc_str
+  FROM part
+), cleaned AS (
+  SELECT p_partkey, disc_str,
+         trim(replace(replace(replace(replace(replace(lower(disc_str),
+              '%', ''), 'percent', ''), 'off', ''), 'discount', ''), 'sale', '')) AS c
+  FROM built
+)
+SELECT p_partkey, disc_str,
+       CASE WHEN regexp_extract(c, '(\\d+(?:\\.\\d+)?)', 1) <> ''
+            THEN CAST(regexp_extract(c, '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)
+       END AS discount
+FROM cleaned
+"""
+
+
+def q_derive_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: derived discount pct from (cost, mrp) when no explicit value."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    mrp = F.round(F.col("l_extendedprice"), 2)
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cost.alias("cost_price"),
+        mrp.alias("mrp"),
+        F.lit(None).cast("double").alias("discount"),
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        N.derive_discount(F.col("discount"), F.col("cost_price"), F.col("mrp")).alias(
+            "derived_discount"
+        ),
+    )
+
+
+_SQL_DERIVE_DISC = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * (1 - l_discount), 2) AS cost_price,
+         round(l_extendedprice, 2) AS mrp
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN cost_price IS NOT NULL AND mrp IS NOT NULL
+                 AND mrp > 0 AND cost_price < mrp
+            THEN round((mrp - cost_price) / mrp * 100.0, 2)
+            WHEN cost_price IS NOT NULL AND mrp IS NOT NULL THEN 0.0
+       END AS derived_discount
+FROM base
+"""
+
+
+def q_clean_names_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: ordered first-match-wins unit extraction (Arrow pandas UDF);
+    oracle derives expected output structurally from the controlled input."""
+    p = _t(spark, sf_dir, "part")
+    raw_name = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.col("p_name"), F.lit(" (500gm)")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.col("p_name"), F.lit(" - half dozen")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.col("p_name"), F.lit(" 3 Kg")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" | mega deal")))
+    )
+    df = p.select("p_partkey", raw_name.alias("name"))
+    return N.with_clean_name_and_units(df).select("p_partkey", "name", "units_of_mass")
+
+
+_SQL_CLEAN_NAMES = """
+SELECT p_partkey, lower(p_name) AS name,
+       CASE WHEN p_partkey % 4 = 0 THEN '500gm'
+            WHEN p_partkey % 4 = 1 THEN 'half dozen'
+            WHEN p_partkey % 4 = 2 THEN '3 Kg'
+            ELSE 'N/A' END AS units_of_mass
+FROM part
+"""
+
+
+def q_field_classify_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C6: registry-driven canonical rename of drifting column names."""
+    p = _t(spark, sf_dir, "part")
+    messy = p.select(
+        F.col("p_name").alias("Product Name"),
+        F.col("p_brand").alias("SKU"),
+        F.col("p_partkey").cast("string").alias("ProductID"),
+        F.col("p_type").alias("Category-Name"),
+    )
+    reg = SchemaRegistry()
+    return reg.map_to_canonical(messy)
+
+
+_SQL_CLASSIFY = """
+SELECT p_name AS name, p_brand AS sku, p_partkey::VARCHAR AS product_id,
+       p_type AS category
+FROM part
+"""
+
+
+def q_flatten_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P8: fallback coalesce cascade over drifting JSON payload shapes."""
+    ev = _t(spark, sf_dir, "events")
+    payload = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit('{"price": "'), F.col("event_id").cast("string"), F.lit('"}')),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit('{"special_price": "'), F.col("event_id").cast("string"), F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"discountedPrice": "'), F.col("event_id").cast("string"), F.lit('"}')
+            )
+        )
+    )
+    df = ev.select("event_id", payload.alias("payload"))
+    price = F.coalesce(
+        F.get_json_object("payload", "$.cost_price"),
+        F.get_json_object("payload", "$.special_price"),
+        F.get_json_object("payload", "$.discountedPrice"),
+        F.get_json_object("payload", "$.price"),
+    )
+    return df.select("event_id", price.cast("double").alias("cost_price"))
+
+
+_SQL_FLATTEN = """
+WITH built AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 = 0 THEN '{"price": "' || event_id::VARCHAR || '"}'
+              WHEN event_id % 3 = 1 THEN '{"special_price": "' || event_id::VARCHAR || '"}'
+              ELSE '{"discountedPrice": "' || event_id::VARCHAR || '"}' END AS payload
+  FROM events
+)
+SELECT event_id,
+       CAST(coalesce(json_extract_string(payload, '$.cost_price'),
+                     json_extract_string(payload, '$.special_price'),
+                     json_extract_string(payload, '$.discountedPrice'),
+                     json_extract_string(payload, '$.price')) AS DOUBLE) AS cost_price
+FROM built
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (H1-H8) — vectorized pandas UDFs over binary html
+# ---------------------------------------------------------------------------
+
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-family: html binary → visible text (Arrow pandas UDF). The oracle
+    reconstructs the expected text from the controlled page structure."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    html = F.concat(
+        F.lit("<html><body><h2>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h2><p>"),
+        F.substring("text", 1, 200),
+        F.lit("</p></body></html>"),
+    )
+    df = d.select("doc_id", html.cast("binary").alias("html"))
+    xt = extract_text_udf()
+    return df.select("doc_id", xt(F.col("html")).alias("text_out"))
+
+
+_SQL_EXTRACT_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace('Doc ' || doc_id::VARCHAR || ' ' || substr(text, 1, 200),
+                           '\\s+', ' ', 'g')) AS text_out
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _excluded_sql(name_expr: str) -> str:
+    from data_pipeline_spark.functions.extract import EXCLUDED_KEYWORDS
+
+    return " OR ".join(f"contains(lower({name_expr}), '{k}')" for k in EXCLUDED_KEYWORDS)
+
+
+def q_html_extract_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1-H8: product-card extraction cascade (container/name/price/id
+    selectors, price cleaning, validation, exclusion) over synthesized pages."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 5 == 0)
+    html = F.concat(
+        F.lit('<html><body><h1>tools</h1><div class="product-item" data-product-id="'),
+        F.col("p_partkey").cast("string"),
+        F.lit('"><h3>'),
+        F.col("p_name"),
+        F.lit('</h3><span class="price">Rs. '),
+        (F.col("p_size") * 100).cast("string"),
+        F.lit("</span></div></body></html>"),
+    )
+    df = p.select("p_partkey", html.cast("binary").alias("html"))
+    xp = extract_products_udf()
+    prod = df.select("p_partkey", F.explode(xp(F.col("html"))).alias("pr"))
+    return prod.select(
+        "p_partkey",
+        F.col("pr.name").alias("name"),
+        F.col("pr.cost_price").alias("cost_price"),
+        F.col("pr.mrp").alias("mrp"),
+        F.col("pr.product_id").alias("product_id"),
+        F.col("pr.category_name").alias("category_name"),
+        F.col("pr.units_of_mass").alias("units_of_mass"),
+    )
+
+
+def _sql_extract_products() -> str:
+    excl = _excluded_sql("p_name")
+    return f"""
+SELECT p_partkey, p_name AS name,
+       (p_size * 100)::VARCHAR AS cost_price,
+       (p_size * 100)::VARCHAR AS mrp,
+       p_partkey::VARCHAR AS product_id,
+       'tools' AS category_name,
+       'N/A' AS units_of_mass
+FROM part
+WHERE p_partkey % 5 = 0
+  AND length(p_name) BETWEEN 3 AND 200
+  AND regexp_matches(p_name, '[A-Za-z]')
+  AND p_size * 100 > 0
+  AND NOT ({excl})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data extension)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TS.char_count(t).alias("n_chars"),
+        TS.token_count(t).alias("n_tokens"),
+        TS.bpe_token_count(t).alias("n_bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       {TS.sql_token_count('text')} AS n_tokens,
+       {TS.sql_bpe_token_count('text')} AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id, {TS.sql_fingerprint('text')} AS fingerprint FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+
+
+_SQL_QUALITY = f"""
+SELECT doc_id, {TS.sql_quality_score('text')} AS quality FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TS.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_SQL_LANG_ID = f"""
+SELECT doc_id, lang, {TS.sql_lang_id('text')} AS lang_pred FROM documents
+"""
+
+
+def q_doc_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: grouped counts over categorical columns."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_SQL_DOC_COUNTS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data extension)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies shifted by 10^6 — deterministic dup groups."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.exact_dedup_groups(_docs_with_dups(spark, sf_dir), "text", "doc_id")
+
+
+_SQL_EXACT_DEDUP = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+{TD.sql_exact_dedup_groups('all_docs', 'text', 'doc_id')}
+"""
+
+
+def _docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset ∪ near-dup variants (one appended token) — known pairs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select(
+        "doc_id", "text"
+    )
+    variants = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzmarker")).alias("text"),
+    )
+    return d.unionByName(variants)
+
+
+_SQL_DOCS_NEARDUP = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zzzmarker' AS text
+  FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.ngram_jaccard_pairs(
+        _docs_neardup(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+_SQL_NGRAM_JACCARD = TD.sql_ngram_jaccard_pairs(
+    _SQL_DOCS_NEARDUP, "text", "doc_id", n=3, threshold=0.5
+)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.minhash_lsh_pairs(
+        _docs_neardup(spark, sf_dir), "text", "doc_id",
+        n=3, num_hashes=12, bands=4, threshold=0.5,
+    )
+
+
+_SQL_MINHASH = TD.sql_minhash_lsh_pairs(
+    _SQL_DOCS_NEARDUP, "text", "doc_id", n=3, num_hashes=12, bands=4, threshold=0.5
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return TD.simhash(d, "text", "doc_id")
+
+
+_SQL_SIMHASH = TD.sql_simhash(
+    "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "text", "doc_id"
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: subset ∪ scaled copies (cos=1 by construction)."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.01)).alias("embedding"),
+    )
+    return TD.neardup_embedding_pairs(
+        base.unionByName(copies), "embedding", "vec_id", threshold=0.99
+    )
+
+
+_SQL_EMB_NEARDUP = """
+WITH all_vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> a.embedding[i] * b.embedding[i]))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x * x)))), 4) AS cos_sim
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.99
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: exact cosine top-5 for each query vector."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    queries = e.where(F.col("vec_id") % 50 == 0)
+    return SIM.topk_bruteforce(e, queries, "embedding", "vec_id", k=5)
+
+
+_SQL_ANN_TOPK = SIM.sql_topk_bruteforce(
+    "(SELECT * FROM embeddings WHERE vec_id % 5 = 0)",
+    "embedding",
+    "vec_id",
+    k=5,
+    query_pred="vec_id % 50 = 0",
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + mapInPandas decode/frame-sample)
+# ---------------------------------------------------------------------------
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_pipeline_spark.operators.multimodal import media_meta_cols
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    content = F.substring("text", 1, 400).cast("binary")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        content.alias("content"),
+        media_meta_cols(content, "image/fake").alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary → features via mapInPandas
+    (deterministic fake decoder; real codec is a drop-in decode_fn)."""
+    from data_pipeline_spark.operators.multimodal import decode_features, fake_decode
+
+    media = _media_df(spark, sf_dir)
+    feat = decode_features(media, decode_fn=fake_decode)
+    return feat.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        "content_hash",
+        *[
+            F.round(F.col("features")[i] * 255, 0).cast("int").alias(f"fb{i}")
+            for i in range(4)
+        ],
+    )
+
+
+_SQL_MEDIA_FEATURES = """
+WITH media AS (
+  SELECT doc_id AS media_id, substr(text, 1, 400) AS content
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT media_id, 'image/fake' AS media_type,
+       CAST(length(content) AS BIGINT) AS byte_len,
+       md5(content) AS content_hash,
+       CAST((strpos('0123456789abcdef', substr(md5(content), 1, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(content), 2, 1)) - 1) AS INTEGER) AS fb0,
+       CAST((strpos('0123456789abcdef', substr(md5(content), 3, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(content), 4, 1)) - 1) AS INTEGER) AS fb1,
+       CAST((strpos('0123456789abcdef', substr(md5(content), 5, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(content), 6, 1)) - 1) AS INTEGER) AS fb2,
+       CAST((strpos('0123456789abcdef', substr(md5(content), 7, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substr(md5(content), 8, 1)) - 1) AS INTEGER) AS fb3
+FROM media
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every 2nd 64-byte frame, hashed."""
+    from data_pipeline_spark.operators.multimodal import sample_frames
+
+    media = _media_df(spark, sf_dir)
+    frames = sample_frames(media, every_n=2, frame_bytes=64)
+    return frames.select("media_id", "frame_idx", F.md5("frame").alias("frame_hash"))
+
+
+_SQL_FRAME_SAMPLE = """
+WITH media AS (
+  SELECT doc_id AS media_id, substr(text, 1, 400) AS content
+  FROM documents WHERE doc_id % 10 = 0
+), idx AS (
+  SELECT media_id, content,
+         unnest(range(0, greatest(length(content) // 64, 0), 2)) AS frame_idx
+  FROM media
+)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(substr(content, frame_idx * 64 + 1, 64)) AS frame_hash
+FROM idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC replay final state at sf0.001."""
+    return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC core
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_lww_window": q_cdc_lww_window,
+        "cdc_key_diff": q_cdc_key_diff,
+        "cdc_update_detect": q_cdc_update_detect,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        # aggregates / joins / windows
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "top_event_types": q_top_event_types,
+        "brand_price_stats": q_brand_price_stats,
+        "nation_supplier_rollup": q_nation_supplier_rollup,
+        "null_completeness": q_null_completeness,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "events_running_total": q_events_running_total,
+        # normalization / classification / flatten
+        "normalize_prices": q_normalize_prices,
+        "parse_discounts": q_parse_discounts,
+        "derive_discounts": q_derive_discounts,
+        "clean_names_units": q_clean_names_units,
+        "field_classify_rename": q_field_classify_rename,
+        "flatten_cascade": q_flatten_cascade,
+        # HTML extraction
+        "html_extract_text": q_html_extract_text,
+        "html_extract_products": q_html_extract_products,
+        # text analysis
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_grouped_counts": q_doc_grouped_counts,
+        # dedup family
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_topk": q_ann_topk,
+        # multimodal
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_latest": _SQL_LWW,
+        "cdc_lww_window": _SQL_LWW,
+        "cdc_key_diff": _SQL_KEY_DIFF,
+        "cdc_update_detect": _SQL_UPDATE_DETECT,
+        "cdc_replay_final_state": _SQL_REPLAY_FINAL,
+        "q1_pricing_summary": _SQL_Q1,
+        "q3_top_revenue": _SQL_Q3,
+        "top_event_types": _SQL_TOP_EVENT_TYPES,
+        "brand_price_stats": _SQL_BRAND_STATS,
+        "nation_supplier_rollup": _SQL_NATION_ROLLUP,
+        "null_completeness": _SQL_NULLS,
+        "events_hourly_rollup": _SQL_HOURLY,
+        "events_running_total": _SQL_RUNNING,
+        "normalize_prices": _SQL_NORM_PRICES,
+        "parse_discounts": _SQL_PARSE_DISC,
+        "derive_discounts": _SQL_DERIVE_DISC,
+        "clean_names_units": _SQL_CLEAN_NAMES,
+        "field_classify_rename": _SQL_CLASSIFY,
+        "flatten_cascade": _SQL_FLATTEN,
+        "html_extract_text": _SQL_EXTRACT_TEXT,
+        "html_extract_products": _sql_extract_products(),
+        "doc_token_stats": _SQL_TOKEN_STATS,
+        "doc_fingerprint": _SQL_FINGERPRINT,
+        "doc_quality": _SQL_QUALITY,
+        "doc_lang_id": _SQL_LANG_ID,
+        "doc_grouped_counts": _SQL_DOC_COUNTS,
+        "dedup_exact_groups": _SQL_EXACT_DEDUP,
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _SQL_MINHASH,
+        "dedup_simhash": _SQL_SIMHASH,
+        "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
+        "ann_topk": _SQL_ANN_TOPK,
+        "media_features": _SQL_MEDIA_FEATURES,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+    }

@@ -1,0 +1,115 @@
+"""CDC replay throughput bench — the BASELINE.json primary metric.
+
+Measures sustained change-events/sec applied end-to-end (epoch tail →
+HTML→text extraction → LWW dedup → idempotent merge commit) on a
+deterministic synthetic change log, at a given parallelism.
+
+Usage:
+  python bench/cdc_bench.py gen    --events N --epoch-size M --log-dir D
+  python bench/cdc_bench.py replay --cpus K --log-dir D [--json OUT]
+
+`gen` writes the log ONCE; `replay` is run per parallelism level on the
+SAME input (the sandbox evidence protocol for the two-cluster-size rule:
+local[8] vs local[32], see BENCH/BASELINE.md). Orchestrated by
+bench/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cmd_gen(args: argparse.Namespace) -> None:
+    from data_pipeline_spark.session import get_spark
+    from data_pipeline_spark.sources.changelog import write_log
+    from data_pipeline_spark.sources.datagen import gen_changes
+
+    spark = get_spark("cdc-bench-gen")
+    if os.path.exists(args.log_dir):
+        shutil.rmtree(args.log_dir)
+    df = gen_changes(
+        spark,
+        n_events=args.events,
+        events_per_epoch=args.epoch_size,
+        seed=42,
+    )
+    # Spread the log across files so every parallelism level can split it.
+    write_log(df.repartition(64, "url"), args.log_dir)
+    n = spark.read.parquet(args.log_dir).count()
+    print(f"# generated {n} events -> {args.log_dir}", file=sys.stderr)
+    spark.stop()
+
+
+def cmd_replay(args: argparse.Namespace) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(args.cpus)
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.plans.registry import SchemaRegistry
+    from data_pipeline_spark.session import get_spark
+    from data_pipeline_spark.streaming.checkpoint import CheckpointStore
+    from data_pipeline_spark.streaming.runner import ReplayRunner, make_table_for_log
+
+    spark = get_spark("cdc-bench-replay")
+    work = args.work_dir or (args.log_dir.rstrip("/") + f"-replay-{args.cpus}")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    registry = SchemaRegistry()
+    table = make_table_for_log(
+        spark, os.path.join(work, "table"), registry, n_buckets=args.cpus * 2
+    )
+    runner = ReplayRunner(
+        spark,
+        args.log_dir,
+        table,
+        CheckpointStore(os.path.join(work, "ckpt")),
+        registry=registry,
+    )
+    n_events = spark.read.parquet(args.log_dir).count()  # warm-up + size
+    t0 = time.monotonic()
+    results = runner.run()
+    wall = time.monotonic() - t0
+    final_rows = table.read().count()
+    out = {
+        "cpus": args.cpus,
+        "n_events": n_events,
+        "epochs": len(results),
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_table_rows": final_rows,
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f)
+    spark.stop()
+    shutil.rmtree(work)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--events", type=int, default=200_000)
+    g.add_argument("--epoch-size", type=int, default=50_000)
+    g.add_argument("--log-dir", default="/tmp/cdc_bench_log")
+    g.set_defaults(fn=cmd_gen)
+    r = sub.add_parser("replay")
+    r.add_argument("--cpus", type=int, default=32)
+    r.add_argument("--log-dir", default="/tmp/cdc_bench_log")
+    r.add_argument("--work-dir", default=None)
+    r.add_argument("--json", default=None)
+    r.set_defaults(fn=cmd_replay)
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,16 @@ from pyspark.sql.types import StructType
 from ..operators.skew import with_salt
 
 BUCKET_COL = "__bucket"
+# System columns persisted in data files but outside the logical schema —
+# the icelite analog of Iceberg metadata columns. They carry the LWW order
+# (__lsn) and merge-on-read delete markers (__deleted tombstones), which is
+# what makes replay independent of epoch batching: a later epoch carrying an
+# *older* (warc_ts, lsn) event can never clobber a newer stored row, and a
+# winning delete stays deleted even if an older event for the key arrives in
+# a later epoch.
+LSN_COL = "__lsn"
+DELETED_COL = "__deleted"
+_TS_FLOOR = "1900-01-01 00:00:00"
 
 
 def _atomic_write(path: str, content: str) -> None:
@@ -212,38 +222,61 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    @staticmethod
+    def _with_system(schema: StructType) -> StructType:
+        from pyspark.sql.types import BooleanType, LongType, StructField
+
+        return StructType(
+            list(schema.fields)
+            + [
+                StructField(LSN_COL, LongType(), True),
+                StructField(DELETED_COL, BooleanType(), True),
+            ]
+        )
+
     def read(
-        self, snapshot_id: int | None = None, buckets: list[int] | None = None
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        with_system: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / bucket-pruned).
 
         Files are grouped by schema_id; each group is read with its stored
         schema and aligned to the *current* schema, then unioned — the
         icelite version of Iceberg's scan-time schema resolution.
+
+        ``with_system=True`` (merge-internal) keeps the ``__lsn``/
+        ``__deleted`` metadata columns and the tombstone rows; the default
+        user scan filters tombstones and hides system columns.
         """
         snap = self.snapshot(snapshot_id)
-        target = self.schema
-        if snap is None or not snap["files"]:
-            return self.spark.createDataFrame([], target)
-        files = snap["files"]
+        target = self._with_system(self.schema)
+        snap_files = snap["files"] if snap else []
         if buckets is not None:
             bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
-            if not files:
-                return self.spark.createDataFrame([], target)
-        by_schema: dict[int, list[str]] = {}
-        for f in files:
-            by_schema.setdefault(f["schema_id"], []).append(
-                os.path.join(self.path, f["path"])
-            )
-        parts = []
-        for schema_id, paths in by_schema.items():
-            df = self.spark.read.schema(self.schema_for(schema_id)).parquet(*paths)
-            parts.append(self._align(df, target))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            snap_files = [f for f in snap_files if f["bucket"] in bset]
+        if not snap_files:
+            out = self.spark.createDataFrame([], target)
+        else:
+            by_schema: dict[int, list[str]] = {}
+            for f in snap_files:
+                by_schema.setdefault(f["schema_id"], []).append(
+                    os.path.join(self.path, f["path"])
+                )
+            parts = []
+            for schema_id, paths in by_schema.items():
+                read_schema = self._with_system(self.schema_for(schema_id))
+                df = self.spark.read.schema(read_schema).parquet(*paths)
+                parts.append(self._align(df, target))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if with_system:
+            return out
+        return out.where(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(LSN_COL, DELETED_COL)
 
     # -- write ---------------------------------------------------------------------
 
@@ -294,7 +327,12 @@ class LakeTable:
             if epoch in self.committed_epochs():
                 return {"skipped": True, "epoch": epoch}
             summary["engine.epoch"] = epoch
-        staged = self._align(df, self.schema).withColumn(BUCKET_COL, self._bucket_expr())
+        staged = (
+            self._align(df, self.schema)
+            .withColumn(LSN_COL, F.lit(-1).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
+            .withColumn(BUCKET_COL, self._bucket_expr())
+        )
         snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
         new_files = self._write_data_files(staged, snapshot_id)
         prior = self._current_snapshot()
@@ -308,34 +346,40 @@ class LakeTable:
         epoch: int | None = None,
         op_col: str = "op",
         delete_op: str = "delete",
-        broadcast_threshold: int = 2_000_000,
+        lsn_col: str = "lsn",
+        ts_col: str = "warc_ts",
         extra_summary: dict | None = None,
     ) -> dict:
-        """MERGE INTO: upsert/delete ``staged`` (one row per key) by key.
+        """MERGE INTO with per-key ``(ts, lsn)`` last-writer-wins.
 
         Semantics = ``MERGE INTO target t USING staged s ON t.key = s.key
-        WHEN MATCHED AND s.op='delete' THEN DELETE / WHEN MATCHED THEN UPDATE
-        SET * / WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *``
-        (SURVEY.md §2.6).
+        WHEN MATCHED AND s wins AND s.op='delete' THEN DELETE
+        WHEN MATCHED AND s wins THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op!='delete' THEN INSERT *`` — where "s wins"
+        compares ``(ts, lsn)`` against the values persisted with the stored
+        row (system column ``__lsn``). Winning deletes are persisted as
+        ``__deleted`` tombstones (merge-on-read style), so the final state
+        after replaying the whole log equals the *global* per-key LWW winner
+        regardless of how events were batched into epochs — out-of-order
+        epochs and late events resolve deterministically (SURVEY.md §7.4).
 
         Physical strategy (scale-first):
 
         1. bucket-prune: only buckets containing staged keys are read;
-        2. survivors = target ⟕anti staged-keys (AQE may broadcast the key
-           set — it is per-epoch small);
-        3. new bucket data = survivors ∪ staged upserts, rewritten as new
-           files; untouched buckets carry over by reference;
+        2. candidates = target-bucket rows ∪ staged rows; one hash
+           aggregation (``max_by`` over the order struct) picks each key's
+           winner — partial-agg combinable, so hot urls collapse map-side
+           (no skewed join);
+        3. winners (incl. tombstones) are rewritten as new bucket files;
+           untouched buckets carry over by reference;
         4. single atomic snapshot commit carrying ``engine.epoch`` — applying
            the same epoch twice is a no-op (exactly-once).
-
-        ``staged`` must already be LWW-deduped (one row per key).
         """
         if epoch is not None and epoch in self.committed_epochs():
             return {"skipped": True, "epoch": epoch, "reason": "epoch already committed"}
 
         key = self.key_col
         staged = staged.withColumn(BUCKET_COL, self._bucket_expr())
-        # Cache: staged is used for buckets, upserts, anti-join and counting.
         staged.persist()
         try:
             staged_count = staged.count()  # also materializes the cache
@@ -343,18 +387,46 @@ class LakeTable:
                 r[0] for r in staged.select(BUCKET_COL).distinct().collect()
             ]  # ≤ n_buckets ints — metadata-scale collect
 
-            upserts = (
-                self._align(staged.where(F.col(op_col) != delete_op), self.schema)
-                .withColumn(BUCKET_COL, self._bucket_expr())
+            have = set(staged.columns)
+            align_exprs = [
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in self.schema.fields
+            ]
+            s_cand = staged.select(
+                *align_exprs,
+                F.col(lsn_col).cast("long").alias(LSN_COL),
+                (F.col(op_col) == delete_op).alias(DELETED_COL),
+                F.col(BUCKET_COL),
+                F.lit(1).alias("__src"),
             )
-            target = self.read(buckets=touched).withColumn(BUCKET_COL, self._bucket_expr())
+            t_cand = self.read(buckets=touched, with_system=True).withColumn(
+                BUCKET_COL, self._bucket_expr()
+            ).withColumn("__src", F.lit(0))
 
-            keys = staged.select(key)
-            if staged_count <= broadcast_threshold:
-                keys = F.broadcast(keys)
-            survivors = target.join(keys, on=key, how="left_anti")
-
-            out = survivors.unionByName(upserts)
+            cand = t_cand.unionByName(s_cand)
+            payload_cols = [c for c in cand.columns if c not in (key, "__src")]
+            order_ts = (
+                F.coalesce(F.col(ts_col), F.lit(_TS_FLOOR).cast("timestamp"))
+                if ts_col in cand.columns
+                else F.lit(0)
+            )
+            order_key = F.struct(
+                order_ts,
+                F.coalesce(F.col(LSN_COL), F.lit(-1)),
+                F.col("__src"),
+            )
+            winners = cand.groupBy(key).agg(
+                F.max_by(F.struct(*[F.col(c) for c in payload_cols]), order_key).alias(
+                    "_w"
+                )
+            )
+            out = winners.select(
+                key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
+            )
             snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
             new_files = self._write_data_files(out, snapshot_id)
 

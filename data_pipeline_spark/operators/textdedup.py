@@ -1,0 +1,442 @@
+"""Deduplication family for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale-first design notes (the whole point at 10^10 docs):
+
+- **Exact**: one hash-aggregate on the md5 fingerprint — map-side combinable,
+  no O(n²) anywhere.
+- **n-gram Jaccard / MinHash-LSH**: never all-pairs. Candidates come from an
+  equi-join on a short key (shared shingle / LSH band), which Spark executes
+  as a shuffled hash join keyed by that band — cost is Σ bucket², bounded by
+  band width, not n². Verification runs only on candidates.
+- **SimHash**: signature is a per-doc aggregate (explode tokens → bit votes
+  → one row per doc); near-dup candidates join on signature *chunks*
+  (pigeonhole: hamming ≤ k ⇒ some chunk of k+1 equal), then exact hamming.
+- **Embedding near-dup**: `neardup_embedding_pairs` is the small-scale /
+  oracle path (block-nested cross join); the scale path is
+  `similarity.lsh_bucket_pairs` (random-hyperplane buckets) — same verify.
+
+Every hash used in signatures is md5-hex (lexicographic min over hex strings
+for MinHash), NOT xxhash64 — md5 exists in both Spark and DuckDB, so each
+operator has an exact SQL oracle twin and the driver's correctness gate
+checks real cross-engine parity.
+
+Reference analog: the reference's only dedup is whole-snapshot
+last-file-wins (/root/reference/src/storage/minio_client.rs:219-228) and a
+product-id set diff (/root/reference/src/bin/compare_api_data.rs:63-89);
+this family is the training-data extension required by the task brief.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.textstats import fingerprint, sql_fingerprint, sql_tokens, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate groups by content fingerprint: (fingerprint, keeper_id,
+    n_dups). One hash aggregation; keeper = min id (deterministic)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct normalized content (the min-id row)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def sql_exact_dedup_groups(table: str, text_col: str, id_col: str) -> str:
+    return (
+        f"SELECT {sql_fingerprint(text_col)} AS fingerprint, "
+        f"MIN({id_col}) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles (token n-grams)
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles of a text column (native, no UDF).
+
+    Tokens come from the shared whitespace tokenizer; a doc shorter than n
+    tokens yields its whole token sequence as one shingle so no doc is
+    silently dropped from dedup.
+    """
+    toks = tokens(F.lower(col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def sql_shingles(col: str, n: int = 3) -> str:
+    toks = sql_tokens(f"lower({col})")
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Pairs (id_a < id_b) with token-n-gram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → equi-join on shingle (candidates share
+    ≥1 shingle; Spark shuffles by shingle — a hot shingle is a skew key, so
+    extremely common shingles should be pre-filtered at real scale via a
+    document-frequency cut) → count common → jaccard = |∩| / (|a|+|b|-|∩|).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sh_n", F.size("sh"))
+    ex = base.select("doc", "sh_n", F.explode("sh").alias("shingle"))
+    a = ex.select(
+        F.col("doc").alias("id_a"), F.col("sh_n").alias("n_a"), "shingle"
+    )
+    b = ex.select(
+        F.col("doc").alias("id_b"), F.col("sh_n").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {sql_shingles(text_col, n)} AS sh FROM {table}
+), ex AS (
+  SELECT doc, len(sh) AS sh_n, unnest(sh) AS shingle FROM base
+), pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, a.sh_n AS n_a, b.sh_n AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, common,
+       round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    col: Column, n: int = 3, num_hashes: int = 12
+) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    md5(i:shingle) — lexicographic min over uniform hex strings is an
+    order-statistic minhash; md5 keeps it portable to the SQL oracle."""
+    sh = shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified by true Jaccard.
+
+    num_hashes/bands rows per band; docs sharing any band key are candidates
+    (probability curve ~ 1-(1-j^r)^b). The band join key is a single md5 —
+    short, uniform, shuffle-friendly. Candidates are then verified with the
+    exact shingle-Jaccard (computed on the candidate set only).
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+    )
+    band_keys = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col("sig")[bi * rows + r] for r in range(rows)]
+                            )
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    cand = (
+        band_keys.alias("x")
+        .join(band_keys.alias("y"), on=["band", "key"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard (join shingle sets back on).
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def sql_minhash_lsh_pairs(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, {bi} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'mh{bi * rows + r}' for r in range(rows))})) AS key "
+        f"FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {sql_shingles(text_col, n)} AS sh FROM {table}
+), sig AS (
+  SELECT doc, sh, {mh} FROM base
+), bk AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT x.doc AS id_a, y.doc AS id_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM cand c
+JOIN base a ON a.doc = c.id_a
+JOIN base b ON b.doc = c.id_b
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # hex digits 1..4 of md5(token); portable + SQL-checkable
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_from_md5(h: Column, bit: int) -> Column:
+    """Bit `bit` (0 = MSB of digit 1) of the first SIMHASH_BITS bits of a
+    md5-hex column. Spark: `conv(hexdigit,16,10)`; DuckDB twin uses a
+    `strpos` hex lookup — same value, per-engine idiom."""
+    digit = F.conv(F.substring(h, 1 + bit // 4, 1), 16, 10).cast("int")
+    shift = 3 - (bit % 4)
+    return F.floor(digit / F.lit(2 ** shift)).cast("long") % 2
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc SIMHASH_BITS-bit SimHash over whitespace tokens (weight 1).
+
+    explode tokens → one md5 per token → per-bit ±1 votes summed in ONE
+    hash aggregation (map-side combinable — hot docs don't stall) → sign →
+    integer signature.
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(_bit_from_md5(F.col("h"), b) * 2 - 1).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** (SIMHASH_BITS - 1 - b))).otherwise(
+            F.lit(0)
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc", sig.cast("long").alias("simhash"))
+
+
+def sql_simhash(table: str, text_col: str, id_col: str) -> str:
+    bit_exprs = []
+    for b in range(SIMHASH_BITS):
+        digit = f"(strpos('{_HEX}', substr(h, {1 + b // 4}, 1)) - 1)"
+        bit = f"(CAST(floor({digit} / {2 ** (3 - b % 4)}) AS BIGINT) % 2)"
+        bit_exprs.append(f"SUM({bit} * 2 - 1) AS v{b}")
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS doc, md5(unnest({sql_tokens(f'lower({text_col})')})) AS h
+  FROM {table}
+), votes AS (
+  SELECT doc, {', '.join(bit_exprs)} FROM ex GROUP BY doc
+)
+SELECT doc, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the signature into max_hamming+1 chunks; any
+    pair within distance max_hamming shares at least one exact chunk → join
+    per chunk (equi-join, shuffle on short keys), union, exact-verify with
+    bit_count(xor). No all-pairs comparison.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        (
+                            F.shiftright(F.col("simhash"), ci * chunk_bits)
+                            % (2 ** chunk_bits)
+                        ).alias("ckey"),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.chunk", "c.ckey")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["chunk", "ckey"])
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("integer"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (small-scale / oracle path)
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed in
+    double with deterministic left-to-right accumulation (zip_with +
+    aggregate are sequential per row)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def neardup_embedding_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact O(n²) path, used as the
+    verifier/oracle and for small partitions; the scale path buckets first
+    (similarity.lsh_bucket_pairs) and verifies candidates with this metric."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

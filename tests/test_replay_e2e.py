@@ -22,29 +22,25 @@ EVENTS_PER_EPOCH = 500
 
 
 def python_oracle(rows):
-    """Single-process replay oracle: upsert/delete with (warc_ts, lsn) LWW,
-    applied per epoch in epoch order (within an epoch the max (ts, lsn)
-    event per url wins; an epoch-winning delete removes the key)."""
-    state = {}
-    by_epoch = {}
+    """Single-process replay oracle: the GLOBAL per-url (warc_ts, lsn) LWW
+    winner decides each key's final state — a winning delete removes the
+    key. Independent of epoch batching: the engine's conditional merge +
+    tombstones must land on exactly this state however the log was split
+    into epochs (SURVEY.md §7.4 deterministic-replay requirement)."""
+    winners = {}
     for r in rows:
-        by_epoch.setdefault(r["epoch"], []).append(r)
-    for epoch in sorted(by_epoch):
-        winners = {}
-        for r in by_epoch[epoch]:
-            cur = winners.get(r["url"])
-            if cur is None or (r["warc_ts"], r["lsn"]) > (cur["warc_ts"], cur["lsn"]):
-                winners[r["url"]] = r
-        for url, r in winners.items():
-            if r["op"] == "delete":
-                state.pop(url, None)
-            else:
-                state[url] = {
-                    "url": url,
-                    "warc_ts": r["warc_ts"],
-                    "text": extract_text(bytes(r["html"]).decode("utf-8")),
-                    "lang": r["lang"],
-                }
+        cur = winners.get(r["url"])
+        if cur is None or (r["warc_ts"], r["lsn"]) > (cur["warc_ts"], cur["lsn"]):
+            winners[r["url"]] = r
+    state = {}
+    for url, r in winners.items():
+        if r["op"] != "delete":
+            state[url] = {
+                "url": url,
+                "warc_ts": r["warc_ts"],
+                "text": extract_text(bytes(r["html"]).decode("utf-8")),
+                "lang": r["lang"],
+            }
     return state
 
 
@@ -145,3 +141,19 @@ def test_order_insensitive_lww(spark, tmp_path):
         assert got == {"u1": "e9", "u2": "a1"}
         got_w = {r["url"]: r["v"] for r in lww_dedup_window(df).collect()}
         assert got_w == got
+
+
+def test_epoch_batching_invariance(spark, tmp_path):
+    """Final state must not depend on how the log is split into epochs:
+    a later epoch carrying an older (warc_ts, lsn) event must not clobber
+    a newer stored row, and a winning delete must stay deleted even when an
+    older event for that key arrives in a later epoch (tombstones)."""
+    states = []
+    for name, epoch_size in (("small", 200), ("large", 1000)):
+        log_dir = str(tmp_path / f"log_{name}")
+        df = gen_changes(spark, 2000, events_per_epoch=epoch_size, seed=99)
+        changelog.write_log(df, log_dir)
+        runner, table, _ = _fresh_runner(spark, log_dir, tmp_path, f"batch_{name}")
+        runner.run()
+        states.append(_table_state(table))
+    assert states[0] == states[1]

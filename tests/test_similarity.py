@@ -1,0 +1,79 @@
+"""Unit tests for similarity search: exact brute-force top-k and the
+LSH-bucketed scale path (recall vs the exact answer)."""
+
+import math
+
+import pytest
+
+from data_pipeline_spark.operators import similarity as SIM
+from data_pipeline_spark.operators import textdedup as TD
+
+
+def _vec(i, dim=8):
+    # Deterministic unit-ish vectors spread on a ring in 2 coords + noise dims.
+    return [
+        math.cos(i * 0.37), math.sin(i * 0.37),
+        math.cos(i * 1.13) * 0.1, math.sin(i * 1.13) * 0.1,
+        0.05 * ((i * 7919) % 13 - 6), 0.05 * ((i * 104729) % 11 - 5),
+        0.01, 0.02,
+    ]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [(i, _vec(i)) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_topk_bruteforce_matches_python_oracle(vecs):
+    queries = vecs.where("vec_id % 20 = 0")
+    got = SIM.topk_bruteforce(vecs, queries, "embedding", "vec_id", k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for q in (0, 20, 40):
+        expected = sorted(
+            ((cos(_vec(q), _vec(i)), i) for i in range(60) if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got_ids = [nid for _, nid in sorted(by_query[q])]
+        assert got_ids == [i for _, i in expected]
+
+
+def test_topk_ranks_are_dense_and_bounded(vecs):
+    out = SIM.topk_bruteforce(vecs, vecs.limit(5), "embedding", "vec_id", k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_lsh_bucket_pairs_recall_vs_exact(spark, vecs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in TD.neardup_embedding_pairs(vecs, "embedding", "vec_id", 0.98).collect()
+    }
+    assert exact, "fixture should contain close ring neighbors"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.lsh_bucket_pairs(
+            vecs, "embedding", "vec_id", n_planes=6, n_tables=4, threshold=0.98
+        ).collect()
+    }
+    # Verified candidates are a subset of the exact answer...
+    assert approx <= exact
+    # ...with decent recall from 4 independent hash tables.
+    assert len(approx) >= 0.6 * len(exact)
+
+
+def test_lsh_signatures_deterministic(spark, vecs):
+    planes = SIM.hyperplanes(spark, dim=8, n_planes=6, n_tables=2, seed=7)
+    a = sorted(map(tuple, SIM.lsh_signatures(vecs, planes).collect()))
+    b = sorted(map(tuple, SIM.lsh_signatures(vecs, planes).collect()))
+    assert a == b

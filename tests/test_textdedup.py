@@ -1,0 +1,104 @@
+"""Unit tests for the dedup family: exact, shingles, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine — handcrafted near-dup corpora with
+known answers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators import textdedup as TD
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base + " again"          # near-dup of 1
+    far = "completely different words about spark shuffles and lake table commits"
+    rows = [
+        (1, base),
+        (2, base),                   # exact dup of 1
+        (3, near),                   # near dup of 1
+        (4, far),
+        (5, "tiny"),                 # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    groups = {
+        r["fingerprint"]: (r["keeper_id"], r["n_dups"])
+        for r in TD.exact_dedup_groups(corpus, "text", "doc_id").collect()
+    }
+    assert sorted(v for v in groups.values()) == [(1, 2), (3, 1), (4, 1), (5, 1)]
+    kept = sorted(r["doc_id"] for r in TD.exact_dedup(corpus, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "tiny"), (2, "a b")], "doc_id long, text string")
+    m = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", TD.shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert m[1] == ["tiny"]
+    assert m[2] == ["a b"]
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.8
+    assert (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near(corpus):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in TD.minhash_lsh_pairs(
+            corpus, "text", "doc_id", n=3, num_hashes=12, bands=4, threshold=0.5
+        ).collect()
+    }
+    # exact dups always share every band; near dup shares ≥1 band whp.
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_near_for_near_dups(corpus):
+    sigs = {r["doc"]: r["simhash"] for r in TD.simhash(corpus, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    ham14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham13 <= 3 < ham14
+    for v in sigs.values():
+        assert 0 <= v < 2 ** TD.SIMHASH_BITS
+
+
+def test_simhash_pairs_banding(corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in TD.simhash_pairs(corpus, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert (1, 4) not in got
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # ~same direction as 1
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [2.0, 0.0, 0.0, 0.0]),     # same direction as 1, scaled
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in TD.neardup_embedding_pairs(df, "embedding", "vec_id", 0.95).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
