@@ -46,8 +46,10 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    # Warm the JVM/session with a trivial action so q1 isn't charged startup.
+    # Warm the JVM/session (codegen, parquet reader init) so the first
+    # measured query isn't charged session startup.
     spark.range(1).count()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).count()
     for name in HEADLINE:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)

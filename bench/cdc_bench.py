@@ -48,22 +48,50 @@ def cmd_gen(args: argparse.Namespace) -> None:
 
 
 def cmd_replay(args: argparse.Namespace) -> None:
-    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
-    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(args.cpus)
-
-    from data_pipeline_spark.lake.table import LakeTable
     from data_pipeline_spark.plans.registry import SchemaRegistry
     from data_pipeline_spark.session import get_spark
     from data_pipeline_spark.streaming.checkpoint import CheckpointStore
     from data_pipeline_spark.streaming.runner import ReplayRunner, make_table_for_log
 
-    spark = get_spark("cdc-bench-replay")
+    if args.executors:
+        # Multi-executor simulation (the north rule's N vs 4N executors):
+        # local-cluster spawns separate executor JVMs + python workers, the
+        # same process topology as a real cluster — single-JVM local[K]
+        # serializes executors on shared JVM locks and understates scaling.
+        total_cores = args.executors * args.executor_cores
+        master = (
+            f"local-cluster[{args.executors},{args.executor_cores},"
+            f"{args.executor_mem_mb}]"
+        )
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_path = os.path.join(repo, "dist", "data_pipeline_spark.zip")
+        if not os.path.exists(zip_path):
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join(repo, "jobs", "package.py")], check=True
+            )
+        spark = get_spark(
+            "cdc-bench-replay",
+            master=master,
+            shuffle_partitions=total_cores,
+            extra_conf={
+                "spark.executor.memory": f"{args.executor_mem_mb}m",
+                "spark.submit.pyFiles": zip_path,
+            },
+        )
+        spark.sparkContext.addPyFile(zip_path)
+        args.cpus = total_cores
+    else:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(args.cpus)
+        spark = get_spark("cdc-bench-replay")
     work = args.work_dir or (args.log_dir.rstrip("/") + f"-replay-{args.cpus}")
     if os.path.exists(work):
         shutil.rmtree(work)
     registry = SchemaRegistry()
     table = make_table_for_log(
-        spark, os.path.join(work, "table"), registry, n_buckets=args.cpus * 2
+        spark, os.path.join(work, "table"), registry, n_buckets=args.n_buckets
     )
     runner = ReplayRunner(
         spark,
@@ -71,6 +99,8 @@ def cmd_replay(args: argparse.Namespace) -> None:
         table,
         CheckpointStore(os.path.join(work, "ckpt")),
         registry=registry,
+        merge_mode=args.mode,
+        compact_every=args.compact_every,
     )
     n_events = spark.read.parquet(args.log_dir).count()  # warm-up + size
     t0 = time.monotonic()
@@ -79,6 +109,8 @@ def cmd_replay(args: argparse.Namespace) -> None:
     final_rows = table.read().count()
     out = {
         "cpus": args.cpus,
+        "executors": args.executors,
+        "mode": args.mode,
         "n_events": n_events,
         "epochs": len(results),
         "wall_sec": round(wall, 3),
@@ -103,6 +135,17 @@ def main() -> None:
     g.set_defaults(fn=cmd_gen)
     r = sub.add_parser("replay")
     r.add_argument("--cpus", type=int, default=32)
+    r.add_argument("--executors", type=int, default=None,
+                   help="run on local-cluster[N, cores, mem] instead of "
+                        "local[K] — separate executor JVMs (north-rule N vs "
+                        "4N executor evidence)")
+    r.add_argument("--executor-cores", type=int, default=4)
+    r.add_argument("--executor-mem-mb", type=int, default=4096)
+    r.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    r.add_argument("--compact-every", type=int, default=None)
+    r.add_argument("--n-buckets", type=int, default=64,
+                   help="fixed across parallelism levels — same job, only "
+                        "parallelism changes")
     r.add_argument("--log-dir", default="/tmp/cdc_bench_log")
     r.add_argument("--work-dir", default=None)
     r.add_argument("--json", default=None)

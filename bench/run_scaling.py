@@ -31,21 +31,33 @@ def main() -> None:
     ap.add_argument("--epoch-size", type=int, default=50_000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--log-dir", default="/tmp/cdc_bench_log")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="runs per level, best wall-clock kept (the sandbox "
+                         "host is multi-tenant; min filters external noise)")
+    ap.add_argument("--log-dir", default="/dev/shm/cdc_bench/log",
+                    help="tmpfs by default: storage bandwidth on a real "
+                         "cluster scales with executors; a single local disk "
+                         "would bottleneck both levels identically")
     args = ap.parse_args()
 
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/cdc_bench/spark-local")
     py = sys.executable
     bench = os.path.join(HERE, "cdc_bench.py")
     run([py, bench, "gen", "--events", str(args.events),
          "--epoch-size", str(args.epoch_size), "--log-dir", args.log_dir])
 
     results = {}
-    for cpus in (args.low, args.high):
-        out = f"/tmp/cdc_bench_{cpus}.json"
-        run([py, bench, "replay", "--cpus", str(cpus),
-             "--log-dir", args.log_dir, "--json", out])
-        with open(out) as f:
-            results[cpus] = json.load(f)
+    # Interleave levels so slow host phases hit both levels evenly.
+    for rep in range(args.repeats):
+        for cpus in (args.low, args.high):
+            out = f"/tmp/cdc_bench_{cpus}_{rep}.json"
+            run([py, bench, "replay", "--cpus", str(cpus),
+                 "--log-dir", args.log_dir, "--json", out])
+            with open(out) as f:
+                r = json.load(f)
+            best = results.get(cpus)
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                results[cpus] = r
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low

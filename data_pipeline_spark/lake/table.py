@@ -63,6 +63,17 @@ DELETED_COL = "__deleted"
 _TS_FLOOR = "1900-01-01 00:00:00"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the table since this handle loaded metadata.
+
+    The icelite analog of Iceberg's optimistic-concurrency commit failure:
+    a real catalog does an atomic compare-and-swap on the metadata pointer;
+    here we detect the stale handle before mutating and refuse, so a commit
+    can never resurrect snapshots another handle expired (their data files
+    are already gone). Callers should ``refresh()`` and retry.
+    """
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -90,8 +101,10 @@ class LakeTable:
         schema: StructType,
         key_col: str = "url",
         n_buckets: int = 16,
+        order_col: str = "warc_ts",
     ) -> "LakeTable":
-        """CREATE TABLE IF NOT EXISTS semantics (S13)."""
+        """CREATE TABLE IF NOT EXISTS semantics (S13). ``order_col`` is the
+        event-time column of the LWW order (tie-broken by ``__lsn``)."""
         if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
             return cls.load(spark, path)
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
@@ -101,6 +114,7 @@ class LakeTable:
             "table_uuid": uuid.uuid4().hex,
             "key_col": key_col,
             "n_buckets": n_buckets,
+            "order_col": order_col,
             "schemas": {"1": json.loads(schema.json())},
             "current_schema_id": 1,
             "snapshots": [],
@@ -121,6 +135,22 @@ class LakeTable:
         ) as f:
             meta = json.load(f)
         return cls(spark, path, meta)
+
+    def refresh(self) -> None:
+        """Re-read metadata from disk (pick up another handle's commits)."""
+        self.meta = LakeTable.load(self.spark, self.path).meta
+
+    def _assert_current(self) -> None:
+        hint = os.path.join(self.path, "metadata", "version-hint.text")
+        if not os.path.exists(hint):
+            return
+        with open(hint, encoding="utf-8") as f:
+            disk = int(f.read().strip())
+        if disk != self.meta["version"]:
+            raise CommitConflictError(
+                f"table at {self.path} is at version {disk} on disk but this "
+                f"handle holds version {self.meta['version']}; refresh() and retry"
+            )
 
     def _write_version(self, version: int) -> None:
         self.meta["version"] = version
@@ -143,6 +173,10 @@ class LakeTable:
     @property
     def n_buckets(self) -> int:
         return self.meta["n_buckets"]
+
+    @property
+    def order_col(self) -> str:
+        return self.meta.get("order_col", "warc_ts")
 
     def schema_for(self, schema_id: int) -> StructType:
         return StructType.fromJson(self.meta["schemas"][str(schema_id)])
@@ -193,8 +227,17 @@ class LakeTable:
                 out.add(int(e))
         return out
 
-    def _commit(self, files: list[dict], summary: dict) -> dict:
+    def _commit(
+        self, files: list[dict], summary: dict, needs_resolve: bool | None = None
+    ) -> dict:
+        self._assert_current()
         parent = self.meta["current_snapshot_id"]
+        parent_snap = self._current_snapshot()
+        if needs_resolve is None:
+            # Carry the parent's state: a commit that neither appends
+            # multi-version rows (MoR) nor collapses them (compact) cannot
+            # change whether scan-time LWW resolution is required.
+            needs_resolve = bool(parent_snap and parent_snap.get("needs_resolve"))
         snapshot_id = (parent or 0) + 1
         snap = {
             "snapshot_id": snapshot_id,
@@ -202,6 +245,7 @@ class LakeTable:
             "schema_id": self.meta["current_schema_id"],
             "timestamp_ms": int(time.time() * 1000),
             "summary": {k: str(v) for k, v in summary.items()},
+            "needs_resolve": needs_resolve,
             "files": files,
         }
         self.meta["snapshots"].append(snap)
@@ -274,9 +318,29 @@ class LakeTable:
                 out = out.unionByName(p)
         if with_system:
             return out
+        if snap is not None and snap.get("needs_resolve"):
+            out = self._resolve(out)
         return out.where(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         ).drop(LSN_COL, DELETED_COL)
+
+    def _lww_order(self, df: DataFrame):
+        ts = (
+            F.coalesce(F.col(self.order_col), F.lit(_TS_FLOOR).cast("timestamp"))
+            if self.order_col in df.columns
+            else F.lit(0)
+        )
+        return F.struct(ts, F.coalesce(F.col(LSN_COL), F.lit(-1)))
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Scan-time LWW: collapse multi-version rows (MoR commits) to the
+        per-key ``(order_col, __lsn)`` winner. ``max_by`` hash aggregation —
+        map-side combinable, so hot keys collapse before the shuffle."""
+        key = self.key_col
+        payload = [c for c in df.columns if c != key]
+        return df.groupBy(key).agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), self._lww_order(df)).alias("_w")
+        ).select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
     # -- write ---------------------------------------------------------------------
 
@@ -296,8 +360,15 @@ class LakeTable:
         out_path = os.path.join(self.path, commit_dir)
         salted = with_salt(df, salt_buckets, salt_from=[self.key_col, "__rowhash"]
                            if "__rowhash" in df.columns else None)
+        # Explicit partition count: without it AQE coalesces this shuffle to
+        # ~bytes/64MB partitions, serializing the parquet-encode phase (the
+        # most CPU-expensive part of a commit) onto a handful of threads
+        # (measured: 6 writer tasks on 32 cores). 2×parallelism keeps every
+        # core encoding while (bucket, salt) hashing still bounds the number
+        # of files each task opens.
+        n_out = max(2 * self.spark.sparkContext.defaultParallelism, 1)
         (
-            salted.repartition(F.col(BUCKET_COL), F.col("_salt"))
+            salted.repartition(n_out, F.col(BUCKET_COL), F.col("_salt"))
             .drop("_salt")
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
@@ -348,9 +419,21 @@ class LakeTable:
         delete_op: str = "delete",
         lsn_col: str = "lsn",
         ts_col: str = "warc_ts",
+        mode: str = "cow",
         extra_summary: dict | None = None,
     ) -> dict:
         """MERGE INTO with per-key ``(ts, lsn)`` last-writer-wins.
+
+        Two physical modes, same logical result (Iceberg's copy-on-write vs
+        merge-on-read):
+
+        - ``mode="cow"``: read touched buckets, pick winners, rewrite them.
+          Commit cost O(table ∩ touched buckets); reads stay collapse-free.
+        - ``mode="mor"``: append the staged winner rows (and delete
+          tombstones) as new files — NO target read, commit cost O(epoch).
+          Reads LWW-resolve at scan until :meth:`compact` collapses the
+          versions. The right mode at 10^10 events/epoch-heavy ingest:
+          per-epoch work no longer scales with table size.
 
         Semantics = ``MERGE INTO target t USING staged s ON t.key = s.key
         WHEN MATCHED AND s wins AND s.op='delete' THEN DELETE
@@ -403,6 +486,32 @@ class LakeTable:
                 F.col(BUCKET_COL),
                 F.lit(1).alias("__src"),
             )
+
+            if mode == "mor":
+                snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+                new_files = self._write_data_files(s_cand.drop("__src"), snapshot_id)
+                prior = self._current_snapshot()
+                carried = list(prior["files"]) if prior else []
+                summary = {
+                    "operation": "merge-mor",
+                    "staged-rows": staged_count,
+                    "touched-buckets": len(touched),
+                    "new-files": len(new_files),
+                    "carried-files": len(carried),
+                    **(extra_summary or {}),
+                }
+                if epoch is not None:
+                    summary["engine.epoch"] = epoch
+                snap = self._commit(carried + new_files, summary, needs_resolve=True)
+                return {
+                    "skipped": False,
+                    "epoch": epoch,
+                    "snapshot_id": snap["snapshot_id"],
+                    "staged_rows": staged_count,
+                    "touched_buckets": len(touched),
+                    "new_files": len(new_files),
+                }
+
             t_cand = self.read(buckets=touched, with_system=True).withColumn(
                 BUCKET_COL, self._bucket_expr()
             ).withColumn("__src", F.lit(0))
@@ -459,9 +568,40 @@ class LakeTable:
 
     # -- maintenance -----------------------------------------------------------------
 
+    def compact(self, drop_tombstones: bool = False) -> dict:
+        """Collapse MoR multi-version rows to one winner row per key and
+        rewrite the table (Iceberg rewrite_data_files). After compaction
+        reads are collapse-free again (``needs_resolve=False``).
+
+        ``drop_tombstones=True`` also physically removes delete markers —
+        only safe once no change event older than the tombstones can still
+        arrive (i.e. the replay horizon has passed); otherwise a late
+        out-of-order event could resurrect a deleted key.
+        """
+        raw = self.read(with_system=True)
+        resolved = self._resolve(raw)
+        if drop_tombstones:
+            resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        out = resolved.withColumn(BUCKET_COL, self._bucket_expr())
+        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+        new_files = self._write_data_files(out, snapshot_id)
+        prior = self._current_snapshot()
+        snap = self._commit(
+            new_files,
+            {
+                "operation": "compact",
+                "compacted-files": len(prior["files"]) if prior else 0,
+                "new-files": len(new_files),
+                "dropped-tombstones": drop_tombstones,
+            },
+            needs_resolve=False,
+        )
+        return {"snapshot_id": snap["snapshot_id"], "new_files": len(new_files)}
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop old snapshots and physically delete data files no live
         snapshot references (S16 / Iceberg snapshot expiry)."""
+        self._assert_current()
         snaps = self.meta["snapshots"]
         if len(snaps) <= keep_last:
             return 0

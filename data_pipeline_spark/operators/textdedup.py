@@ -194,9 +194,22 @@ def minhash_lsh_pairs(
     exact shingle-Jaccard (computed on the candidate set only).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("sig"),
+    # One shingle pass feeds signatures AND verification — persisted because
+    # the plan reuses it three times (sig, both sides of the verify join);
+    # without it Spark recomputes the full text→shingle→md5 pipeline per use.
+    base = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    sig = base.select(
+        "doc",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
     band_keys = sig.select(
         "doc",
@@ -223,13 +236,10 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard (join shingle sets back on).
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    )
+    # Verify candidates with exact Jaccard (join the persisted shingle sets).
     verified = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Shuffle/spill scratch space. On a cluster this is per-executor local
+    # SSD; in the sandbox a tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/...) keeps
+    # a single shared spinning disk from serializing all executor threads.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -45,12 +45,21 @@ class ReplayRunner:
         table: LakeTable,
         checkpoints: CheckpointStore,
         registry: SchemaRegistry | None = None,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
     ):
+        """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
+        stay cheap); "mor" appends winner deltas per epoch — O(epoch)
+        commits, the high-ingest-rate posture — with ``compact_every``
+        controlling how many applied epochs pass between compactions."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
         self.checkpoints = checkpoints
         self.registry = registry
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
 
     # -- schema evolution -------------------------------------------------
 
@@ -87,14 +96,6 @@ class ReplayRunner:
 
         table_cols = [f.name for f in self.table.schema.fields]
 
-        # Typed parse + extraction. text = byte-exact extractor over html
-        # (vectorized; deletes have null html → null text).
-        if "text" in table_cols and "text" not in df.columns:
-            xt = extract_text_udf()
-            df = df.withColumn(
-                "text", F.when(F.col("html").isNotNull(), xt(F.col("html")))
-            )
-
         staged_cols = ["op", self.table.key_col, "lsn", "warc_ts"] + [
             c for c in table_cols if c in df.columns and c not in
             ("op", self.table.key_col, "lsn", "warc_ts")
@@ -104,6 +105,24 @@ class ReplayRunner:
             key_cols=(self.table.key_col,),
             order_cols=("warc_ts", "lsn"),
         )
+
+        # Typed parse + extraction AFTER dedup: the winner per key is chosen
+        # by (warc_ts, lsn) alone, so extracting only winners is semantically
+        # identical and cuts the Python-UDF work from O(epoch events) to
+        # O(distinct keys). text = byte-exact extractor over html
+        # (vectorized; deletes have null html → null text).
+        if "text" in table_cols and "text" not in staged.columns:
+            # Explicit numPartitions: AQE's byte-based coalescing would shrink
+            # this stage to a handful of tasks (winner rows are small), but
+            # the pandas-UDF cost is per ROW, not per byte — without this the
+            # extraction stage can't use the cluster (measured: 6 tasks on 32
+            # cores). 2×parallelism keeps stragglers short on skewed buckets.
+            par = self.spark.sparkContext.defaultParallelism
+            staged = staged.repartition(par * 2, F.col(self.table.key_col))
+            xt = extract_text_udf()
+            staged = staged.withColumn(
+                "text", F.when(F.col("html").isNotNull(), xt(F.col("html")))
+            )
 
         # Lineage: the exact files read for this epoch (per-partition offsets
         # of a file-based log).
@@ -117,7 +136,15 @@ class ReplayRunner:
             os.path.getsize(os.path.join(epoch_dir, fn)) for fn in input_files
         )
 
-        merge_metrics = self.table.merge(staged, epoch=epoch)
+        merge_metrics = self.table.merge(staged, epoch=epoch, mode=self.merge_mode)
+        if not merge_metrics.get("skipped"):
+            self._applied_since_compact += 1
+            if (
+                self.compact_every
+                and self._applied_since_compact >= self.compact_every
+            ):
+                self.table.compact()
+                self._applied_since_compact = 0
         record = {
             "skipped": False,
             "input_files": input_files,

@@ -157,3 +157,59 @@ def test_epoch_batching_invariance(spark, tmp_path):
         runner.run()
         states.append(_table_state(table))
     assert states[0] == states[1]
+
+
+def test_mor_matches_cow_and_compact(spark, log_dir, tmp_path):
+    """merge-on-read replay must land on the same final state as
+    copy-on-write; compact() collapses versions without changing state."""
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_mor"), registry, n_buckets=8)
+    runner = ReplayRunner(
+        spark, log_dir, table, CheckpointStore(str(tmp_path / "cp_mor")),
+        registry, merge_mode="mor",
+    )
+    runner.run()
+    assert table._current_snapshot()["needs_resolve"] is True
+
+    cow_runner, cow_table, _ = _fresh_runner(spark, log_dir, tmp_path, "cow_ref")
+    cow_runner.run()
+    assert _table_state(table) == _table_state(cow_table)
+
+    files_before = len(table._current_snapshot()["files"])
+    state_before = _table_state(table)
+    table.compact()
+    assert table._current_snapshot()["needs_resolve"] is False
+    assert len(table._current_snapshot()["files"]) < files_before
+    assert _table_state(table) == state_before
+
+    # Tombstone GC after the replay horizon.
+    table.compact(drop_tombstones=True)
+    from data_pipeline_spark.lake.table import DELETED_COL
+    import pyspark.sql.functions as F
+    raw = table.read(with_system=True)
+    assert raw.where(F.coalesce(F.col(DELETED_COL), F.lit(False))).count() == 0
+    assert _table_state(table) == state_before
+
+
+def test_stale_handle_commit_conflict(spark, log_dir, tmp_path):
+    """A second handle that loaded metadata before another handle committed
+    must NOT be able to commit (it would resurrect expired snapshots whose
+    files are gone) — icelite's analog of Iceberg optimistic concurrency."""
+    from data_pipeline_spark.lake.table import CommitConflictError
+
+    runner, table, _ = _fresh_runner(spark, log_dir, tmp_path, "conflict")
+    runner.run()
+
+    stale = LakeTable.load(spark, table.path)
+    table.expire_snapshots(keep_last=1)  # advances the on-disk version
+
+    with pytest.raises(CommitConflictError):
+        stale._commit(files=stale._current_snapshot()["files"], summary={"operation": "noop"})
+    with pytest.raises(CommitConflictError):
+        stale.expire_snapshots(keep_last=1)
+
+    state_before = _table_state(table)
+    stale.refresh()
+    assert stale.meta["version"] == table.meta["version"]
+    stale._commit(files=stale._current_snapshot()["files"], summary={"operation": "noop"})
+    assert _table_state(stale) == state_before
