@@ -107,6 +107,17 @@ def cmd_replay(args: argparse.Namespace) -> None:
     results = runner.run()
     wall = time.monotonic() - t0
     final_rows = table.read().count()
+    # Sustained metric: epoch 0 carries one-time costs (python-worker spawn,
+    # pandas import, whole-stage codegen, plan caches) that a long-running
+    # tail amortizes to zero, so steady-state events/sec excludes it.
+    epoch_secs = [r["duration_sec"] for r in results if not r.get("skipped")]
+    epoch_rows = [r.get("staged_rows", 0) for r in results if not r.get("skipped")]
+    events_per_epoch = n_events // max(len(results), 1)
+    sustained = (
+        round(events_per_epoch * (len(epoch_secs) - 1) / sum(epoch_secs[1:]), 1)
+        if len(epoch_secs) > 1
+        else round(n_events / wall, 1)
+    )
     out = {
         "cpus": args.cpus,
         "executors": args.executors,
@@ -115,6 +126,8 @@ def cmd_replay(args: argparse.Namespace) -> None:
         "epochs": len(results),
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
+        "sustained_events_per_sec": sustained,
+        "epoch_sec": epoch_secs,
         "final_table_rows": final_rows,
     }
     print(json.dumps(out))

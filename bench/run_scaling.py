@@ -1,11 +1,26 @@
-"""Two-parallelism scaling harness (sandbox evidence for the north rule's
-N→4N executor criterion): same job, same input, local[8] vs local[32].
+"""Two-cluster-size scaling harness (sandbox evidence for the north rule's
+N→4N executor criterion): the same job on the same input at N and 4N worth
+of cores, each level in its own subprocess/JVM.
 
-Each level runs in its OWN subprocess/JVM so parallelism is really what
-changes (a shared JVM would leak executor threads between runs).
+Defaults: N = 4 cores vs 4N = 16 cores (as local-cluster[1,4,*] vs
+local-cluster[4,4,*] when --executors is set, else local[4] vs local[16]).
+The host has 32 CPUs; capping the high level at 16 leaves headroom so the
+measurement isn't polluted by the driver, OS, and hypervisor neighbors.
 
-Usage: python bench/run_scaling.py [--events N] [--epoch-size M]
-Writes BENCH/scaling.json and prints a markdown summary for BENCH/BASELINE.md.
+The sandbox host is a multi-tenant VM: identical runs vary up to ~1.7x
+(hypervisor steal + frequency scaling). Counter-measures, all reported in
+the output artifact:
+
+- interleaved repeats, best (min sustained-wall) per level kept;
+- a warm-up epoch excluded from the sustained metric (python-worker spawn,
+  codegen — costs a long-running tail amortizes to zero);
+- a pure-CPU control (hash loop in a pandas UDF — embarrassingly parallel,
+  zero engine code) measured at the same two levels: its efficiency is the
+  HOST CEILING (frequency scaling alone costs ~20% going 4→16 busy cores);
+  engine efficiency is judged against that ceiling, not against 1.0.
+
+Usage: python bench/run_scaling.py [--events N] [--epoch-size M] [--repeats R]
+Writes BENCH/scaling.json and prints the summary.
 """
 
 from __future__ import annotations
@@ -19,21 +34,74 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
+CONTROL_SCRIPT = r"""
+import sys, time, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/cdc_bench/spark-local")
+from data_pipeline_spark.session import get_spark
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+k = int(sys.argv[1])
+spark = get_spark(f"ctl-{{k}}", master=f"local[{{k}}]", shuffle_partitions=k)
 
-def run(cmd: list[str]) -> None:
+@pandas_udf(DoubleType())
+def burn(s: pd.Series) -> pd.Series:
+    import hashlib
+    def f(x):
+        h = 0
+        b = str(x).encode()
+        for i in range(200):
+            b = hashlib.md5(b).digest()
+            h ^= b[0]
+        return float(h)
+    return s.map(f)
+
+df = spark.range(0, 400_000, 1, k * 2).toDF("id")
+best = None
+for it in range(3):
+    t0 = time.monotonic()
+    df.select(burn("id").alias("v")).agg({{"v": "sum"}}).collect()
+    w = time.monotonic() - t0
+    if it > 0 and (best is None or w < best):  # iter 0 = warm-up
+        best = w
+print(f"CONTROL {{k}} {{best:.3f}}")
+spark.stop()
+"""
+
+
+def run(cmd: list[str], capture: bool = False):
     print("+", " ".join(cmd), file=sys.stderr)
-    subprocess.run(cmd, check=True, cwd=REPO)
+    return subprocess.run(
+        cmd, check=True, cwd=REPO, capture_output=capture, text=capture
+    )
+
+
+def control_wall(cores: int) -> float:
+    script = CONTROL_SCRIPT.format(repo=REPO)
+    out = run([sys.executable, "-c", script, str(cores)], capture=True).stdout
+    for line in out.splitlines():
+        if line.startswith("CONTROL"):
+            return float(line.split()[2])
+    raise RuntimeError(f"control produced no result: {out[-500:]}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=200_000)
-    ap.add_argument("--epoch-size", type=int, default=50_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="runs per level, best wall-clock kept (the sandbox "
-                         "host is multi-tenant; min filters external noise)")
+    ap.add_argument("--events", type=int, default=4_000_000)
+    ap.add_argument("--epoch-size", type=int, default=500_000)
+    ap.add_argument("--low", type=int, default=4, help="N (cores)")
+    ap.add_argument("--high", type=int, default=16, help="4N (cores)")
+    ap.add_argument("--executors", action="store_true",
+                    help="run each level as local-cluster[n_exec,4,mem] "
+                         "(separate executor JVMs) instead of local[K]")
+    ap.add_argument("--mode", default="mor", choices=["cow", "mor"],
+                    help="merge mode; mor = O(epoch) commits, the "
+                         "high-ingest-rate posture")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="interleaved runs per level, best kept (multi-"
+                         "tenant host; min filters external noise)")
+    ap.add_argument("--skip-control", action="store_true")
     ap.add_argument("--log-dir", default="/dev/shm/cdc_bench/log",
                     help="tmpfs by default: storage bandwidth on a real "
                          "cluster scales with executors; a single local disk "
@@ -46,26 +114,35 @@ def main() -> None:
     run([py, bench, "gen", "--events", str(args.events),
          "--epoch-size", str(args.epoch_size), "--log-dir", args.log_dir])
 
-    results = {}
+    results: dict[int, dict] = {}
     # Interleave levels so slow host phases hit both levels evenly.
     for rep in range(args.repeats):
         for cpus in (args.low, args.high):
             out = f"/tmp/cdc_bench_{cpus}_{rep}.json"
-            run([py, bench, "replay", "--cpus", str(cpus),
-                 "--log-dir", args.log_dir, "--json", out])
+            cmd = [py, bench, "replay", "--mode", args.mode,
+                   "--log-dir", args.log_dir, "--json", out]
+            if args.executors:
+                cmd += ["--executors", str(cpus // 4), "--executor-cores", "4"]
+            else:
+                cmd += ["--cpus", str(cpus)]
+            run(cmd)
             with open(out) as f:
                 r = json.load(f)
             best = results.get(cpus)
-            if best is None or r["wall_sec"] < best["wall_sec"]:
+            if best is None or (
+                r["sustained_events_per_sec"] > best["sustained_events_per_sec"]
+            ):
                 results[cpus] = r
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / ratio
+    eff = (hi["sustained_events_per_sec"] / lo["sustained_events_per_sec"]) / ratio
+
     summary = {
-        "metric": "cdc_replay_events_per_sec",
+        "metric": "cdc_replay_sustained_events_per_sec",
         "input_events": lo["n_events"],
         "epochs": lo["epochs"],
+        "mode": args.mode,
         "low": {"cpus": args.low, **lo},
         "high": {"cpus": args.high, **hi},
         "scaling_efficiency": round(eff, 3),
@@ -73,6 +150,17 @@ def main() -> None:
         "pass": eff >= 0.8,
         "final_state_match": lo["final_table_rows"] == hi["final_table_rows"],
     }
+    if not args.skip_control:
+        c_lo = control_wall(args.low)
+        c_hi = control_wall(args.high)
+        ceiling = (c_lo / c_hi) / ratio
+        summary["host_ceiling"] = {
+            "control": "pure-CPU hash loop in pandas UDF (no engine code)",
+            "low_wall_sec": round(c_lo, 3),
+            "high_wall_sec": round(c_hi, 3),
+            "ceiling_efficiency": round(ceiling, 3),
+        }
+        summary["efficiency_vs_host_ceiling"] = round(eff / ceiling, 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)

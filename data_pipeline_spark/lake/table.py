@@ -348,7 +348,7 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
 
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, salt_buckets: int = 4
+        self, df: DataFrame, snapshot_id: int
     ) -> list[dict]:
         """Write rows (already in current schema + BUCKET_COL) as data files.
 
@@ -358,15 +358,19 @@ class LakeTable:
         """
         commit_dir = f"data/commit-{snapshot_id}"
         out_path = os.path.join(self.path, commit_dir)
+        # Parquet encode is the CPU-expensive part of a commit, so the write
+        # must use every core (without an explicit count AQE coalesces this
+        # shuffle to ~bytes/64MB partitions — measured: 6 writer tasks on 32
+        # cores). But files-per-commit is ALSO a cost: every later scan pays
+        # O(files) listing/footer/task overhead. Rows here are one-per-key
+        # (merge winners), so per-KEY skew cannot exist; salting is only
+        # needed when n_buckets alone can't feed the cluster. Auto-size it:
+        # salt=1 (one file per bucket) once n_buckets >= 2x parallelism.
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        salt_buckets = max(1, -(-2 * par // max(self.n_buckets, 1)))
         salted = with_salt(df, salt_buckets, salt_from=[self.key_col, "__rowhash"]
                            if "__rowhash" in df.columns else None)
-        # Explicit partition count: without it AQE coalesces this shuffle to
-        # ~bytes/64MB partitions, serializing the parquet-encode phase (the
-        # most CPU-expensive part of a commit) onto a handful of threads
-        # (measured: 6 writer tasks on 32 cores). 2×parallelism keeps every
-        # core encoding while (bucket, salt) hashing still bounds the number
-        # of files each task opens.
-        n_out = max(2 * self.spark.sparkContext.defaultParallelism, 1)
+        n_out = max(2 * par, self.n_buckets)
         (
             salted.repartition(n_out, F.col(BUCKET_COL), F.col("_salt"))
             .drop("_salt")
@@ -463,60 +467,80 @@ class LakeTable:
 
         key = self.key_col
         staged = staged.withColumn(BUCKET_COL, self._bucket_expr())
+        # Metadata-scale facts (row count, touched-bucket set) ride the data
+        # pass as a CollectMetrics observation instead of extra Spark jobs
+        # (count + distinct collect), which at high parallelism were pure
+        # serial overhead.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        staged = staged.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(BUCKET_COL).alias("buckets"),
+        )
+
+        have = set(staged.columns)
+        align_exprs = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in self.schema.fields
+        ]
+        s_cand = staged.select(
+            *align_exprs,
+            F.col(lsn_col).cast("long").alias(LSN_COL),
+            (F.col(op_col) == delete_op).alias(DELETED_COL),
+            F.col(BUCKET_COL),
+        )
+
+        if mode == "mor":
+            # Merge-on-read is single-pass: the staged pipeline (parse,
+            # extraction, LWW dedup) runs exactly once, inside the write job —
+            # no persist/count materialization, no target read. The
+            # observation fills in during the same job.
+            snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+            new_files = self._write_data_files(s_cand, snapshot_id)
+            staged_count = obs.get["n"]
+            touched = sorted(obs.get["buckets"])
+            prior = self._current_snapshot()
+            carried = list(prior["files"]) if prior else []
+            summary = {
+                "operation": "merge-mor",
+                "staged-rows": staged_count,
+                "touched-buckets": len(touched),
+                "new-files": len(new_files),
+                "carried-files": len(carried),
+                **(extra_summary or {}),
+            }
+            if epoch is not None:
+                summary["engine.epoch"] = epoch
+            snap = self._commit(carried + new_files, summary, needs_resolve=True)
+            return {
+                "skipped": False,
+                "epoch": epoch,
+                "snapshot_id": snap["snapshot_id"],
+                "staged_rows": staged_count,
+                "touched_buckets": len(touched),
+                "new_files": len(new_files),
+            }
+
+        # Copy-on-write: the touched-bucket set must be known BEFORE the
+        # target read (it prunes it), so staged is materialized first and
+        # cached for its second use in the candidate union.
         staged.persist()
         try:
-            staged_count = staged.count()  # also materializes the cache
-            touched = [
-                r[0] for r in staged.select(BUCKET_COL).distinct().collect()
-            ]  # ≤ n_buckets ints — metadata-scale collect
-
-            have = set(staged.columns)
-            align_exprs = [
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in self.schema.fields
-            ]
-            s_cand = staged.select(
-                *align_exprs,
-                F.col(lsn_col).cast("long").alias(LSN_COL),
-                (F.col(op_col) == delete_op).alias(DELETED_COL),
-                F.col(BUCKET_COL),
-                F.lit(1).alias("__src"),
-            )
-
-            if mode == "mor":
-                snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
-                new_files = self._write_data_files(s_cand.drop("__src"), snapshot_id)
-                prior = self._current_snapshot()
-                carried = list(prior["files"]) if prior else []
-                summary = {
-                    "operation": "merge-mor",
-                    "staged-rows": staged_count,
-                    "touched-buckets": len(touched),
-                    "new-files": len(new_files),
-                    "carried-files": len(carried),
-                    **(extra_summary or {}),
-                }
-                if epoch is not None:
-                    summary["engine.epoch"] = epoch
-                snap = self._commit(carried + new_files, summary, needs_resolve=True)
-                return {
-                    "skipped": False,
-                    "epoch": epoch,
-                    "snapshot_id": snap["snapshot_id"],
-                    "staged_rows": staged_count,
-                    "touched_buckets": len(touched),
-                    "new_files": len(new_files),
-                }
+            staged.count()  # materializes the cache + fires the observation
+            staged_count = obs.get["n"]
+            touched = sorted(obs.get["buckets"])  # ≤ n_buckets ints
 
             t_cand = self.read(buckets=touched, with_system=True).withColumn(
                 BUCKET_COL, self._bucket_expr()
             ).withColumn("__src", F.lit(0))
 
-            cand = t_cand.unionByName(s_cand)
+            cand = t_cand.unionByName(s_cand.withColumn("__src", F.lit(1)))
             payload_cols = [c for c in cand.columns if c not in (key, "__src")]
             order_ts = (
                 F.coalesce(F.col(ts_col), F.lit(_TS_FLOOR).cast("timestamp"))

@@ -43,13 +43,55 @@ def list_epochs(spark: SparkSession, log_dir: str) -> list[int]:
     return sorted(epochs)
 
 
-def read_epoch(spark: SparkSession, log_dir: str, epoch: int) -> DataFrame:
-    """Read exactly one epoch's events (partition-pruned scan)."""
-    return (
-        spark.read.option("basePath", log_dir)
-        .parquet(os.path.join(log_dir, f"epoch={epoch}"))
-        .where(F.col("epoch") == epoch)
+def read_epoch(
+    spark: SparkSession, log_dir: str, epoch: int, schema=None
+) -> DataFrame:
+    """Read exactly one epoch's events (partition-pruned scan).
+
+    Pass ``schema`` (from a prior read) to skip per-epoch schema inference —
+    one less Spark job per epoch in the replay loop. NOTE: an epoch that
+    evolves the log schema must be read without it (the runner re-infers when
+    the registry reports a version change).
+    """
+    reader = spark.read.option("basePath", log_dir)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(log_dir, f"epoch={epoch}")).where(
+        F.col("epoch") == epoch
     )
+
+
+def epoch_column_max(log_dir: str, epoch: int, column: str):
+    """Max of ``column`` over one epoch from parquet FOOTER statistics —
+    driver-side metadata read, no Spark job.
+
+    The CDC analog of Iceberg manifest column stats: per-epoch facts like
+    "highest schema_version seen" are answerable from file metadata in O(files)
+    milliseconds instead of an O(rows) cluster scan. Returns None if the
+    epoch/column is missing or any footer lacks stats (caller falls back to a
+    Spark aggregate).
+    """
+    import pyarrow.parquet as pq
+
+    epoch_dir = os.path.join(log_dir, f"epoch={epoch}")
+    if not os.path.isdir(epoch_dir):
+        return None
+    best = None
+    for fn in os.listdir(epoch_dir):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(epoch_dir, fn)).metadata
+        schema_names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in schema_names:
+            return None
+        idx = schema_names[column]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if best is None or st.max > best:
+                best = st.max
+    return best
 
 
 def read_log(spark: SparkSession, log_dir: str) -> DataFrame:

@@ -60,19 +60,28 @@ class ReplayRunner:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self._applied_since_compact = 0
+        # Log-schema cache: skips the per-epoch schema-inference job. Reset
+        # whenever footer stats show a schema_version change (the epoch may
+        # carry physically new columns).
+        self._log_schema = None
+        self._seen_version: int | None = None
 
     # -- schema evolution -------------------------------------------------
 
-    def _maybe_evolve(self, epoch_df: DataFrame, epoch: int) -> None:
+    def _maybe_evolve(
+        self, epoch_df: DataFrame, epoch: int, max_v: int | None = None
+    ) -> None:
         """If this epoch carries a schema_version the registry hasn't applied
         to the table yet, evolve the table schema in-flight (north_star).
 
-        The max schema_version in an epoch is one scalar aggregate —
-        metadata-scale, not row data.
+        ``max_v`` normally comes from parquet footer stats (driver-side,
+        no Spark job); the fallback is one scalar aggregate — metadata-scale,
+        not row data.
         """
         if self.registry is None or "schema_version" not in epoch_df.columns:
             return
-        max_v = epoch_df.agg(F.max("schema_version")).collect()[0][0]
+        if max_v is None:
+            max_v = epoch_df.agg(F.max("schema_version")).collect()[0][0]
         if max_v is None:
             return
         current = self.table.schema
@@ -91,8 +100,22 @@ class ReplayRunner:
         if self.checkpoints.is_done(epoch):
             return {"epoch": epoch, "skipped": True, "reason": "checkpointed"}
         t0 = time.monotonic()
-        df = changelog.read_epoch(self.spark, self.log_dir, epoch)
-        self._maybe_evolve(df, epoch)
+        # Footer stats first (driver-side): they both drive schema evolution
+        # and tell us whether the cached log schema is still safe to reuse.
+        max_v = changelog.epoch_column_max(self.log_dir, epoch, "schema_version")
+        fresh = (
+            self._log_schema is None
+            or max_v is None
+            or max_v != self._seen_version
+        )
+        df = changelog.read_epoch(
+            self.spark, self.log_dir, epoch,
+            schema=None if fresh else self._log_schema,
+        )
+        if fresh:
+            self._log_schema = df.schema
+            self._seen_version = max_v
+        self._maybe_evolve(df, epoch, max_v=max_v)
 
         table_cols = [f.name for f in self.table.schema.fields]
 
