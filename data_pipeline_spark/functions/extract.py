@@ -385,12 +385,12 @@ def extract_products(html: str, category_name: str = "") -> list[dict]:
     return products
 
 
-def extract_text(html: str) -> str:
-    """Deterministic visible-text extraction for the ``text`` lake column.
+def extract_text_dom(html: str) -> str:
+    """DOM-walk twin of :func:`extract_text` — the parity oracle.
 
-    All text nodes outside <script>/<style>, document order, joined with a
-    single space, whitespace-collapsed, trimmed. This one function is both
-    the executor UDF body and the test oracle → byte-identical per url.
+    Kept deliberately naive (build the full mini-DOM, walk it) so the fast
+    streaming implementation below has an independent reference to be tested
+    byte-identical against (tests/test_extract.py).
     """
     root = _build_dom(html)
 
@@ -410,6 +410,49 @@ def extract_text(html: str) -> str:
 
     walk(root)
     return re.sub(r"\s+", " ", " ".join(chunks)).strip()
+
+
+class _TextCollector(HTMLParser):
+    """Streaming text extraction: no DOM, no per-element allocation.
+
+    Emits exactly the text chunks the DOM walk emits, in document order:
+    html.parser switches to CDATA mode inside <script>/<style> and reports
+    their raw content as data, which the ``_skip`` counter suppresses —
+    mirroring the DOM version pruning those subtrees. An unclosed
+    <script> swallows the rest of the document in both implementations
+    (the parser never leaves CDATA mode).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("script", "style"):
+            self._skip += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style") and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data: str) -> None:
+        if data and not self._skip:
+            self.chunks.append(data)
+
+
+def extract_text(html: str) -> str:
+    """Deterministic visible-text extraction for the ``text`` lake column.
+
+    All text nodes outside <script>/<style>, document order, joined with a
+    single space, whitespace-collapsed, trimmed. This one function is both
+    the executor UDF body and the test oracle → byte-identical per url.
+    (Byte-parity with the DOM twin is itself pinned by tests.)
+    """
+    p = _TextCollector()
+    p.feed(html)
+    p.close()
+    return re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
 
 
 # ---------------------------------------------------------------------------

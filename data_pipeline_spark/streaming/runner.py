@@ -37,6 +37,77 @@ from ..sources import changelog
 from .checkpoint import CheckpointStore
 
 
+def maybe_evolve(
+    table: LakeTable,
+    registry: SchemaRegistry | None,
+    df: DataFrame,
+    max_v: int | None = None,
+    epoch: int | None = None,
+) -> None:
+    """Evolve the table schema in-flight if ``df`` carries a schema_version
+    the registry maps to a different table schema (north_star schema
+    evolution; reference analog: FieldClassifier's canonical mapping,
+    /root/reference/src/processor/field_classifier.rs:196-232).
+
+    ``max_v`` normally comes from parquet footer stats (driver-side, no
+    Spark job); the fallback is one scalar aggregate — metadata-scale.
+    """
+    if registry is None or "schema_version" not in df.columns:
+        return
+    if max_v is None:
+        max_v = df.agg(F.max("schema_version")).collect()[0][0]
+    if max_v is None:
+        return
+    current = table.schema
+    desired = registry.table_schema(int(max_v))
+    if [f.name for f in desired.fields] != [f.name for f in current.fields] or [
+        f.dataType for f in desired.fields
+    ] != [f.dataType for f in current.fields]:
+        summary = {"schema-version": int(max_v)}
+        if epoch is not None:
+            summary["engine.evolve-epoch"] = epoch
+        table.evolve(desired, summary=summary)
+
+
+def stage_changes(spark: SparkSession, df: DataFrame, table: LakeTable) -> DataFrame:
+    """The shared staging pipeline: project to table columns → per-key
+    (warc_ts, lsn) LWW dedup → HTML→text extraction on the winners only.
+
+    Used by both the batch epoch loop (:class:`ReplayRunner`) and the
+    Structured Streaming tailer (:class:`streaming.tailer.ChangeLogTailer`) —
+    one implementation, so the two ingestion modes cannot drift.
+    """
+    table_cols = [f.name for f in table.schema.fields]
+    staged_cols = ["op", table.key_col, "lsn", "warc_ts"] + [
+        c for c in table_cols if c in df.columns and c not in
+        ("op", table.key_col, "lsn", "warc_ts")
+    ]
+    staged = lww_dedup(
+        df.select(*staged_cols),
+        key_cols=(table.key_col,),
+        order_cols=("warc_ts", "lsn"),
+    )
+
+    # Typed parse + extraction AFTER dedup: the winner per key is chosen
+    # by (warc_ts, lsn) alone, so extracting only winners is semantically
+    # identical and cuts the Python-UDF work from O(epoch events) to
+    # O(distinct keys). text = byte-exact extractor over html
+    # (vectorized; deletes have null html → null text).
+    if "text" in table_cols and "text" not in staged.columns:
+        # Explicit numPartitions: AQE's byte-based coalescing would shrink
+        # this stage to a handful of tasks (winner rows are small), but
+        # the pandas-UDF cost is per ROW, not per byte — without this the
+        # extraction stage can't use the cluster (measured: 6 tasks on 32
+        # cores). 2×parallelism keeps stragglers short on skewed buckets.
+        par = spark.sparkContext.defaultParallelism
+        staged = staged.repartition(par * 2, F.col(table.key_col))
+        xt = extract_text_udf()
+        staged = staged.withColumn(
+            "text", F.when(F.col("html").isNotNull(), xt(F.col("html")))
+        )
+    return staged
+
+
 class ReplayRunner:
     def __init__(
         self,
@@ -71,27 +142,7 @@ class ReplayRunner:
     def _maybe_evolve(
         self, epoch_df: DataFrame, epoch: int, max_v: int | None = None
     ) -> None:
-        """If this epoch carries a schema_version the registry hasn't applied
-        to the table yet, evolve the table schema in-flight (north_star).
-
-        ``max_v`` normally comes from parquet footer stats (driver-side,
-        no Spark job); the fallback is one scalar aggregate — metadata-scale,
-        not row data.
-        """
-        if self.registry is None or "schema_version" not in epoch_df.columns:
-            return
-        if max_v is None:
-            max_v = epoch_df.agg(F.max("schema_version")).collect()[0][0]
-        if max_v is None:
-            return
-        current = self.table.schema
-        desired = self.registry.table_schema(int(max_v))
-        if [f.name for f in desired.fields] != [f.name for f in current.fields] or [
-            f.dataType for f in desired.fields
-        ] != [f.dataType for f in current.fields]:
-            self.table.evolve(
-                desired, summary={"schema-version": int(max_v), "engine.evolve-epoch": epoch}
-            )
+        maybe_evolve(self.table, self.registry, epoch_df, max_v=max_v, epoch=epoch)
 
     # -- one epoch ----------------------------------------------------------
 
@@ -117,35 +168,7 @@ class ReplayRunner:
             self._seen_version = max_v
         self._maybe_evolve(df, epoch, max_v=max_v)
 
-        table_cols = [f.name for f in self.table.schema.fields]
-
-        staged_cols = ["op", self.table.key_col, "lsn", "warc_ts"] + [
-            c for c in table_cols if c in df.columns and c not in
-            ("op", self.table.key_col, "lsn", "warc_ts")
-        ]
-        staged = lww_dedup(
-            df.select(*staged_cols),
-            key_cols=(self.table.key_col,),
-            order_cols=("warc_ts", "lsn"),
-        )
-
-        # Typed parse + extraction AFTER dedup: the winner per key is chosen
-        # by (warc_ts, lsn) alone, so extracting only winners is semantically
-        # identical and cuts the Python-UDF work from O(epoch events) to
-        # O(distinct keys). text = byte-exact extractor over html
-        # (vectorized; deletes have null html → null text).
-        if "text" in table_cols and "text" not in staged.columns:
-            # Explicit numPartitions: AQE's byte-based coalescing would shrink
-            # this stage to a handful of tasks (winner rows are small), but
-            # the pandas-UDF cost is per ROW, not per byte — without this the
-            # extraction stage can't use the cluster (measured: 6 tasks on 32
-            # cores). 2×parallelism keeps stragglers short on skewed buckets.
-            par = self.spark.sparkContext.defaultParallelism
-            staged = staged.repartition(par * 2, F.col(self.table.key_col))
-            xt = extract_text_udf()
-            staged = staged.withColumn(
-                "text", F.when(F.col("html").isNotNull(), xt(F.col("html")))
-            )
+        staged = stage_changes(self.spark, df, self.table)
 
         # Lineage: the exact files read for this epoch (per-partition offsets
         # of a file-based log).

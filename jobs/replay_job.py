@@ -22,6 +22,14 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"],
+                    help="merge mode: cow rewrites touched buckets, mor "
+                         "appends winner deltas (O(epoch) commits)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="mor only: compact after every K applied epochs")
+    ap.add_argument("--streaming", action="store_true",
+                    help="tail via Structured Streaming (readStream + "
+                         "foreachBatch merge) instead of the batch epoch loop")
     args = ap.parse_args()
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
@@ -38,11 +46,20 @@ def main() -> None:
     table = make_table_for_log(
         spark, args.table_dir, registry, n_buckets=args.n_buckets
     )
-    runner = ReplayRunner(
-        spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir), registry
-    )
-    results = runner.run(max_epochs=args.max_epochs)
-    applied = [r for r in results if not r["skipped"]]
+    if args.streaming:
+        from data_pipeline_spark.streaming.tailer import ChangeLogTailer
+
+        results = ChangeLogTailer(
+            spark, args.log_dir, table, args.checkpoint_dir,
+            registry=registry, merge_mode=args.mode,
+        ).run_available()
+    else:
+        runner = ReplayRunner(
+            spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir),
+            registry, merge_mode=args.mode, compact_every=args.compact_every,
+        )
+        results = runner.run(max_epochs=args.max_epochs)
+    applied = [r for r in results if not r.get("skipped")]
     print(
         json.dumps(
             {

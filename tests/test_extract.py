@@ -159,3 +159,36 @@ def test_udfs_match_oracle(spark):
             assert got_p["name"] == exp_p["name"]
             assert got_p["cost_price"] == exp_p["cost_price"]
             assert got_p["product_id"] == exp_p["product_id"]
+
+
+def test_fast_text_extractor_matches_dom_twin():
+    """The streaming text collector must be byte-identical to the naive
+    DOM-walk implementation on adversarial and fuzzed markup."""
+    import random
+
+    from data_pipeline_spark.functions.extract import extract_text, extract_text_dom
+
+    samples = [
+        "<p>a<Br>b</p><script>skip</script>tail",
+        "<script>unclosed to EOF ... <div>hidden</div>",
+        "</script>stray close<div>ok</div>",
+        "<style/><span>self-closed style</span>",
+        "text &lt;escaped&gt; &amp; entity &#65; &nbsp;done",
+        "<SCRIPT>UPPER</SCRIPT>after",
+        "<div><script></div></script>weird</div>end",
+        "",
+        "plain",
+        "<b>bold<i>ital</b>close-cross</i>rest",
+        "<script type='x'><style>nested?</style></script>visible",
+        "a < b and c > d <!-- comment --> <!DOCTYPE html> tail",
+    ]
+    rng = random.Random(7)
+    vocab = [
+        "<div class='c1'>", "</div>", "<script>", "</script>", "<style>",
+        "</style>", "word ", "&amp;", "<br>", "<span data-x='1'>", "</span>",
+        "\n\t ", "<p>", "</p>", "<!-- c -->",
+    ]
+    for _ in range(300):
+        samples.append("".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+    for s in samples:
+        assert extract_text(s) == extract_text_dom(s), repr(s[:120])
