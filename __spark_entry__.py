@@ -941,6 +941,142 @@ FROM idx
 """
 
 
+def q_brand_unit_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9+H10: unit-keyword and brand extraction over synthesized product
+    names (capitalized first word; every 7th carries a known brand; a
+    rotating unit suffix exercises all keyword tiers). Pure Column
+    expressions — JVM-side contains/when chains, no UDF."""
+    from data_pipeline_spark.functions.normalize import (
+        extract_brand,
+        extract_unit_keyword,
+    )
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    cap = F.concat(
+        F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+    )
+    suffix = (
+        F.when(F.pmod("p_partkey", F.lit(4)) == 0, F.lit("500 gm"))
+        .when(F.pmod("p_partkey", F.lit(4)) == 1, F.lit("2 kg"))
+        .when(F.pmod("p_partkey", F.lit(4)) == 2, F.lit("6 pcs"))
+        .otherwise(F.lit("1 dozen"))
+    )
+    name = F.when(
+        F.pmod("p_partkey", F.lit(7)) == 0,
+        F.concat(F.lit("Nestle "), cap, F.lit(" "), suffix),
+    ).otherwise(F.concat(cap, F.lit(" "), suffix))
+    return p.select(
+        "p_partkey",
+        name.alias("name"),
+        extract_unit_keyword(name).alias("unit"),
+        extract_brand(name).alias("brand"),
+    )
+
+
+def _sql_brand_unit() -> str:
+    """DuckDB oracle generated from the SAME ordered keyword/brand tables
+    the Spark expressions use — order is semantics-bearing (first match
+    wins), so both sides are driven by one source of truth."""
+    from data_pipeline_spark.functions.normalize import (
+        KNOWN_BRANDS,
+        UNIT_KEYWORD_PAIRS,
+    )
+
+    unit_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN contains(lower(name), '{p}') THEN '{u}'"
+            for p, u in UNIT_KEYWORD_PAIRS
+        )
+        + " ELSE NULL END"
+    )
+    first_word = "regexp_extract(trim(name), '^\\S+')"
+    brand_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN contains(lower(name), '{b}') THEN '{b}'" for b in KNOWN_BRANDS
+        )
+        + f" WHEN length({first_word}) > 2 AND"
+        + f" regexp_matches({first_word}, '^[A-Z]') THEN {first_word}"
+        + " ELSE NULL END"
+    )
+    return f"""
+WITH base AS (
+  SELECT p_partkey, p_name,
+         CASE p_partkey % 4 WHEN 0 THEN '500 gm' WHEN 1 THEN '2 kg'
+              WHEN 2 THEN '6 pcs' ELSE '1 dozen' END AS suffix
+  FROM part WHERE p_partkey % 3 = 0
+), src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN 'Nestle ' ELSE '' END
+           || upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+           || ' ' || suffix AS name
+  FROM base
+)
+SELECT p_partkey, name, {unit_case} AS unit, {brand_case} AS brand
+FROM src
+"""
+
+
+def q_dom_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12: per-candidate DOM structural feature vectors over synthesized
+    product pages, flattened to scalar columns so a SQL oracle can recompute
+    them from the page's known structure."""
+    from data_pipeline_spark.functions.extract import dom_features_udf
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 10 == 0)
+    cap = F.concat(
+        F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+    )
+    html = F.concat(
+        F.lit('<html><body><div class="product-item grid"><h3>'),
+        cap,
+        F.lit('</h3><span class="price">Rs. '),
+        # floor on BOTH sides: Spark double→int truncates, DuckDB rounds.
+        F.floor("p_retailprice").cast("long").cast("string"),
+        F.lit("</span></div></body></html>"),
+    )
+    df = p.select("p_partkey", html.cast("binary").alias("html"))
+    feats = dom_features_udf()
+    # One candidate div per page → features[0]; flatten the testable scalars.
+    f0 = feats(F.col("html"))[0]
+    return df.select(
+        "p_partkey",
+        f0[0].alias("text_len"),
+        f0[1].alias("upper_count"),
+        f0[2].alias("digit_count"),
+        f0[3].alias("word_count"),
+        f0[4].alias("price_flag_rs"),
+        f0[8].alias("name_flag_cap"),
+        f0[10].alias("depth"),
+        f0[11].alias("class_count"),
+        f0[13].alias("has_link"),
+        f0[14].alias("parent_product"),
+    )
+
+
+_SQL_DOM_FEATURES = """
+WITH src AS (
+  SELECT p_partkey,
+         upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+           || ' Rs. ' || CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS text
+  FROM part WHERE p_partkey % 10 = 0
+)
+SELECT p_partkey,
+       CAST(length(text) AS FLOAT) AS text_len,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS FLOAT) AS upper_count,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS FLOAT) AS digit_count,
+       CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS FLOAT) AS word_count,
+       CAST(CASE WHEN regexp_matches(text, 'Rs\\.?\\s*[\\d,]+') THEN 1 ELSE 0 END AS FLOAT) AS price_flag_rs,
+       CAST(CASE WHEN regexp_matches(text, '\\b[A-Z][a-z]+(\\s+[A-Z][a-z]+)*\\b') THEN 1 ELSE 0 END AS FLOAT) AS name_flag_cap,
+       CAST(3 AS FLOAT) AS depth,
+       CAST(2 AS FLOAT) AS class_count,
+       CAST(0 AS FLOAT) AS has_link,
+       CAST(0 AS FLOAT) AS parent_product
+FROM src
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -977,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTML extraction
         "html_extract_text": q_html_extract_text,
         "html_extract_products": q_html_extract_products,
+        "brand_unit_keywords": q_brand_unit_keywords,
+        "dom_features": q_dom_features,
         # text analysis
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1019,6 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         "flatten_cascade": _SQL_FLATTEN,
         "html_extract_text": _SQL_EXTRACT_TEXT,
         "html_extract_products": _sql_extract_products(),
+        "brand_unit_keywords": _sql_brand_unit(),
+        "dom_features": _SQL_DOM_FEATURES,
         "doc_token_stats": _SQL_TOKEN_STATS,
         "doc_fingerprint": _SQL_FINGERPRINT,
         "doc_quality": _SQL_QUALITY,

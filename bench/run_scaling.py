@@ -70,6 +70,38 @@ spark.stop()
 """
 
 
+WORKLOAD_CONTROL = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from multiprocessing import Pool
+from data_pipeline_spark.functions.extract import extract_text
+
+HTML = ('<html><body><div class="header"><span class="menu">navigation menu</span></div>'
+        '<span class="base" data-ui-id="page-title-wrapper">Groceries</span>'
+        '<div class="product-item" data-product-id="%d"><h3>Fresh Item &amp; Co %d</h3>'
+        '<span class="price" data-price-amount="%d">Rs. %d</span></div>'
+        '<div class="product-item"><h3>Sponsored banner item</h3>'
+        '<span class="price">Rs. 1</span></div><div class="footer">footer links</div>'
+        '</body></html>')
+
+def work(n):
+    t0 = time.perf_counter()
+    for i in range(n):
+        extract_text(HTML % (i, i, i * 7, i * 7))
+    return time.perf_counter() - t0
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    per = 30000
+    with Pool(procs) as p:
+        p.map(work, [2000] * procs)  # warm the pool
+        t0 = time.perf_counter()
+        p.map(work, [per] * procs)
+        total = time.perf_counter() - t0
+    print(f"CONTROL {{procs}} {{procs * per / total:.1f}}")
+"""
+
+
 def run(cmd: list[str], capture: bool = False):
     print("+", " ".join(cmd), file=sys.stderr)
     return subprocess.run(
@@ -84,6 +116,22 @@ def control_wall(cores: int) -> float:
         if line.startswith("CONTROL"):
             return float(line.split()[2])
     raise RuntimeError(f"control produced no result: {out[-500:]}")
+
+
+def workload_control_rate(procs: int) -> float:
+    """extract_text throughput in a bare multiprocessing pool — ZERO Spark,
+    zero engine orchestration. This is the host's ceiling for the actual
+    workload (allocation-heavy pure-Python HTML parsing), which scales worse
+    than cache-friendly C loops on a shared-memory VM: CPython allocator +
+    memory-bandwidth + frequency coupling between busy cores. On a real
+    cluster, N and 4N executors are separate machines that don't share a
+    turbo/bandwidth budget, so this coupling does not exist there."""
+    script = WORKLOAD_CONTROL.format(repo=REPO)
+    out = run([sys.executable, "-c", script, str(procs)], capture=True).stdout
+    for line in out.splitlines():
+        if line.startswith("CONTROL"):
+            return float(line.split()[2])
+    raise RuntimeError(f"workload control produced no result: {out[-500:]}")
 
 
 def main() -> None:
@@ -161,6 +209,18 @@ def main() -> None:
             "ceiling_efficiency": round(ceiling, 3),
         }
         summary["efficiency_vs_host_ceiling"] = round(eff / ceiling, 3)
+        w_lo = workload_control_rate(args.low)
+        w_hi = workload_control_rate(args.high)
+        w_ceiling = (w_hi / w_lo) / ratio
+        summary["workload_ceiling"] = {
+            "control": "extract_text in a bare multiprocessing pool "
+                       "(no Spark, no engine code) — the dominant kernel "
+                       "of the replay",
+            "low_docs_per_sec": round(w_lo, 1),
+            "high_docs_per_sec": round(w_hi, 1),
+            "ceiling_efficiency": round(w_ceiling, 3),
+        }
+        summary["efficiency_vs_workload_ceiling"] = round(eff / w_ceiling, 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -456,6 +456,81 @@ def extract_text(html: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# H12: DOM structural features (the ML-fallback feature extractor)
+# ---------------------------------------------------------------------------
+
+# Name patterns from the reference FeatureExtractor
+# (/root/reference/src/fetcher/html_fetcher.rs:716-721).
+_NAME_PATTERNS = [
+    re.compile(r"\b[A-Z][a-z]+(\s+[A-Z][a-z]+)*\b"),
+    re.compile(r"\d+\s*(kg|g|ml|l|pack|pcs)\b"),
+]
+
+_CANDIDATE_TAGS = ("div", "article", "li", "section")
+
+DOM_FEATURE_DIM = 17
+
+
+def extract_dom_features(html: str) -> list[list[float]]:
+    """H12: per-candidate 17-dim structural feature vectors.
+
+    Candidates = every <div>, then every <article>, <li>, <section> (the
+    reference enumerates the four selectors in that order,
+    /root/reference/src/fetcher/html_fetcher.rs:601-617). Features per
+    candidate (html_fetcher.rs:725-788): text len, uppercase count, digit
+    count, word count; 4 price-regex flags; 2 name-regex flags; depth,
+    class count, attr count, has_link; parent-context contains
+    product/item/grid. The reference ships this path disabled (H11,
+    naheed.toml:177) — here it doubles as feature engineering for the
+    similarity/ANN operators (array<float> embedding input).
+    """
+    root = _build_dom(html)
+
+    # depth + parent maps in one walk (reference counts self..root chain).
+    parents: dict[int, Node] = {}
+    depths: dict[int, int] = {id(root): 0}
+
+    def walk(node: Node) -> None:
+        for child in node.children:
+            parents[id(child)] = node
+            depths[id(child)] = depths[id(node)] + 1
+            walk(child)
+
+    walk(root)
+
+    def has_link(node: Node) -> bool:
+        return any(d.tag == "a" for d in node.iter_descendants())
+
+    out: list[list[float]] = []
+    for tag in _CANDIDATE_TAGS:
+        for el in root.iter_descendants():
+            if el.tag != tag:
+                continue
+            text = " ".join(el.text_chunks())
+            parent = parents.get(id(el))
+            parent_ctx = " ".join(parent.classes()) if parent is not None else ""
+            feats = [
+                float(len(text)),
+                float(sum(1 for c in text if c.isupper())),
+                float(sum(1 for c in text if c.isnumeric())),
+                float(len(text.split())),
+            ]
+            feats += [1.0 if p.search(text) else 0.0 for p in _PRICE_PATTERNS]
+            feats += [1.0 if p.search(text) else 0.0 for p in _NAME_PATTERNS]
+            feats += [
+                float(depths[id(el)]),
+                float(len(el.classes())),
+                float(len(el.attrs)),
+                1.0 if has_link(el) else 0.0,
+                1.0 if "product" in parent_ctx else 0.0,
+                1.0 if "item" in parent_ctx else 0.0,
+                1.0 if "grid" in parent_ctx else 0.0,
+            ]
+            out.append(feats)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Vectorized Spark UDFs (Arrow-batched; no per-row Python round trips)
 # ---------------------------------------------------------------------------
 
@@ -503,3 +578,15 @@ def extract_products_udf():
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_series_extract_products, PRODUCT_STRUCT_DDL)
+
+
+def _series_dom_features(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: extract_dom_features(_decode(b)))
+
+
+def dom_features_udf():
+    """pandas UDF: html binary → array<array<float>> of per-candidate H12
+    structural feature vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_series_dom_features, "array<array<float>>")

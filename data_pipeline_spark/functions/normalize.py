@@ -161,6 +161,51 @@ def derive_discount(discount: Column, cost: Column, mrp: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# H9: unit keyword extraction — 15 ordered (substring, unit) pairs,
+# first match wins (/root/reference/src/processor/html_processor.rs:217-245).
+# NOTE "g " / "l " carry a trailing space in the reference, so "500g" does
+# NOT match bare "g" but "500g pack" matches via "g " — preserved here.
+UNIT_KEYWORD_PAIRS = [
+    ("kg", "kg"), ("kilogram", "kg"), ("gram", "g"), ("gm", "g"), ("g ", "g"),
+    ("ml", "ml"), ("milliliter", "ml"), ("liter", "l"), ("litre", "l"),
+    ("l ", "l"), ("piece", "piece"), ("pcs", "piece"), ("pack", "pack"),
+    ("dozen", "dozen"),
+]
+
+# H10: known brands, checked against the lowercased full name
+# (/root/reference/src/processor/html_processor.rs:248-268).
+KNOWN_BRANDS = [
+    "brightfarms", "nestle", "unilever", "p&g", "colgate", "johnson", "loreal",
+]
+
+
+def extract_unit_keyword(name: Column) -> Column:
+    """H9: first matching unit-keyword substring of the lowercased name →
+    canonical unit, else null. Pure Column expression (JVM-side `contains`
+    chain — whole-stage codegen, no UDF)."""
+    low = F.lower(name)
+    expr = F.lit(None).cast("string")
+    for pattern, unit in reversed(UNIT_KEYWORD_PAIRS):
+        expr = F.when(low.contains(pattern), F.lit(unit)).otherwise(expr)
+    return expr
+
+
+def extract_brand(name: Column) -> Column:
+    """H10: known-brand substring of the lowercased name (reference order),
+    else the first whitespace word if it starts uppercase and is longer than
+    2 chars, else null (/root/reference/src/processor/html_processor.rs:248-280).
+    """
+    low = F.lower(name)
+    first_word = F.element_at(F.split(F.trim(name), r"\s+"), 1)
+    fallback = F.when(
+        (F.length(first_word) > 2) & first_word.rlike("^[A-Z]"), first_word
+    ).otherwise(F.lit(None).cast("string"))
+    expr = fallback
+    for brand in reversed(KNOWN_BRANDS):
+        expr = F.when(low.contains(brand), F.lit(brand)).otherwise(expr)
+    return expr
+
+
 def normalize_dataframe(df: DataFrame) -> DataFrame:
     """The reference's normalize_dataframe (rule_normalizer.rs:9-31) as one
     declarative plan: price casts → name/units → category lower → discount

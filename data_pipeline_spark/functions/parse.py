@@ -191,3 +191,60 @@ def extract_json_path(col: Column, *path: str) -> Column:
     """P1: dotted-path extraction over a JSON *string* column
     (unified_fetcher.rs:483-507) — ``get_json_object`` keeps it JVM-side."""
     return F.get_json_object(col, "$." + ".".join(path))
+
+
+def parse_json_with_quarantine(
+    df: DataFrame, payload_col: str, schema: str | "StructType"
+):
+    """P16: typed JSON-payload parse with per-row error quarantine.
+
+    The reference skips+counts rows whose extraction fails
+    (/root/reference/src/processor/json_flattener.rs:19-48,
+    /root/reference/src/processor/html_processor.rs:28-50); the Spark
+    idiom is PERMISSIVE parsing with a corrupt-record column: malformed
+    payloads land in a quarantine DataFrame instead of killing the job,
+    and both sides stay fully distributed (no driver round trip).
+
+    Returns ``(good, quarantined)``:
+    - ``good``: original columns + the parsed struct's fields (payload
+      dropped);
+    - ``quarantined``: original rows whose payload failed to parse, plus
+      ``_corrupt`` carrying the raw text — write it to a quarantine table
+      and count it into the metrics ledger.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    schema_with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt", StringType(), True)]
+    )
+    parsed = df.withColumn(
+        "_p",
+        F.from_json(
+            F.col(payload_col).cast("string"),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    is_bad = F.col(payload_col).isNotNull() & (
+        F.col("_p").isNull() | F.col("_p._corrupt").isNotNull()
+    )
+    keep = [c for c in df.columns if c != payload_col]
+    good = parsed.where(~is_bad).select(
+        *keep, *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.where(is_bad).select(
+        *keep, F.coalesce(F.col("_p._corrupt"), F.col(payload_col).cast("string")).alias("_corrupt")
+    )
+    return good, quarantined
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    """S15: CSV export (reference: sample result export,
+    /root/reference/src/bin/test_unified_pipeline.rs:182-196)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).option(
+        "sep", sep
+    ).csv(path)

@@ -192,3 +192,35 @@ def test_fast_text_extractor_matches_dom_twin():
         samples.append("".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
     for s in samples:
         assert extract_text(s) == extract_text_dom(s), repr(s[:120])
+
+
+def test_dom_features_shape_and_values():
+    from data_pipeline_spark.functions.extract import (
+        DOM_FEATURE_DIM,
+        extract_dom_features,
+    )
+
+    html = (
+        '<html><body><div class="product-item grid" data-x="1">'
+        '<h3>Fresh Apple</h3><span class="price">Rs. 150</span>'
+        '<a href="#">buy</a></div>'
+        "<li>item two</li></body></html>"
+    )
+    feats = extract_dom_features(html)
+    # candidates: the div (tag pass 1) then the li (tag pass 3)
+    assert len(feats) == 2
+    assert all(len(f) == DOM_FEATURE_DIM for f in feats)
+    div = feats[0]
+    text = "Fresh Apple Rs. 150 buy"
+    assert div[0] == float(len(text))
+    assert div[1] == 3.0  # F, A, R
+    assert div[2] == 3.0  # 1, 5, 0
+    assert div[3] == 5.0  # words
+    assert div[4] == 1.0  # Rs. pattern
+    assert div[8] == 1.0  # capitalized-name pattern
+    assert div[10] == 3.0  # depth: html(1) body(2) div(3)
+    assert div[11] == 2.0  # classes
+    assert div[12] == 2.0  # attrs: class + data-x
+    assert div[13] == 1.0  # has <a>
+    li = feats[1]
+    assert li[13] == 0.0 and li[11] == 0.0

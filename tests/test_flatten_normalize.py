@@ -227,3 +227,72 @@ def test_full_normalize_dataframe(spark):
 )
 def test_clean_price(raw, expected):
     assert clean_price(raw) == expected
+
+
+def test_unit_keyword_and_brand_extraction(spark):
+    """H9/H10: ordered substring unit keywords; known-brand list then
+    capitalized-first-word fallback (html_processor.rs:217-280)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.functions.normalize import (
+        extract_brand,
+        extract_unit_keyword,
+    )
+
+    rows = [
+        ("Nestle Milk 2 kg", "kg", "nestle"),
+        ("Fresh Eggs 1 dozen", "dozen", "Fresh"),
+        ("Olive Oil 500 ml bottle", "ml", "Olive"),
+        # "g " tier: word ending in g + space, reference quirk preserved
+        ("spring water pack", "g ", None),  # placeholder, fixed below
+        ("P&G Detergent", "g", "p&g"),  # "p&g " contains "g "
+        ("xy", None, None),  # first word too short, no keywords
+        ("lowercase item piece", "piece", None),
+    ]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "name string"
+    ).select(
+        "name",
+        extract_unit_keyword(F.col("name")).alias("unit"),
+        extract_brand(F.col("name")).alias("brand"),
+    )
+    got = {r["name"]: (r["unit"], r["brand"]) for r in df.collect()}
+    assert got["Nestle Milk 2 kg"] == ("kg", "nestle")
+    assert got["Fresh Eggs 1 dozen"] == ("dozen", "Fresh")
+    assert got["Olive Oil 500 ml bottle"] == ("ml", "Olive")
+    # "spring water pack": "g " substring (sprinG ) fires before "pack" —
+    # the reference's ordered-contains semantics, quirk and all.
+    assert got["spring water pack"] == ("g", None)
+    assert got["P&G Detergent"] == ("g", "p&g")
+    assert got["xy"] == (None, None)
+    assert got["lowercase item piece"] == ("piece", None)
+
+
+def test_parse_json_with_quarantine(spark, tmp_path):
+    """P16: malformed payloads split into a quarantine frame; good rows parse
+    to typed columns; nothing is silently dropped."""
+    from data_pipeline_spark.functions.parse import export_csv, parse_json_with_quarantine
+
+    rows = [
+        (1, '{"name": "apple", "price": 5.5}'),
+        (2, '{"name": "broken"'),          # malformed
+        (3, '{"name": "pear", "price": 2}'),
+        (4, "not json at all"),
+        (5, None),                          # null payload: good, null fields
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    good, bad = parse_json_with_quarantine(
+        df, "payload", "name string, price double"
+    )
+    g = {r["id"]: (r["name"], r["price"]) for r in good.collect()}
+    b = sorted(r["id"] for r in bad.collect())
+    assert b == [2, 4]
+    assert g[1] == ("apple", 5.5)
+    assert g[3] == ("pear", 2.0)
+    assert g[5] == (None, None)
+    assert set(g) == {1, 3, 5}
+
+    out = str(tmp_path / "csv_out")
+    export_csv(good, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 3
