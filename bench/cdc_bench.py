@@ -10,7 +10,7 @@ Usage:
 
 `gen` writes the log ONCE; `replay` is run per parallelism level on the
 SAME input (the sandbox evidence protocol for the two-cluster-size rule:
-local[8] vs local[32], see BENCH/BASELINE.md). Orchestrated by
+N=4 vs 4N=16 cores, see BENCH/BASELINE.md). Orchestrated by
 bench/run_scaling.py.
 """
 

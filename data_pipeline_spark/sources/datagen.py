@@ -42,6 +42,8 @@ def gen_changes(
     seed: int = 42,
     evolve_at_epoch: int | None = None,
     tie_every: int = 7,
+    hot_key_share: int = 0,
+    n_hot_keys: int = 4,
 ) -> DataFrame:
     """Generate ``n_events`` change events as a DataFrame.
 
@@ -67,6 +69,15 @@ def gen_changes(
     df = spark.range(n_events).withColumnRenamed("id", "lsn")
 
     key_id = F.pmod(_hp(seed + 1, F.col("lsn")), F.lit(n_keys))
+    if hot_key_share:
+        # Hot-KEY skew (vs the hot-domain skew below): ``hot_key_share``% of
+        # all events hammer ``n_hot_keys`` urls — the "one page updated
+        # millions of times" CDC pathology the salting policy must defuse.
+        hot_roll = F.pmod(_hp(seed + 9, F.col("lsn")), F.lit(100))
+        key_id = F.when(
+            hot_roll < hot_key_share,
+            F.pmod(_hp(seed + 10, F.col("lsn")), F.lit(n_hot_keys)),
+        ).otherwise(key_id)
     op_roll = F.pmod(_hp(seed + 2, F.col("lsn")), F.lit(100))
     op = (
         F.when(op_roll < 70, F.lit("insert"))
