@@ -174,7 +174,11 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 # ---------------------------------------------------------------------------
 
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q1 shape: shipdate predicate (pushed to the parquet scan —
+    pinned by tests/test_plans.py) + map-side-combinable aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -198,7 +202,9 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
 """
 
 

@@ -1,0 +1,84 @@
+"""Physical-plan shape regressions — the 100-TB posture, pinned.
+
+A query can be value-correct and still be wrong at scale (unbroadcast dim
+join, unpruned scan, all-rows window where a partial agg suffices). These
+tests read `explain(formatted)` output and assert the plan properties the
+SURVEY/BASELINE design calls for, so a refactor that silently regresses
+them fails CI rather than a 100-TB run.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plans", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_dim_joins_broadcast(spark, entry):
+    """Small dimensions must broadcast — no shuffle join for nation/region."""
+    plan = _plan(spark, entry.queries()["nation_supplier_rollup"](spark, SF))
+    # Formatted output repeats each node in the detail section; the tree
+    # shows 2 joins → ≥2 mentions, and crucially zero shuffle joins.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_top_k_uses_take_ordered(spark, entry):
+    """Top-10 must be TakeOrderedAndProject (per-partition heaps), never a
+    global sort."""
+    plan = _plan(spark, entry.queries()["q3_top_revenue"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark, entry):
+    """The filtered lineitem scan must read only referenced columns and
+    push predicates into the parquet reader."""
+    plan = _plan(spark, entry.queries()["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema for lineitem must NOT include unreferenced wide columns.
+    assert "l_comment" not in plan
+    assert "PartialMerge" in plan or "partial_" in plan  # map-side combine
+
+
+def test_lww_is_partial_aggregable(spark, entry):
+    """The max_by LWW must run as a hash aggregation with a map-side
+    partial phase (hot keys collapse before the shuffle) — not a window."""
+    plan = _plan(spark, entry.queries()["cdc_lww_latest"](spark, SF))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_merge_stage_plan_has_partial_lww_and_no_collect(spark, tmp_path):
+    """The replay staging pipeline (dedup + extraction) keeps the LWW as a
+    partial-aggregable hash agg and runs extraction via ArrowEvalPython
+    (vectorized), never BatchEvalPython (per-row)."""
+    from data_pipeline_spark.plans.registry import SchemaRegistry
+    from data_pipeline_spark.sources.datagen import gen_changes
+    from data_pipeline_spark.streaming.runner import make_table_for_log, stage_changes
+
+    table = make_table_for_log(
+        spark, str(tmp_path / "plan_t"), SchemaRegistry(), n_buckets=8
+    )
+    staged = stage_changes(spark, gen_changes(spark, 1000, seed=3), table)
+    plan = _plan(spark, staged)
+    assert "partial_max_by" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
