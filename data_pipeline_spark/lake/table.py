@@ -90,6 +90,7 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.meta = meta
+        self._manifest_cache: dict[int, list[dict]] = {}
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -139,6 +140,7 @@ class LakeTable:
     def refresh(self) -> None:
         """Re-read metadata from disk (pick up another handle's commits)."""
         self.meta = LakeTable.load(self.spark, self.path).meta
+        self._manifest_cache.clear()
 
     def _assert_current(self) -> None:
         hint = os.path.join(self.path, "metadata", "version-hint.text")
@@ -193,9 +195,8 @@ class LakeTable:
         new_id = max(int(k) for k in self.meta["schemas"]) + 1
         self.meta["schemas"][str(new_id)] = json.loads(new_schema.json())
         self.meta["current_schema_id"] = new_id
-        snap = dict(self._current_snapshot() or {"files": []})
         self._commit(
-            files=snap.get("files", []),
+            files=self.files_of(self._current_snapshot()),
             summary={"operation": "evolve-schema", **(summary or {})},
         )
         return new_id
@@ -227,6 +228,29 @@ class LakeTable:
                 out.add(int(e))
         return out
 
+    def files_of(self, snap: dict | None) -> list[dict]:
+        """A snapshot's data-file list, from its manifest file.
+
+        File lists live OUTSIDE the table metadata (one
+        ``metadata/manifest-{snapshot_id}.json`` per snapshot — the icelite
+        analog of Iceberg's manifest list): commits write O(current files)
+        bytes, not O(all snapshots × files), so the metadata document stays
+        metadata-sized at any history length. Reads ``files`` inline for
+        backward compatibility with pre-manifest tables.
+        """
+        if snap is None:
+            return []
+        if "files" in snap:
+            return snap["files"]
+        sid = snap["snapshot_id"]
+        cached = self._manifest_cache.get(sid)
+        if cached is not None:
+            return cached
+        with open(os.path.join(self.path, snap["manifest"]), encoding="utf-8") as f:
+            files = json.load(f)
+        self._manifest_cache[sid] = files
+        return files
+
     def _commit(
         self, files: list[dict], summary: dict, needs_resolve: bool | None = None
     ) -> dict:
@@ -239,6 +263,10 @@ class LakeTable:
             # change whether scan-time LWW resolution is required.
             needs_resolve = bool(parent_snap and parent_snap.get("needs_resolve"))
         snapshot_id = (parent or 0) + 1
+        manifest_rel = f"metadata/manifest-{snapshot_id}.json"
+        # Manifest first, metadata pointer second: a crash in between leaves
+        # an orphan manifest (harmless), never a dangling pointer.
+        _atomic_write(os.path.join(self.path, manifest_rel), json.dumps(files))
         snap = {
             "snapshot_id": snapshot_id,
             "parent_id": parent,
@@ -246,8 +274,10 @@ class LakeTable:
             "timestamp_ms": int(time.time() * 1000),
             "summary": {k: str(v) for k, v in summary.items()},
             "needs_resolve": needs_resolve,
-            "files": files,
+            "manifest": manifest_rel,
+            "n_files": len(files),
         }
+        self._manifest_cache[snapshot_id] = files
         self.meta["snapshots"].append(snap)
         self.meta["current_snapshot_id"] = snapshot_id
         self._write_version(self.meta["version"] + 1)
@@ -296,7 +326,7 @@ class LakeTable:
         """
         snap = self.snapshot(snapshot_id)
         target = self._with_system(self.schema)
-        snap_files = snap["files"] if snap else []
+        snap_files = self.files_of(snap)
         if buckets is not None:
             bset = set(buckets)
             snap_files = [f for f in snap_files if f["bucket"] in bset]
@@ -410,8 +440,7 @@ class LakeTable:
         )
         snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
         new_files = self._write_data_files(staged, snapshot_id)
-        prior = self._current_snapshot()
-        files = (prior["files"] if prior else []) + new_files
+        files = self.files_of(self._current_snapshot()) + new_files
         snap = self._commit(files, summary)
         return {"skipped": False, "epoch": epoch, "snapshot_id": snap["snapshot_id"]}
 
@@ -505,8 +534,7 @@ class LakeTable:
             new_files = self._write_data_files(s_cand, snapshot_id)
             staged_count = obs.get["n"]
             touched = sorted(obs.get["buckets"])
-            prior = self._current_snapshot()
-            carried = list(prior["files"]) if prior else []
+            carried = list(self.files_of(self._current_snapshot()))
             summary = {
                 "operation": "merge-mor",
                 "staged-rows": staged_count,
@@ -563,10 +591,11 @@ class LakeTable:
             snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
             new_files = self._write_data_files(out, snapshot_id)
 
-            prior = self._current_snapshot()
             touched_set = set(touched)
             carried = [
-                f for f in (prior["files"] if prior else []) if f["bucket"] not in touched_set
+                f
+                for f in self.files_of(self._current_snapshot())
+                if f["bucket"] not in touched_set
             ]
             summary = {
                 "operation": "merge",
@@ -614,7 +643,7 @@ class LakeTable:
             new_files,
             {
                 "operation": "compact",
-                "compacted-files": len(prior["files"]) if prior else 0,
+                "compacted-files": len(self.files_of(prior)),
                 "new-files": len(new_files),
                 "dropped-tombstones": drop_tombstones,
             },
@@ -630,13 +659,20 @@ class LakeTable:
         if len(snaps) <= keep_last:
             return 0
         keep = snaps[-keep_last:]
-        live = {f["path"] for s in keep for f in s["files"]}
+        live = {f["path"] for s in keep for f in self.files_of(s)}
         dropped = snaps[:-keep_last]
-        dead = {f["path"] for s in dropped for f in s["files"]} - live
+        dead = {f["path"] for s in dropped for f in self.files_of(s)} - live
         for rel in dead:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
                 os.remove(p)
+        # Expired snapshots' manifests go with them.
+        for s in dropped:
+            if "manifest" in s:
+                mp = os.path.join(self.path, s["manifest"])
+                if os.path.exists(mp):
+                    os.remove(mp)
+            self._manifest_cache.pop(s["snapshot_id"], None)
         # Remove now-empty commit dirs.
         data_dir = os.path.join(self.path, "data")
         for d in os.listdir(data_dir):

@@ -175,11 +175,11 @@ def test_mor_matches_cow_and_compact(spark, log_dir, tmp_path):
     cow_runner.run()
     assert _table_state(table) == _table_state(cow_table)
 
-    files_before = len(table._current_snapshot()["files"])
+    files_before = len(table.files_of(table._current_snapshot()))
     state_before = _table_state(table)
     table.compact()
     assert table._current_snapshot()["needs_resolve"] is False
-    assert len(table._current_snapshot()["files"]) < files_before
+    assert len(table.files_of(table._current_snapshot())) < files_before
     assert _table_state(table) == state_before
 
     # Tombstone GC after the replay horizon.
@@ -204,12 +204,35 @@ def test_stale_handle_commit_conflict(spark, log_dir, tmp_path):
     table.expire_snapshots(keep_last=1)  # advances the on-disk version
 
     with pytest.raises(CommitConflictError):
-        stale._commit(files=stale._current_snapshot()["files"], summary={"operation": "noop"})
+        stale._commit(files=stale.files_of(stale._current_snapshot()), summary={"operation": "noop"})
     with pytest.raises(CommitConflictError):
         stale.expire_snapshots(keep_last=1)
 
     state_before = _table_state(table)
     stale.refresh()
     assert stale.meta["version"] == table.meta["version"]
-    stale._commit(files=stale._current_snapshot()["files"], summary={"operation": "noop"})
+    stale._commit(files=stale.files_of(stale._current_snapshot()), summary={"operation": "noop"})
     assert _table_state(stale) == state_before
+
+
+def test_metadata_stays_small_files_live_in_manifests(spark, log_dir, tmp_path):
+    """Commits write O(current files) manifest bytes; the metadata document
+    itself carries no file paths — at 10^10-scale history lengths the
+    metadata JSON must stay metadata-sized."""
+    import json as _json
+    import os as _os
+
+    runner, table, _ = _fresh_runner(spark, log_dir, tmp_path, "manifest")
+    runner.run()
+
+    meta_dir = _os.path.join(table.path, "metadata")
+    version = int(open(_os.path.join(meta_dir, "version-hint.text")).read())
+    meta = _json.load(open(_os.path.join(meta_dir, f"v{version}.metadata.json")))
+    for snap in meta["snapshots"]:
+        assert "files" not in snap
+        assert snap["manifest"].startswith("metadata/manifest-")
+        assert _os.path.exists(_os.path.join(table.path, snap["manifest"]))
+        assert snap["n_files"] == len(table.files_of(snap))
+    # The document mentions no data files at all.
+    raw = open(_os.path.join(meta_dir, f"v{version}.metadata.json")).read()
+    assert ".parquet" not in raw
