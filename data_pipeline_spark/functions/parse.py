@@ -148,20 +148,20 @@ def flatten_products(df: DataFrame) -> DataFrame:
     )
 
     # P10: category array flatten (lowercased, ", "-joined) → alternatives.
+    # SQL-parsed lambdas, NOT python-lambda HOFs: both branches can land
+    # inside ONE coalesce expression, and PySpark 4.1 mis-binds the lambda
+    # variables of sibling python-lambda higher-order functions nested under
+    # a single expression (see textdedup._signature_from_shingles).
     if _has(df, "categories.category_name"):
-        cat_arr = F.array_join(
-            F.transform(
-                c("categories"), lambda x: F.lower(F.trim(x["category_name"]))
-            ),
-            ", ",
+        cat_arr = F.expr(
+            "array_join(transform(categories, x -> lower(trim(x.category_name))), ', ')"
         )
         cat_arr = F.when(F.size(c("categories")) > 0, cat_arr)
     else:
         cat_arr = F.lit(None)
     if _has(df, "productCategory.category.name"):
-        pc_arr = F.array_join(
-            F.transform(c("productCategory"), lambda x: F.trim(x["category"]["name"])),
-            ", ",
+        pc_arr = F.expr(
+            "array_join(transform(productCategory, x -> trim(x.category.name)), ', ')"
         )
         pc_arr = F.when(F.size(c("productCategory")) > 0, pc_arr)
     else:

@@ -160,21 +160,36 @@ WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= {threshold}
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _signature_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """Element-wise min of per-shingle hash vectors.
+
+    Built as ONE ``transform`` (every permutation's hash per shingle) folded
+    with ``aggregate``+``zip_with`` — deliberately NOT an ``F.array`` of
+    sibling ``transform`` lambdas: PySpark 4.1 mis-binds the lambda
+    variables of 2+ sibling higher-order functions nested under one
+    expression, producing wrong, run-to-run-unstable hashes (regression
+    pinned in tests/test_textdedup.py::test_minhash_signature_matches_python).
+    '~' sorts above every md5 hex char, so it is the fold's identity.
+    """
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(num_hashes)]
+        ),
+    )
+    init = F.array_repeat(F.lit("~"), num_hashes)
+    return F.aggregate(
+        per_shingle, init, lambda acc, h: F.zip_with(acc, h, lambda a, b: F.least(a, b))
+    )
+
+
 def minhash_signature(
     col: Column, n: int = 3, num_hashes: int = 12
 ) -> Column:
     """MinHash signature: per permutation i, min over shingles of
     md5(i:shingle) — lexicographic min over uniform hex strings is an
     order-statistic minhash; md5 keeps it portable to the SQL oracle."""
-    sh = shingles(col, n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    return _signature_from_shingles(shingles(col, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -201,15 +216,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
     ).persist()
     sig = base.select(
-        "doc",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform("sh", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+        "doc", _signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
     )
     band_keys = sig.select(
         "doc",

@@ -102,3 +102,33 @@ def test_embedding_neardup(spark):
     assert pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs and (2, 4) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_minhash_signature_matches_python(spark):
+    """Pin signature values against an independent Python computation.
+
+    Regression for a PySpark 4.1 higher-order-function bug: an F.array of
+    2+ sibling `transform` lambdas mis-binds their lambda variables and
+    yields wrong, run-to-run-UNSTABLE hashes. The signature is therefore
+    built as one transform folded with aggregate/zip_with; this test fails
+    on the broken formulation (values differ from truth) and pins the fix.
+    """
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.operators.textdedup import minhash_signature, shingles
+
+    text = "vector batch small sort agg group vector line batch table merge sort"
+    df = spark.createDataFrame([(text,)], "text string")
+    sh = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    expected = [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+        for i in range(12)
+    ]
+    for _ in range(3):  # the broken form also flickered run-to-run
+        got = list(
+            df.select(minhash_signature(F.col("text"), 3, 12).alias("g"))
+            .collect()[0]["g"]
+        )
+        assert got == expected
