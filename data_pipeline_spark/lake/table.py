@@ -621,17 +621,34 @@ class LakeTable:
 
     # -- maintenance -----------------------------------------------------------------
 
-    def compact(self, drop_tombstones: bool = False) -> dict:
+    def dirty_buckets(self, min_files: int = 2) -> list[int]:
+        """Buckets whose current snapshot holds ≥ ``min_files`` data files —
+        the candidates that can hold multi-version rows (every MoR commit
+        appends at most one file per touched bucket). Metadata-only."""
+        counts: dict[int, int] = {}
+        for f in self.files_of(self._current_snapshot()):
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        return sorted(b for b, n in counts.items() if n >= min_files)
+
+    def compact(
+        self, drop_tombstones: bool = False, buckets: list[int] | None = None
+    ) -> dict:
         """Collapse MoR multi-version rows to one winner row per key and
-        rewrite the table (Iceberg rewrite_data_files). After compaction
-        reads are collapse-free again (``needs_resolve=False``).
+        rewrite data files (Iceberg rewrite_data_files).
+
+        ``buckets=None`` compacts the whole table and clears the scan-time
+        resolve flag. Passing ``buckets`` (e.g. :meth:`dirty_buckets`)
+        compacts only those — maintenance cost O(dirty buckets), not
+        O(table), which is what keeps background compaction viable while a
+        10^10-event tail keeps appending; the table-level resolve flag then
+        stays set (re-resolving already-clean buckets is a no-op).
 
         ``drop_tombstones=True`` also physically removes delete markers —
         only safe once no change event older than the tombstones can still
         arrive (i.e. the replay horizon has passed); otherwise a late
         out-of-order event could resurrect a deleted key.
         """
-        raw = self.read(with_system=True)
+        raw = self.read(with_system=True, buckets=buckets)
         resolved = self._resolve(raw)
         if drop_tombstones:
             resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -639,15 +656,25 @@ class LakeTable:
         snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
         new_files = self._write_data_files(out, snapshot_id)
         prior = self._current_snapshot()
+        if buckets is None:
+            carried: list[dict] = []
+            replaced = len(self.files_of(prior))
+            needs_resolve = False
+        else:
+            bset = set(buckets)
+            carried = [f for f in self.files_of(prior) if f["bucket"] not in bset]
+            replaced = len(self.files_of(prior)) - len(carried)
+            needs_resolve = bool(prior and prior.get("needs_resolve"))
         snap = self._commit(
-            new_files,
+            carried + new_files,
             {
                 "operation": "compact",
-                "compacted-files": len(self.files_of(prior)),
+                "compacted-files": replaced,
                 "new-files": len(new_files),
+                "buckets": "all" if buckets is None else len(buckets),
                 "dropped-tombstones": drop_tombstones,
             },
-            needs_resolve=False,
+            needs_resolve=needs_resolve,
         )
         return {"snapshot_id": snap["snapshot_id"], "new_files": len(new_files)}
 

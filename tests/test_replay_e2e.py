@@ -236,3 +236,35 @@ def test_metadata_stays_small_files_live_in_manifests(spark, log_dir, tmp_path):
     # The document mentions no data files at all.
     raw = open(_os.path.join(meta_dir, f"v{version}.metadata.json")).read()
     assert ".parquet" not in raw
+
+
+def test_partial_compaction_by_dirty_buckets(spark, log_dir, tmp_path):
+    """compact(buckets=...) collapses only the chosen buckets (O(dirty)
+    maintenance), preserves logical state, and keeps reads correct while
+    the table-level resolve flag stays conservative."""
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_pc"), registry, n_buckets=8)
+    ReplayRunner(
+        spark, log_dir, table, CheckpointStore(str(tmp_path / "cp_pc")),
+        registry, merge_mode="mor",
+    ).run()
+    state = _table_state(table)
+
+    dirty = table.dirty_buckets()
+    assert dirty, "MoR replay should leave multi-file buckets"
+    half = dirty[: max(1, len(dirty) // 2)]
+    files_before = len(table.files_of(table._current_snapshot()))
+    table.compact(buckets=half)
+    assert table._current_snapshot()["needs_resolve"] is True  # conservative
+    assert _table_state(table) == state
+    # The compacted buckets collapsed to one file each.
+    per_bucket = {}
+    for f in table.files_of(table._current_snapshot()):
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(per_bucket[b] == 1 for b in half)
+    assert len(table.files_of(table._current_snapshot())) < files_before
+
+    # Full compaction afterwards clears the flag, same state.
+    table.compact()
+    assert table._current_snapshot()["needs_resolve"] is False
+    assert _table_state(table) == state
