@@ -189,7 +189,9 @@ class ReplayRunner:
                 self.compact_every
                 and self._applied_since_compact >= self.compact_every
             ):
-                self.table.compact()
+                # Partial compaction: only buckets that accumulated files —
+                # keeps periodic maintenance O(dirty), not O(table).
+                self.table.compact(buckets=self.table.dirty_buckets())
                 self._applied_since_compact = 0
         record = {
             "skipped": False,
