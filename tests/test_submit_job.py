@@ -1,0 +1,83 @@
+"""Shipping contract (north_rule): the job must run via
+``spark-submit --py-files dist/data_pipeline_spark.zip jobs/replay_job.py``.
+
+Spawns a real spark-submit subprocess — the engine code must be importable
+from the zip alone (the repo dir is NOT on the executor path), both in the
+batch epoch loop and the Structured Streaming tailer.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def submit_env(tmp_path_factory, spark):
+    from data_pipeline_spark.sources import changelog
+    from data_pipeline_spark.sources.datagen import gen_changes
+
+    work = tmp_path_factory.mktemp("submit")
+    log_dir = str(work / "log")
+    changelog.write_log(gen_changes(spark, 3000, events_per_epoch=1000, seed=21), log_dir)
+    zip_path = os.path.join(REPO, "dist", "data_pipeline_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "package.py")], check=True
+    )
+    return work, log_dir, zip_path
+
+
+def _submit(args, cwd):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", args["zip"],
+            os.path.join(REPO, "jobs", "replay_job.py"),
+            "--log-dir", args["log"],
+            "--table-dir", args["table"],
+            "--checkpoint-dir", args["cp"],
+            *args.get("extra", []),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=cwd,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def test_spark_submit_batch_and_streaming(submit_env, tmp_path):
+    work, log_dir, zip_path = submit_env
+    # cwd OUTSIDE the repo: only the zip provides the package.
+    res = _submit(
+        {
+            "zip": zip_path, "log": log_dir,
+            "table": str(work / "t_batch"), "cp": str(work / "cp_batch"),
+            "extra": ["--mode", "mor", "--compact-every", "2"],
+        },
+        cwd=str(tmp_path),
+    )
+    assert res["epochs_applied"] == 3
+    assert res["rows_merged"] > 0
+
+    res2 = _submit(
+        {
+            "zip": zip_path, "log": log_dir,
+            "table": str(work / "t_stream"), "cp": str(work / "cp_stream"),
+            "extra": ["--streaming"],
+        },
+        cwd=str(tmp_path),
+    )
+    assert res2["epochs_applied"] >= 1 and res2["rows_merged"] > 0
