@@ -325,33 +325,69 @@ class LakeTable:
         user scan filters tombstones and hides system columns.
         """
         snap = self.snapshot(snapshot_id)
-        target = self._with_system(self.schema)
         snap_files = self.files_of(snap)
         if buckets is not None:
             bset = set(buckets)
             snap_files = [f for f in snap_files if f["bucket"] in bset]
-        if not snap_files:
-            out = self.spark.createDataFrame([], target)
-        else:
-            by_schema: dict[int, list[str]] = {}
-            for f in snap_files:
-                by_schema.setdefault(f["schema_id"], []).append(
-                    os.path.join(self.path, f["path"])
-                )
-            parts = []
-            for schema_id, paths in by_schema.items():
-                read_schema = self._with_system(self.schema_for(schema_id))
-                df = self.spark.read.schema(read_schema).parquet(*paths)
-                parts.append(self._align(df, target))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+        out = self._read_files(snap_files)
         if with_system:
             return out
         if snap is not None and snap.get("needs_resolve"):
             out = self._resolve(out)
         return out.where(
             ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(LSN_COL, DELETED_COL)
+
+    def _read_files(self, files: list[dict]) -> DataFrame:
+        """Read a data-file list, grouping by schema_id and aligning each
+        group to the current schema (scan-time schema resolution)."""
+        target = self._with_system(self.schema)
+        if not files:
+            return self.spark.createDataFrame([], target)
+        by_schema: dict[int, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(f["schema_id"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+        parts = []
+        for schema_id, paths in by_schema.items():
+            read_schema = self._with_system(self.schema_for(schema_id))
+            df = self.spark.read.schema(read_schema).parquet(*paths)
+            parts.append(self._align(df, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_changes(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental scan: the rows in data files added after
+        ``from_snapshot_id`` up to ``to_snapshot_id`` (default: current) —
+        the table re-exposed as a change stream, so downstream consumers can
+        chain off the lake without replaying the source log (the icelite
+        analog of Iceberg's incremental append scan).
+
+        Output shape mirrors the change log: an ``op`` column
+        (``upsert``/``delete``) plus the logical columns. Exact for
+        merge-on-read commits (each commit's files are precisely its staged
+        winner/tombstone rows); copy-on-write commits rewrite whole buckets,
+        so their file delta over-approximates the logical delta — run MoR if
+        consumers need exact increments.
+        """
+        from_files = {
+            f["path"] for f in self.files_of(self.snapshot(from_snapshot_id))
+        } if from_snapshot_id is not None else set()
+        to_files = self.files_of(self.snapshot(to_snapshot_id))
+        new = [f for f in to_files if f["path"] not in from_files]
+        out = self._read_files(new)
+        op = F.when(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete")
+        ).otherwise(F.lit("upsert"))
+        return out.withColumn("op", op).withColumn(
+            "lsn", F.col(LSN_COL)
         ).drop(LSN_COL, DELETED_COL)
 
     def _lww_order(self, df: DataFrame):

@@ -71,3 +71,65 @@ def test_classifier_tiers():
     assert reg.classify_field("mystery_col", ["$19.99", "5.00"]) == "cost_price"
     assert reg.classify_field("mystery_col", ["50% off", "25%"]) == "discount"
     assert reg.classify_field("zzz", ["hello world"]) is None
+
+
+def test_drop_and_retype_columns(spark, tmp_path):
+    """Evolution beyond adds: dropping a column and widening a type must
+    resolve at scan for old files (dropped → not selected, retyped → cast)
+    and merge correctly afterwards."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    base = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("lang", StringType()),
+        StructField("fetch_status", IntegerType()),
+    ])
+    table = LakeTable.create(spark, str(tmp_path / "t_evo2"), base, n_buckets=4)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(k, lsn, status, op="insert"):
+        return ("u" if op != "delete" else "delete", f"https://e/p/{k}", lsn,
+                t0 + dt.timedelta(seconds=lsn), b"<p>x</p>", "en", status)
+
+    schema = ("op string, url string, lsn long, warc_ts timestamp, "
+              "html binary, lang string, fetch_status int")
+    table.merge(spark.createDataFrame([ev(1, 1, 200), ev(2, 2, 404)], schema), epoch=0)
+
+    # v2: drop lang, retype fetch_status int → long.
+    evolved = StructType([
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("fetch_status", LongType()),
+    ])
+    table.evolve(evolved)
+
+    got = {r["url"]: r for r in table.read().collect()}
+    assert "lang" not in table.read().columns
+    assert got["https://e/p/1"]["fetch_status"] == 200
+    assert isinstance(got["https://e/p/1"]["fetch_status"], int)
+    assert dict(table.read().dtypes)["fetch_status"] == "bigint"
+
+    # Post-evolution merge in the new shape; old + new files co-resolve.
+    schema2 = ("op string, url string, lsn long, warc_ts timestamp, "
+               "html binary, fetch_status long")
+    table.merge(
+        spark.createDataFrame(
+            [("u", "https://e/p/1", 3, t0 + dt.timedelta(seconds=3), b"<p>y</p>", 5_000_000_000)],
+            schema2,
+        ),
+        epoch=1,
+    )
+    got = {r["url"]: r for r in table.read().collect()}
+    assert got["https://e/p/1"]["fetch_status"] == 5_000_000_000  # needs long
+    assert got["https://e/p/2"]["fetch_status"] == 404
