@@ -307,3 +307,21 @@ def test_read_changes_incremental_scan(spark, log_dir, tmp_path):
     assert table.read_changes(None).count() == sum(
         1 for _ in table.read(with_system=True).collect()
     )
+
+
+def test_late_backfill_epoch_converges(spark, log_dir, tmp_path):
+    """An EARLIER epoch applied after later ones (late backfill) must land
+    on the same final state: stored (warc_ts, lsn) guards make merge order
+    irrelevant, not just event order."""
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_late"), registry, n_buckets=8)
+    runner = ReplayRunner(
+        spark, log_dir, table, CheckpointStore(str(tmp_path / "cp_late")), registry
+    )
+    epochs = changelog.list_epochs(spark, log_dir)
+    for e in [*epochs[2:], epochs[1], epochs[0]]:  # 2,3,..,1,0
+        runner.apply_epoch(e)
+
+    ordered, otable, _ = _fresh_runner(spark, log_dir, tmp_path, "ordered_ref")
+    ordered.run()
+    assert _table_state(table) == _table_state(otable)

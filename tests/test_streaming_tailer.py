@@ -76,3 +76,25 @@ def test_stream_restart_is_exactly_once_and_tails_new_epochs(
     bt = make_table_for_log(spark, str(tmp_path / "t_b2"), reg, n_buckets=8)
     ReplayRunner(spark, log_dir, bt, CheckpointStore(str(tmp_path / "cp_b2")), reg).run()
     assert _state(st) == _state(bt)
+
+
+def test_stream_evolves_schema_midstream(spark, tmp_path):
+    """A micro-batch carrying a new schema_version evolves the table
+    in-flight on the streaming path, same as the batch runner."""
+    log = str(tmp_path / "evolog")
+    changelog.write_log(
+        gen_changes(spark, 1500, events_per_epoch=500, seed=13, evolve_at_epoch=2), log
+    )
+    reg = SchemaRegistry()
+    st = make_table_for_log(spark, str(tmp_path / "t_evo_s"), reg, n_buckets=4)
+    assert "fetch_status" not in [f.name for f in st.schema.fields]
+    ChangeLogTailer(spark, log, st, str(tmp_path / "cp_evo_s"), reg).run_available()
+    assert "fetch_status" in [f.name for f in st.schema.fields]
+
+    bt = make_table_for_log(spark, str(tmp_path / "t_evo_b"), reg, n_buckets=4)
+    ReplayRunner(spark, log, bt, CheckpointStore(str(tmp_path / "cp_evo_b")), reg).run()
+    s_rows = {r["url"]: (r["warc_ts"], r["text"], r["fetch_status"]) for r in
+              st.read().select("url", "warc_ts", "text", "fetch_status").collect()}
+    b_rows = {r["url"]: (r["warc_ts"], r["text"], r["fetch_status"]) for r in
+              bt.read().select("url", "warc_ts", "text", "fetch_status").collect()}
+    assert s_rows == b_rows
