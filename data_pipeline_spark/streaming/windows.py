@@ -1,0 +1,121 @@
+"""Streaming windowed aggregation + custom stateful LWW operator.
+
+Two Structured Streaming building blocks beyond the merge tailer:
+
+- :func:`windowed_event_rollup` — event-time tumbling-window aggregation
+  with a watermark, the idiomatic late-data pattern (SURVEY.md §2.8: the
+  CDC merge itself needs no watermark because LWW is order-insensitive, but
+  *analytics over the change stream* do — the watermark bounds state while
+  late events inside it still land in their window).
+- :func:`stateful_current_versions` — ``applyInPandasWithState``: per-key
+  state carrying the current LWW winner across micro-batches, emitting a
+  row whenever a key's winner CHANGES. This is the custom-stateful-operator
+  form of the engine's dedup: where the merge materializes winners into the
+  lake, this streams the winner transitions (e.g. to feed a cache
+  invalidator) without any table at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ROLLUP_SCHEMA = (
+    "window_start timestamp, window_end timestamp, op string, n long, n_keys long"
+)
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Tumbling event-time window: change-event counts + distinct-key counts
+    per (window, op). Works on a batch OR streaming DataFrame; on a stream
+    the watermark lets Spark finalize + evict windows older than
+    ``watermark`` while still accepting late events inside it."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("url").alias("n_keys"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "op",
+            "n",
+            "n_keys",
+        )
+    )
+
+
+WINNER_STATE_SCHEMA = "warc_ts timestamp, lsn long, op string"
+WINNER_CHANGE_SCHEMA = (
+    "url string, warc_ts timestamp, lsn long, op string, changed boolean"
+)
+
+
+def _winner_update_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-url state = current (warc_ts, lsn, op) winner. Emits one row per
+    batch per key whose winner changed (LWW semantics identical to the
+    batch engine: lexicographic (warc_ts, lsn), deletes win like any other
+    event)."""
+    import datetime as dt
+
+    if state.exists:
+        ts, lsn, op = state.get
+        if isinstance(ts, (int, float)):  # state stores micros
+            ts = dt.datetime.fromtimestamp(ts / 1_000_000)
+        cur: tuple[Any, ...] | None = (ts, lsn, op)
+    else:
+        cur = None
+    changed = False
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            ts = row.warc_ts.to_pydatetime() if hasattr(row.warc_ts, "to_pydatetime") else row.warc_ts
+            cand = (ts, int(row.lsn), str(row.op))
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
+                changed = True
+    if cur is not None:
+        state.update((cur[0], cur[1], cur[2]))
+    if changed and cur is not None:
+        yield pd.DataFrame(
+            [
+                {
+                    "url": key[0],
+                    "warc_ts": cur[0],
+                    "lsn": cur[1],
+                    "op": cur[2],
+                    "changed": True,
+                }
+            ]
+        )
+
+
+def stateful_current_versions(changes: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` over the change stream: emit each url's
+    NEW winner whenever a micro-batch changes it. State is one tiny tuple
+    per url (bounded by keyspace, no timeout needed for correctness; add
+    one if the key space itself churns)."""
+    return (
+        changes.select("url", "warc_ts", "lsn", "op")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _winner_update_fn,
+            outputStructType=WINNER_CHANGE_SCHEMA,
+            stateStructType=WINNER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

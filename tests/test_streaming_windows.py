@@ -1,0 +1,91 @@
+"""Streaming windowed rollup + applyInPandasWithState stateful LWW."""
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.sources import changelog
+from data_pipeline_spark.sources.datagen import gen_changes
+from data_pipeline_spark.streaming.windows import (
+    stateful_current_versions,
+    windowed_event_rollup,
+)
+
+
+def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
+    log = str(tmp_path / "wlog")
+    changelog.write_log(gen_changes(spark, 4000, events_per_epoch=1000, seed=17), log)
+
+    batch = spark.read.parquet(log)
+    expected = {
+        (r["window_start"], r["op"]): (r["n"], r["n_keys"])
+        for r in windowed_event_rollup(batch).collect()
+    }
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", log)
+        .parquet(log + "/epoch=*")
+    )
+    rolled = windowed_event_rollup(stream)
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["op"]): (r["n"], r["n_keys"])
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    assert got == expected
+
+
+def test_stateful_current_versions_tracks_winner_changes(spark, tmp_path):
+    log = str(tmp_path / "slog")
+    changelog.write_log(gen_changes(spark, 3000, events_per_epoch=500, seed=23), log)
+    batch = spark.read.parquet(log)
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("basePath", log)
+        .option("maxFilesPerTrigger", 40)  # several micro-batches
+        .parquet(log + "/epoch=*")
+    )
+    out = stateful_current_versions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winners_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM winners_out").collect()
+    assert emitted, "no winner transitions emitted"
+
+    # Last emission per url == the global LWW winner (batch oracle).
+    last = {}
+    for r in emitted:
+        cur = last.get(r["url"])
+        if cur is None or (r["warc_ts"], r["lsn"]) > (cur["warc_ts"], cur["lsn"]):
+            last[r["url"]] = r
+    oracle = {
+        r["url"]: (r["warc_ts"], r["lsn"], r["op"])
+        for r in batch.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("warc_ts", "lsn", "op"), F.struct("warc_ts", "lsn")
+            ).alias("w")
+        )
+        .select("url", "w.warc_ts", "w.lsn", "w.op")
+        .collect()
+    }
+    got = {u: (r["warc_ts"], r["lsn"], r["op"]) for u, r in last.items()}
+    assert got == oracle
+    # Every url with any event has a tracked winner.
+    assert set(got) == set(oracle)
