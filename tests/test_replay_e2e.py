@@ -325,3 +325,39 @@ def test_late_backfill_epoch_converges(spark, log_dir, tmp_path):
     ordered, otable, _ = _fresh_runner(spark, log_dir, tmp_path, "ordered_ref")
     ordered.run()
     assert _table_state(table) == _table_state(otable)
+
+
+def test_cow_merge_prunes_untouched_buckets(spark, log_dir, tmp_path):
+    """The CoW scale claim: an epoch touching few keys must only read and
+    rewrite the buckets containing them — untouched buckets carry over by
+    file REFERENCE (same paths, no rewrite)."""
+    import datetime as dt
+
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_prune"), registry, n_buckets=8)
+    runner = ReplayRunner(
+        spark, log_dir, table, CheckpointStore(str(tmp_path / "cp_prune")), registry
+    )
+    runner.run()  # build a populated table
+    before = {f["path"] for f in table.files_of(table._current_snapshot())}
+    state_before = _table_state(table)
+
+    one = spark.createDataFrame(
+        [("update", "https://prune.example/only-key", 10**9,
+          dt.datetime(2030, 1, 1), b"<p>new</p>", "en", 1)],
+        "op string, url string, lsn long, warc_ts timestamp, "
+        "html binary, lang string, schema_version int",
+    )
+    from data_pipeline_spark.streaming.runner import stage_changes
+
+    metrics = table.merge(stage_changes(spark, one, table), epoch=777)
+    assert metrics["touched_buckets"] == 1
+    after = {f["path"] for f in table.files_of(table._current_snapshot())}
+    # 7 of 8 buckets' files are carried verbatim.
+    carried = before & after
+    assert len(after - before) >= 1
+    assert len(carried) >= len(before) * 6 // 8
+
+    got = _table_state(table)
+    assert got.pop("https://prune.example/only-key")[1] == "new"
+    assert got == state_before
