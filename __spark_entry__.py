@@ -884,6 +884,21 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: KMeans coarse quantizer -> probe top lists -> exact
+    cosine. Not SQL-expressible (distributed KMeans), so no oracle entry:
+    the driver records a rows-only check; recall vs brute force is pinned
+    in tests/test_similarity.py."""
+    from data_pipeline_spark.operators.similarity import ivf_index, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    centroids, assigned = ivf_index(e, n_lists=8, seed=42)
+    return ivf_topk(centroids, assigned, queries, k=5, nprobe=8)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary → features via mapInPandas
     (deterministic fake decoder; real codec is a drop-in decode_fn)."""
@@ -1134,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         # multimodal
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,

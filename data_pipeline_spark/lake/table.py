@@ -390,6 +390,19 @@ class LakeTable:
             "lsn", F.col(LSN_COL)
         ).drop(LSN_COL, DELETED_COL)
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup: hash the key to its ONE bucket, scan only that
+        bucket's files with the key predicate pushed into the parquet reader
+        — combined with the within-file key sort this touches one bucket's
+        files and, inside them, only the row groups whose min/max straddle
+        the key. O(table/n_buckets) worst case, O(row group) typical."""
+        bucket = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).alias("b")
+        ).collect()[0]["b"]
+        return self.read(buckets=[int(bucket)]).where(
+            F.col(self.key_col) == key_value
+        )
+
     def _lww_order(self, df: DataFrame):
         ts = (
             F.coalesce(F.col(self.order_col), F.lit(_TS_FLOOR).cast("timestamp"))
@@ -440,6 +453,11 @@ class LakeTable:
         (
             salted.repartition(n_out, F.col(BUCKET_COL), F.col("_salt"))
             .drop("_salt")
+            # Sort by key within each task: parquet row-group min/max stats
+            # on the key column become selective, so point lookups
+            # (WHERE url = ...) prune row groups inside the one bucket file
+            # they hash to — O(log) inside the bucket instead of full scan.
+            .sortWithinPartitions(self.key_col)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_path)

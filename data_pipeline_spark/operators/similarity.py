@@ -193,3 +193,89 @@ def lsh_bucket_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """Coarse quantizer + inverted lists (the IVF in IVF-Flat).
+
+    Distributed KMeans (pyspark.ml) learns ``n_lists`` centroids; every
+    vector is assigned to its nearest list. At 10^10 vectors the assigned
+    table is the persistent index: repartition/bucket it by ``list_id`` so a
+    probe touches only its lists' partitions. Returns
+    ``(centroids, assigned)`` — centroids is n_lists rows (broadcast-scale).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ml = base.withColumn("_fv", array_to_vector("v"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(ml)
+    assigned = model.transform(ml).select(
+        "id", "v", F.col("prediction").cast("int").alias("list_id")
+    )
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "list_id int, centroid array<double>",
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: per query, rank centroids (broadcast — n_lists rows),
+    probe the top ``nprobe`` lists, exact-cosine only those lists' vectors.
+
+    Cost per query ≈ n_lists + nprobe·(n/n_lists) instead of n; the
+    candidate join shuffles on ``list_id`` (pre-partition the index by it).
+    Same output shape as :func:`topk_bruteforce` (rank ties on neighbor id).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("list_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", cosine_sim(F.col("qv"), F.col("centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        probes.join(assigned, "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .withColumn("cos_sim", cosine_sim(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("integer").alias("rank"),
+            F.round("cos_sim", 4).alias("cos_sim"),
+        )
+    )

@@ -60,3 +60,23 @@ class CheckpointStore:
             return None
         with open(p, encoding="utf-8") as f:
             return json.load(f)
+
+    def metrics_df(self, spark):
+        """The checkpoint ledger as a DataFrame — per-epoch row/byte/file
+        metrics + lineage for observability queries (north_rule: "resumable
+        from checkpoint with per-partition lineage + metrics"; reference
+        analog: per-stage timing prints,
+        /root/reference/src/bin/test_memory_efficient_pipeline.rs:112-146).
+
+        Reads the JSON records as a json datasource so the ledger is
+        queryable like any other table (trend dashboards, stall detection,
+        bytes-per-epoch regressions).
+        """
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(self.path, "epoch-*.json")))
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType([]))
+        return spark.read.option("multiLine", "true").json(paths)

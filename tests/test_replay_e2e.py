@@ -361,3 +361,55 @@ def test_cow_merge_prunes_untouched_buckets(spark, log_dir, tmp_path):
     got = _table_state(table)
     assert got.pop("https://prune.example/only-key")[1] == "new"
     assert got == state_before
+
+
+def test_point_lookup_prunes_bucket_and_rowgroups(spark, log_dir, tmp_path):
+    """lookup() reads one bucket with the key predicate pushed to parquet;
+    within-file key sort makes row-group stats selective."""
+    runner, table, _ = _fresh_runner(spark, log_dir, tmp_path, "lookup")
+    runner.run()
+    some_url = table.read().select("url").limit(1).collect()[0]["url"]
+
+    df = table.lookup(some_url)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["url"] == some_url
+
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "EqualTo(url" in plan
+    # Bucket pruning: the scan lists at most 1/n_buckets of the files.
+    n_scan_files = plan.count(".parquet")
+    total = len(table.files_of(table._current_snapshot()))
+    assert table.read(with_system=True).inputFiles()  # sanity: table has files
+    assert len(df.inputFiles()) <= max(1, total // table.n_buckets + 1)
+
+    # Data files are sorted by key within each file (row-group prunable).
+    import pyarrow.parquet as pq
+    import os as _os
+
+    f = table.files_of(table._current_snapshot())[0]
+    t = pq.read_table(_os.path.join(table.path, f["path"]), columns=["url"])
+    urls = t.column("url").to_pylist()
+    assert urls == sorted(urls)
+
+
+def test_checkpoint_metrics_queryable(spark, log_dir, tmp_path):
+    """The checkpoint ledger is queryable as a DataFrame: per-epoch rows,
+    bytes, snapshot ids, input-file lineage."""
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_m"), registry, n_buckets=8)
+    cps = CheckpointStore(str(tmp_path / "cp_m"))
+    ReplayRunner(spark, log_dir, table, cps, registry).run()
+
+    m = cps.metrics_df(spark)
+    rows = {r["epoch"]: r for r in m.collect()}
+    assert len(rows) == N_EVENTS // EVENTS_PER_EPOCH
+    for e, r in rows.items():
+        assert r["staged_rows"] > 0
+        assert r["input_bytes"] > 0
+        assert len(r["input_files"]) >= 1
+        assert r["snapshot_id"] >= 1
+    # Aggregate observability query over the ledger.
+    total = m.agg({"staged_rows": "sum"}).collect()[0][0]
+    assert total == sum(r["staged_rows"] for r in rows.values())

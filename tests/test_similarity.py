@@ -77,3 +77,43 @@ def test_lsh_signatures_deterministic(spark, vecs):
     a = sorted(map(tuple, SIM.lsh_signatures(vecs, planes).collect()))
     b = sorted(map(tuple, SIM.lsh_signatures(vecs, planes).collect()))
     assert a == b
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    """IVF with enough probes must recover the exact top-k on clustered
+    data (recall ≥ 0.9 across queries; = 1.0 with nprobe = n_lists)."""
+    import numpy as np
+
+    from data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        topk_bruteforce,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(8):  # 8 well-separated clusters
+        center = rng.standard_normal(16) * 10
+        for _ in range(30):
+            rows.append((vid, [float(x) for x in center + rng.standard_normal(16) * 0.3]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    import pyspark.sql.functions as F
+    queries = df.where(F.col("vec_id") % 24 == 0)
+
+    exact = topk_bruteforce(df, queries, k=5)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+
+    centroids, assigned = ivf_index(df, n_lists=8, seed=42)
+    approx = ivf_topk(centroids, assigned, queries, k=5, nprobe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+    # Full probe = exact.
+    full = ivf_topk(centroids, assigned, queries, k=5, nprobe=8)
+    got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert got_full == truth
