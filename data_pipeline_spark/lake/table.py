@@ -732,6 +732,37 @@ class LakeTable:
         )
         return {"snapshot_id": snap["snapshot_id"], "new_files": len(new_files)}
 
+    def remove_orphan_files(self, grace_seconds: float = 0.0) -> int:
+        """Delete data files no live snapshot references (Iceberg's
+        remove_orphan_files action).
+
+        A crash between ``_write_data_files`` and ``_commit`` leaves the
+        written files unreferenced — harmless for correctness (reads are
+        manifest-driven), but they leak storage until GC'd. ``grace_seconds``
+        skips recently-modified files so an in-flight commit's files are
+        never swept (on a real deployment set this above the longest
+        conceivable commit duration).
+        """
+        live = {
+            f["path"] for s in self.meta["snapshots"] for f in self.files_of(s)
+        }
+        now = time.time()
+        removed = 0
+        data_dir = os.path.join(self.path, "data")
+        for root, _, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel in live:
+                    continue
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue
+                os.remove(full)
+                removed += 1
+        return removed
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop old snapshots and physically delete data files no live
         snapshot references (S16 / Iceberg snapshot expiry)."""
