@@ -29,8 +29,13 @@ HOT_DOMAIN_SHARE = 30  # percent of events landing on one hot domain
 
 
 def _hp(seed: int, *cols):
-    """Deterministic uniform hash in [0, 10**6) from (seed, *cols)."""
-    return F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(1_000_000))
+    """Deterministic uniform hash in [0, 2^31) from (seed, *cols).
+
+    The range must comfortably exceed any modulus derived from it —
+    an earlier 10^6 range silently capped ``n_keys`` at one million for
+    logs past 4M events (pmod of a small range is the small range).
+    """
+    return F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(1 << 31))
 
 
 def gen_changes(
