@@ -377,6 +377,15 @@ class LakeTable:
         so their file delta over-approximates the logical delta — run MoR if
         consumers need exact increments.
         """
+        if from_snapshot_id is not None and self.snapshot(from_snapshot_id) is None:
+            # An expired/unknown cursor must NOT silently degrade to a full
+            # re-read: an incremental consumer would re-receive the entire
+            # table as "changes". Surface it so the consumer can distinguish
+            # "cursor expired, re-bootstrap" from a genuine delta.
+            raise ValueError(
+                f"from_snapshot_id={from_snapshot_id} is not a live snapshot "
+                f"(expired or never existed); re-bootstrap with a full scan"
+            )
         from_files = {
             f["path"] for f in self.files_of(self.snapshot(from_snapshot_id))
         } if from_snapshot_id is not None else set()
@@ -732,7 +741,7 @@ class LakeTable:
         )
         return {"snapshot_id": snap["snapshot_id"], "new_files": len(new_files)}
 
-    def remove_orphan_files(self, grace_seconds: float = 0.0) -> int:
+    def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files no live snapshot references (Iceberg's
         remove_orphan_files action).
 
@@ -740,9 +749,14 @@ class LakeTable:
         written files unreferenced — harmless for correctness (reads are
         manifest-driven), but they leak storage until GC'd. ``grace_seconds``
         skips recently-modified files so an in-flight commit's files are
-        never swept (on a real deployment set this above the longest
-        conceivable commit duration).
+        never swept (default 1 h — set above the longest conceivable commit
+        duration; pass 0 only when no writer can be active).
+
+        Guards the multi-handle hazard the same way ``expire_snapshots``
+        does: a stale handle computes "live" from stale metadata and would
+        sweep another writer's just-committed files as orphans.
         """
+        self._assert_current()
         live = {
             f["path"] for s in self.meta["snapshots"] for f in self.files_of(s)
         }

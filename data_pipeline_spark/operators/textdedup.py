@@ -426,20 +426,32 @@ def simhash_pairs(
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, computed in
     double with deterministic left-to-right accumulation (zip_with +
-    aggregate are sequential per row)."""
-    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+    aggregate are sequential per row).
+
+    Structured as ONE fold — zip the pair, then a single ``aggregate``
+    accumulating (dot, ‖a‖², ‖b‖²) in a struct — deliberately NOT three
+    sibling ``aggregate`` HOFs combined arithmetically: PySpark 4.1
+    mis-binds the lambda variables of sibling python-lambda higher-order
+    functions nested under one expression (see
+    ``_signature_from_shingles``; repeat-stability pinned in
+    tests/test_similarity.py::test_cosine_sim_repeat_stable). The
+    accumulation order of each component is identical to the previous
+    three-fold form (((0+x₁)+x₂)+…), so every oracle hash is unchanged."""
+    pairs = F.zip_with(
+        a, b, lambda x, y: F.struct(x.cast("double").alias("p"), y.cast("double").alias("q"))
     )
-    nb = F.sqrt(
-        F.aggregate(
-            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
+    acc = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0.0).alias("dot"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+        ),
+        lambda s, v: F.struct(
+            (s["dot"] + v["p"] * v["q"]).alias("dot"),
+            (s["na"] + v["p"] * v["p"]).alias("na"),
+            (s["nb"] + v["q"] * v["q"]).alias("nb"),
+        ),
     )
-    return dot / (na * nb)
+    return acc["dot"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"]))
 
 
 def neardup_embedding_pairs(

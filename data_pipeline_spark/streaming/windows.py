@@ -57,10 +57,24 @@ def windowed_event_rollup(
     )
 
 
-WINNER_STATE_SCHEMA = "warc_ts timestamp, lsn long, op string"
+# State carries the winner's timestamp as RAW integer microseconds, not a
+# timestamp: round-tripping a timestamp through state applies
+# driver-local-timezone conversions (datetime.fromtimestamp) that shift the
+# restored value on non-UTC hosts, corrupting cross-batch LWW comparisons.
+# Integers round-trip exactly on any host.
+WINNER_STATE_SCHEMA = "warc_ts_us long, lsn long, op string"
 WINNER_CHANGE_SCHEMA = (
     "url string, warc_ts timestamp, lsn long, op string, changed boolean"
 )
+
+
+def _ts_to_us(ts: Any) -> int:
+    """pandas.Timestamp / datetime (session-tz-naive) → integer micros."""
+    if hasattr(ts, "value"):  # pandas.Timestamp: ns since epoch
+        return int(ts.value) // 1_000
+    import datetime as dt
+
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
 
 
 def _winner_update_fn(
@@ -69,21 +83,17 @@ def _winner_update_fn(
     """Per-url state = current (warc_ts, lsn, op) winner. Emits one row per
     batch per key whose winner changed (LWW semantics identical to the
     batch engine: lexicographic (warc_ts, lsn), deletes win like any other
-    event)."""
-    import datetime as dt
-
+    event). Comparisons run on integer micros end-to-end — no timezone
+    reinterpretation across batches/restarts."""
     if state.exists:
-        ts, lsn, op = state.get
-        if isinstance(ts, (int, float)):  # state stores micros
-            ts = dt.datetime.fromtimestamp(ts / 1_000_000)
-        cur: tuple[Any, ...] | None = (ts, lsn, op)
+        ts_us, lsn, op = state.get
+        cur: tuple[Any, ...] | None = (int(ts_us), int(lsn), op)
     else:
         cur = None
     changed = False
     for pdf in pdfs:
         for row in pdf.itertuples(index=False):
-            ts = row.warc_ts.to_pydatetime() if hasattr(row.warc_ts, "to_pydatetime") else row.warc_ts
-            cand = (ts, int(row.lsn), str(row.op))
+            cand = (_ts_to_us(row.warc_ts), int(row.lsn), str(row.op))
             if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
                 cur = cand
                 changed = True
@@ -94,7 +104,9 @@ def _winner_update_fn(
             [
                 {
                     "url": key[0],
-                    "warc_ts": cur[0],
+                    # naive ns-since-epoch Timestamp: exact inverse of
+                    # _ts_to_us, independent of host timezone.
+                    "warc_ts": pd.Timestamp(cur[0] * 1_000),
                     "lsn": cur[1],
                     "op": cur[2],
                     "changed": True,

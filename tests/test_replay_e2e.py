@@ -308,6 +308,11 @@ def test_read_changes_incremental_scan(spark, log_dir, tmp_path):
         1 for _ in table.read(with_system=True).collect()
     )
 
+    # An expired/unknown cursor must raise, not silently re-deliver the
+    # whole table as changes (consumer must re-bootstrap explicitly).
+    with pytest.raises(ValueError, match="not a live snapshot"):
+        table.read_changes(99999)
+
 
 def test_late_backfill_epoch_converges(spark, log_dir, tmp_path):
     """An EARLIER epoch applied after later ones (late backfill) must land

@@ -45,6 +45,38 @@ def test_topk_bruteforce_matches_python_oracle(vecs):
         assert got_ids == [i for _, i in expected]
 
 
+def test_cosine_sim_repeat_stable(vecs):
+    """cosine_sim underpins every similarity/ANN path; pin that repeated
+    evaluations of the same plan are bit-identical AND match a Python
+    left-to-right accumulation — guards the PySpark 4.1 sibling-lambda
+    HOF mis-binding (cosine_sim is structured as one fold for this)."""
+    import pyspark.sql.functions as F
+
+    def python_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    pairs = (
+        vecs.alias("a")
+        .crossJoin(vecs.alias("b"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where((F.col("a.vec_id") + F.col("b.vec_id")) % 7 == 0)
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            TD.cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cs"),
+        )
+    )
+    runs = [sorted(map(tuple, pairs.collect())) for _ in range(3)]
+    assert runs[0] == runs[1] == runs[2]
+    for ia, ib, cs in runs[0]:
+        assert cs == pytest.approx(python_cos(_vec(ia), _vec(ib)), abs=1e-12)
+
+
 def test_topk_ranks_are_dense_and_bounded(vecs):
     out = SIM.topk_bruteforce(vecs, vecs.limit(5), "embedding", "vec_id", k=4).collect()
     per_q = {}
