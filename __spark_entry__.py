@@ -885,18 +885,33 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: KMeans coarse quantizer -> probe top lists -> exact
-    cosine. Not SQL-expressible (distributed KMeans), so no oracle entry:
-    the driver records a rows-only check; recall vs brute force is pinned
-    in tests/test_similarity.py."""
+    """IVF-Flat ANN, deterministic coarse quantizer: seeded fixed centroids
+    (SQL-expressible — the DuckDB twin embeds the SAME float64 literals) ->
+    argmax list assignment -> probe top-nprobe lists -> exact cosine.
+    The learned-KMeans quantizer stays as the quality path
+    (quantizer="kmeans"; recall vs brute force pinned in
+    tests/test_similarity.py)."""
     from data_pipeline_spark.operators.similarity import ivf_index, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = e.where(F.col("vec_id") % 100 == 0)
-    centroids, assigned = ivf_index(e, n_lists=8, seed=42)
-    return ivf_topk(centroids, assigned, queries, k=5, nprobe=8)
+    centroids, assigned = ivf_index(e, n_lists=8, seed=42, quantizer="fixed")
+    return ivf_topk(centroids, assigned, queries, k=5, nprobe=3)
+
+
+_SQL_ANN_IVF = SIM.sql_ivf_topk(
+    "(SELECT * FROM embeddings WHERE vec_id % 10 = 0)",
+    "embedding",
+    "vec_id",
+    dim=64,
+    n_lists=8,
+    seed=42,
+    k=5,
+    nprobe=3,
+    query_pred="id % 100 = 0",
+)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "ann_topk": _SQL_ANN_TOPK,
+        "ann_ivf": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
     }

@@ -196,8 +196,44 @@ def lsh_bucket_pairs(
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — the k-means-partitioned scale path
+# IVF (inverted-file) ANN — the list-partitioned scale path
 # ---------------------------------------------------------------------------
+
+def fixed_centroids(dim: int, n_lists: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded centroid vectors (driver-side, config-scale).
+
+    The fixed-quantizer alternative to learned KMeans centers: the SAME
+    float64 literals feed the Spark centroid table and the DuckDB oracle
+    (:func:`sql_ivf_topk`), which is what makes the full IVF probe/re-score
+    path oracle-checkable — a distributed KMeans fit is not SQL-expressible,
+    seeded numpy literals are.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_lists)]
+
+
+def assign_to_lists(
+    base: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Assign every ``(id, v)`` row to its max-cosine centroid list.
+
+    Centroids are broadcast (n_lists rows); the argmax runs as a window
+    ranked by (cos desc, list_id) so ties resolve identically across
+    engines. One shuffle keyed by id — at 10^10 vectors this is the index
+    build, run once and persisted partitioned by ``list_id``.
+    """
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_sim", cosine_sim(F.col("v"), F.col("centroid"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c_sim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", "v", "list_id")
+    )
+
 
 def ivf_index(
     df: DataFrame,
@@ -205,27 +241,41 @@ def ivf_index(
     id_col: str = "vec_id",
     n_lists: int = 16,
     seed: int = 42,
+    quantizer: str = "kmeans",
 ):
     """Coarse quantizer + inverted lists (the IVF in IVF-Flat).
 
-    Distributed KMeans (pyspark.ml) learns ``n_lists`` centroids; every
-    vector is assigned to its nearest list. At 10^10 vectors the assigned
-    table is the persistent index: repartition/bucket it by ``list_id`` so a
-    probe touches only its lists' partitions. Returns
+    ``quantizer="kmeans"`` (quality path): distributed KMeans (pyspark.ml)
+    learns ``n_lists`` centroids. ``quantizer="fixed"`` (deterministic
+    path): seeded :func:`fixed_centroids` — fully SQL-expressible, so the
+    whole IVF search has an exact DuckDB oracle twin; recall is lower than
+    learned centers but the probe/re-score machinery is identical.
+
+    Every vector is assigned to its nearest list. At 10^10 vectors the
+    assigned table is the persistent index: repartition/bucket it by
+    ``list_id`` so a probe touches only its lists' partitions. Returns
     ``(centroids, assigned)`` — centroids is n_lists rows (broadcast-scale).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if quantizer == "fixed":
+        dim = len(df.select(vec_col).first()[0])
+        cents = fixed_centroids(dim, n_lists, seed)
+        centroids = spark.createDataFrame(
+            list(enumerate(cents)), "list_id int, centroid array<double>"
+        )
+        return centroids, assign_to_lists(base, centroids)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     ml = base.withColumn("_fv", array_to_vector("v"))
     model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(ml)
     assigned = model.transform(ml).select(
         "id", "v", F.col("prediction").cast("int").alias("list_id")
     )
-    spark = df.sparkSession
     centroids = spark.createDataFrame(
         [
             (i, [float(x) for x in c])
@@ -234,6 +284,81 @@ def ivf_index(
         "list_id int, centroid array<double>",
     )
     return centroids, assigned
+
+
+def sql_ivf_topk(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_lists: int = 8,
+    seed: int = 42,
+    k: int = 5,
+    nprobe: int = 4,
+    query_pred: str = "TRUE",
+) -> str:
+    """DuckDB oracle twin of the FIXED-quantizer IVF search: the same seeded
+    centroid float64 literals, the same argmax assignment, probe ranking,
+    and exact-cosine re-score — left-to-right double accumulation on both
+    sides so the driver's value hash checks true cross-engine parity.
+
+    ``query_pred`` is a predicate over the normalized ``id`` column (the
+    aliased ``id_col``), e.g. ``"id % 100 = 0"``.
+    """
+    cents = fixed_centroids(dim, n_lists, seed)
+    values = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+        na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+        return f"{dot} / ({na} * {nb})"
+
+    return f"""
+WITH cent(list_id, centroid) AS (VALUES {values}),
+base AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), assign_scored AS (
+  SELECT b.id, b.v, ct.list_id, {cos('b.v', 'ct.centroid')} AS c_sim
+  FROM base b, cent ct
+), assigned AS (
+  SELECT id, v, list_id FROM (
+    SELECT id, v, list_id,
+           row_number() OVER (PARTITION BY id ORDER BY c_sim DESC, list_id) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+), probe_scored AS (
+  SELECT q.id AS query_id, q.v AS qv, ct.list_id,
+         {cos('q.v', 'ct.centroid')} AS c_sim
+  FROM (SELECT * FROM base WHERE {query_pred}) q, cent ct
+), probes AS (
+  SELECT query_id, qv, list_id FROM (
+    SELECT query_id, qv, list_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, list_id) AS pr
+    FROM probe_scored
+  ) WHERE pr <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.id AS neighbor_id, {cos('p.qv', 'a.v')} AS cos_sim
+  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+  WHERE p.query_id <> a.id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos_sim, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def ivf_topk(

@@ -111,6 +111,29 @@ def test_lsh_signatures_deterministic(spark, vecs):
     assert a == b
 
 
+def test_ivf_fixed_quantizer_full_probe_is_exact(spark, vecs):
+    """The deterministic fixed-centroid quantizer (the oracle-checkable
+    contract path) with nprobe = n_lists must reproduce brute force exactly
+    — the approximation lives ONLY in probing fewer lists."""
+    from data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        topk_bruteforce,
+    )
+
+    queries = vecs.where("vec_id % 20 = 0")
+    truth = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in topk_bruteforce(vecs, queries, k=4).collect()
+    }
+    centroids, assigned = ivf_index(vecs, n_lists=4, seed=42, quantizer="fixed")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(centroids, assigned, queries, k=4, nprobe=4).collect()
+    }
+    assert got == truth
+
+
 def test_ivf_recall_against_bruteforce(spark):
     """IVF with enough probes must recover the exact top-k on clustered
     data (recall ≥ 0.9 across queries; = 1.0 with nprobe = n_lists)."""
