@@ -592,6 +592,81 @@ FROM built
 """
 
 
+def q_json_envelope_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: the five reference envelope shapes (root array / KraveMart
+    data[] / products[] / items[] / Pandamart GraphQL with parent-name
+    enrichment) exploded by the registry-spec-driven extractor, then pushed
+    through the full P3-P12 flatten cascade. The registry is round-tripped
+    through its JSON document first, so the extraction is driven by a
+    LOADED config, not code."""
+    from data_pipeline_spark.functions.parse import flatten_products
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    a = F.concat(
+        F.lit('{"id":"'), k.cast("string"),
+        F.lit('","name":"'), F.col("p_name"),
+        F.lit('","price":"'), F.col("p_size").cast("string"), F.lit('"}'),
+    )
+    b = F.concat(
+        F.lit('{"id":"'), (k + 1000000).cast("string"),
+        F.lit('","title":"'), F.col("p_name"),
+        F.lit(' b","special_price":"'), (F.col("p_size") + 7).cast("string"),
+        F.lit('"}'),
+    )
+    payload = (
+        F.when(k % 5 == 0, F.concat(F.lit("["), a, F.lit(","), b, F.lit("]")))
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit('{"data":[{"l2_products":['), a,
+                F.lit(']},{"krave_mart_products":['), b, F.lit("]}]}"),
+            ),
+        )
+        .when(k % 5 == 2, F.concat(F.lit('{"products":['), a, F.lit(","), b, F.lit("]}")))
+        .when(k % 5 == 3, F.concat(F.lit('{"items":['), a, F.lit("]}")))
+        .otherwise(
+            F.concat(
+                F.lit('{"data":{"categoryProductList":{"categoryProducts":'
+                      '[{"name":"sec '),
+                k.cast("string"),
+                F.lit('","items":['), a, F.lit(","), b, F.lit("]}]}}}"),
+            )
+        )
+    )
+    df = p.select("p_partkey", payload.alias("payload"))
+    # Config-driven: specs come from a registry document loaded from JSON.
+    reg = SchemaRegistry.from_json(SchemaRegistry().to_json())
+    prods = reg.envelope_products(df, "payload", source="pandamart",
+                                  id_cols=("p_partkey",))
+    return flatten_products(prods, keep_cols=("p_partkey", "prod_idx"))
+
+
+_SQL_ENVELOPE = """
+WITH a_rows AS (
+  SELECT p_partkey, 0 AS prod_idx,
+         p_size::VARCHAR AS cost_price, '' AS mrp, p_name AS name,
+         'SKU_' || p_partkey::VARCHAR AS sku,
+         p_partkey::VARCHAR AS product_id, '' AS sku_percent_off,
+         CASE WHEN p_partkey % 5 = 4 THEN 'sec ' || p_partkey::VARCHAR
+              ELSE '' END AS category_name,
+         'N/A' AS units_of_mass
+  FROM part
+), b_rows AS (
+  SELECT p_partkey, 1 AS prod_idx,
+         (p_size + 7)::VARCHAR AS cost_price, '' AS mrp,
+         p_name || ' b' AS name,
+         'SKU_' || (p_partkey + 1000000)::VARCHAR AS sku,
+         (p_partkey + 1000000)::VARCHAR AS product_id, '' AS sku_percent_off,
+         CASE WHEN p_partkey % 5 = 4 THEN 'sec ' || p_partkey::VARCHAR
+              ELSE '' END AS category_name,
+         'N/A' AS units_of_mass
+  FROM part WHERE p_partkey % 5 <> 3
+)
+SELECT * FROM a_rows UNION ALL SELECT * FROM b_rows
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML extraction (H1-H8) — vectorized pandas UDFs over binary html
 # ---------------------------------------------------------------------------
@@ -1146,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_names_units": q_clean_names_units,
         "field_classify_rename": q_field_classify_rename,
         "flatten_cascade": q_flatten_cascade,
+        "json_envelope_extract": q_json_envelope_extract,
         # HTML extraction
         "html_extract_text": q_html_extract_text,
         "html_extract_products": q_html_extract_products,
@@ -1192,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_names_units": _SQL_CLEAN_NAMES,
         "field_classify_rename": _SQL_CLASSIFY,
         "flatten_cascade": _SQL_FLATTEN,
+        "json_envelope_extract": _SQL_ENVELOPE,
         "html_extract_text": _SQL_EXTRACT_TEXT,
         "html_extract_products": _sql_extract_products(),
         "brand_unit_keywords": _sql_brand_unit(),

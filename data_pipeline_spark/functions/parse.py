@@ -72,9 +72,10 @@ def _num_cascade(*cols: Column) -> Column:
     return F.coalesce(*[canonical_number(c) for c in cols])
 
 
-def flatten_products(df: DataFrame) -> DataFrame:
+def flatten_products(df: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Project any source-shaped product records onto the fixed 8-column
-    string staging schema (P12, json_flattener.rs:408-436).
+    string staging schema (P12, json_flattener.rs:408-436); ``keep_cols``
+    are passthrough identity columns (e.g. the envelope's source row id).
 
     Cascade order per column is semantics-bearing (first present wins):
 
@@ -172,6 +173,7 @@ def flatten_products(df: DataFrame) -> DataFrame:
     )
 
     out = df.select(
+        *keep_cols,
         cost_price.alias("cost_price"),
         mrp.alias("mrp"),
         name.alias("name"),
@@ -183,7 +185,8 @@ def flatten_products(df: DataFrame) -> DataFrame:
     )
     # P12: fixed schema — missing values land as "" (json_flattener.rs:414-423).
     return out.select(
-        *[F.coalesce(F.col(col), F.lit("")).alias(col) for col in STAGING_COLUMNS]
+        *keep_cols,
+        *[F.coalesce(F.col(col), F.lit("")).alias(col) for col in STAGING_COLUMNS],
     )
 
 
@@ -191,6 +194,167 @@ def extract_json_path(col: Column, *path: str) -> Column:
     """P1: dotted-path extraction over a JSON *string* column
     (unified_fetcher.rs:483-507) — ``get_json_object`` keeps it JVM-side."""
     return F.get_json_object(col, "$." + ".".join(path))
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: nested-JSON envelope extraction (the first mile of every JSON source)
+# ---------------------------------------------------------------------------
+
+def _parse_path(path: str) -> list[tuple[str, bool]]:
+    """``"data[].l2_products[]"`` → ``[("data", True), ("l2_products", True)]``."""
+    segs = []
+    for part in path.split("."):
+        part = part.strip()
+        if part.endswith("[]"):
+            segs.append((part[:-2], True))
+        else:
+            segs.append((part, False))
+    return segs
+
+
+def _path_schema_ddl(segs: list[tuple[str, bool]], product_ddl: str) -> str:
+    """Envelope DDL for a data_path: the terminal segment is an array of
+    product records (the reference's final ``current.as_array()``), each
+    ``[]`` hop above it an array of wrapper structs, plain hops structs."""
+    field_name = segs[-1][0]
+    t = f"array<struct<{product_ddl}>>"
+    for name, is_arr in reversed(segs[:-1]):
+        inner = f"struct<`{field_name}`: {t}>"
+        t = f"array<{inner}>" if is_arr else inner
+        field_name = name
+    return f"struct<`{field_name}`: {t}>"
+
+
+def _path_extract_sql(parsed_col: str, segs: list[tuple[str, bool]]) -> str:
+    """SQL expression flattening a parsed envelope down its data_path to one
+    ``array<product>``. SQL-parsed lambdas with unique variable names per
+    depth (never python-lambda HOF siblings — PySpark 4.1 mis-binds them).
+
+    NOTE a deliberate divergence from the reference: its ``extract_by_path``
+    returns at the FIRST ``[]`` segment, ignoring the rest of the configured
+    path (/root/reference/src/fetcher/unified_fetcher.rs:483-507 — so
+    ``data[].krave_mart_products[]`` actually yields the wrapper objects).
+    This implements the path as specified — every ``[]`` hop fans out — which
+    is what the configs mean and what the common-pattern fallback does.
+    """
+
+    def gen(obj: str, rest: list[tuple[str, bool]], depth: int) -> str:
+        name, _ = rest[0]
+        if len(rest) == 1:
+            return f"coalesce({obj}.`{name}`, array())"
+        if rest[0][1]:
+            var = f"x{depth}"
+            inner = gen(var, rest[1:], depth + 1)
+            return (
+                f"flatten(transform(coalesce({obj}.`{name}`, array()), "
+                f"{var} -> {inner}))"
+            )
+        return gen(f"{obj}.`{name}`", rest[1:], depth)
+
+    return gen(parsed_col, segs, 0)
+
+
+def extract_envelope_products(
+    df: DataFrame,
+    payload_col: str,
+    product_ddl: str,
+    data_path: str | None = None,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """P2: explode raw JSON envelope payloads into one row per product
+    record, with Pandamart parent-``name`` enrichment as ``category_section``
+    (/root/reference/src/fetcher/unified_fetcher.rs:483-572).
+
+    ``data_path`` (per-source config, e.g. ``"data[].krave_mart_products[]"``,
+    ``"body.results"`` — api_config.rs:57, krave_mart.toml:13,
+    dealcart.toml:13) takes priority; otherwise the five common patterns are
+    probed in reference order:
+
+    1. root array (BazaarApp);
+    2. ``data[]`` → per-item ``l2_products[]`` else ``krave_mart_products[]``
+       (KraveMart — the data-array presence wins even if items are empty);
+    3. ``products[]``;
+    4. ``items[]``;
+    5. ``data.categoryProductList.categoryProducts[].items[]`` with the
+       category's ``name`` attached to each product as ``category_section``
+       (Pandamart GraphQL).
+
+    Everything is one declarative plan: three ``from_json`` parses (the
+    object-envelope and GraphQL shapes need incompatible ``data`` types, so
+    each parse nulls out on the other's payloads), a lexical root-array probe
+    (``from_json`` with an array schema "helpfully" wraps a lone object into
+    a 1-element array, so the array shape is detected by the leading ``[``),
+    a CASE over SQL-parsed lambdas, one ``posexplode``. No UDFs, no driver
+    round trips; Catalyst prunes unused parse branches per query.
+
+    Returns ``id_cols + (prod_idx, category_section) + product fields``;
+    rows whose payload matches no shape (or is malformed) yield zero rows —
+    route raw payloads through :func:`parse_json_with_quarantine` first when
+    a quarantine ledger is needed.
+
+    Output feeds :func:`flatten_products` (category_section participates in
+    the P10 category cascade).
+    """
+    wrap = (
+        "transform({arr}, xw -> struct(xw AS product, "
+        "CAST(NULL AS STRING) AS category_section))"
+    )
+    if data_path is not None:
+        segs = _parse_path(data_path)
+        parsed = df.withColumn(
+            "_pp", F.from_json(F.col(payload_col), _path_schema_ddl(segs, product_ddl))
+        )
+        chosen = F.expr(wrap.format(arr=_path_extract_sql("_pp", segs)))
+    else:
+        env_ddl = (
+            f"struct<data: array<struct<l2_products: array<struct<{product_ddl}>>, "
+            f"krave_mart_products: array<struct<{product_ddl}>>>>, "
+            f"products: array<struct<{product_ddl}>>, "
+            f"items: array<struct<{product_ddl}>>>"
+        )
+        gql_ddl = (
+            "struct<data: struct<categoryProductList: struct<"
+            f"categoryProducts: array<struct<name: string, "
+            f"items: array<struct<{product_ddl}>>>>>>>"
+        )
+        parsed = (
+            df.withColumn("_root", F.from_json(F.col(payload_col), f"array<struct<{product_ddl}>>"))
+            .withColumn("_env", F.from_json(F.col(payload_col), env_ddl))
+            .withColumn("_gql", F.from_json(F.col(payload_col), gql_ddl))
+        )
+        chosen = F.expr(
+            f"""CASE
+  WHEN startswith(ltrim({payload_col}), '[') THEN
+    {wrap.format(arr='coalesce(_root, array())')}
+  WHEN _env.data IS NOT NULL THEN
+    {wrap.format(arr="flatten(transform(_env.data, xd -> coalesce(xd.l2_products, xd.krave_mart_products, array())))")}
+  WHEN _env.products IS NOT NULL THEN {wrap.format(arr='_env.products')}
+  WHEN _env.items IS NOT NULL THEN {wrap.format(arr='_env.items')}
+  WHEN _gql.data.categoryProductList.categoryProducts IS NOT NULL THEN
+    flatten(transform(_gql.data.categoryProductList.categoryProducts,
+      xc -> transform(coalesce(xc.items, array()),
+        xi -> struct(xi AS product, xc.name AS category_section))))
+  ELSE array()
+END"""
+        )
+    exploded = parsed.select(
+        *id_cols, F.posexplode(chosen).alias("prod_idx", "_rec")
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    prod_fields = _parse_datatype_string(f"struct<{product_ddl}>").fieldNames()
+    # A record-level category_section (a source that pre-injects it, like the
+    # reference fetcher does for Pandamart) wins over envelope enrichment.
+    section = F.col("_rec.category_section")
+    if "category_section" in prod_fields:
+        section = F.coalesce(F.col("_rec.product.category_section"), section)
+        prod_fields = [f for f in prod_fields if f != "category_section"]
+    return exploded.select(
+        *id_cols,
+        "prod_idx",
+        section.alias("category_section"),
+        *[F.col(f"_rec.product.`{f}`").alias(f) for f in prod_fields],
+    )
 
 
 def parse_json_with_quarantine(

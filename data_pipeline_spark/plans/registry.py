@@ -85,6 +85,47 @@ CANONICAL_FIELDS = [
     "category", "units_of_mass",
 ]
 
+# ---------------------------------------------------------------------------
+# Per-source extraction specs (reference: per-source TOML, api_config.rs:55-58)
+# ---------------------------------------------------------------------------
+
+# Every alternative field the P3-P12 cascades probe
+# (json_flattener.rs:131-436), as one typed product record schema. A spec may
+# narrow this per source; fields absent from a source's payloads parse to
+# null and fall through their cascade.
+DEFAULT_PRODUCT_DDL = (
+    "id string, product_id string, productID string, sku string, "
+    "variantTitleSlug string, "
+    "name string, title string, productName string, "
+    "price string, cost_price string, special_price string, "
+    "discountedPrice string, discounted_price string, "
+    "mrp string, product_price string, actualPrice string, "
+    "actual_price string, originalPrice string, original_price string, "
+    "sku_percent_off string, discount_percentage string, "
+    "discountPercentage string, "
+    "units_of_mass string, unit string, baseUnit string, "
+    "category_name string, category string, "
+    "categories array<struct<category_name string>>, "
+    "productCategory array<struct<category struct<name string>>>, "
+    "attributes array<struct<key string, value string>>, "
+    "groupRanges array<struct<discountedPrice string>>, "
+    "inventories struct<dcImsMrp string>"
+)
+
+# Reference per-source configs: krave_mart.toml:13 (data_path with [] hops),
+# dealcart.toml:13 (object-hop path), bazaar_app (root array — common
+# pattern 1), pandamart.toml:58-59 (data_path deliberately unset; nested
+# GraphQL shape via common pattern 5).
+DEFAULT_SOURCE_SPECS: dict[str, dict] = {
+    "krave_mart": {
+        "data_path": "data[].krave_mart_products[]",
+        "product_schema": DEFAULT_PRODUCT_DDL,
+    },
+    "bazaar_app": {"data_path": None, "product_schema": DEFAULT_PRODUCT_DDL},
+    "dealcart": {"data_path": "body.results", "product_schema": DEFAULT_PRODUCT_DDL},
+    "pandamart": {"data_path": None, "product_schema": DEFAULT_PRODUCT_DDL},
+}
+
 _PRICE_VAL = re.compile(r"^\$?\s*\d[\d,]*(\.\d+)?$")
 _DISCOUNT_VAL = re.compile(r"^\d+(\.\d+)?\s*%|%\s*off|percent", re.IGNORECASE)
 
@@ -102,9 +143,13 @@ class SchemaRegistry:
         self,
         table_schemas: dict[int, StructType] | None = None,
         field_mappings: dict[str, str] | None = None,
+        source_specs: dict[str, dict] | None = None,
     ):
         self.table_schemas = dict(table_schemas or DEFAULT_TABLE_SCHEMAS)
         self.field_mappings = dict(field_mappings or DEFAULT_FIELD_MAPPINGS)
+        self.source_specs = {
+            k: dict(v) for k, v in (source_specs or DEFAULT_SOURCE_SPECS).items()
+        }
 
     # -- persistence ---------------------------------------------------------
 
@@ -115,6 +160,7 @@ class SchemaRegistry:
                     str(v): json.loads(s.json()) for v, s in self.table_schemas.items()
                 },
                 "field_mappings": self.field_mappings,
+                "source_specs": self.source_specs,
             },
             indent=1,
         )
@@ -127,6 +173,39 @@ class SchemaRegistry:
                 int(v): StructType.fromJson(s) for v, s in doc["table_schemas"].items()
             },
             field_mappings=doc["field_mappings"],
+            source_specs=doc.get("source_specs"),
+        )
+
+    # -- per-source extraction specs -----------------------------------------
+
+    def source_spec(self, source: str) -> dict:
+        return self.source_specs[source]
+
+    def register_source(
+        self, source: str, data_path: str | None = None, product_schema: str | None = None
+    ) -> None:
+        """Adding a new JSON source is a registry entry, not a code edit —
+        the reference's per-source TOML role (api_config.rs:55-58)."""
+        self.source_specs[source] = {
+            "data_path": data_path,
+            "product_schema": product_schema or DEFAULT_PRODUCT_DDL,
+        }
+
+    def envelope_products(
+        self, df: DataFrame, payload_col: str, source: str,
+        id_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Spec-driven P1/P2 envelope explode for ``source`` (see
+        :func:`data_pipeline_spark.functions.parse.extract_envelope_products`)."""
+        from ..functions.parse import extract_envelope_products
+
+        spec = self.source_spec(source)
+        return extract_envelope_products(
+            df,
+            payload_col,
+            product_ddl=spec.get("product_schema") or DEFAULT_PRODUCT_DDL,
+            data_path=spec.get("data_path"),
+            id_cols=id_cols,
         )
 
     def save(self, path: str) -> None:
