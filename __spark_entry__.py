@@ -927,6 +927,47 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.99
 """
 
 
+def _emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding subset ∪ scaled copies (cos=1 by construction) — shared by
+    the O(n²) verifier contract and the LSH scale-path contract."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    copies = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.01)).alias("embedding"),
+    )
+    return base.unionByName(copies)
+
+
+_SQL_EMB_COPIES = """(
+  SELECT vec_id, embedding::DOUBLE[] AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+)"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the SCALE path: random-hyperplane LSH buckets
+    (candidates from a band equi-join, cost Σ bucket² not n²) verified by
+    exact cosine — the 10^10-vector posture. The oracle twin embeds the
+    same seeded hyperplane literals, so the driver hash-checks the bucketed
+    plan itself; the crossJoin twin (dedup_embedding_cosine) remains the
+    small-scale verifier."""
+    return SIM.lsh_bucket_pairs(
+        _emb_with_copies(spark, sf_dir), "embedding", "vec_id",
+        n_planes=8, n_tables=2, seed=42, threshold=0.99, dim=64,
+    )
+
+
+_SQL_EMB_LSH = SIM.sql_lsh_bucket_pairs(
+    _SQL_EMB_COPIES, "embedding", "vec_id",
+    n_planes=8, n_tables=2, seed=42, threshold=0.99, dim=64,
+)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: exact cosine top-5 for each query vector."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
@@ -1239,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         # multimodal
@@ -1283,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
+        "dedup_embedding_lsh": _SQL_EMB_LSH,
         "ann_topk": _SQL_ANN_TOPK,
         "ann_ivf": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,

@@ -335,6 +335,41 @@ def is_excluded(name: str) -> bool:
     return any(k in low for k in EXCLUDED_KEYWORDS)
 
 
+def _extract_single_record(
+    el: Node, page_category: str, source_type: str = "html"
+) -> dict | None:
+    """The per-element H2-H8 pipeline shared by the rule path (container
+    selector hits) and the ML-fallback path (reference
+    ``extract_single_product`` / ``candidate_to_product``,
+    html_fetcher.rs:407-417,666-680): name/price/id cascades, exclusion,
+    validation, price cleaning, canonical record. None if invalid."""
+    name = _extract_name(el)
+    if name is None:
+        return None
+    price = _extract_price(el)
+    if price is None:
+        return None
+    product_id = _extract_product_id(el)
+    if product_id is None:
+        return None
+    if is_excluded(name):
+        return None
+    if not validate_product(name, price, product_id):
+        return None
+    cleaned = clean_price(price)
+    return {
+        "name": name.strip(),
+        "cost_price": cleaned,
+        "mrp": cleaned,          # HTML sources carry a single price
+        "product_id": product_id.strip(),
+        "sku": product_id.strip(),
+        "category_name": page_category.strip(),
+        "sku_percent_off": "0.00",
+        "units_of_mass": "N/A",
+        "source_type": source_type,
+    }
+
+
 def extract_products(html: str, category_name: str = "") -> list[dict]:
     """Full rule-based extraction of one page → list of canonical records.
 
@@ -355,34 +390,29 @@ def extract_products(html: str, category_name: str = "") -> list[dict]:
 
     products: list[dict] = []
     for el in elements:
-        name = _extract_name(el)
-        if name is None:
-            continue
-        price = _extract_price(el)
-        if price is None:
-            continue
-        product_id = _extract_product_id(el)
-        if product_id is None:
-            continue
-        if is_excluded(name):
-            continue
-        if not validate_product(name, price, product_id):
-            continue
-        cleaned = clean_price(price)
-        products.append(
-            {
-                "name": name.strip(),
-                "cost_price": cleaned,
-                "mrp": cleaned,          # HTML sources carry a single price
-                "product_id": product_id.strip(),
-                "sku": product_id.strip(),
-                "category_name": page_category.strip(),
-                "sku_percent_off": "0.00",
-                "units_of_mass": "N/A",
-                "source_type": "html",
-            }
-        )
+        rec = _extract_single_record(el, page_category)
+        if rec is not None:
+            products.append(rec)
     return products
+
+
+def extract_candidate_products(
+    html: str, category_name: str = ""
+) -> list[dict | None]:
+    """H11 helper: one record (or None) per ML candidate element, aligned
+    index-for-index with :func:`extract_dom_features`'s candidate order —
+    the reference's ``candidate_to_product`` (html_fetcher.rs:666-680)
+    vectorized: predicted-positive candidate indices join back to these
+    records."""
+    root = _build_dom(html)
+    page_category = _extract_page_category(root) or category_name
+    out: list[dict | None] = []
+    for tag in _CANDIDATE_TAGS:
+        for el in root.iter_descendants():
+            if el.tag != tag:
+                continue
+            out.append(_extract_single_record(el, page_category, source_type="html_ml"))
+    return out
 
 
 def extract_text_dom(html: str) -> str:
@@ -578,6 +608,30 @@ def extract_products_udf():
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_series_extract_products, PRODUCT_STRUCT_DDL)
+
+
+_CANDIDATE_RECORD_DDL = (
+    "array<struct<" + ",".join(f"{f}:string" for f in _PRODUCT_FIELDS) + ">>"
+)
+
+
+def _series_candidate_products(s: pd.Series) -> pd.Series:
+    def one(b):
+        recs = extract_candidate_products(_decode(b))
+        return [
+            None if r is None else tuple(r[f] for f in _PRODUCT_FIELDS)
+            for r in recs
+        ]
+
+    return s.map(one)
+
+
+def candidate_records_udf():
+    """pandas UDF: html binary → per-ML-candidate records (null for invalid
+    candidates), index-aligned with ``dom_features_udf``."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_series_candidate_products, _CANDIDATE_RECORD_DDL)
 
 
 def _series_dom_features(s: pd.Series) -> pd.Series:

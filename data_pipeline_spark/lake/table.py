@@ -404,10 +404,14 @@ class LakeTable:
         bucket's files with the key predicate pushed into the parquet reader
         — combined with the within-file key sort this touches one bucket's
         files and, inside them, only the row groups whose min/max straddle
-        the key. O(table/n_buckets) worst case, O(row group) typical."""
-        bucket = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).alias("b")
-        ).collect()[0]["b"]
+        the key. O(table/n_buckets) worst case, O(row group) typical.
+
+        Bucket routing is a driver-side Python xxhash64 twin (pinned
+        against the JVM by test) — zero Spark jobs before the pruned scan.
+        """
+        from .xxhash import spark_xxhash64
+
+        bucket = spark_xxhash64(key_value) % self.n_buckets  # pmod: Python % is non-negative
         return self.read(buckets=[int(bucket)]).where(
             F.col(self.key_col) == key_value
         )

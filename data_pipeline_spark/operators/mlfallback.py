@@ -61,3 +61,58 @@ def predict_product_candidates(model, candidates: DataFrame) -> DataFrame:
     html_fetcher.rs:307-340)."""
     scored = model.transform(_with_vector(candidates))
     return scored.where(F.col("prediction") == 1.0).drop("_fv", "rawPrediction", "probability")
+
+
+def extract_products_with_fallback(
+    pages: DataFrame,
+    model=None,
+    html_col: str = "html",
+    id_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """H11 trigger wiring — the reference's primary/secondary cascade
+    (``extract_products_from_html``, html_fetcher.rs:235-266) as one
+    declarative plan:
+
+    - pages where rule extraction finds ≥1 product emit those records
+      (``method='rules'``);
+    - pages where rules find ZERO products fan out into ML candidates,
+      the forest scores them, and predicted-positive candidates become
+      records via the same per-element cascade (``candidate_to_product``,
+      html_fetcher.rs:666-680) — joined back by (page id, candidate_idx),
+      ``method='ml'``;
+    - ``model=None`` (the reference ships it disabled) degrades to
+      rules-only, like the reference's ``if let Some(ml_model)``.
+
+    Scale shape: the rule UDF runs once over all pages; the two ML UDF
+    passes (features + candidate records) run only over the rule-miss
+    subset; the positives⋈records join is an equi-join on
+    (id, candidate_idx) — per-page work, no cross-page shuffle skew.
+    """
+    from ..functions.extract import candidate_records_udf, extract_products_udf
+
+    xp = extract_products_udf()
+    with_rules = pages.withColumn("_prods", xp(F.col(html_col)))
+    rule_hits = (
+        with_rules.where(F.size("_prods") > 0)
+        .select(*id_cols, F.explode("_prods").alias("_pr"))
+        .select(*id_cols, F.lit("rules").alias("method"), F.col("_pr.*"))
+    )
+    if model is None:
+        return rule_hits
+    misses = with_rules.where(F.size("_prods") == 0).drop("_prods")
+    feats = candidate_features(misses, html_col=html_col, id_cols=id_cols)
+    positives = predict_product_candidates(model, feats).select(
+        *id_cols, "candidate_idx"
+    )
+    cr = candidate_records_udf()
+    recs = (
+        misses.select(
+            *id_cols,
+            F.posexplode(cr(F.col(html_col))).alias("candidate_idx", "_rec"),
+        )
+        .where(F.col("_rec").isNotNull())
+    )
+    ml_hits = positives.join(recs, on=[*id_cols, "candidate_idx"]).select(
+        *id_cols, F.lit("ml").alias("method"), F.col("_rec.*")
+    )
+    return rule_hits.unionByName(ml_hits)

@@ -167,15 +167,18 @@ def lsh_bucket_pairs(
     n_tables: int = 2,
     seed: int = 42,
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from LSH buckets, verified by exact cosine.
 
     This is the 10^10-scale replacement for the O(n²)
     `textdedup.neardup_embedding_pairs`: join cost is Σ bucket², driven by
-    n_planes (expected bucket size n / 2^n_planes).
+    n_planes (expected bucket size n / 2^n_planes). Pass ``dim`` to skip
+    the one-row probe job that otherwise infers it.
     """
     spark = df.sparkSession
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(spark, dim, n_planes, n_tables, seed)
     sigs = lsh_signatures(df, planes, vec_col, id_col)
     cand = (
@@ -193,6 +196,64 @@ def lsh_bucket_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def sql_lsh_bucket_pairs(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_bucket_pairs`: the same seeded
+    hyperplane float64 literals → sign-bit signatures → band equi-join →
+    exact-cosine verify. Same left-to-right double accumulation, so the
+    driver's value hash checks true cross-engine parity of the BUCKETED
+    scale path (not just the O(n²) verifier)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            plane = ", ".join(repr(float(x)) for x in rng.standard_normal(dim))
+            rows.append(f"({t}, {p}, [{plane}]::DOUBLE[])")
+    values = ", ".join(rows)
+    dot_plane = (
+        f"list_sum(list_transform(range(1, len(b.v) + 1), "
+        f"i -> b.v[i] * p.plane[i]))"
+    )
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * bb.v[i]))"
+    )
+    na = "sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(bb.v, x -> x * x)))"
+    return f"""
+WITH planes(table_id, plane_id, plane) AS (VALUES {values}),
+base AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), sigs AS (
+  SELECT b.id, p.table_id,
+         CAST(SUM(CASE WHEN {dot_plane} > 0
+                       THEN CAST(pow(2.0, p.plane_id) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM base b, planes p
+  GROUP BY b.id, p.table_id
+), cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM sigs x JOIN sigs y
+    ON x.table_id = y.table_id AND x.sig = y.sig AND x.id < y.id
+), scored AS (
+  SELECT c.id_a, c.id_b, round({dot_ab} / ({na} * {nb}), 4) AS cos_sim
+  FROM cand c JOIN base a ON a.id = c.id_a JOIN base bb ON bb.id = c.id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------

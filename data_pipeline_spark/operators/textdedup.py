@@ -99,19 +99,83 @@ def sql_shingles(col: str, n: int = 3) -> str:
 # n-gram Jaccard near-dup
 # ---------------------------------------------------------------------------
 
+def hot_shingles(
+    base: DataFrame, max_df: int, sh_col: str = "sh", cap: int = 10000
+) -> list[str]:
+    """Shingles whose document frequency exceeds ``max_df`` — the skew keys
+    of the candidate equi-join (a corpus-wide stop-shingle like "of the and"
+    makes Σ bucket² quadratic). One hash aggregation; the hot set is tiny by
+    definition (``cap`` guards the driver collect — if more than ``cap``
+    shingles are that common, max_df is set far too low for the corpus)."""
+    hot = (
+        base.select(F.explode(sh_col).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_df)
+        .select("shingle")
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(hot) > cap:
+        raise ValueError(
+            f"more than {cap} shingles exceed max_df={max_df}; "
+            "raise max_df — this cut is for rare stop-shingles, not the corpus"
+        )
+    return [r["shingle"] for r in hot]
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with token-n-gram Jaccard ≥ threshold.
 
     Plan: explode distinct shingles → equi-join on shingle (candidates share
-    ≥1 shingle; Spark shuffles by shingle — a hot shingle is a skew key, so
-    extremely common shingles should be pre-filtered at real scale via a
-    document-frequency cut) → count common → jaccard = |∩| / (|a|+|b|-|∩|).
+    ≥1 shingle) → jaccard = |∩| / (|a|+|b|-|∩|).
+
+    ``max_df`` is the hot-shingle document-frequency cut (REQUIRED at real
+    scale): shingles appearing in more than ``max_df`` docs are dropped
+    before the candidate equi-join, so a stop-shingle can't become a
+    quadratic skew key. Candidates are then verified with the exact Jaccard
+    over the FULL shingle sets — any pair still sharing a non-hot shingle
+    scores identically to the uncut plan; only pairs whose overlap is
+    exclusively stop-shingles (Jaccard ≈ 0, never near-dups) are missed.
     """
     base = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sh_n", F.size("sh"))
+    if max_df is not None:
+        hot = hot_shingles(base, max_df)
+        cut = F.array_except("sh", F.array(*[F.lit(s) for s in hot]))
+        ex = base.select("doc", F.explode(cut).alias("shingle"))
+        cand = (
+            ex.alias("x")
+            .join(ex.alias("y"), on="shingle")
+            .where(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+            .distinct()
+        )
+        sets = base.select("doc", "sh")
+        verified = (
+            cand.join(sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common").cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "common", "jaccard")
+        )
+        return verified
     ex = base.select("doc", "sh_n", F.explode("sh").alias("shingle"))
     a = ex.select(
         F.col("doc").alias("id_a"), F.col("sh_n").alias("n_a"), "shingle"
@@ -200,6 +264,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by true Jaccard.
 
@@ -207,14 +273,32 @@ def minhash_lsh_pairs(
     (probability curve ~ 1-(1-j^r)^b). The band join key is a single md5 —
     short, uniform, shuffle-friendly. Candidates are then verified with the
     exact shingle-Jaccard (computed on the candidate set only).
+
+    ``max_df``: stop-shingle cut — shingles in more than ``max_df`` docs are
+    removed from the shingle sets (signatures AND verification, so the
+    operator's Jaccard space is consistently "minus stop-shingles"). At
+    10^10 docs this is what keeps signatures meaningful when boilerplate
+    shingles appear corpus-wide.
+
+    ``materialize=True`` (default): the shared shingle pass is persisted for
+    its three uses (signature + both verify sides), the result is eagerly
+    localCheckpoint'ed, and the cache is released before returning — no
+    CacheManager leak across calls. ``materialize=False`` returns a fully
+    lazy plan that recomputes the shingle pass per use (no caching at all) —
+    for callers composing this into a larger cached pipeline.
     """
     rows = num_hashes // bands
-    # One shingle pass feeds signatures AND verification — persisted because
-    # the plan reuses it three times (sig, both sides of the verify join);
-    # without it Spark recomputes the full text→shingle→md5 pipeline per use.
     base = df.select(
         F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).persist()
+    )
+    cached = base.persist() if materialize else None
+    if cached is not None:
+        base = cached
+    if max_df is not None:
+        hot = hot_shingles(base, max_df)
+        base = base.withColumn(
+            "sh", F.array_except("sh", F.array(*[F.lit(s) for s in hot]))
+        )
     sig = base.select(
         "doc", _signature_from_shingles(F.col("sh"), num_hashes).alias("sig")
     )
@@ -258,6 +342,15 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if cached is not None:
+        try:
+            # Eager local checkpoint: the (small) verified-pairs result is
+            # materialized off the cached lineage, so the shingle cache can
+            # be released immediately — callers get a self-contained result
+            # with no leaked cache entries ("already cached" warnings).
+            return verified.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
     return verified
 
 

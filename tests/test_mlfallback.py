@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 
 from data_pipeline_spark.operators.mlfallback import (
     candidate_features,
+    extract_products_with_fallback,
     predict_product_candidates,
     train_fallback_model,
 )
@@ -56,3 +57,62 @@ def test_candidates_and_rf_separate_products(spark):
     }
     got = {(r["url"], r["candidate_idx"]) for r in kept.collect()}
     assert got == truth  # fully separable by construction
+
+
+def _flat_pages(spark, n, cls="entry-box"):
+    """Pages with NO rule-matching container class: one product-like div
+    (price text, data-product-id) + one boilerplate div per page."""
+    rows = []
+    for i in range(n):
+        html = (
+            f'<html><body><div class="{cls}" data-product-id="{700 + i}">'
+            f"<h3>Hidden Gem {i}</h3> Rs. {400 + i}</div>"
+            f'<div class="info-links">about us contact careers</div>'
+            f"</body></html>"
+        )
+        rows.append((f"https://x.example/f/{i}", html.encode()))
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_fallback_trigger_recovers_rule_missed_products(spark):
+    """The H11 cascade (html_fetcher.rs:235-266): a page whose containers
+    match no rule selector still yields the planted product via the model
+    path; rule-matching pages keep going through rules."""
+    # Train: label = the H12 price-flag feature (separates card from
+    # boilerplate on these pages by construction).
+    train_pages = _flat_pages(spark, 40)
+    labeled = candidate_features(train_pages).withColumn(
+        "label", (F.col("features")[4] == 1.0).cast("double")
+    )
+    assert labeled.where("label = 1.0").count() == 40
+    model = train_fallback_model(labeled, num_trees=10)
+
+    # Mixed batch: 3 rule-miss pages + 2 rule-hit pages.
+    miss = _flat_pages(spark, 3)
+    hit_rows = [
+        (
+            f"https://x.example/r/{i}",
+            (
+                f'<html><body><div class="product-item" data-product-id="{i}">'
+                f"<h3>Ruled Item {i}</h3>"
+                f'<span class="price">Rs. {100 + i}</span></div></body></html>'
+            ).encode(),
+        )
+        for i in range(2)
+    ]
+    hits = spark.createDataFrame(hit_rows, "url string, html binary")
+    out = extract_products_with_fallback(miss.unionByName(hits), model).collect()
+
+    by_method = {}
+    for r in out:
+        by_method.setdefault(r["method"], []).append(r)
+    assert {r["name"] for r in by_method["rules"]} == {"Ruled Item 0", "Ruled Item 1"}
+    ml_names = {r["name"] for r in by_method["ml"]}
+    assert ml_names == {"Hidden Gem 0", "Hidden Gem 1", "Hidden Gem 2"}
+    ml0 = next(r for r in by_method["ml"] if r["name"] == "Hidden Gem 0")
+    assert ml0["cost_price"] == "400" and ml0["product_id"] == "700"
+    assert ml0["source_type"] == "html_ml"
+
+    # model=None degrades to rules-only (the reference ships it disabled).
+    rules_only = extract_products_with_fallback(miss.unionByName(hits), None)
+    assert {r["method"] for r in rules_only.collect()} == {"rules"}

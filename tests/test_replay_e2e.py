@@ -270,6 +270,28 @@ def test_partial_compaction_by_dirty_buckets(spark, log_dir, tmp_path):
     assert _table_state(table) == state
 
 
+def test_python_xxhash64_matches_jvm(spark):
+    """The driver-side bucket router must agree with F.xxhash64 bit-for-bit
+    (strings incl. unicode + empty + >32-byte, and integral keys)."""
+    from data_pipeline_spark.lake.xxhash import spark_xxhash64
+
+    strs = [
+        "", "a", "abc", "https://example.org/x?y=1",
+        "u" * 31, "v" * 32, "w" * 100, "päge/ünïcode/✓", "tab\tnew\nline",
+    ]
+    ints = [0, 1, -1, 42, 2**31, -(2**31), 2**62, -(2**62)]
+    sdf = spark.createDataFrame([(s,) for s in strs], "k string").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    for r in sdf.collect():
+        assert spark_xxhash64(r["k"]) == r["h"], r["k"]
+    idf = spark.createDataFrame([(i,) for i in ints], "k long").select(
+        "k", F.xxhash64("k").alias("h")
+    )
+    for r in idf.collect():
+        assert spark_xxhash64(r["k"]) == r["h"], r["k"]
+
+
 def test_read_changes_incremental_scan(spark, log_dir, tmp_path):
     """read_changes(from, to) over MoR commits yields exactly the later
     epochs' staged winner/tombstone rows — the lake as a change stream."""

@@ -67,6 +67,80 @@ def test_minhash_lsh_finds_exact_and_near(corpus):
     assert not any(4 in p or 5 in p for p in got)
 
 
+@pytest.fixture(scope="module")
+def stop_shingle_corpus(spark):
+    """Every doc ends with the same boilerplate → one corpus-wide shingle
+    ('terms and conditions') that would join ALL doc pairs as candidates."""
+    boiler = " terms and conditions"
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while the morning sun rises slowly over the quiet valley")
+    rows = [
+        (1, base + boiler),
+        (2, base + " again" + boiler),            # true near-dup of 1
+        (3, "spark shuffles and lake commits together" + boiler),
+        (4, "completely unrelated text about benchmarks" + boiler),
+        (5, "yet another different document entirely here" + boiler),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_hot_shingle_cut(stop_shingle_corpus):
+    """max_df bounds the candidate set (stop-shingle pairs vanish) while
+    true near-dups keep their EXACT uncut Jaccard score."""
+    uncut = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(
+            stop_shingle_corpus, "text", "doc_id", 3, 0.3
+        ).collect()
+    }
+    cut = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in TD.ngram_jaccard_pairs(
+            stop_shingle_corpus, "text", "doc_id", 3, 0.3, max_df=2
+        ).collect()
+    }
+    assert cut == uncut  # above threshold, nothing changes
+    assert (1, 2) in cut and cut[(1, 2)] >= 0.3
+    # the boilerplate-only overlaps never reach the threshold either way
+    assert not any(4 in p or 5 in p for p in cut)
+    # and with threshold 0 the uncut plan WOULD emit every boilerplate pair,
+    # while the cut plan emits only pairs sharing a non-hot shingle
+    all_uncut = TD.ngram_jaccard_pairs(
+        stop_shingle_corpus, "text", "doc_id", 3, 0.0
+    ).count()
+    all_cut = TD.ngram_jaccard_pairs(
+        stop_shingle_corpus, "text", "doc_id", 3, 0.0, max_df=2
+    ).count()
+    assert all_uncut == 10  # 5 docs -> every pair shares the stop-shingle
+    assert all_cut == 1     # only (1,2) shares a real shingle
+
+
+def test_minhash_hot_shingle_cut_keeps_neardups(stop_shingle_corpus):
+    # 6 bands x 2 rows: P(miss a j=0.83 pair) ~ 1e-3 — with these fixed md5
+    # hash functions the outcome is deterministic, verified non-missing.
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in TD.minhash_lsh_pairs(
+            stop_shingle_corpus, "text", "doc_id",
+            n=3, num_hashes=12, bands=6, threshold=0.3, max_df=2,
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_minhash_no_cache_leak(corpus):
+    """Repeated calls must not leave cached plans behind (the round-1
+    'Asked to cache already cached data' leak): after the call returns, the
+    session's cache manager is empty."""
+    jsc = corpus.sparkSession._jsparkSession
+    for _ in range(2):
+        TD.minhash_lsh_pairs(
+            corpus, "text", "doc_id", n=3, num_hashes=12, bands=4, threshold=0.5
+        ).count()
+    assert jsc.sharedState().cacheManager().isEmpty()
+
+
 def test_simhash_near_for_near_dups(corpus):
     sigs = {r["doc"]: r["simhash"] for r in TD.simhash(corpus, "text", "doc_id").collect()}
     assert sigs[1] == sigs[2]
