@@ -37,6 +37,12 @@ from ..sources import changelog
 from .checkpoint import CheckpointStore
 
 
+def _schemas_equal(a: StructType, b: StructType) -> bool:
+    return [(f.name, f.dataType) for f in a.fields] == [
+        (f.name, f.dataType) for f in b.fields
+    ]
+
+
 def maybe_evolve(
     table: LakeTable,
     registry: SchemaRegistry | None,
@@ -45,24 +51,37 @@ def maybe_evolve(
     epoch: int | None = None,
 ) -> None:
     """Evolve the table schema in-flight if ``df`` carries a schema_version
-    the registry maps to a different table schema (north_star schema
-    evolution; reference analog: FieldClassifier's canonical mapping,
+    the registry maps to a NEWER table schema (north_star schema evolution;
+    reference analog: FieldClassifier's canonical mapping,
     /root/reference/src/processor/field_classifier.rs:196-232).
 
+    Evolution is strictly forward: the table's effective registry version is
+    the highest registered version whose schema matches the current table
+    schema, and only a higher observed ``schema_version`` evolves — a late
+    backfill of an old-schema epoch after evolution must NOT downgrade the
+    table (its rows still align at scan).
+
     ``max_v`` normally comes from parquet footer stats (driver-side, no
-    Spark job); the fallback is one scalar aggregate — metadata-scale.
+    Spark job); the fallback is one scalar aggregate — and once the table
+    sits at the registry's highest version (the steady state of a long
+    tail), the check returns before that aggregate, so per-micro-batch
+    cost is zero Spark jobs.
     """
     if registry is None or "schema_version" not in df.columns:
         return
+    current = table.schema
+    cur_v = max(
+        (v for v, s in registry.table_schemas.items() if _schemas_equal(s, current)),
+        default=0,
+    )
+    if cur_v >= max(registry.table_schemas):
+        return  # already at the registry's top schema — nothing to observe
     if max_v is None:
         max_v = df.agg(F.max("schema_version")).collect()[0][0]
-    if max_v is None:
+    if max_v is None or int(max_v) <= cur_v:
         return
-    current = table.schema
     desired = registry.table_schema(int(max_v))
-    if [f.name for f in desired.fields] != [f.name for f in current.fields] or [
-        f.dataType for f in desired.fields
-    ] != [f.dataType for f in current.fields]:
+    if not _schemas_equal(desired, current):
         summary = {"schema-version": int(max_v)}
         if epoch is not None:
             summary["engine.evolve-epoch"] = epoch

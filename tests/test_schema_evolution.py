@@ -73,6 +73,46 @@ def test_classifier_tiers():
     assert reg.classify_field("zzz", ["hello world"]) is None
 
 
+def test_late_old_schema_epoch_does_not_downgrade(spark, tmp_path):
+    """Forward-only evolution: replaying a v1 epoch AFTER the table evolved
+    to v2 must leave the v2 schema in place and converge to the in-order
+    final state."""
+    log_dir = str(tmp_path / "log")
+    changelog.write_log(
+        gen_changes(spark, 2000, events_per_epoch=500, seed=11, evolve_at_epoch=2),
+        log_dir,
+    )
+
+    def run(order, name):
+        registry = SchemaRegistry()
+        table = make_table_for_log(spark, str(tmp_path / name), registry, n_buckets=4)
+        runner = ReplayRunner(
+            spark, log_dir, table, CheckpointStore(str(tmp_path / f"cp_{name}")), registry
+        )
+        for e in order:
+            runner.apply_epoch(e)
+        return table
+
+    ordered = run([0, 1, 2, 3], "ord")
+    shuffled = run([2, 3, 0, 1], "late")
+
+    names = [f.name for f in shuffled.schema.fields]
+    assert names == ["url", "warc_ts", "html", "text", "lang", "fetch_status"]
+    # exactly one evolve commit, despite v1 epochs applied after it
+    evolves = [
+        s for s in shuffled.history()
+        if s["summary"].get("operation") == "evolve-schema"
+    ]
+    assert len(evolves) == 1
+
+    key = ["url", "warc_ts", "fetch_status"]
+
+    def state(t):
+        return sorted(map(tuple, t.read().select(*key).collect()))
+
+    assert state(ordered) == state(shuffled)
+
+
 def test_drop_and_retype_columns(spark, tmp_path):
     """Evolution beyond adds: dropping a column and widening a type must
     resolve at scan for old files (dropped → not selected, retyped → cast)
