@@ -66,6 +66,36 @@ def test_lww_is_partial_aggregable(spark, entry):
     assert "Window" not in plan
 
 
+def test_envelope_extract_is_pure_native(spark, entry):
+    """The P1/P2 envelope explode must stay JVM-side end-to-end: no Python
+    UDFs of any kind (from_json + generators + SQL lambdas only), and the
+    part scan prunes to the referenced columns."""
+    plan = _plan(spark, entry.queries()["json_envelope_extract"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # posexplode, not a driver loop
+    assert "p_comment" not in plan  # column pruning reaches the scan
+
+
+def test_ivf_fixed_centroids_broadcast(spark, entry):
+    """The IVF contract path must broadcast the centroid table on both the
+    assignment and the probe side — never shuffle the corpus against it."""
+    plan = _plan(spark, entry.queries()["ann_ivf"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # tiny centroid crossJoins
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_bucket_pairs_no_cartesian(spark, entry):
+    """The embedding-LSH scale path must generate candidates via the band
+    equi-join — no cartesian/cross product anywhere in the plan."""
+    plan = _plan(spark, entry.queries()["dedup_embedding_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # The only nested-loop joins allowed are the broadcasts of the tiny
+    # hyperplane table into the signature computation (once per side of the
+    # candidate self-join); the candidate join itself must be an equi-join.
+    assert plan.count("BroadcastNestedLoopJoin (") <= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_merge_stage_plan_has_partial_lww_and_no_collect(spark, tmp_path):
     """The replay staging pipeline (dedup + extraction) keeps the LWW as a
     partial-aggregable hash agg and runs extraction via ArrowEvalPython
