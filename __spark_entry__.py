@@ -352,6 +352,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (single-shuffle union+window plan, no range-join
+    explosion): each event gains the dim value of the user's latest signup
+    at-or-before the event's timestamp; DuckDB's native ASOF LEFT JOIN is
+    the oracle twin."""
+    from data_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    versions = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.round("value", 6), "event_id").alias("dim_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    return asof_join(
+        left, versions, key_cols=("user_id",), left_ts="ts", right_ts="ts",
+        value_cols=("dim_value",),
+    )
+
+
+_SQL_ASOF = """
+WITH versions AS (
+  SELECT user_id, ts, max_by(round(value, 6), event_id) AS dim_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, v.dim_value
+FROM events e ASOF LEFT JOIN versions v
+  ON e.user_id = v.user_id AND e.ts >= v.ts
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization (30-min gap) + per-session rollup — the
+    gaps-and-islands plan: one keyed shuffle, no self-join."""
+    from data_pipeline_spark.operators.asof import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, key_cols=("user_id",), ts_col="ts", gap_seconds=1800,
+        order_tiebreak=("event_id",),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_sec
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: per-user running total ordered by (ts, event_id)."""
     ev = _t(spark, sf_dir, "events")
@@ -1255,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_completeness": q_null_completeness,
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_running_total": q_events_running_total,
+        "events_asof_enrich": q_events_asof_enrich,
+        "events_sessionize": q_events_sessionize,
         # normalization / classification / flatten
         "normalize_prices": q_normalize_prices,
         "parse_discounts": q_parse_discounts,
@@ -1304,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "null_completeness": _SQL_NULLS,
         "events_hourly_rollup": _SQL_HOURLY,
         "events_running_total": _SQL_RUNNING,
+        "events_asof_enrich": _SQL_ASOF,
+        "events_sessionize": _SQL_SESSIONIZE,
         "normalize_prices": _SQL_NORM_PRICES,
         "parse_discounts": _SQL_PARSE_DISC,
         "derive_discounts": _SQL_DERIVE_DISC,

@@ -1,0 +1,94 @@
+"""As-of join + sessionization: handcrafted semantics (tie inclusivity,
+missing-version nulls, gap edges) and the single-shuffle plan shape."""
+
+import datetime as dt
+
+import pytest
+
+from data_pipeline_spark.operators.asof import asof_join, session_stats, sessionize
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def enriched(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(5)),    # before any version -> null
+            (2, "u1", _ts(10)),   # exactly at v1 -> inclusive match
+            (3, "u1", _ts(25)),   # between v1 and v2 -> v1
+            (4, "u1", _ts(30)),   # exactly at v2 -> v2
+            (5, "u1", _ts(50)),   # after v2 -> v2
+            (6, "u2", _ts(40)),   # key with no versions at all -> null
+        ],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 100.0), ("u1", _ts(30), 300.0)],
+        "user string, vts timestamp, dim double",
+    )
+    out = asof_join(
+        left, right, key_cols=("user",), left_ts="ts", right_ts="vts",
+        value_cols=("dim",),
+    )
+    return {r["event_id"]: r["dim"] for r in out.collect()}, out
+
+
+def test_asof_backward_inclusive_semantics(enriched):
+    dims, out = enriched
+    assert dims == {1: None, 2: 100.0, 3: 100.0, 4: 300.0, 5: 300.0, 6: None}
+
+
+def test_asof_plan_is_single_shuffle_window(spark, enriched):
+    """No range join: the plan must be union -> one keyed window — zero
+    cartesian/broadcast-nested-loop joins, exactly one exchange."""
+    _, out = enriched
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # it is not a join at all
+    assert "Window" in plan
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, _ts(1), 2.0)], "k long, ts timestamp, dim double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, ("k",), "ts", "ts", ("dim",))
+
+
+def test_sessionize_gap_edges(spark):
+    rows = [
+        ("u1", _ts(0)), ("u1", _ts(10)),   # gap 10 == gap -> same session
+        ("u1", _ts(21)),                   # gap 11 > 10 -> new session
+        ("u1", _ts(31)),                   # gap 10 -> same
+        ("u2", _ts(0)),                    # other key independent
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = sessionize(df, ("user",), "ts", gap_seconds=10)
+    got = {(r["user"], r["ts"].second): r["session_idx"] for r in out.collect()}
+    assert got == {
+        ("u1", 0): 0, ("u1", 10): 0, ("u1", 21): 1, ("u1", 31): 1, ("u2", 0): 0,
+    }
+
+
+def test_sessionize_subsecond_gap(spark):
+    """Microsecond precision: a 1.5s gap with gap_seconds=1 must split —
+    whole-second truncation would see gap=1 and merge."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0), ("u", t0 + dt.timedelta(seconds=1, microseconds=500000))]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = sessionize(df, ("user",), "ts", gap_seconds=1)
+    assert sorted(r["session_idx"] for r in out.collect()) == [0, 1]
+
+
+def test_session_stats_rollup(spark):
+    rows = [("u1", _ts(0)), ("u1", _ts(5)), ("u1", _ts(40)), ("u1", _ts(41))]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = {
+        r["session_idx"]: (r["n_events"], r["duration_sec"])
+        for r in session_stats(df, ("user",), "ts", gap_seconds=10).collect()
+    }
+    assert out == {0: (2, 5), 1: (2, 1)}
