@@ -419,6 +419,40 @@ FROM sessions GROUP BY user_id, session_idx
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join on the bucketized equi-join scale path (points hash to
+    one grid bucket, ranges explode over theirs — no nested-loop join):
+    events inside the 2-hour window opened by each signup of the same
+    user; oracle is the plain inequality join."""
+    from data_pipeline_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    points = ev.select("user_id", "event_id", "ts")
+    out = range_join(
+        points, windows, point_ts="ts", start_ts="w_start", end_ts="w_end",
+        key_cols=("user_id",), bucket_seconds=7200,
+    )
+    return out.select("user_id", "event_id", "window_id", "ts")
+
+
+_SQL_RANGE_JOIN = """
+WITH windows AS (
+  SELECT user_id, event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 2 HOUR AS w_end
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.user_id, e.event_id, w.window_id, e.ts
+FROM events e JOIN windows w
+  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+"""
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window: per-user running total ordered by (ts, event_id)."""
     ev = _t(spark, sf_dir, "events")
@@ -1324,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": q_events_running_total,
         "events_asof_enrich": q_events_asof_enrich,
         "events_sessionize": q_events_sessionize,
+        "events_range_join": q_events_range_join,
         # normalization / classification / flatten
         "normalize_prices": q_normalize_prices,
         "parse_discounts": q_parse_discounts,
@@ -1375,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_total": _SQL_RUNNING,
         "events_asof_enrich": _SQL_ASOF,
         "events_sessionize": _SQL_SESSIONIZE,
+        "events_range_join": _SQL_RANGE_JOIN,
         "normalize_prices": _SQL_NORM_PRICES,
         "parse_discounts": _SQL_PARSE_DISC,
         "derive_discounts": _SQL_DERIVE_DISC,

@@ -313,6 +313,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         with_system: bool = False,
+        key_equals=None,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / bucket-pruned).
 
@@ -323,12 +324,23 @@ class LakeTable:
         ``with_system=True`` (merge-internal) keeps the ``__lsn``/
         ``__deleted`` metadata columns and the tombstone rows; the default
         user scan filters tombstones and hides system columns.
+
+        ``key_equals`` additionally skips files whose manifest key min/max
+        range excludes the value (Iceberg-style data skipping; every
+        version of a key lives in files whose range contains it, so MoR
+        LWW resolution stays correct on the pruned set). Files predating
+        the stats (or non-string keys) are conservatively kept.
         """
         snap = self.snapshot(snapshot_id)
         snap_files = self.files_of(snap)
         if buckets is not None:
             bset = set(buckets)
             snap_files = [f for f in snap_files if f["bucket"] in bset]
+        if key_equals is not None:
+            snap_files = [
+                f for f in snap_files
+                if "key_min" not in f or (f["key_min"] <= key_equals <= f["key_max"])
+            ]
         out = self._read_files(snap_files)
         if with_system:
             return out
@@ -412,9 +424,10 @@ class LakeTable:
         from .xxhash import spark_xxhash64
 
         bucket = spark_xxhash64(key_value) % self.n_buckets  # pmod: Python % is non-negative
-        return self.read(buckets=[int(bucket)]).where(
-            F.col(self.key_col) == key_value
-        )
+        return self.read(
+            buckets=[int(bucket)],
+            key_equals=key_value if isinstance(key_value, str) else None,
+        ).where(F.col(self.key_col) == key_value)
 
     def _lww_order(self, df: DataFrame):
         ts = (
@@ -483,14 +496,50 @@ class LakeTable:
             bdir = os.path.join(out_path, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
-                    files.append(
-                        {
-                            "path": f"{commit_dir}/{entry}/{fn}",
-                            "bucket": bucket,
-                            "schema_id": self.meta["current_schema_id"],
-                        }
-                    )
+                    rec = {
+                        "path": f"{commit_dir}/{entry}/{fn}",
+                        "bucket": bucket,
+                        "schema_id": self.meta["current_schema_id"],
+                    }
+                    rng = self._key_range_from_footer(os.path.join(bdir, fn))
+                    if rng is not None:
+                        rec["key_min"], rec["key_max"] = rng
+                    files.append(rec)
         return files
+
+    def _key_range_from_footer(self, path: str) -> tuple | None:
+        """(min, max) of the key column from the parquet footer — the
+        manifest-level column stats Iceberg keeps per data file. Read
+        driver-side at commit time (the footer is already local and the
+        rows were just written key-sorted, so stats are tight); lets
+        :meth:`read` skip whole files, not just whole buckets, for key
+        predicates. String keys only (url); other types degrade gracefully
+        to bucket-level pruning."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if self.key_col not in idx:
+                return None
+            ci = idx[self.key_col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+            if not mins:
+                return None
+            lo, hi = min(mins), max(maxs)
+            if isinstance(lo, bytes):
+                lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+            if not isinstance(lo, str):
+                return None
+            return lo, hi
+        except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+            return None
 
     def append(self, df: DataFrame, epoch: int | None = None) -> dict:
         """Blind append (no key resolution) — bulk backfill path."""

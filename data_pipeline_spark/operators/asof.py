@@ -113,6 +113,54 @@ def sessionize(
     )
 
 
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    key_cols: tuple[str, ...] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join: each point row paired with every range row (same
+    ``key_cols``) whose ``[start_ts, end_ts]`` contains ``point_ts``
+    (inclusive both ends).
+
+    Scale path — the reason this is not ``ON p.ts BETWEEN r.s AND r.e``:
+    Spark executes a pure inequality join as broadcast-nested-loop (or
+    cartesian), O(|points|·|ranges|). Here both sides are bucketized on a
+    fixed time grid: a point lands in exactly ONE bucket; a range explodes
+    into the buckets it covers; the join is an EQUI-join on
+    (keys…, bucket), then the exact containment predicate filters within
+    the bucket. Cost is |points| + Σ range-spans + matched candidates —
+    each (point, range) pair is produced at most once (via the point's
+    bucket), so no distinct is needed.
+
+    Pick ``bucket_seconds`` near the typical range length: ~1-2 buckets
+    per range. Ranges spanning many buckets multiply the exploded side
+    (a range covering B buckets emits B rows) — for mixed-length ranges
+    partition the ranges by duration and run two widths.
+    """
+    w_us = bucket_seconds * 1_000_000
+    p = points.withColumn("_pb", F.floor(_micros(F.col(point_ts)) / F.lit(w_us)))
+    r = ranges.withColumn(
+        "_pb",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_ts)) / F.lit(w_us)),
+                F.floor(_micros(F.col(end_ts)) / F.lit(w_us)),
+            )
+        ),
+    )
+    joined = p.join(r, on=[*key_cols, "_pb"], how="inner")
+    return (
+        joined.where(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_pb")
+    )
+
+
 def session_stats(
     df: DataFrame,
     key_cols: tuple[str, ...],

@@ -84,6 +84,36 @@ def test_sessionize_subsecond_gap(spark):
     assert sorted(r["session_idx"] for r in out.collect()) == [0, 1]
 
 
+def test_range_join_semantics_and_plan(spark):
+    """Inclusive containment across bucket boundaries; pairs produced
+    exactly once; the plan is an equi-join (no nested loop)."""
+    from data_pipeline_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "k", _ts(0)), (2, "k", _ts(30)), (3, "k", _ts(59)),
+         (4, "k", _ts(31)), (5, "other", _ts(30))],
+        "pid long, key string, ts timestamp",
+    )
+    ranges = spark.createDataFrame(
+        [("k", 10, _ts(30), _ts(31)),    # straddles a 15s bucket boundary
+         ("k", 20, _ts(0), _ts(59)),     # spans all buckets
+         ("other", 30, _ts(0), _ts(59))],
+        "key string, rid long, s timestamp, e timestamp",
+    )
+    out = range_join(
+        points, ranges, point_ts="ts", start_ts="s", end_ts="e",
+        key_cols=("key",), bucket_seconds=15,
+    )
+    got = sorted((r["pid"], r["rid"]) for r in out.collect())
+    assert got == [
+        (1, 20), (2, 10), (2, 20), (3, 20), (4, 10), (4, 20), (5, 30),
+    ]
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_session_stats_rollup(spark):
     rows = [("u1", _ts(0)), ("u1", _ts(5)), ("u1", _ts(40)), ("u1", _ts(41))]
     df = spark.createDataFrame(rows, "user string, ts timestamp")

@@ -420,6 +420,17 @@ def test_point_lookup_prunes_bucket_and_rowgroups(spark, log_dir, tmp_path):
     urls = t.column("url").to_pylist()
     assert urls == sorted(urls)
 
+    # Manifest-level key stats (Iceberg data skipping): every file carries
+    # a key range, and pruning by it is consistent with the actual rows.
+    files = table.files_of(table._current_snapshot())
+    assert all("key_min" in fr and fr["key_min"] <= fr["key_max"] for fr in files)
+    skipped = table.read(key_equals=some_url)
+    assert len(skipped.inputFiles()) <= len(df.inputFiles()) * table.n_buckets
+    got = {r["url"] for r in skipped.where(F.col("url") == some_url).collect()}
+    assert got == {some_url}
+    # A key lexically outside every range prunes ALL files.
+    assert table.read(key_equals="zzzz-no-such-url").inputFiles() == []
+
 
 def test_checkpoint_metrics_queryable(spark, log_dir, tmp_path):
     """The checkpoint ledger is queryable as a DataFrame: per-epoch rows,
