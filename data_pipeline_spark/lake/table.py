@@ -228,6 +228,32 @@ class LakeTable:
                 out.add(int(e))
         return out
 
+    # -- refs (named snapshots) ------------------------------------------------
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a name to a snapshot (Iceberg tag): reproducible reads
+        ("the snapshot we trained run X on") that survive snapshot expiry —
+        ``expire_snapshots`` never drops a tagged snapshot."""
+        self._assert_current()
+        sid = snapshot_id if snapshot_id is not None else self.meta["current_snapshot_id"]
+        if self.snapshot(sid) is None:
+            raise ValueError(f"cannot tag unknown snapshot {sid}")
+        self.meta.setdefault("refs", {})[name] = sid
+        self._write_version(self.meta["version"] + 1)
+
+    def drop_tag(self, name: str) -> None:
+        self._assert_current()
+        refs = self.meta.get("refs", {})
+        if name in refs:
+            del refs[name]
+            self._write_version(self.meta["version"] + 1)
+
+    def ref(self, name: str) -> int:
+        refs = self.meta.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}; have {sorted(refs)}")
+        return refs[name]
+
     def files_of(self, snap: dict | None) -> list[dict]:
         """A snapshot's data-file list, from its manifest file.
 
@@ -314,6 +340,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_system: bool = False,
         key_equals=None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / bucket-pruned).
 
@@ -331,6 +358,10 @@ class LakeTable:
         LWW resolution stays correct on the pruned set). Files predating
         the stats (or non-string keys) are conservatively kept.
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.ref(ref)
         snap = self.snapshot(snapshot_id)
         snap_files = self.files_of(snap)
         if buckets is not None:
@@ -832,14 +863,20 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop old snapshots and physically delete data files no live
-        snapshot references (S16 / Iceberg snapshot expiry)."""
+        snapshot references (S16 / Iceberg snapshot expiry). Tagged
+        snapshots (:meth:`tag`) are always retained."""
         self._assert_current()
         snaps = self.meta["snapshots"]
         if len(snaps) <= keep_last:
             return 0
-        keep = snaps[-keep_last:]
+        keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]} | set(
+            self.meta.get("refs", {}).values()
+        )
+        keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
         live = {f["path"] for s in keep for f in self.files_of(s)}
-        dropped = snaps[:-keep_last]
+        dropped = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+        if not dropped:
+            return 0
         dead = {f["path"] for s in dropped for f in self.files_of(s)} - live
         for rel in dead:
             p = os.path.join(self.path, rel)

@@ -62,6 +62,33 @@ def windowed_event_rollup(
 # driver-local-timezone conversions (datetime.fromtimestamp) that shift the
 # restored value on non-UTC hosts, corrupting cross-batch LWW comparisons.
 # Integers round-trip exactly on any host.
+def sessionized_event_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    key: str = "url",
+) -> DataFrame:
+    """Event-time SESSION windows per key — Spark's native
+    ``session_window`` (dynamic-length windows that close after ``gap`` of
+    key silence), the streaming twin of the batch
+    :func:`~data_pipeline_spark.operators.asof.sessionize` gaps-and-islands
+    plan. On a stream the watermark bounds open-session state; late events
+    inside it still extend/merge their session. Works on batch DataFrames
+    too (same plan minus the watermark)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
 WINNER_STATE_SCHEMA = "warc_ts_us long, lsn long, op string"
 WINNER_CHANGE_SCHEMA = (
     "url string, warc_ts timestamp, lsn long, op string, changed boolean"

@@ -270,6 +270,33 @@ def test_partial_compaction_by_dirty_buckets(spark, log_dir, tmp_path):
     assert _table_state(table) == state
 
 
+def test_snapshot_tags_survive_expiry(spark, log_dir, tmp_path):
+    """Iceberg-style refs: a tagged snapshot stays readable (and its files
+    stay on disk) through expire_snapshots; dropping the tag releases it."""
+    runner, table, _ = _fresh_runner(spark, log_dir, tmp_path, "tags")
+    first = runner.apply_epoch(0)
+    sid = first["snapshot_id"]
+    tagged_rows = table.read(snapshot_id=sid).count()
+    runner.run()
+
+    table.tag("train-run-1", sid)
+    assert table.ref("train-run-1") == sid
+    table.expire_snapshots(keep_last=1)
+    # tagged snapshot still in history and readable by ref
+    assert table.snapshot(sid) is not None
+    assert table.read(ref="train-run-1").count() == tagged_rows
+
+    # reload from disk: refs persist
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.read(ref="train-run-1").count() == tagged_rows
+
+    t2.drop_tag("train-run-1")
+    t2.expire_snapshots(keep_last=1)
+    assert t2.snapshot(sid) is None
+    with pytest.raises(ValueError, match="unknown ref"):
+        t2.read(ref="train-run-1")
+
+
 def test_python_xxhash64_matches_jvm(spark):
     """The driver-side bucket router must agree with F.xxhash64 bit-for-bit
     (strings incl. unicode + empty + >32-byte, and integral keys)."""

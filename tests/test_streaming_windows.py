@@ -43,6 +43,54 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_session_window_stream_matches_batch_and_sessionize(spark, tmp_path):
+    """Native session_window on a stream == the same on batch == the batch
+    gaps-and-islands sessionize operator (session count + sizes per key)."""
+    from data_pipeline_spark.operators.asof import session_stats
+    from data_pipeline_spark.streaming.windows import sessionized_event_rollup
+
+    log = str(tmp_path / "sslog")
+    changelog.write_log(gen_changes(spark, 3000, events_per_epoch=1000, seed=31), log)
+    batch = spark.read.parquet(log)
+
+    expected = {
+        (r["url"], r["session_start"]): r["n_events"]
+        for r in sessionized_event_rollup(batch, gap="30 minutes").collect()
+    }
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("basePath", log)
+        .parquet(log + "/epoch=*")
+    )
+    q = (
+        sessionized_event_rollup(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["url"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got == expected
+
+    # Cross-check against the batch gaps-and-islands operator: identical
+    # (key, session_start, size) partitioning of the events.
+    isl = {
+        (r["url"], r["session_start"]): r["n_events"]
+        for r in session_stats(
+            batch, key_cols=("url",), ts_col="warc_ts", gap_seconds=1800,
+            order_tiebreak=("lsn",),
+        ).collect()
+    }
+    assert isl == expected
+
+
 def test_stateful_current_versions_tracks_winner_changes(spark, tmp_path):
     log = str(tmp_path / "slog")
     changelog.write_log(gen_changes(spark, 3000, events_per_epoch=500, seed=23), log)
