@@ -471,18 +471,54 @@ class _TextCollector(HTMLParser):
             self.chunks.append(data)
 
 
+def extract_text_parser(html: str) -> str:
+    """The html.parser implementation of visible-text extraction — the
+    semantic definition, kept as the slow path + differential oracle for
+    the gated fast scanner below."""
+    p = _TextCollector()
+    p.feed(html)
+    p.close()
+    return re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
+
+
+# Fast-path gate: the regex scanner is only byte-equivalent to html.parser
+# for documents made of plain tags and text. Anything that engages parser
+# special-casing — script/style CDATA modes, comments/doctype/CDATA/PIs
+# ("<!", "<?"), quoted attribute values containing < or >, or a stray "<"
+# that doesn't open a real tag — falls back to the parser.
+_TRICKY = re.compile(r"<[sS][cC][rR][iI][pP][tT]|<[sS][tT][yY][lL][eE]|<!|<\?")
+# One tag: "<", a name start or "/", then runs of quote-free chars or fully
+# quoted sections (quotes may not contain < or >), then ">". Exactly one "<"
+# per match, so gate-validity is: every "<" in the document starts a match.
+_TAG = re.compile(r"""<[a-zA-Z/](?:[^<>"']|"[^"<>]*"|'[^'<>]*')*>""")
+_WS = re.compile(r"\s+")
+
+
 def extract_text(html: str) -> str:
     """Deterministic visible-text extraction for the ``text`` lake column.
 
     All text nodes outside <script>/<style>, document order, joined with a
     single space, whitespace-collapsed, trimmed. This one function is both
     the executor UDF body and the test oracle → byte-identical per url.
-    (Byte-parity with the DOM twin is itself pinned by tests.)
+
+    Implementation: a regex scanner ~9× faster than html.parser (this is
+    the dominant CPU kernel of the whole CDC replay — ~80% of epoch time),
+    taken only when the gate proves the document is plain tags + text;
+    everything else uses :func:`extract_text_parser`. Byte-parity of the
+    two paths on gate-accepted inputs is pinned by differential + property
+    tests (tests/test_extract.py).
     """
-    p = _TextCollector()
-    p.feed(html)
-    p.close()
-    return re.sub(r"\s+", " ", " ".join(p.chunks)).strip()
+    if _TRICKY.search(html) is None:
+        stripped, n_tags = _TAG.subn(" ", html)
+        if stripped.count("<") == 0:
+            # every "<" belonged to a well-formed simple tag → the parser
+            # would have emitted exactly the remaining text segments.
+            # Entity conversion AFTER tag removal is safe: a tag boundary
+            # always injects a space, so references can't merge.
+            from html import unescape
+
+            return _WS.sub(" ", unescape(stripped)).strip()
+    return extract_text_parser(html)
 
 
 # ---------------------------------------------------------------------------

@@ -187,11 +187,71 @@ def test_fast_text_extractor_matches_dom_twin():
         "<div class='c1'>", "</div>", "<script>", "</script>", "<style>",
         "</style>", "word ", "&amp;", "<br>", "<span data-x='1'>", "</span>",
         "\n\t ", "<p>", "</p>", "<!-- c -->",
+        # gate-edge tokens for the regex fast path
+        "< notatag ", "<div title=\"a>b\">", "&amp", "&ampx", "5 < 6 > 4 ",
+        "<a href=foo>", "</ div>", "<SpAn>", "</SPAN>", "&#65;&#x42;",
     ]
-    for _ in range(300):
+    for _ in range(500):
         samples.append("".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
     for s in samples:
         assert extract_text(s) == extract_text_dom(s), repr(s[:120])
+
+
+def test_fast_path_differential_vs_parser():
+    """extract_text (gated regex fast path) must be byte-identical to the
+    html.parser implementation on every input — by taking the fast path
+    only when equivalence is provable, falling back otherwise."""
+    from data_pipeline_spark.functions.extract import (
+        extract_text,
+        extract_text_parser,
+    )
+
+    battery = [
+        # fast-path eligible
+        '<html><body><div class="x" data-id="7"><h3>A &amp; B</h3>'
+        '<span class="price" data-price-amount="450">Rs. 450</span></div></body></html>',
+        "<p>a</p><p>b</p>",
+        "<a href=unquoted>link</a> tail",
+        "<div title='q'>t</div>",
+        "&nbsp;&#10;x&#x41;",
+        "plain text only",
+        "",
+        # must fall back (and stay identical)
+        "< b> stray open",
+        '<div title="a>b">quoted gt</div>',
+        "<script>var x = '<div>';</script>visible",
+        "<!-- c --> <!DOCTYPE html> after",
+        "<?pi ?>x",
+        "a & b &amp c &ampx d",
+        "broken <unclosed",
+        "<style>p{}</style>styled",
+    ]
+    for s in battery:
+        assert extract_text(s) == extract_text_parser(s), repr(s)
+
+
+def test_fast_path_property_parity():
+    """Property test: on arbitrary ascii-ish soup the gated fast path never
+    diverges from the parser semantics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_pipeline_spark.functions.extract import (
+        extract_text,
+        extract_text_parser,
+    )
+
+    soup = st.text(
+        alphabet='<>&"\'/;!?- \tabcdeSCRIPTstyle=#x0123',
+        max_size=80,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(soup)
+    def check(s):
+        assert extract_text(s) == extract_text_parser(s)
+
+    check()
 
 
 def test_dom_features_shape_and_values():
