@@ -225,14 +225,34 @@ class ReplayRunner:
 
     # -- the loop ---------------------------------------------------------------
 
-    def run(self, max_epochs: int | None = None) -> list[dict]:
-        """Replay all unapplied epochs in order; resumable at any point."""
+    def run(
+        self, max_epochs: int | None = None, retries: int = 0, base_ms: int = 1000
+    ) -> list[dict]:
+        """Replay all unapplied epochs in order; resumable at any point.
+
+        ``retries`` > 0 wraps each epoch in exponential-backoff retry (S6,
+        reference html_fetcher.rs:169-193). Safe under exactly-once: if a
+        failure happened AFTER the commit, the retry hits the epoch ledger
+        and skips — retry composes with idempotence, never duplicates.
+        """
+        from .retry import with_retries
+
         results = []
         epochs = changelog.list_epochs(self.spark, self.log_dir)
         for epoch in epochs:
             if max_epochs is not None and len(results) >= max_epochs:
                 break
-            results.append(self.apply_epoch(epoch))
+            if retries:
+                results.append(
+                    with_retries(
+                        lambda e=epoch: self.apply_epoch(e),
+                        max_retries=retries,
+                        base_ms=base_ms,
+                        seed=epoch,
+                    )
+                )
+            else:
+                results.append(self.apply_epoch(epoch))
         return results
 
 
