@@ -56,9 +56,11 @@ def _is_array(df: DataFrame, name: str) -> bool:
 def canonical_number(col: Column) -> Column:
     """P11 (json_flattener.rs:143-169): numeric → integer string when the
     fractional part is 0, else float string ("390.00"→"390", 99.5→"99.5").
-    Non-numeric strings pass through unchanged. Semantics-bearing for byte
-    equality of staged values."""
-    d = col.cast("double")
+    Non-numeric strings pass through unchanged — which requires try_cast:
+    under Spark 4's default ANSI mode a plain cast THROWS on the first
+    malformed value (one garbage price string in 100 TB kills the job)
+    instead of taking the pass-through branch."""
+    d = col.try_cast("double")
     return (
         F.when(d.isNull(), col.cast("string"))
         .when(d == F.floor(d), d.cast("long").cast("string"))

@@ -296,3 +296,17 @@ def test_parse_json_with_quarantine(spark, tmp_path):
     export_csv(good, out)
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 3
+
+
+def test_garbage_in_numeric_field_passes_through_under_ansi(spark):
+    """canonical_number must use try_cast: under Spark 4 ANSI mode a plain
+    cast throws on the first malformed numeric string — at 10^10 events one
+    garbage price in a payload would kill the whole stage. Non-numeric
+    values take the documented pass-through branch instead."""
+    r = _flatten_one(spark, {
+        "product_id": "SKU-A1-B2", "name": "Garbage Price Product",
+        "cost_price": "N/A", "special_price": "call for price",
+        "sku": "X", "categories": [],
+    })
+    assert r["cost_price"] == "N/A"
+    assert r["product_id"] == "SKU-A1-B2"
