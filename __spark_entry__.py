@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from data_pipeline_spark.functions import normalize as N
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
+from data_pipeline_spark.operators import components as CC
 from data_pipeline_spark.operators import similarity as SIM
 from data_pipeline_spark.operators import textdedup as TD
 from data_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_window
@@ -1069,6 +1070,29 @@ _SQL_EMB_LSH = SIM.sql_lsh_bucket_pairs(
 )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: transitive closure of the MinHash-LSH candidate
+    relation via large-star/small-star (operators/components.py), labeling
+    every doc (singletons included) with its cluster's min doc_id — the
+    "keep one per near-dup group" primitive."""
+    docs = _docs_neardup(spark, sf_dir)
+    pairs = TD.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=12, bands=4, threshold=0.5
+    )
+    return CC.connected_components(
+        docs.select("doc_id"), pairs, "id_a", "id_b", "doc_id"
+    )
+
+
+_SQL_COMPONENTS = CC.sql_connected_components(
+    f"SELECT doc_id FROM {_SQL_DOCS_NEARDUP}",
+    _SQL_MINHASH,
+    "id_a",
+    "id_b",
+    "doc_id",
+)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: exact cosine top-5 for each query vector."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
@@ -1385,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         # multimodal
@@ -1433,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "dedup_embedding_lsh": _SQL_EMB_LSH,
+        "dedup_components": _SQL_COMPONENTS,
         "ann_topk": _SQL_ANN_TOPK,
         "ann_ivf": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,
