@@ -20,7 +20,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from data_pipeline_spark.functions import normalize as N
+from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
+from data_pipeline_spark.functions import weburl as WU
+from data_pipeline_spark.operators import sampling as SMP
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
 from data_pipeline_spark.operators import components as CC
 from data_pipeline_spark.operators import similarity as SIM
@@ -918,6 +921,139 @@ FROM documents GROUP BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# Quality / curation family (training-data extension, round 2):
+# repetition metrics, Gopher rules, URL canonicalization, PII masking,
+# deterministic stratified sampling (functions/quality.py, weburl.py,
+# operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition profile (Gopher §A1.1 signals): dup line/word/
+    2-gram/3-gram fractions + top-2-gram character fraction. Row-local
+    fractions ride the projection; the top-gram pass is explode → hash
+    count → per-doc max(struct) → join (no per-doc gram map in one row)."""
+    d = _t(spark, sf_dir, "documents")
+    return QL.repetition_stats(d, "doc_id", "text", n=2)
+
+
+_SQL_REPETITION = QL.sql_repetition_stats(
+    "SELECT doc_id, text FROM documents", "doc_id", "text", n=2
+)
+
+
+def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: one boolean per rule + the AND keep flag,
+    all native Column expressions (zero Python UDFs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[c.alias(k) for k, c in QL.gopher_flags("text").items()],
+        QL.gopher_pass("text").alias("keep"),
+    )
+
+
+_SQL_GOPHER = (
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in QL.sql_gopher_flags("text").items())
+    + f", {QL.sql_gopher_pass('text')} AS keep FROM documents"
+)
+
+
+# Messy absolute URLs synthesized deterministically from doc_id (same
+# expression in both engines): mixed case, default port, tracking params,
+# unsorted query, sometimes trailing slash / fragment / gclid.
+_URL_SYNTH_SPARK = (
+    "concat('HTTPS://WWW.Site', CAST(doc_id % 7 AS string), '.COM:443"
+    "/catalog/item-', CAST(doc_id AS string), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, "
+    "'?utm_source=feed&b=2&a=1', "
+    "CASE WHEN doc_id % 2 = 0 THEN '&gclid=x' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+_URL_SYNTH_DUCK = _URL_SYNTH_SPARK.replace("AS string", "AS VARCHAR")
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical url + host + registered domain over synthesized messy
+    URLs — the key-collapse step for a url-keyed lake table."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    return d.select(
+        "doc_id",
+        WU.canonical_url("url").alias("canonical_url"),
+        WU.url_host("url").alias("host"),
+        WU.registered_domain("url").alias("domain"),
+    )
+
+
+_SQL_URL_CANON = f"""
+WITH urlq AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents)
+SELECT doc_id, {WU.sql_canonical_url('url')} AS canonical_url,
+       {WU.sql_url_host('url')} AS host,
+       {WU.sql_registered_domain('url')} AS domain
+FROM urlq
+"""
+
+
+_PII_SYNTH_SPARK = (
+    "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
+    "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
+    "' ip 10.0.', CAST(doc_id % 256 AS string), '.', "
+    "CAST((doc_id * 7) % 256 AS string))"
+)
+_PII_SYNTH_DUCK = _PII_SYNTH_SPARK.replace("AS string", "AS VARCHAR")
+
+
+def q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministically injected email/phone/IP:
+    masked text + per-category counts, all native regexp expressions."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SYNTH_SPARK).alias("text")
+    )
+    counts = WU.pii_counts("text")
+    return d.select(
+        "doc_id",
+        WU.mask_pii("text").alias("masked"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
+_SQL_PII_COUNTS = WU.sql_pii_counts("text")
+_SQL_PII = f"""
+WITH piiq AS (SELECT doc_id, {_PII_SYNTH_DUCK} AS text FROM documents)
+SELECT doc_id, {WU.sql_mask_pii('text')} AS masked,
+       {_SQL_PII_COUNTS['email']} AS n_email,
+       {_SQL_PII_COUNTS['ipv4']} AS n_ip,
+       {_SQL_PII_COUNTS['phone']} AS n_phone
+FROM piiq
+"""
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample (md5-threshold predicate:
+    pure scan-level filter, no shuffle, identical across engines/reruns)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SMP.stratified_hash_sample(
+        d, "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT, seed="mix"
+    )
+
+
+_SQL_STRAT_SAMPLE = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    + SMP.sql_stratified_predicate(
+        "doc_id", "lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT, seed="mix"
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Dedup family (training-data extension)
 # ---------------------------------------------------------------------------
 
@@ -1402,6 +1538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_grouped_counts": q_doc_grouped_counts,
+        # quality / curation
+        "doc_repetition": q_doc_repetition,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "url_canonicalize": q_url_canonicalize,
+        "pii_mask": q_pii_mask,
+        "stratified_sample": q_stratified_sample,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1452,6 +1594,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _SQL_QUALITY,
         "doc_lang_id": _SQL_LANG_ID,
         "doc_grouped_counts": _SQL_DOC_COUNTS,
+        "doc_repetition": _SQL_REPETITION,
+        "doc_gopher_filter": _SQL_GOPHER,
+        "url_canonicalize": _SQL_URL_CANON,
+        "pii_mask": _SQL_PII,
+        "stratified_sample": _SQL_STRAT_SAMPLE,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _SQL_MINHASH,

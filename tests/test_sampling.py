@@ -1,0 +1,88 @@
+"""Deterministic hash sampling: proportions, determinism, stratification,
+seed independence, DuckDB twin parity, and plan shape (pure filter)."""
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators import sampling as S
+
+N = 20000
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    return spark.range(N).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("s")
+    )
+
+
+def test_threshold_encoding():
+    assert S.threshold_hex(1.0) == "g" and S.threshold_hex(2.0) == "g"
+    assert S.threshold_hex(0.0) == "00000000" == S.threshold_hex(-1)
+    assert S.threshold_hex(0.5) == "80000000"
+    # 'g' > any 8-hex-char key; '00000000' admits nothing
+    assert "ffffffff" < "g" and not ("00000000" < "00000000")
+
+
+def test_fraction_and_determinism(keys):
+    a = S.hash_sample(keys, "k", 0.3, seed="s1")
+    n1, n2 = a.count(), S.hash_sample(keys, "k", 0.3, seed="s1").count()
+    assert n1 == n2  # deterministic
+    assert abs(n1 / N - 0.3) < 0.02
+    # nested property: a 0.1 sample is a subset of the 0.3 sample (same seed)
+    small = set(r["k"] for r in S.hash_sample(keys, "k", 0.1, seed="s1").collect())
+    big = set(r["k"] for r in a.collect())
+    assert small <= big
+
+
+def test_seed_independence(keys):
+    a = set(r["k"] for r in S.hash_sample(keys, "k", 0.5, seed="x").collect())
+    b = set(r["k"] for r in S.hash_sample(keys, "k", 0.5, seed="y").collect())
+    overlap = len(a & b) / N
+    assert abs(overlap - 0.25) < 0.02  # independent 50% samples overlap ~25%
+
+
+def test_stratified(keys):
+    out = S.stratified_hash_sample(
+        keys, "k", "s", {"0": 1.0, "1": 0.5, "2": 0.0}, default_fraction=0.1
+    )
+    cnt = {r["s"]: r["c"] for r in out.groupBy("s").agg(F.count("*").alias("c")).collect()}
+    assert cnt["0"] == N // 4  # keep-all stratum intact
+    assert "2" not in cnt  # dropped stratum empty
+    assert abs(cnt["1"] / (N // 4) - 0.5) < 0.05
+    assert abs(cnt["3"] / (N // 4) - 0.1) < 0.05  # default fraction
+
+
+def test_duckdb_twin(keys):
+    got = sorted(r["k"] for r in S.hash_sample(keys, "k", 0.25, seed="z").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE sk AS SELECT unnest(range({N})) AS k")
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT k FROM sk WHERE {S.sql_keep_predicate('k', 0.25, 'z')}"
+        ).fetchall()
+    )
+    assert got == oracle
+
+    got2 = sorted(
+        (r["k"], r["s"])
+        for r in S.stratified_hash_sample(
+            keys, "k", "s", {"0": 0.8, "1": 0.2}, 0.05, seed="w"
+        ).collect()
+    )
+    con.execute("CREATE TABLE sk2 AS SELECT k, CAST(k % 4 AS VARCHAR) AS s FROM sk")
+    pred = S.sql_stratified_predicate("k", "s", {"0": 0.8, "1": 0.2}, 0.05, seed="w")
+    oracle2 = sorted(
+        (r[0], r[1])
+        for r in con.execute(f"SELECT k, s FROM sk2 WHERE {pred}").fetchall()
+    )
+    assert got2 == oracle2
+
+
+def test_plan_is_scan_level_filter(keys):
+    """The sample is one Filter over the scan — no shuffle, no UDF."""
+    plan = S.hash_sample(keys, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
