@@ -1,0 +1,66 @@
+"""spark-submit entrypoint for the curation pipeline (operators/curate.py):
+
+  spark-submit --py-files dist/data_pipeline_spark.zip jobs/curate_job.py \
+      --input <parquet dir | lake table dir> --output <parquet dir> \
+      [--from-lake] [--no-gopher] [--no-minhash] [--no-pii] \
+      [--sample '{"en": 0.5, "de": 1.0}'] [--sample-default 0.1]
+
+Input columns: url, warc_ts, (lsn), text, lang. With --from-lake the input
+is an icelite lake table (the CDC replay's sink) and the latest snapshot is
+curated — changelog → replay → curate → training corpus, end to end.
+Prints one JSON line of per-stage counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--from-lake", action="store_true",
+                    help="input is a lake table dir; curate its latest snapshot")
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--no-minhash", action="store_true")
+    ap.add_argument("--no-pii", action="store_true")
+    ap.add_argument("--sample", default=None,
+                    help='JSON per-language fractions, e.g. {"en": 0.5}')
+    ap.add_argument("--sample-default", type=float, default=1.0)
+    ap.add_argument("--seed", default="curate")
+    args = ap.parse_args()
+
+    # Import AFTER spark-submit has put the --py-files zip on sys.path.
+    from pyspark.sql import SparkSession
+
+    from data_pipeline_spark.operators.curate import CurateConfig, curate
+
+    spark = SparkSession.builder.appName("curate").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.from_lake:
+        from data_pipeline_spark.lake.table import LakeTable
+
+        df = LakeTable.load(spark, args.input).read()
+    else:
+        df = spark.read.parquet(args.input)
+
+    cfg = CurateConfig(
+        lsn_col="lsn" if "lsn" in df.columns else None,
+        apply_gopher=not args.no_gopher,
+        mask_pii=not args.no_pii,
+        minhash=None if args.no_minhash else CurateConfig().minhash,
+        sample_fractions=json.loads(args.sample) if args.sample else None,
+        sample_default=args.sample_default,
+        seed=args.seed,
+    )
+    out, stats = curate(df, cfg)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"metric": "curate_stage_rows", **stats}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""End-to-end curation pipeline: every stage must do its one job on a
+corpus with planted url aliases, stale versions, junk, exact dups,
+near-dups, PII, and a language mix."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.curate import CurateConfig, curate
+
+# ~60 words, english-looking, passes the Gopher gate.
+GOOD = (
+    "This is an ordinary paragraph of english text that is long enough to "
+    "pass the word count rule and it keeps a healthy mix of short and long "
+    "words with the usual stopwords sprinkled in so that the filter is "
+    "happy about it as well. " * 2
+).strip()
+
+
+def _uniq(tag):
+    """100 page-unique non-repeating words: keeps cross-page Jaccard low
+    (~0.3, below the near-dup threshold) without tripping the repetition
+    caps, so only the PLANTED pairs are near-dups."""
+    return " ".join(f"w{tag}x{j}" for j in range(100))
+
+
+def _rows():
+    rows = []
+
+    def add(url, ts, text, lang="en", lsn=None):
+        rows.append((url, ts, rows.__len__() if lsn is None else lsn, text, lang))
+
+    # url aliases: three spellings of ONE page + a stale older version
+    page_a = GOOD + " " + _uniq("a")
+    add("https://a.com/page?b=2&a=1", 200, page_a + " current")
+    add("HTTPS://WWW.A.com:443/page?a=1&b=2&utm_source=x", 100, page_a + " stale")
+    add("https://a.com/page/?a=1&b=2#frag", 150, page_a + " also stale")
+    # junk: fails word count
+    add("https://b.com/short", 100, "too short")
+    # exact dup pair across different urls (normalized-identical text)
+    page_c = GOOD + " " + _uniq("c")
+    add("https://c.com/dup1", 100, page_c + " copy")
+    add("https://c.com/dup2", 100, page_c + "  copy")  # whitespace-normalized dup
+    # near-dup pair (one appended token → MinHash candidates)
+    page_d = GOOD + " " + _uniq("d")
+    add("https://d.com/near1", 100, page_d + " tail one")
+    add("https://d.com/near2", 100, page_d + " tail one extra")
+    # pii page
+    add("https://e.com/pii", 100,
+        GOOD + " " + _uniq("e") + " reach me at bob@example.com ok")
+    # language mix for sampling
+    for i in range(20):
+        add(f"https://f.com/de{i}", 100,
+            GOOD + " " + _uniq(f"de{i}") + f" german page {i}", "de")
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _rows(), "url string, warc_ts long, lsn long, text string, lang string"
+    )
+
+
+def test_full_pipeline(corpus):
+    out, stats = curate(corpus, CurateConfig())
+    rows = {r["url"]: r for r in out.collect()}
+
+    assert stats["input_rows"] == 29
+    # 3 alias spellings collapse to one canonical key
+    assert stats["after_url_lww"] == 27
+    assert "https://a.com/page?a=1&b=2" in rows
+    assert rows["https://a.com/page?a=1&b=2"]["text"].endswith("current")
+    # junk page dropped by the gate
+    assert stats["after_quality"] == 26
+    assert not any("b.com" in u for u in rows)
+    # exact dup collapses to the min url
+    assert stats["after_exact_dedup"] == 25
+    assert "https://c.com/dup1" in rows and "https://c.com/dup2" not in rows
+    # near-dup cluster keeps its canonical survivor
+    assert stats["after_neardup"] == 24
+    assert "https://d.com/near1" in rows and "https://d.com/near2" not in rows
+    # pii masked in the surviving text
+    assert "<EMAIL>" in rows["https://e.com/pii"]["text"]
+    assert "bob@example.com" not in rows["https://e.com/pii"]["text"]
+    assert stats["output_rows"] == 24 == len(rows)
+
+
+def test_deterministic_rerun(corpus):
+    out1, s1 = curate(corpus, CurateConfig())
+    out2, s2 = curate(corpus, CurateConfig())
+    assert s1 == s2
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_sampling_quota(corpus):
+    cfg = CurateConfig(
+        minhash=None, sample_fractions={"de": 0.0}, sample_default=1.0
+    )
+    out, stats = curate(corpus, cfg)
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}  # every de page sampled out, en quota untouched
+    assert stats["output_rows"] < stats["after_exact_dedup"]
+
+
+def test_stage_toggles(corpus):
+    cfg = CurateConfig(apply_gopher=False, mask_pii=False, minhash=None)
+    out, stats = curate(corpus, cfg)
+    # repetition caps still apply, but the short page passes now
+    assert any("b.com" in r["url"] for r in out.collect())
+    assert any("bob@example.com" in (r["text"] or "") for r in out.collect())
+    assert "after_neardup" not in stats
