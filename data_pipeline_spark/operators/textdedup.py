@@ -516,6 +516,41 @@ def simhash_pairs(
 # Embedding-cosine near-dup (small-scale / oracle path)
 # ---------------------------------------------------------------------------
 
+_NORM_EXPR = (
+    "sqrt(aggregate({v}, CAST(0 AS double), "
+    "(acc, x) -> acc + double(x) * double(x)))"
+)
+_DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+    "CAST(0 AS double), (acc, v) -> acc + v)"
+)
+
+
+def vec_norm(vec_name: str) -> Column:
+    """‖v‖ of a NAMED array column (SQL-parsed scalar fold). Compute it
+    once per vector BEFORE a join/crossJoin: norms are per-vector, and
+    hoisting them turns the per-pair work into a single dot fold."""
+    return F.expr(_NORM_EXPR.format(v=vec_name))
+
+
+def vec_dot(a_name: str, b_name: str) -> Column:
+    """Dot product of two NAMED array columns, left-to-right double
+    accumulation (same order as cosine_sim's fold)."""
+    return F.expr(_DOT_EXPR.format(a=a_name, b=b_name))
+
+
+def cosine_sim_expr(a_name: str, b_name: str) -> Column:
+    """cosine over NAMED columns: three SQL-parsed scalar folds. Sibling
+    folds are safe here because SQL-parsed lambdas bind their variables
+    correctly — the PySpark 4.1 mis-binding hits *python-lambda* siblings
+    only (see cosine_sim below). No struct allocation per element, so
+    prefer this (or hoisted vec_norm/vec_dot) on per-pair hot paths."""
+    dot = _DOT_EXPR.format(a=a_name, b=b_name)
+    na = _NORM_EXPR.format(v=a_name)
+    nb = _NORM_EXPR.format(v=b_name)
+    return F.expr(f"({dot}) / ({na} * {nb})")
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns, computed in
     double with deterministic left-to-right accumulation (zip_with +
@@ -553,12 +588,23 @@ def neardup_embedding_pairs(
     """All pairs with cosine ≥ threshold — exact O(n²) path, used as the
     verifier/oracle and for small partitions; the scale path buckets first
     (similarity.lsh_bucket_pairs) and verifies candidates with this metric."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Norms hoisted to the sides (n folds each) so the n² pair loop runs
+    # one scalar dot fold per pair, not a 3-component struct fold.
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        vec_norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        vec_norm(vec_col).alias("_nb"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(vec_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 4),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
