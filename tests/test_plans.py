@@ -112,3 +112,13 @@ def test_merge_stage_plan_has_partial_lww_and_no_collect(spark, tmp_path):
     assert "partial_max_by" in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_no_per_row_python_in_any_contract_query(spark, entry):
+    """Sweep EVERY driver-contract query: per-row Python (BatchEvalPython)
+    is banned across the whole surface — vectorized ArrowEvalPython is the
+    only allowed Python execution node. Catches a new operator slipping a
+    row-at-a-time UDF into the contract."""
+    for name, fn in entry.queries().items():
+        plan = _plan(spark, fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
