@@ -36,14 +36,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .textstats import STOPWORDS, _sql_in_list
+from .textstats import EDGE_WS_RE, STOPWORDS, WS_SPLIT_RE, _sql_in_list
 
 # ---------------------------------------------------------------------------
-# Shared constants (regexes are RAW — dialect quoting applied per engine)
+# Shared constants (regexes are RAW — dialect quoting applied per engine).
+# The tokenizer regexes come from textstats so quality metrics and
+# token_count/fingerprint share ONE token space.
 # ---------------------------------------------------------------------------
 
-WS_RE = r"\s+"
-NEWLINE_RE = r"\n"
+WS_RE = WS_SPLIT_RE
+NEWLINE_RE = r"\r?\n"  # CRLF corpora must not keep '\r' glued to lines
 BULLET_RE = r"^[-*•‣▪]"  # -, *, •, ‣, ▪
 ELLIPSIS_RE = r"(\.\.\.|…)$"  # ... or …
 ALPHA_RE = r"[A-Za-z]"
@@ -86,29 +88,39 @@ def _dq(regex: str) -> str:
 # side is wrapped in F.expr by the public API below.
 # ---------------------------------------------------------------------------
 
+def _edge_trim(expr: str, duck: bool) -> str:
+    """Strip ALL edge whitespace (SQL trim() is space-only — a leading
+    newline/tab would otherwise make phantom empty tokens/lines)."""
+    if duck:
+        return f"regexp_replace({expr}, {_dq(EDGE_WS_RE)}, '', 'g')"
+    return f"regexp_replace({expr}, {_sq(EDGE_WS_RE)}, '')"
+
+
 def _tokens(col: str, duck: bool) -> str:
-    """Whitespace tokens, empty text → empty array (textstats semantics)."""
+    """Whitespace tokens, empty text → empty array (textstats semantics —
+    same regex constants as textstats.tokens/sql_tokens)."""
+    t = _edge_trim(col, duck)
     if duck:
         return (
-            f"CASE WHEN length(trim({col})) = 0 THEN []::VARCHAR[] "
-            f"ELSE string_split_regex(trim({col}), {_dq(WS_RE)}) END"
+            f"CASE WHEN length({t}) = 0 THEN []::VARCHAR[] "
+            f"ELSE string_split_regex({t}, {_dq(WS_RE)}) END"
         )
     return (
-        f"CASE WHEN length(trim({col})) = 0 THEN CAST(array() AS array<string>) "
-        f"ELSE split(trim({col}), {_sq(WS_RE)}) END"
+        f"CASE WHEN length({t}) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE split({t}, {_sq(WS_RE)}) END"
     )
 
 
 def _lines(col: str, duck: bool) -> str:
-    """Non-empty trimmed lines."""
+    """Non-empty whitespace-trimmed lines (CRLF-safe)."""
     if duck:
         return (
             f"list_filter(list_transform(string_split_regex({col}, {_dq(NEWLINE_RE)}), "
-            f"x -> trim(x)), x -> x <> '')"
+            f"x -> {_edge_trim('x', duck)}), x -> x <> '')"
         )
     return (
-        f"filter(transform(split({col}, {_sq(NEWLINE_RE)}), x -> trim(x)), "
-        f"x -> x <> '')"
+        f"filter(transform(split({col}, {_sq(NEWLINE_RE)}), "
+        f"x -> {_edge_trim('x', duck)}), x -> x <> '')"
     )
 
 

@@ -45,6 +45,7 @@ STOPWORDS: tuple[str, ...] = (
 # engines' regex dialects (no lookarounds).
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 WS_SPLIT_RE = r"\s+"
+EDGE_WS_RE = r"^\s+|\s+$"  # SQL trim() is space-only; \n/\t edges need regex
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 DIGIT_RE = r"[0-9]"
 
@@ -54,8 +55,13 @@ DIGIT_RE = r"[0-9]"
 # ---------------------------------------------------------------------------
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of a text column (empty text → empty array)."""
-    t = F.trim(col)
+    """Whitespace tokens of a text column (empty text → empty array).
+
+    Edge whitespace is stripped with EDGE_WS_RE, not trim(): SQL trim is
+    SPACE-only in both engines, so a leading/trailing newline or tab would
+    otherwise yield phantom empty-string tokens that inflate word counts
+    and register as duplicate "words"."""
+    t = F.regexp_replace(col, EDGE_WS_RE, "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, WS_SPLIT_RE)
     )
@@ -178,9 +184,10 @@ def _sql_in_list(items: tuple[str, ...]) -> str:
 
 
 def sql_tokens(col: str) -> str:
+    t = f"regexp_replace({col}, '{EDGE_WS_RE}', '', 'g')"
     return (
-        f"CASE WHEN length(trim({col})) = 0 THEN []::VARCHAR[] "
-        f"ELSE string_split_regex(trim({col}), '{WS_SPLIT_RE}') END"
+        f"CASE WHEN length({t}) = 0 THEN []::VARCHAR[] "
+        f"ELSE string_split_regex({t}, '{WS_SPLIT_RE}') END"
     )
 
 

@@ -50,7 +50,8 @@ HOST_DOT_RE = r"\.$"
 WWW_RE = r"^www\."
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 TRAILING_SLASH_RE = r"/+$"
-QUERY_RE = r"\?([^#]*)"
+FRAGMENT_RE = r"#[\s\S]*$"  # [\s\S]: '.' skips newlines in both dialects
+QUERY_RE = r"\?([\s\S]*)"
 DOMAIN_RE = r"([^.]+\.[^.]+)$"
 
 TRACKING_PARAMS = (
@@ -121,7 +122,9 @@ def _path(col: str, duck: bool) -> str:
 
 
 def _query(col: str, duck: bool) -> str:
-    q = _rex(col, QUERY_RE, 1, duck)
+    # Strip the fragment FIRST: a '?' whose first occurrence is inside the
+    # fragment (SPA hash-routes like '#/route?tab=2') is not a query string.
+    q = _rex(_rrep(col, FRAGMENT_RE, "", duck), QUERY_RE, 1, duck)
     denylist = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
     if duck:
         params = (

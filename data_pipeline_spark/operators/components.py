@@ -80,9 +80,13 @@ def connected_components(
     labeled too. Returns ``(node_col, out_col)``.
     """
     node_col = node_col or nodes.columns[0]
+    # Checkpoint the INITIAL edge set too: round 1 references `e` several
+    # times per star step (sym = e ∪ swap(e), then group + join probe), so
+    # a lazy/expensive `pairs` plan (e.g. a MinHash-LSH candidate+verify
+    # pipeline) would otherwise be fully re-executed many times.
     e = _canonical(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     prev_sum = None
     for i in range(max_iterations):
         # localCheckpoint (eager), not persist: persist caches DATA but the

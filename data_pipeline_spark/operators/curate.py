@@ -44,6 +44,7 @@ from ..functions import weburl as WU
 from . import components as CC
 from . import sampling as SMP
 from . import textdedup as TD
+from .dedup import lww_dedup
 
 
 @dataclass
@@ -82,19 +83,11 @@ def curate(df: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, dict[str, int]]
     carried = [c for c in df.columns if c != u]
     base = df.select(WU.canonical_url(u).alias(u), *carried)
 
-    # 2. LWW per canonical url — same plan family as the CDC replay core
+    # 2. LWW per canonical url — the CDC replay core's operator (max_by
+    # partial agg), with the version count riding the same aggregation
     order = [cfg.ts_col] + ([cfg.lsn_col] if cfg.lsn_col else [])
-    payload = [c for c in base.columns if c != u]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload]),
-        F.struct(*[F.col(c) for c in order]),
-    ).alias("_w")
-    latest = (
-        base.groupBy(u)
-        .agg(winner, F.count("*").cast("long").alias("_versions"))
-    )
-    latest = latest.select(
-        u, *[F.col(f"_w.{c}").alias(c) for c in payload], "_versions"
+    latest = lww_dedup(
+        base, key_cols=(u,), order_cols=order, count_col="_versions"
     ).localCheckpoint(eager=True)
     stats["input_rows"] = int(
         latest.agg(F.sum("_versions")).collect()[0][0] or 0
@@ -123,11 +116,11 @@ def curate(df: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, dict[str, int]]
     deduped = TD.exact_dedup(kept, t, u).localCheckpoint(eager=True)
     stats["after_exact_dedup"] = deduped.count()
 
-    # 6. near-dup dedup: banded pairs → components → canonical survivors
+    # 6. near-dup dedup: banded pairs → components → canonical survivors.
+    # materialize=True: the component loop iterates actions, so the pair
+    # plan must be computed ONCE (checkpointed), not re-derived per round.
     if cfg.minhash is not None:
-        pairs = TD.minhash_lsh_pairs(
-            deduped, t, u, materialize=False, **cfg.minhash
-        )
+        pairs = TD.minhash_lsh_pairs(deduped, t, u, **cfg.minhash)
         comp = CC.connected_components(
             deduped.select(u), pairs, "id_a", "id_b", u
         )

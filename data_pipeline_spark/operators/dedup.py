@@ -34,21 +34,33 @@ def lww_dedup(
     df: DataFrame,
     key_cols: Sequence[str] = ("url",),
     order_cols: Sequence[str] = ("warc_ts", "lsn"),
+    count_col: str | None = None,
 ) -> DataFrame:
     """One row per key: the one with the greatest (order_cols) tuple.
 
     ``max_by`` over a struct gives lexicographic last-writer-wins with total
     tie-breaking (always include ``lsn`` last — equal ``warc_ts`` must not be
     ambiguous, SURVEY.md §7.4).
+
+    ``count_col``: optionally append a long column counting the versions
+    each winner superseded (rides the same single aggregation).
     """
     key_cols = list(key_cols)
     payload_cols = [c for c in df.columns if c not in key_cols]
-    winner = F.max_by(
-        F.struct(*[F.col(c) for c in payload_cols]),
-        F.struct(*[F.col(c) for c in order_cols]),
-    ).alias("_winner")
-    out = df.groupBy(*key_cols).agg(winner)
-    return out.select(*key_cols, *[F.col(f"_winner.{c}").alias(c) for c in payload_cols])
+    aggs = [
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            F.struct(*[F.col(c) for c in order_cols]),
+        ).alias("_winner")
+    ]
+    if count_col is not None:
+        aggs.append(F.count("*").cast("long").alias(count_col))
+    out = df.groupBy(*key_cols).agg(*aggs)
+    return out.select(
+        *key_cols,
+        *[F.col(f"_winner.{c}").alias(c) for c in payload_cols],
+        *([count_col] if count_col is not None else []),
+    )
 
 
 def lww_dedup_window(

@@ -35,11 +35,15 @@ HEX_SPACE = 16 ** 8  # first 8 md5 hex chars = 32 bits
 
 def threshold_hex(fraction: float) -> str:
     """Fraction of the keyspace → comparable threshold string."""
-    if fraction >= 1.0:
+    n = int(round(fraction * HEX_SPACE))
+    if n >= HEX_SPACE:
+        # includes fractions rounding UP to 1.0 (e.g. 1 - 1e-12): the
+        # 9-char '100000000' would compare lexicographically BELOW most
+        # 8-hex keys and silently keep ~6% instead of ~all
         return "g"  # > 'f...' for any hex string: keep everything
-    if fraction <= 0.0:
+    if n <= 0:
         return "00000000"
-    return format(int(round(fraction * HEX_SPACE)), "08x")
+    return format(n, "08x")
 
 
 def sample_bucket(key_col: str, seed: str) -> Column:
@@ -81,9 +85,18 @@ def stratified_hash_sample(
 # Dialect builders + DuckDB twins
 # ---------------------------------------------------------------------------
 
+def _slit(s: str, duck: bool) -> str:
+    """String value → quoted SQL literal (caller-supplied strata/seeds may
+    contain quotes; never interpolate them raw)."""
+    if duck:
+        return "'" + s.replace("'", "''") + "'"
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _bucket(key_col: str, seed: str, duck: bool) -> str:
     cast = "VARCHAR" if duck else "string"
-    return f"substring(md5(concat('{seed}:', CAST({key_col} AS {cast}))), 1, 8)"
+    seed_lit = _slit(f"{seed}:", duck)
+    return f"substring(md5(concat({seed_lit}, CAST({key_col} AS {cast}))), 1, 8)"
 
 
 def _predicate(key_col: str, fraction: float, seed: str, duck: bool) -> str:
@@ -99,7 +112,8 @@ def _stratified_predicate(
     duck: bool,
 ) -> str:
     whens = " ".join(
-        f"WHEN '{s}' THEN '{threshold_hex(f)}'" for s, f in fractions.items()
+        f"WHEN {_slit(s, duck)} THEN '{threshold_hex(f)}'"
+        for s, f in fractions.items()
     )
     case = (
         f"CASE {stratum_col} {whens} "

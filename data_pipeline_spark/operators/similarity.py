@@ -48,29 +48,25 @@ def topk_bruteforce(
     # side computes its ‖v‖ once per row (Q + N folds total) and the pair
     # score is a single scalar dot fold (vs a struct-accumulator fold of
     # (dot, na, nb) per pair — 3x the flops and a struct alloc per element,
-    # measured ~40% slower on the Q·N hot path). SQL-parsed lambdas by
-    # policy (PySpark 4.1 sibling python-lambda mis-binding).
-    norm = "sqrt(aggregate({v}, CAST(0 AS double), (a, x) -> a + double(x) * double(x)))"
+    # measured ~40% slower on the Q·N hot path).
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.expr(norm.format(v=vec_col)).alias("_nq"),
+            vec_norm(vec_col).alias("_nq"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.expr(norm.format(v=vec_col)).alias("_nc"),
+        vec_norm(vec_col).alias("_nc"),
     )
     scored = q.crossJoin(c)
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    dot = F.expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> double(x) * double(y)), "
-        "CAST(0 AS double), (a, v) -> a + v)"
+    scored = scored.withColumn(
+        "cos_sim", vec_dot("qv", "cv") / (F.col("_nq") * F.col("_nc"))
     )
-    scored = scored.withColumn("cos_sim", dot / (F.col("_nq") * F.col("_nc")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

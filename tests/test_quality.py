@@ -15,6 +15,7 @@ DOCS = [
     (3, "word"),
     (4, "x " * 60 + "the of and to in is it for on with"),
     (5, "Line one normal text here\nLine one normal text here\nunique tail"),
+    (7, "crlf dup...\r\ncrlf dup...\r\n\tindented\r\n"),  # CRLF + tab edges
     (6, "An ordinary paragraph of english text that is long enough to "
         "pass the word count rule " * 3 + "with the and of to in for on it as."),
 ]
@@ -37,10 +38,9 @@ def py_dup_frac(items):
 
 
 def py_tokens(text):
-    # Engine semantics: trim is SPACE-only in both Spark and DuckDB, so a
-    # trailing newline yields a trailing empty token. The twins agree with
-    # each other (that's the gate); this oracle mirrors them.
-    t = text.strip(" ")
+    # Engine semantics: ALL edge whitespace stripped (EDGE_WS_RE), then
+    # split on \s+ — no phantom empty tokens at text edges.
+    t = text.strip()
     return [] if t == "" else re.split(r"\s+", t)
 
 
@@ -60,7 +60,7 @@ def test_dup_fracs_match_python(qdf):
         ).collect()
     }
     for doc_id, text in DOCS:
-        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        lines = [ln.strip() for ln in re.split(r"\r?\n", text) if ln.strip()]
         assert rows[doc_id]["dl"] == py_dup_frac(lines), doc_id
         assert rows[doc_id]["d1"] == py_dup_frac(py_ngrams(text, 1)), doc_id
         assert rows[doc_id]["d3"] == py_dup_frac(py_ngrams(text, 3)), doc_id

@@ -21,6 +21,10 @@ def test_threshold_encoding():
     assert S.threshold_hex(1.0) == "g" and S.threshold_hex(2.0) == "g"
     assert S.threshold_hex(0.0) == "00000000" == S.threshold_hex(-1)
     assert S.threshold_hex(0.5) == "80000000"
+    # fractions rounding UP to 1.0 must clamp to keep-all, never emit the
+    # 9-char '100000000' (which compares BELOW most 8-hex keys)
+    assert S.threshold_hex(1 - 1e-12) == "g"
+    assert len(S.threshold_hex(1 - 1e-6)) == 8
     # 'g' > any 8-hex-char key; '00000000' admits nothing
     assert "ffffffff" < "g" and not ("00000000" < "00000000")
 

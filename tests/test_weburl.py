@@ -14,6 +14,7 @@ URLS = [
     (5, "https://sub.www.example.co.uk./p?a=1&a=0&"),
     (6, "  not a url at all "),
     (7, "http://example.com/#only-fragment"),
+    (8, "http://a.com/p#/route?tab=2"),  # '?' inside the fragment: no query
 ]
 
 TEXTS = [
@@ -45,6 +46,9 @@ def test_canonical_semantics(udf_):
     assert got[5] == "https://sub.www.example.co.uk/p?a=0&a=1"
     assert got[6] == "not a url at all"  # unparseable → trimmed passthrough
     assert got[7] == "http://example.com/"
+    # SPA hash-route: the first '?' lives inside the fragment and must NOT
+    # leak fragment content back in as a query string
+    assert got[8] == "http://a.com/p"
 
 
 def test_host_and_domain(udf_):
