@@ -24,6 +24,7 @@ from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
 from data_pipeline_spark.operators import sampling as SMP
+from data_pipeline_spark.operators import textprep as TP
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
 from data_pipeline_spark.operators import components as CC
 from data_pipeline_spark.operators import similarity as SIM
@@ -1032,6 +1033,32 @@ FROM piiq
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (64-token windows, 8-token overlap): the
+    pre-training slicing pass, a pure narrow map (no shuffle — pinned in
+    tests/test_textprep.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return TP.chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
+_SQL_CHUNKS = TP.sql_chunk_documents(
+    "SELECT doc_id, text FROM documents", "doc_id", "text",
+    chunk_tokens=64, overlap=8,
+)
+
+
+def q_doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms: corpus statistics via two keyed hash
+    aggs + one term-keyed join (vocabulary never broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    return TP.tfidf_keywords(d, "doc_id", "text", k=3)
+
+
+_SQL_TFIDF = TP.sql_tfidf_keywords(
+    "SELECT doc_id, text FROM documents", "doc_id", "text", k=3
+)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1544,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pii_mask": q_pii_mask,
         "stratified_sample": q_stratified_sample,
+        "doc_chunks": q_doc_chunks,
+        "doc_tfidf": q_doc_tfidf,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1599,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _SQL_URL_CANON,
         "pii_mask": _SQL_PII,
         "stratified_sample": _SQL_STRAT_SAMPLE,
+        "doc_chunks": _SQL_CHUNKS,
+        "doc_tfidf": _SQL_TFIDF,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _SQL_MINHASH,

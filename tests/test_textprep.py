@@ -1,0 +1,115 @@
+"""Token-window chunking + TF-IDF keywords: Python oracles, coverage
+properties, and DuckDB twin parity."""
+
+import math
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.textprep import (
+    chunk_documents,
+    sql_chunk_documents,
+    sql_tfidf_keywords,
+    tfidf_keywords,
+)
+
+DOCS = [
+    (0, " ".join(f"t{i}" for i in range(10))),
+    (1, "one two three"),
+    (2, ""),
+    (3, "   "),
+    (4, "single"),
+    (5, "the cat sat on the mat near the cat flap"),
+    (6, "rare unique specific terms here"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tp (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tp VALUES (?,?)", DOCS)
+    return con
+
+
+def test_chunking_semantics(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
+        for r in out.collect()
+    )
+    # doc 0: 10 tokens, window 4, step 3 → starts 1,4,7,10
+    d0 = [r for r in rows if r[0] == 0]
+    assert [r[1] for r in d0] == [0, 1, 2, 3]
+    assert d0[0][3] == "t0 t1 t2 t3"
+    assert d0[1][3] == "t3 t4 t5 t6"  # 1-token overlap
+    assert d0[3] == (0, 3, 1, "t9")  # short tail window
+    # every token covered, in order, with exactly `overlap` duplication
+    assert [r for r in rows if r[0] in (2, 3)] == []  # empty docs: no rows
+    assert [r for r in rows if r[0] == 4] == [(4, 0, 1, "single")]
+
+
+def test_chunking_no_overlap_partition(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap=0)
+    d0 = sorted(r["chunk"] for r in out.where(F.col("doc_id") == 0).collect())
+    joined = " ".join(
+        r["chunk"]
+        for r in out.where(F.col("doc_id") == 0).orderBy("chunk_id").collect()
+    )
+    assert joined == " ".join(f"t{i}" for i in range(10))  # exact partition
+    assert len(d0) == 4
+
+
+def test_chunking_rejects_bad_overlap(docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunking_duckdb_twin(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1)
+    got = sorted(tuple(r) for r in out.collect())
+    sql = sql_chunk_documents(
+        "SELECT * FROM tp", "doc_id", "text", chunk_tokens=4, overlap=1
+    )
+    oracle = sorted(tuple(r) for r in _duck().execute(sql).fetchall())
+    assert got == oracle
+
+
+def test_chunking_is_narrow(docs):
+    """Chunking must be a pure map over the scan — no shuffle."""
+    plan = chunk_documents(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_python_oracle(docs):
+    out = tfidf_keywords(docs, "doc_id", "text", k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # python reference
+    toks = {i: t.lower().split() for i, t in DOCS if t.split()}
+    n = len([i for i, _ in DOCS])  # countDistinct over ALL ids incl. empty
+    dfreq = {}
+    for ts in toks.values():
+        for term in set(ts):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    # doc 5: 'the' tf=3 but common; 'cat' tf=2
+    for doc_id in (5,):
+        scores = {}
+        for term in set(toks[doc_id]):
+            tf = toks[doc_id].count(term)
+            scores[term] = round(tf * (math.log((n + 1) / (dfreq[term] + 1)) + 1), 6)
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        got = [(rows[(doc_id, r + 1)]["term"], rows[(doc_id, r + 1)]["score"])
+               for r in range(2)]
+        assert got == best
+
+
+def test_tfidf_duckdb_twin(docs):
+    got = sorted(tuple(r) for r in tfidf_keywords(docs, "doc_id", "text", k=3).collect())
+    sql = sql_tfidf_keywords("SELECT * FROM tp", "doc_id", "text", k=3)
+    oracle = sorted(tuple(r) for r in _duck().execute(sql).fetchall())
+    assert got == oracle
