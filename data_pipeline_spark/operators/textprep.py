@@ -44,18 +44,21 @@ def chunk_documents(
     Output: (id_col, chunk_id, n_tokens, chunk) — one row per window,
     ``chunk`` is the window's tokens joined by single spaces (whitespace
     is normalized by construction). Empty documents yield no rows; the
-    final window may be shorter than ``chunk_tokens``. A window that
-    would start inside the previous one's tail only exists while there
-    are unseen tokens, so the last token always appears in exactly the
-    trailing window(s) implied by the step.
+    final window may be shorter than ``chunk_tokens`` but always
+    contributes at least one unseen token — starts stop at n - overlap,
+    so no window is ever a strict sub-window of its predecessor (a
+    degenerate trailing window would inject exact-duplicate training
+    content).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     t = tokens(F.col(text_col))
     base = df.select(id_col, t.alias("_t")).where(F.size("_t") > 0)
-    # starts = 1, 1+step, ... ≤ n (Spark sequence() is inclusive; n ≥ 1 here)
-    starts = F.expr(f"sequence(1, size(_t), {step})")
+    # starts = 1, 1+step, ... ≤ max(n - overlap, 1); Spark sequence() is
+    # inclusive and n ≥ 1 here. Coverage: the last start exceeds
+    # n - overlap - step = n - chunk_tokens, so its window reaches n.
+    starts = F.expr(f"sequence(1, greatest(size(_t) - {overlap}, 1), {step})")
     return (
         base.select(id_col, "_t", F.explode(starts).alias("_s"))
         .select(
@@ -77,12 +80,15 @@ def sql_chunk_documents(
     overlap: int = 0,
 ) -> str:
     """DuckDB twin (range() is end-exclusive; slice via list_slice)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     return f"""
 WITH chk_base AS (
   SELECT {id_col}, {sql_tokens(text_col)} AS t FROM ({input_sql})
 ), chk_starts AS (
-  SELECT {id_col}, t, unnest(range(1, len(t) + 1, {step})) AS s
+  SELECT {id_col}, t,
+         unnest(range(1, greatest(len(t) - {overlap}, 1) + 1, {step})) AS s
   FROM chk_base WHERE len(t) > 0
 )
 SELECT {id_col},
@@ -106,9 +112,11 @@ def tfidf_keywords(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    # df(term) over the tf relation: the explode output is aggregated once
+    # df(term) AND the doc count both derive from the tf relation — the
+    # explode output is aggregated once, no second scan of the source; N
+    # counts token-bearing docs, the same universe df(term) is drawn from.
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n_docs = df.select(
+    n_docs = tf.select(
         F.countDistinct(id_col).cast("double").alias("_n")
     )
     # tf ⋈ dfreq shuffles on term — the vocabulary of a web corpus is far
@@ -145,7 +153,7 @@ WITH tfk_terms AS (
 ), tfk_df AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfk_tf GROUP BY term
 ), tfk_n AS (
-  SELECT CAST(count(DISTINCT {id_col}) AS DOUBLE) AS n FROM ({input_sql})
+  SELECT CAST(count(DISTINCT {id_col}) AS DOUBLE) AS n FROM tfk_tf
 ), tfk_scored AS (
   SELECT t.{id_col}, t.term, t.tf,
          round(t.tf * (ln((n.n + 1) / (d.df + 1)) + 1), 6) AS score

@@ -43,12 +43,14 @@ def test_chunking_semantics(docs):
         (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk"])
         for r in out.collect()
     )
-    # doc 0: 10 tokens, window 4, step 3 → starts 1,4,7,10
+    # doc 0: 10 tokens, window 4, step 3, starts capped at n-overlap=9 →
+    # starts 1,4,7 — NO degenerate 4th window at 10 (it would re-emit only
+    # already-covered tokens)
     d0 = [r for r in rows if r[0] == 0]
-    assert [r[1] for r in d0] == [0, 1, 2, 3]
+    assert [r[1] for r in d0] == [0, 1, 2]
     assert d0[0][3] == "t0 t1 t2 t3"
     assert d0[1][3] == "t3 t4 t5 t6"  # 1-token overlap
-    assert d0[3] == (0, 3, 1, "t9")  # short tail window
+    assert d0[2] == (0, 2, 4, "t6 t7 t8 t9")  # tail window still reaches t9
     # every token covered, in order, with exactly `overlap` duplication
     assert [r for r in rows if r[0] in (2, 3)] == []  # empty docs: no rows
     assert [r for r in rows if r[0] == 4] == [(4, 0, 1, "single")]
@@ -91,7 +93,7 @@ def test_tfidf_python_oracle(docs):
     rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
     # python reference
     toks = {i: t.lower().split() for i, t in DOCS if t.split()}
-    n = len([i for i, _ in DOCS])  # countDistinct over ALL ids incl. empty
+    n = len(toks)  # N = token-bearing docs (same universe as df(term))
     dfreq = {}
     for ts in toks.values():
         for term in set(ts):
