@@ -1,0 +1,122 @@
+"""Incrementally-maintained rollups vs full recompute — including group
+moves, deletes, multi-epoch key churn, cursor noops, and rebuild."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.lake.incremental import IncrementalRollup
+from data_pipeline_spark.lake.table import LakeTable
+
+SCHEMA = "url string, warc_ts timestamp, grp string, val double"
+
+
+def _events(spark, rows):
+    """rows: (op, url, ts_offset_s, grp, val, lsn)"""
+    df = spark.createDataFrame(
+        [(op, u, g, float(v), int(l), int(ts)) for op, u, ts, g, v, l in rows],
+        "op string, url string, grp string, val double, lsn long, _ts long",
+    )
+    return df.select(
+        "op", "url",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("_ts"))).alias("warc_ts"),
+        "grp", "val", "lsn",
+    )
+
+
+def _recompute(table):
+    return {
+        r["grp"]: (r["n"], round(r["s"], 6))
+        for r in table.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+
+
+def _state(rollup):
+    return {
+        r["grp"]: (r["n_rows"], round(r["sum_val"], 6))
+        for r in rollup.read().collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    schema = spark.createDataFrame([], SCHEMA).schema
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_col="url", n_buckets=8
+    )
+
+
+def test_incremental_matches_recompute(spark, table, tmp_path):
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "abc"[i % 3], 10 + i, i) for i in range(12)
+        ]),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "roll")
+    )
+    r = roll.refresh()
+    assert r["mode"] == "full"
+    assert _state(roll) == _recompute(table)
+
+    # epoch 1: value update, GROUP MOVE, delete, fresh insert
+    table.merge(
+        _events(spark, [
+            ("update", "u0", 100, "a", 99.5, 100),   # value change, same grp
+            ("update", "u1", 101, "c", 11.0, 101),   # grp move b -> c
+            ("delete", "u2", 102, None, 0, 102),     # delete
+            ("insert", "u99", 103, "b", 7.25, 103),  # new key
+        ]),
+        epoch=1, mode="mor",
+    )
+    r2 = roll.refresh()
+    assert r2["mode"] == "incremental" and r2["changed_keys"] == 4
+    assert r2["buckets_scanned"] <= table.n_buckets
+    assert _state(roll) == _recompute(table)
+
+    # noop refresh: cursor already current
+    assert roll.refresh()["mode"] == "noop"
+    assert _state(roll) == _recompute(table)
+
+
+def test_multi_epoch_churn_single_refresh(spark, table, tmp_path):
+    table.merge(
+        _events(spark, [("insert", f"u{i}", i, "xy"[i % 2], i, i) for i in range(6)]),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(spark, table, ["grp"], ["val"], str(tmp_path / "r2"))
+    roll.refresh()
+    # the same key churns across TWO epochs before one refresh — only the
+    # final winner may contribute
+    table.merge(
+        _events(spark, [("update", "u0", 50, "y", 100.0, 50)]), epoch=1, mode="mor"
+    )
+    table.merge(
+        _events(spark, [("update", "u0", 60, "x", 200.0, 60),
+                        ("delete", "u3", 61, None, 0, 61)]),
+        epoch=2, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental" and r["changed_keys"] == 2
+    assert _state(roll) == _recompute(table)
+
+
+def test_rebuild_and_empty_group_pruned(spark, table, tmp_path):
+    table.merge(
+        _events(spark, [("insert", "only", 0, "solo", 5.0, 0)]), epoch=0, mode="mor"
+    )
+    roll = IncrementalRollup(spark, table, ["grp"], ["val"], str(tmp_path / "r3"))
+    roll.refresh()
+    table.merge(
+        _events(spark, [("delete", "only", 1, None, 0, 1)]), epoch=1, mode="mor"
+    )
+    roll.refresh()
+    assert _state(roll) == {} == _recompute(table)  # zero-count group dropped
+    # rebuild from scratch agrees
+    roll.refresh(rebuild=True)
+    assert _state(roll) == _recompute(table)
+    assert roll.cursor() == table.meta["current_snapshot_id"]
