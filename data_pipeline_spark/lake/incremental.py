@@ -7,13 +7,16 @@ columns, advancing a snapshot cursor over the base table's change stream
 
     delta(group) = Σ contributions(new winners) - Σ contributions(pre-images)
 
-The change stream carries post-images only (upsert/delete), so pre-images
-are fetched from the FROM snapshot via time travel — but only for the
-touched keys, read with **bucket pruning**: the changed keys' bucket set is
-computed with the table's own bucket expression and only those buckets of
-the old snapshot are scanned (cost ∝ touched buckets, not table size).
-Multiple changes to one key between refreshes collapse to the final
-(warc_ts, lsn) winner first, so a key contributes exactly once per refresh.
+The change stream only identifies WHICH keys were touched; both the pre-
+and post-image of every touched key are read from the table's own FROM/TO
+snapshots via time travel, so the table's scan-time LWW resolution is the
+single authority. (Trusting the change rows themselves would corrupt the
+rollup on LATE events: a change row older than the stored row loses LWW
+in the table but would "win" a changes-only dedup.) Both snapshot reads
+are **bucket-pruned**: the touched keys' bucket set is computed with the
+table's own bucket expression and only those buckets are scanned (cost ∝
+touched buckets, not table size); a key contributes exactly once per
+refresh regardless of how many epochs hit it.
 
 State is a small parquet relation (one row per group) committed atomically
 (tmp dir + rename, versioned meta JSON) with the base-table snapshot
@@ -45,8 +48,7 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.dedup import lww_dedup
-from .table import LakeTable
+from .table import LakeTable, _atomic_write
 
 
 class IncrementalRollup:
@@ -57,16 +59,12 @@ class IncrementalRollup:
         group_cols: list[str],
         sum_cols: list[str],
         state_dir: str,
-        order_cols: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.table = table
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.state_dir = state_dir
-        # default: the table's own LWW order (order_col, lsn) — the change
-        # stream exposes both
-        self.order_cols = tuple(order_cols or (table.order_col, "lsn"))
         os.makedirs(state_dir, exist_ok=True)
 
     # -- state I/O ---------------------------------------------------------
@@ -95,29 +93,39 @@ class IncrementalRollup:
         )
 
     def _commit(self, df: DataFrame, snapshot_id: int, version: int) -> None:
-        """Atomic: write data to a tmp dir, fsync-rename it in, then swap
-        meta.json (the cursor advances in the same commit as the data)."""
+        """Atomic: write data to a tmp dir, rename it in, then fsync-swap
+        meta.json (the cursor advances in the same commit as the data).
+        Readers only ever follow meta.json, so a crash at any point leaves
+        the previous state + cursor fully intact."""
+        # sweep debris from crashed commits FIRST: a state-vN that meta
+        # never pointed to (crash between rename and meta swap) would make
+        # os.rename fail with ENOTEMPTY forever; .tmp-* dirs would leak a
+        # state-sized copy per crash
+        cur = self._meta()
+        live = cur["data"] if cur else None
+        for fn in os.listdir(self.state_dir):
+            p = os.path.join(self.state_dir, fn)
+            if fn.startswith(".tmp-") or (
+                fn.startswith("state-v") and fn != live
+            ):
+                shutil.rmtree(p, ignore_errors=True)
         name = f"state-v{version}"
         tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".tmp-")
         df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
         final = os.path.join(self.state_dir, name)
         os.rename(os.path.join(tmp, "data"), final)
-        meta = {
-            "snapshot_id": snapshot_id,
-            "version": version,
-            "data": name,
-            "committed_at": time.time(),
-        }
-        tmp_meta = self._meta_path + ".tmp"
-        with open(tmp_meta, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp_meta, self._meta_path)
+        _atomic_write(  # write+flush+fsync+replace, same as table metadata
+            self._meta_path,
+            json.dumps({
+                "snapshot_id": snapshot_id,
+                "version": version,
+                "data": name,
+                "committed_at": time.time(),
+            }),
+        )
         shutil.rmtree(tmp, ignore_errors=True)
-        # previous state dir is garbage now; keep it one version for
-        # debugging, sweep older ones
-        for fn in os.listdir(self.state_dir):
-            if fn.startswith("state-v") and fn not in (name, f"state-v{version - 1}"):
-                shutil.rmtree(os.path.join(self.state_dir, fn), ignore_errors=True)
+        if live and live != name:
+            shutil.rmtree(os.path.join(self.state_dir, live), ignore_errors=True)
 
     # -- aggregation helpers ----------------------------------------------
 
@@ -165,29 +173,36 @@ class IncrementalRollup:
         Returns {mode, from, to, changed_keys?}. Full recompute when there
         is no state yet or ``rebuild=True``; incremental otherwise.
         """
-        to_snap = self.table.meta["current_snapshot_id"]
+        to_snap = self.table.meta["current_snapshot_id"] or 0
         m = self._meta()
         if m is None or rebuild:
-            state = self._contrib(self.table.read(snapshot_id=to_snap), +1)
-            self._commit(state, to_snap or 0, (m["version"] + 1) if m else 1)
+            state = self._contrib(
+                self.table.read(snapshot_id=to_snap or None), +1
+            )
+            self._commit(state, to_snap, (m["version"] + 1) if m else 1)
             return {"mode": "full", "from": None, "to": to_snap}
-        from_snap = m["snapshot_id"]
+        from_snap = m["snapshot_id"] or 0
         if from_snap == to_snap:
             return {"mode": "noop", "from": from_snap, "to": to_snap}
 
         key = self.table.key_col
         changes = self.table.read_changes(from_snap or None, to_snap)
-        # Final outcome per touched key (several epochs may have hit it).
-        final = lww_dedup(
-            changes, key_cols=(key,), order_cols=self.order_cols
-        ).localCheckpoint(eager=True)
-        n_changed = final.count()
-        # Pre-images: old snapshot, ONLY the touched keys' buckets.
-        buckets = self._touched_buckets(final.select(key))
-        old = self.table.read(snapshot_id=from_snap, buckets=buckets).join(
-            final.select(key), key, "left_semi"
+        # Touched-key set (several epochs may have hit one key).
+        touched = changes.select(key).distinct().localCheckpoint(eager=True)
+        n_changed = touched.count()
+        buckets = self._touched_buckets(touched)
+        # PRE- and POST-images both come from the TABLE's own snapshots
+        # (bucket-pruned to the touched keys): the table's scan-time LWW is
+        # the authority. Trusting the change stream's own winner would be
+        # wrong for LATE events — a change row older than the stored row
+        # loses LWW in the table but would "win" a changes-only dedup,
+        # corrupting the rollup (pre == post for such keys must net zero).
+        old = self.table.read(snapshot_id=from_snap or None, buckets=buckets).join(
+            touched, key, "left_semi"
         )
-        new = final.where(F.col("op") != "delete").drop("op")
+        new = self.table.read(snapshot_id=to_snap, buckets=buckets).join(
+            touched, key, "left_semi"
+        )
         delta = self._merge_deltas(
             [self._contrib(new, +1), self._contrib(old, -1)]
         )

@@ -146,7 +146,12 @@ def sql_connected_components(
 ) -> str:
     """DuckDB twin: recursive-CTE transitive closure + MIN per node.
     O(n·cluster) closure rows — the oracle path, correct at test scale;
-    the Spark operator is the scale path."""
+    the Spark operator is the scale path.
+
+    Matches the operator's exact semantics when pairs reference ids absent
+    from ``nodes``: the closure runs over nodes ∪ pair endpoints (so a
+    pair-only id can still be a cluster's min LABEL), but the OUTPUT is
+    restricted to the nodes relation."""
     return f"""
 WITH RECURSIVE cc_nodes AS (
   SELECT DISTINCT {node_col} AS n FROM ({nodes_sql})
@@ -154,10 +159,13 @@ WITH RECURSIVE cc_nodes AS (
   SELECT {src_col} AS s, {dst_col} AS d FROM ({pairs_sql}) WHERE {src_col} <> {dst_col}
   UNION
   SELECT {dst_col} AS s, {src_col} AS d FROM ({pairs_sql}) WHERE {src_col} <> {dst_col}
+), cc_all AS (
+  SELECT n FROM cc_nodes UNION SELECT s AS n FROM cc_edges
 ), cc_reach(n, r) AS (
-  SELECT n, n FROM cc_nodes
+  SELECT n, n FROM cc_all
   UNION
   SELECT e.d, cc_reach.r FROM cc_reach JOIN cc_edges e ON e.s = cc_reach.n
 )
-SELECT n AS {node_col}, MIN(r) AS {out_col} FROM cc_reach GROUP BY n
+SELECT n AS {node_col}, MIN(r) AS {out_col} FROM cc_reach
+WHERE n IN (SELECT n FROM cc_nodes) GROUP BY n
 """

@@ -94,3 +94,24 @@ def test_sql_twin_matches_spark(spark):
     )
     oracle = {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
     assert got == oracle == union_find(n, edges)
+
+
+def test_pair_only_node_labels_and_output(spark):
+    """Pairs may reference ids absent from `nodes` (e.g. a filtered doc in
+    a stale candidate pair): output is restricted to `nodes`, but a
+    pair-only id still participates in labeling (it can be the min)."""
+    import duckdb
+
+    nodes = spark.createDataFrame([(5,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([(5, 2), (2, 7)], "id_a long, id_b long")
+    out = connected_components(nodes, pairs, "id_a", "id_b", "doc_id")
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == {5: 2, 7: 2}  # label is the pair-only min; no row for 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE n AS SELECT unnest([5, 7]) AS doc_id")
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", [(5, 2), (2, 7)])
+    sql = sql_connected_components(
+        "SELECT doc_id FROM n", "SELECT * FROM p", "id_a", "id_b", "doc_id"
+    )
+    assert {int(a): int(b) for a, b in con.execute(sql).fetchall()} == got

@@ -120,3 +120,51 @@ def test_rebuild_and_empty_group_pruned(spark, table, tmp_path):
     roll.refresh(rebuild=True)
     assert _state(roll) == _recompute(table)
     assert roll.cursor() == table.meta["current_snapshot_id"]
+
+
+def test_late_out_of_order_event_nets_zero(spark, table, tmp_path):
+    """A late event that LOSES LWW to the stored row must not move the
+    rollup: pre/post-images come from the table's snapshots, never from a
+    changes-only dedup."""
+    table.merge(
+        _events(spark, [("insert", "k", 100, "g", 10.0, 100)]), epoch=0, mode="mor"
+    )
+    roll = IncrementalRollup(spark, table, ["grp"], ["val"], str(tmp_path / "r4"))
+    roll.refresh()
+    # warc_ts=50 < stored 100: the table keeps val=10 at scan time
+    table.merge(
+        _events(spark, [("update", "k", 50, "g", 99.0, 101)]), epoch=1, mode="mor"
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental" and r["changed_keys"] == 1
+    assert _state(roll) == _recompute(table) == {"g": (1, 10.0)}
+    # a late DELETE older than the stored row must also be a no-op
+    table.merge(
+        _events(spark, [("delete", "k", 40, None, 0, 102)]), epoch=2, mode="mor"
+    )
+    roll.refresh()
+    assert _state(roll) == _recompute(table) == {"g": (1, 10.0)}
+
+
+def test_commit_survives_orphan_state_dir(spark, table, tmp_path):
+    """Debris from a crash between data rename and meta swap (an unreferenced
+    state-vN dir) must not wedge subsequent commits."""
+    import os
+
+    table.merge(
+        _events(spark, [("insert", "a", 0, "g", 1.0, 0)]), epoch=0, mode="mor"
+    )
+    roll = IncrementalRollup(spark, table, ["grp"], ["val"], str(tmp_path / "r5"))
+    roll.refresh()
+    # simulate the crash artifact: the NEXT version's dir already exists
+    orphan = str(tmp_path / "r5" / "state-v2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
+    (tmp_path / "r5" / ".tmp-dead").mkdir()
+    table.merge(
+        _events(spark, [("insert", "b", 1, "g", 2.0, 1)]), epoch=1, mode="mor"
+    )
+    roll.refresh()  # must not ENOTEMPTY
+    assert _state(roll) == _recompute(table)
+    assert not (tmp_path / "r5" / ".tmp-dead").exists()
