@@ -81,3 +81,50 @@ def test_spark_submit_batch_and_streaming(submit_env, tmp_path):
         cwd=str(tmp_path),
     )
     assert res2["epochs_applied"] >= 1 and res2["rows_merged"] > 0
+
+
+def test_spark_submit_curate_job(submit_env, tmp_path, spark):
+    """The curation pipeline ships the same way: zip-only import, plain
+    parquet in/out, one JSON stats line."""
+    import pyspark.sql.functions as F
+
+    work, _, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    src = str(work / "curate_in")
+    body = " ".join(f"w{{}}x{i}" for i in range(80))
+    docs = spark.range(40).select(
+        F.concat(F.lit("https://WWW.Site"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p/"), F.col("id").cast("string"),
+                 F.lit("?utm_source=x&a=1")).alias("url"),
+        F.col("id").alias("warc_ts"),
+        F.col("id").alias("lsn"),
+        F.concat(
+            F.lit("This is an ordinary paragraph of english text that is "
+                  "long enough to pass the word count rule with the usual "
+                  "stopwords in it as well and then some unique words "),
+            F.expr(f"replace('{body}', '{{}}', cast(id as string))"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    docs.write.mode("overwrite").parquet(src)
+    out_dir = str(work / "curate_out")
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "curate_job.py"),
+            "--input", src, "--output", out_dir, "--no-minhash",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["metric"] == "curate_stage_rows"
+    assert stats["input_rows"] == 40 and stats["output_rows"] > 0
+    assert os.path.isdir(out_dir)
