@@ -1033,6 +1033,33 @@ FROM piiq
 """
 
 
+# Multi-line docs synthesized deterministically (the documents table is
+# single-line): a corpus-wide footer, a body line shared by doc_id % 5
+# class, and a unique opening — the C4 line-dedup shape.
+_MULTILINE_SPARK = (
+    "concat('opening ', CAST(doc_id AS string), chr(10), "
+    "'(c) example footer line', chr(10), "
+    "'shared body ', CAST(doc_id % 5 AS string), chr(10), "
+    "substring(text, 1, 60))"
+)
+_MULTILINE_DUCK = _MULTILINE_SPARK.replace("AS string", "AS VARCHAR")
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup: every line keeps only its first
+    (doc_id, line index) occurrence; docs reassembled in order."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MULTILINE_SPARK).alias("text")
+    )
+    return TD.line_dedup(d, "doc_id", "text")
+
+
+_SQL_LINE_DEDUP = TD.sql_line_dedup(
+    f"SELECT doc_id, {_MULTILINE_DUCK} AS text FROM documents",
+    "doc_id", "text",
+)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (64-token windows, 8-token overlap): the
     pre-training slicing pass, a pure narrow map (no shuffle — pinned in
@@ -1573,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
         "doc_tfidf": q_doc_tfidf,
+        "dedup_lines": q_dedup_lines,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1630,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRAT_SAMPLE,
         "doc_chunks": _SQL_CHUNKS,
         "doc_tfidf": _SQL_TFIDF,
+        "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _SQL_MINHASH,

@@ -32,7 +32,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.textstats import fingerprint, sql_fingerprint, sql_tokens, tokens
+from ..functions.textstats import (
+    fingerprint,
+    normalized_text,
+    sql_fingerprint,
+    sql_tokens,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -608,3 +614,83 @@ def neardup_embedding_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style exact line dedup across the WHOLE corpus: every line keeps
+    only its first occurrence (ordered by (doc id, line index)); later
+    occurrences — boilerplate footers, navigation, repeated paragraphs —
+    are removed from their documents, which are then reassembled in
+    original line order (empty/whitespace-only lines are dropped as part
+    of normalization). A document whose every line was seen before comes
+    back with empty text (callers typically length-filter afterwards).
+
+    Scale shape: posexplode lines → first-occurrence = min(struct(id,idx))
+    per line fingerprint (ONE map-side-combinable hash agg — a footer on
+    10^9 pages collapses to one row per partition before the shuffle) →
+    fingerprint-keyed join marks keepers (AQE skew-join splits the hot
+    fingerprints' probe side) → per-doc ordered reassembly. The DuckDB
+    twin (:func:`sql_line_dedup`) expresses the same thing with a window.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("_idx", "_line"),
+        )
+        .select("_id", "_idx", F.trim("_line").alias("_line"))
+        .where(F.col("_line") != "")
+        .withColumn("_fp", F.md5(normalized_text(F.col("_line"))))
+    )
+    first = lines.groupBy("_fp").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_idx").alias("x"))).alias("_m")
+    )
+    kept = (
+        lines.join(first, "_fp")
+        .where((F.col("_id") == F.col("_m.i")) & (F.col("_idx") == F.col("_m.x")))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(_idx, _line))), "
+            "s -> s._line), '\n')"
+        ).alias("_text")
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(rebuilt.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(id_col, F.coalesce(F.col("_text"), F.lit("")).alias(text_col))
+    )
+
+
+def sql_line_dedup(input_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin: 0-based line index via range() (matches posexplode),
+    first occurrence via a window, ordered string_agg reassembly."""
+    norm = "lower(trim(regexp_replace(_line, '\\s+', ' ', 'g')))"
+    return f"""
+WITH ld_docs AS (
+  SELECT {id_col}, string_split_regex({text_col}, '\\r?\\n') AS _ls
+  FROM ({input_sql})
+), ld_idx AS (
+  SELECT {id_col}, _ls, unnest(range(0, len(_ls))) AS _idx FROM ld_docs
+), ld_lines AS (
+  SELECT {id_col}, _idx, trim(_ls[_idx + 1]) AS _line FROM ld_idx
+), ld_fp AS (
+  SELECT {id_col}, _idx, _line, md5({norm}) AS _fp
+  FROM ld_lines WHERE _line <> ''
+), ld_kept AS (
+  SELECT {id_col}, _idx, _line FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY _fp ORDER BY {id_col}, _idx) AS _rn
+    FROM ld_fp) WHERE _rn = 1
+), ld_rebuilt AS (
+  SELECT {id_col}, string_agg(_line, chr(10) ORDER BY _idx) AS _text
+  FROM ld_kept GROUP BY {id_col}
+)
+SELECT d.{id_col}, coalesce(r._text, '') AS {text_col}
+FROM (SELECT DISTINCT {id_col} FROM ({input_sql})) d
+LEFT JOIN ld_rebuilt r USING ({id_col})
+"""

@@ -206,3 +206,35 @@ def test_minhash_signature_matches_python(spark):
             .collect()[0]["g"]
         )
         assert got == expected
+
+
+def test_line_dedup(spark):
+    """C4-style corpus-wide line dedup: first (doc, idx) occurrence wins,
+    fingerprint is case/whitespace-insensitive, docs reassemble in order,
+    fully-deduped docs come back empty; DuckDB twin agrees."""
+    import duckdb
+
+    from data_pipeline_spark.operators.textdedup import line_dedup, sql_line_dedup
+
+    rows = [
+        (0, "unique opening zero\n(c) common footer\nbody class a"),
+        (1, "unique opening one\n(c) common footer\nbody class b"),
+        (2, "unique opening two\n(c) COMMON   footer\nbody class a\n\n  "),
+        (3, "(c) common footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[0] == "unique opening zero\n(c) common footer\nbody class a"
+    assert out[1] == "unique opening one\nbody class b"
+    assert out[2] == "unique opening two"  # case/ws-insensitive fingerprint
+    assert out[3] == ""  # every line seen before → empty doc survives as row
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ldd (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO ldd VALUES (?,?)", rows)
+    orc = {
+        r[0]: r[1]
+        for r in con.execute(
+            sql_line_dedup("SELECT * FROM ldd", "doc_id", "text")
+        ).fetchall()
+    }
+    assert out == orc
