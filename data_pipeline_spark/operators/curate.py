@@ -54,6 +54,9 @@ class CurateConfig:
     lsn_col: str | None = "lsn"  # None → ties broken by ts alone
     text_col: str = "text"
     lang_col: str = "lang"
+    # corpus-wide line dedup (C4 order: boilerplate lines removed BEFORE
+    # the quality gate judges the text)
+    line_dedup: bool = False
     # quality gate
     apply_gopher: bool = True
     max_dup_line_frac: float = 0.30
@@ -94,6 +97,19 @@ def curate(df: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, dict[str, int]]
     )
     latest = latest.drop("_versions")
     stats["after_url_lww"] = latest.count()  # metadata count: checkpointed
+
+    # 2.5 corpus-wide line dedup (optional; C4 removes boilerplate lines
+    # before judging quality, so a page that is MOSTLY footer fails the
+    # word-count rule on its own content)
+    if cfg.line_dedup:
+        carried = [c for c in latest.columns if c not in (u, t)]
+        deduped_text = TD.line_dedup(latest, u, t)
+        latest = (
+            latest.select(u, *carried)
+            .join(deduped_text, u)
+            .localCheckpoint(eager=True)
+        )
+        stats["after_line_dedup"] = latest.count()
 
     # 3. quality gate (row-local, before any dedup shuffle)
     pred = (

@@ -2,7 +2,7 @@
 
   spark-submit --py-files dist/data_pipeline_spark.zip jobs/curate_job.py \
       --input <parquet dir | lake table dir> --output <parquet dir> \
-      [--from-lake] [--no-gopher] [--no-minhash] [--no-pii] \
+      [--from-lake] [--line-dedup] [--no-gopher] [--no-minhash] [--no-pii] \
       [--sample '{"en": 0.5, "de": 1.0}'] [--sample-default 0.1]
 
 Input columns: url, warc_ts, (lsn), text, lang. With --from-lake the input
@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--from-lake", action="store_true",
                     help="input is a lake table dir; curate its latest snapshot")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="C4-style corpus-wide line dedup before the quality gate")
     ap.add_argument("--no-gopher", action="store_true")
     ap.add_argument("--no-minhash", action="store_true")
     ap.add_argument("--no-pii", action="store_true")
@@ -49,6 +51,7 @@ def main() -> None:
 
     cfg = CurateConfig(
         lsn_col="lsn" if "lsn" in df.columns else None,
+        line_dedup=args.line_dedup,
         apply_gopher=not args.no_gopher,
         mask_pii=not args.no_pii,
         minhash=None if args.no_minhash else CurateConfig().minhash,

@@ -109,3 +109,30 @@ def test_stage_toggles(corpus):
     assert any("b.com" in r["url"] for r in out.collect())
     assert any("bob@example.com" in (r["text"] or "") for r in out.collect())
     assert "after_neardup" not in stats
+
+
+def test_line_dedup_stage(spark):
+    """Optional C4 line-dedup stage: boilerplate lines removed corpus-wide
+    BEFORE the quality gate, so a mostly-footer page fails on its own
+    content."""
+    from data_pipeline_spark.operators.curate import CurateConfig, curate
+
+    footer = "subscribe to our newsletter for daily deals and offers"
+    rows = [
+        ("https://a.com/1", 1, 1, GOOD + " " + _uniq("l1") + "\n" + footer, "en"),
+        ("https://a.com/2", 1, 2, GOOD + " " + _uniq("l2") + "\n" + footer, "en"),
+        # footer-only page: after line dedup its own content is empty
+        ("https://a.com/3", 1, 3, footer, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    out, stats = curate(
+        df, CurateConfig(line_dedup=True, minhash=None, mask_pii=False)
+    )
+    urls = {r["url"] for r in out.collect()}
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    assert stats["after_line_dedup"] == 3
+    assert urls == {"https://a.com/1", "https://a.com/2"}
+    assert footer in texts["https://a.com/1"]  # first occurrence kept
+    assert footer not in texts["https://a.com/2"]
