@@ -197,7 +197,11 @@ class IncrementalRollup:
         # wrong for LATE events — a change row older than the stored row
         # loses LWW in the table but would "win" a changes-only dedup,
         # corrupting the rollup (pre == post for such keys must net zero).
-        old = self.table.read(snapshot_id=from_snap or None, buckets=buckets).join(
+        # NOTE: from_snap stays 0 here (NOT mapped to None): snapshot 0
+        # never exists, so read() yields the empty relation — None would
+        # mean "current snapshot" and make every pre-image equal its
+        # post-image, zeroing the whole delta.
+        old = self.table.read(snapshot_id=from_snap, buckets=buckets).join(
             touched, key, "left_semi"
         )
         new = self.table.read(snapshot_id=to_snap, buckets=buckets).join(

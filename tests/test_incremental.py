@@ -168,3 +168,20 @@ def test_commit_survives_orphan_state_dir(spark, table, tmp_path):
     roll.refresh()  # must not ENOTEMPTY
     assert _state(roll) == _recompute(table)
     assert not (tmp_path / "r5" / ".tmp-dead").exists()
+
+
+def test_bootstrap_on_empty_table_then_data(spark, table, tmp_path):
+    """Cursor committed against an EMPTY table (snapshot 0): the next
+    refresh must treat pre-images as empty — not read them from the
+    current snapshot (which would zero the delta forever)."""
+    roll = IncrementalRollup(spark, table, ["grp"], ["val"], str(tmp_path / "r6"))
+    assert roll.refresh()["mode"] == "full"
+    assert roll.refresh()["mode"] == "noop"  # empty → empty is a noop
+    table.merge(
+        _events(spark, [("insert", "a", 0, "g", 3.0, 0),
+                        ("insert", "b", 1, "h", 4.0, 1)]),
+        epoch=0, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental"
+    assert _state(roll) == _recompute(table) == {"g": (1, 3.0), "h": (1, 4.0)}
