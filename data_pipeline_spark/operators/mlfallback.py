@@ -49,10 +49,14 @@ def train_fallback_model(labeled: DataFrame, num_trees: int = 20, seed: int = 42
     """
     from pyspark.ml.classification import RandomForestClassifier
 
+    from .mlutil import strip_training_summary
+
     rf = RandomForestClassifier(
         featuresCol="_fv", labelCol="label", numTrees=num_trees, seed=seed
     )
-    return rf.fit(_with_vector(labeled))
+    # Summary stripped so transform task closures never serialize the
+    # SparkSession the summary pins (see mlutil docstring).
+    return strip_training_summary(rf.fit(_with_vector(labeled)))
 
 
 def predict_product_candidates(model, candidates: DataFrame) -> DataFrame:

@@ -366,8 +366,12 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from .mlutil import strip_training_summary
+
     ml = base.withColumn("_fv", array_to_vector("v"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(ml)
+    # Summary stripped so the assignment transform's task closures never
+    # serialize the SparkSession the summary pins (see mlutil docstring).
+    model = strip_training_summary(KMeans(k=n_lists, seed=seed, featuresCol="_fv").fit(ml))
     assigned = model.transform(ml).select(
         "id", "v", F.col("prediction").cast("int").alias("list_id")
     )

@@ -116,3 +116,35 @@ def test_fallback_trigger_recovers_rule_missed_products(spark):
     # model=None degrades to rules-only (the reference ships it disabled).
     rules_only = extract_products_with_fallback(miss.unionByName(hits), None)
     assert {r["method"] for r in rules_only.collect()} == {"rules"}
+
+
+def test_transform_survives_observation_manager_init(spark):
+    """Order-dependence regression: LakeTable.merge (any observe-
+    instrumented commit) initializes the session's lazy JVM
+    ObservationManager, which is not java-Serializable. A fitted model
+    whose trainingSummary still pins the SparkSession then fails EVERY
+    transform with `Task not serializable`. train_fallback_model strips
+    the summary, so scoring must work in such a session."""
+    js = spark._jsparkSession
+    try:
+        # Force-init the lazy field exactly as an observed commit does
+        # (private[sql] in Scala => public in bytecode, callable via py4j).
+        js.observationManager()
+    except Exception:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        spark.range(2).observe(obs, F.count(F.lit(1)).alias("n")).count()
+        obs.get
+    fld = js.getClass().getDeclaredField("observationManager")
+    fld.setAccessible(True)
+    assert fld.get(js) is not None, "poisoning precondition not established"
+
+    cands = candidate_features(_pages(spark, 8))
+    labeled = cands.withColumn(
+        "label",
+        ((F.col("features")[4] == 1.0) & (F.col("features")[14] == 1.0)).cast("double"),
+    )
+    model = train_fallback_model(labeled, num_trees=5)
+    assert not model.hasSummary  # the strip is what makes the next line safe
+    assert predict_product_candidates(model, labeled.drop("label")).count() == 8
