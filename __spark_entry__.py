@@ -721,7 +721,9 @@ def q_json_envelope_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('"}'),
     )
     payload = (
-        F.when(k % 5 == 0, F.concat(F.lit("["), a, F.lit(","), b, F.lit("]")))
+        # Leading whitespace (newline + tab) pins the whitespace-tolerant
+        # root-array probe: real APIs pretty-print / prefix newlines.
+        F.when(k % 5 == 0, F.concat(F.lit("\n\t ["), a, F.lit(","), b, F.lit("]")))
         .when(
             k % 5 == 1,
             F.concat(
@@ -1328,7 +1330,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = e.where(F.col("vec_id") % 100 == 0)
-    centroids, assigned = ivf_index(e, n_lists=8, seed=42, quantizer="fixed")
+    # dim passed explicitly: no one-row probe job before the index build
+    centroids, assigned = ivf_index(e, n_lists=8, seed=42, quantizer="fixed", dim=64)
     return ivf_topk(centroids, assigned, queries, k=5, nprobe=3)
 
 

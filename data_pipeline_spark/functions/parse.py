@@ -326,7 +326,7 @@ def extract_envelope_products(
         )
         chosen = F.expr(
             f"""CASE
-  WHEN startswith(ltrim({payload_col}), '[') THEN
+  WHEN {payload_col} RLIKE '^\\\\s*\\\\[' THEN
     {wrap.format(arr='coalesce(_root, array())')}
   WHEN _env.data IS NOT NULL THEN
     {wrap.format(arr="flatten(transform(_env.data, xd -> coalesce(xd.l2_products, xd.krave_mart_products, array())))")}

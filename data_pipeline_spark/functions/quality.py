@@ -97,14 +97,16 @@ def _edge_trim(expr: str, duck: bool) -> str:
 
 
 def _tokens(col: str, duck: bool) -> str:
-    """Whitespace tokens, empty text → empty array (textstats semantics —
-    same regex constants as textstats.tokens/sql_tokens)."""
-    t = _edge_trim(col, duck)
+    """Whitespace tokens, empty text → empty array (textstats semantics).
+
+    The duck branch IS textstats.sql_tokens — one construction, not a
+    hand-synced copy, so the quality twins and the textstats twins can
+    never fork the shared token space."""
     if duck:
-        return (
-            f"CASE WHEN length({t}) = 0 THEN []::VARCHAR[] "
-            f"ELSE string_split_regex({t}, {_dq(WS_RE)}) END"
-        )
+        from .textstats import sql_tokens
+
+        return sql_tokens(col)
+    t = _edge_trim(col, duck)
     return (
         f"CASE WHEN length({t}) = 0 THEN CAST(array() AS array<string>) "
         f"ELSE split({t}, {_sq(WS_RE)}) END"

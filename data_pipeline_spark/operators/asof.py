@@ -143,6 +143,12 @@ def range_join(
     """
     w_us = bucket_seconds * 1_000_000
     p = points.withColumn("_pb", F.floor(_micros(F.col(point_ts)) / F.lit(w_us)))
+    # Inverted ranges (end < start — null-ish/corrupt timestamps) can match
+    # no point, but F.sequence would "helpfully" step BACKWARDS through the
+    # grid and materialize the whole inverted span as one per-row array
+    # (epoch-0 end against a 2026 start is ~29M elements at 60 s buckets) —
+    # an executor OOM from a single bad row. Drop them before the explode.
+    ranges = ranges.where(F.col(end_ts) >= F.col(start_ts))
     r = ranges.withColumn(
         "_pb",
         F.explode(

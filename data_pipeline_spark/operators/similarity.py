@@ -337,6 +337,7 @@ def ivf_index(
     n_lists: int = 16,
     seed: int = 42,
     quantizer: str = "kmeans",
+    dim: int | None = None,
 ):
     """Coarse quantizer + inverted lists (the IVF in IVF-Flat).
 
@@ -356,7 +357,10 @@ def ivf_index(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if quantizer == "fixed":
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            # One-row probe job — pass ``dim`` to keep the index build
+            # zero-jobs-before-the-scan (callers know their embedding dim).
+            dim = len(df.select(vec_col).first()[0])
         cents = fixed_centroids(dim, n_lists, seed)
         centroids = spark.createDataFrame(
             list(enumerate(cents)), "list_id int, centroid array<double>"

@@ -160,35 +160,35 @@ def build_request(spec: FetchSpec, category: str, page: int | None) -> dict:
 
 
 def _walk_path(data, path: str) -> list:
-    """data_path walker (unified_fetcher.rs:484-508): ``a.b`` object hops,
-    a ``seg[]`` hop returns that array (first array terminates, as in the
-    reference); a non-list terminal yields []."""
-    cur = data
-    for part in path.split("."):
-        if part.endswith("[]"):
-            arr = cur.get(part[:-2]) if isinstance(cur, dict) else None
-            return arr if isinstance(arr, list) else []
-        cur = cur.get(part) if isinstance(cur, dict) else None
-    return cur if isinstance(cur, list) else []
+    """data_path walker — exact recursion twin of
+    ``parse._path_extract_sql`` so the online empty-page stop rule counts
+    the SAME rows the Spark extractor will later produce, for ANY path
+    shape (not just the reference's two-``[]`` forms): every ``[]`` hop
+    fans out and concatenates, plain hops descend, the terminal segment's
+    array is returned (missing / non-list values contribute [])."""
+    from ..functions.parse import _parse_path
+
+    def gen(obj, rest) -> list:
+        name, is_arr = rest[0]
+        val = obj.get(name) if isinstance(obj, dict) else None
+        if len(rest) == 1:
+            return val if isinstance(val, list) else []
+        if is_arr:
+            out: list = []
+            for item in val if isinstance(val, list) else []:
+                out.extend(gen(item, rest[1:]))
+            return out
+        return gen(val, rest[1:])
+
+    return gen(data, _parse_path(path))
 
 
 def extract_products_py(data, data_path: str | None = None) -> list:
     """The five common-pattern shapes (unified_fetcher.rs:509-572), used
     driver-side for the online empty-page stop rule. ``data_path`` wins
-    when configured — BUT, matching the reference, a path hop of the form
-    ``data[].child[]`` means "for each element of data, concat child";
-    the walker above handles the single-array forms and this function the
-    fan-out form."""
+    when configured; ``_walk_path`` fans out every ``[]`` hop exactly as
+    the declarative extractor does (parity pinned in tests)."""
     if data_path is not None:
-        segs = data_path.split(".")
-        if len(segs) == 2 and segs[0].endswith("[]") and segs[1].endswith("[]"):
-            outer = _walk_path(data, segs[0])
-            out: list = []
-            for item in outer:
-                inner = item.get(segs[1][:-2]) if isinstance(item, dict) else None
-                if isinstance(inner, list):
-                    out.extend(inner)
-            return out
         return _walk_path(data, data_path)
     if isinstance(data, list):                                   # pattern 1
         return data
@@ -323,9 +323,14 @@ def crawl(
 
     slp = (lambda _s: None) if sleep is None else sleep
 
-    cat_df = spark.createDataFrame(
-        [(c,) for c in categories], "category string"
-    ).repartition(len(categories), "category")
+    # Exactly one category per partition: parallelize slices the local list
+    # deterministically (element i -> slice i). A hash repartition on the
+    # category value would birthday-collide — some tasks crawling 2-3
+    # categories back-to-back under the rate limit while others sit empty.
+    cat_rdd = spark.sparkContext.parallelize(
+        [(c,) for c in categories], max(len(categories), 1)
+    )
+    cat_df = spark.createDataFrame(cat_rdd, "category string")
 
     def run_partition(batches):
         for pdf in batches:

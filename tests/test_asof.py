@@ -3,6 +3,7 @@ missing-version nulls, gap edges) and the single-shuffle plan shape."""
 
 import datetime as dt
 
+import pyspark.sql.functions as F
 import pytest
 
 from data_pipeline_spark.operators.asof import asof_join, session_stats, sessionize
@@ -112,6 +113,30 @@ def test_range_join_semantics_and_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_survives_inverted_range(spark):
+    """A corrupt range with end < start (epoch-0 end against a far-future
+    start) must be dropped, not fed to F.sequence — which would step
+    backwards and materialize the whole inverted span as one per-row
+    array (executor OOM from a single bad row)."""
+    from data_pipeline_spark.operators.asof import range_join
+
+    points = spark.createDataFrame(
+        [(1, "k", _ts(30))], "pid long, key string, ts timestamp"
+    )
+    ranges = spark.createDataFrame(
+        [("k", 10, _ts(0), _ts(59)),
+         # inverted: start in 2099, end at epoch 0 → ~68B inverted seconds
+         ("k", 99, "2099-01-01 00:00:00", "1970-01-01 00:00:00")],
+        "key string, rid long, s string, e string",
+    ).select("key", "rid", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    out = range_join(
+        points, ranges, point_ts="ts", start_ts="s", end_ts="e",
+        key_cols=("key",), bucket_seconds=60,
+    )
+    assert [(r["pid"], r["rid"]) for r in out.collect()] == [(1, 10)]
 
 
 def test_session_stats_rollup(spark):

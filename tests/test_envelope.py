@@ -61,6 +61,18 @@ def test_object_payload_not_mistaken_for_root_array(spark):
     assert len(rows) == 1 and rows[0]["name"] == "z"
 
 
+def test_root_array_probe_tolerates_leading_whitespace(spark):
+    """Spark's ltrim strips spaces only; a pretty-printed / newline-prefixed
+    array payload must still hit the root-array shape (regression: the
+    '[' probe previously used ltrim and silently yielded zero rows)."""
+    out = _extract(spark, [
+        '\n[{"id":"1","name":"a","price":"10"}]',
+        '\t [{"id":"2","name":"b","price":"11"}]',
+        '  \r\n  [{"id":"3","name":"c","price":"12"}]',
+    ])
+    assert {r["name"] for r in out.collect()} == {"a", "b", "c"}
+
+
 def test_data_path_array_hops(spark):
     """P1 []-hops: every [] level fans out (full-path semantics; the
     reference's extract_by_path early-returns at the first [] —

@@ -118,6 +118,35 @@ def test_sniffer_data_path_priority():
     assert extract_products_py({"weird": 1}) == []
 
 
+def test_sniffer_multi_hop_path_matches_spark_extractor(spark):
+    """General data_path parity (regression: the old walker returned at
+    the FIRST [] hop for any path other than the exact two-[]-segment
+    form, so a 3-segment path counted wrapper objects as products and the
+    crawl/stop decision diverged from what the lake would extract)."""
+    payloads = [
+        # data[].sections.products[] — plain hop between two [] hops
+        '{"data":[{"sections":{"products":[{"id":"1"},{"id":"2"}]}},'
+        '{"sections":{"products":[{"id":"3"}]}},'
+        '{"sections":{}}]}',
+        '{"data":[]}',
+        '{"data":[{"sections":{"products": 7}}]}',  # non-list terminal
+    ]
+    path = "data[].sections.products[]"
+    py_counts = [len(extract_products_py(json.loads(p), path)) for p in payloads]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "rid int, payload string"
+    )
+    out = extract_envelope_products(
+        df, "payload", "id string", data_path=path, id_cols=("rid",)
+    )
+    spark_counts = [0] * len(payloads)
+    for r in out.groupBy("rid").count().collect():
+        spark_counts[r["rid"]] = r["count"]
+    assert py_counts == spark_counts == [3, 0, 0]
+    assert [p["id"] for p in
+            extract_products_py(json.loads(payloads[0]), path)] == ["1", "2", "3"]
+
+
 # -- pagination state machine -------------------------------------------------
 
 
