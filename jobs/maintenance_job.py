@@ -1,0 +1,73 @@
+"""spark-submit entrypoint for lake-table maintenance (the runbook in
+README "Maintenance runbook" as one shippable job):
+
+  spark-submit --py-files dist/data_pipeline_spark.zip jobs/maintenance_job.py \
+      --table <lake table dir> \
+      [--compact] [--compact-dirty-only] [--drop-tombstones] \
+      [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600]
+
+Operations run in the safe order: compact (collapses MoR versions; dirty
+buckets only unless --compact with full rewrite wanted), then snapshot
+expiry (history trim), then orphan-file GC (sweeps crashed-commit debris;
+grace period protects in-flight writers). Each is independently optional,
+so a cron can run e.g. hourly compaction and a daily expiry+GC.
+
+Prints one JSON line of what was done (buckets compacted, snapshots
+expired, orphans removed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--compact", action="store_true",
+                    help="collapse MoR versions (full rewrite of targeted buckets)")
+    ap.add_argument("--compact-dirty-only", action="store_true",
+                    help="with --compact: only buckets flagged dirty by merges")
+    ap.add_argument("--drop-tombstones", action="store_true",
+                    help="with --compact: physically drop delete markers "
+                         "(ONLY after the replay horizon — no older event "
+                         "can still arrive)")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    help="expire all but the newest N snapshots")
+    ap.add_argument("--gc-orphans", action="store_true",
+                    help="delete data files no live snapshot references")
+    ap.add_argument("--gc-grace-seconds", type=float, default=3600.0,
+                    help="orphans younger than this are kept (in-flight writers)")
+    args = ap.parse_args()
+
+    # Import AFTER spark-submit has put the --py-files zip on sys.path.
+    from pyspark.sql import SparkSession
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
+    table = LakeTable.load(spark, args.table)
+    done: dict = {"metric": "lake_maintenance", "table": args.table}
+
+    if args.compact:
+        buckets = table.dirty_buckets() if args.compact_dirty_only else None
+        table.compact(buckets=buckets, drop_tombstones=args.drop_tombstones)
+        done["compacted_buckets"] = (
+            sorted(buckets) if buckets is not None else "all"
+        )
+    if args.expire_keep_last is not None:
+        done["expired_snapshots"] = table.expire_snapshots(
+            keep_last=args.expire_keep_last
+        )
+    if args.gc_orphans:
+        done["orphans_removed"] = table.remove_orphan_files(
+            grace_seconds=args.gc_grace_seconds
+        )
+
+    print(json.dumps(done))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -128,3 +128,43 @@ def test_spark_submit_curate_job(submit_env, tmp_path, spark):
     assert stats["metric"] == "curate_stage_rows"
     assert stats["input_rows"] == 40 and stats["output_rows"] > 0
     assert os.path.isdir(out_dir)
+
+
+def test_spark_submit_maintenance_job(submit_env, tmp_path):
+    """The maintenance runbook ships as one job: replay a log into a table
+    (MoR, multi-version buckets), then compact + expire + GC via
+    spark-submit from the zip alone."""
+    work, log_dir, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    table_dir = str(work / "t_maint")
+    _submit(
+        {
+            "zip": zip_path, "log": log_dir,
+            "table": table_dir, "cp": str(work / "cp_maint"),
+            "extra": ["--mode", "mor"],
+        },
+        cwd=str(tmp_path),
+    )
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "maintenance_job.py"),
+            "--table", table_dir,
+            "--compact", "--compact-dirty-only",
+            "--expire-keep-last", "1", "--gc-orphans",
+            "--gc-grace-seconds", "0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    done = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert done["metric"] == "lake_maintenance"
+    assert "compacted_buckets" in done and "expired_snapshots" in done
+    assert done["orphans_removed"] == 0  # expiry already swept dead files
