@@ -357,6 +357,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: multi-level aggregation in ONE pass — ROLLUP grouping sets
+    (detail → per-day subtotal → grand total) expand inside a single
+    map-side-combinable hash aggregate instead of three scans + union.
+    grouping_id distinguishes subtotal levels (a genuinely-NULL group value
+    could not; both engines use the same MSB-first bitmask)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_SQL_ROLLUP_CUBE = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value,
+       CAST(grouping(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+FROM events GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+"""
+
+
+def q_events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct reach per event_type — Spark plans count(distinct) as
+    a two-phase expand + partial agg (dedup shuffles on (group, user), not
+    on group alone, so one hot event_type cannot skew a single reducer).
+    The HLL++ sketch (approx_count_distinct) is the 10^10-row scale path —
+    error bound vs this exact query pinned in tests/test_plans.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+_SQL_USER_REACH = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (single-shuffle union+window plan, no range-join
     explosion): each event gains the dim value of the user's latest signup
@@ -1572,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_rollup": q_nation_supplier_rollup,
         "null_completeness": q_null_completeness,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_rollup_cube": q_events_rollup_cube,
+        "events_user_reach": q_events_user_reach,
         "events_running_total": q_events_running_total,
         "events_asof_enrich": q_events_asof_enrich,
         "events_sessionize": q_events_sessionize,
@@ -1634,6 +1683,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_rollup": _SQL_NATION_ROLLUP,
         "null_completeness": _SQL_NULLS,
         "events_hourly_rollup": _SQL_HOURLY,
+        "events_rollup_cube": _SQL_ROLLUP_CUBE,
+        "events_user_reach": _SQL_USER_REACH,
         "events_running_total": _SQL_RUNNING,
         "events_asof_enrich": _SQL_ASOF,
         "events_sessionize": _SQL_SESSIONIZE,

@@ -122,3 +122,36 @@ def test_no_per_row_python_in_any_contract_query(spark, entry):
     for name, fn in entry.queries().items():
         plan = _plan(spark, fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_rollup_is_single_expand_aggregate(spark, entry):
+    """ROLLUP grouping sets must expand inside one aggregation pipeline
+    (Expand + partial-aggregable HashAggregate), not scan-per-level."""
+    df = entry.queries()["events_rollup_cube"](spark, SF)
+    plan = _plan(spark, df)
+    # formatted mode mentions each node twice (tree + detail section):
+    # ONE scan = 2 mentions; a scan-per-level plan would show >= 4.
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" in plan and "HashAggregate" in plan
+
+
+def test_approx_distinct_tracks_exact(spark, entry):
+    """The HLL++ scale path (approx_count_distinct) must stay within its
+    documented error bound of the exact distinct the contract query pins
+    (rsd default 0.05 -> assert within 10% for slack on small groups)."""
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in entry.queries()["events_user_reach"](spark, SF).collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("a"))
+        .collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.10 * n), (k, n, approx[k])
