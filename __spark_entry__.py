@@ -27,6 +27,7 @@ from data_pipeline_spark.operators import sampling as SMP
 from data_pipeline_spark.operators import textprep as TP
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
 from data_pipeline_spark.operators import components as CC
+from data_pipeline_spark.operators import decontaminate as DX
 from data_pipeline_spark.operators import similarity as SIM
 from data_pipeline_spark.operators import textdedup as TD
 from data_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_window
@@ -1201,6 +1202,25 @@ _SQL_DOCS_NEARDUP = """(
 )"""
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 13-gram rule, n=8 here for the
+    synthetic corpus): training docs sharing any token n-gram with the
+    "benchmark" slice are flagged. Corpus side never shuffles — bench
+    n-grams broadcast into a map-side equi-join, per-doc hit counting."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return DX.contaminated_ids(docs, bench, n=8)
+
+
+_SQL_DECONTAMINATE = DX.sql_contaminated_ids(
+    "SELECT doc_id, text FROM documents",
+    "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0",
+    n=8,
+)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.ngram_jaccard_pairs(
         _docs_neardup(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
@@ -1656,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "doc_decontaminate": q_doc_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1715,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "doc_decontaminate": _SQL_DECONTAMINATE,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
