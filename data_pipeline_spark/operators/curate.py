@@ -71,13 +71,24 @@ class CurateConfig:
     sample_fractions: dict[str, float] | None = None
     sample_default: float = 1.0
     seed: str = "curate"
+    # benchmark decontamination (after dedup — dedup first shrinks the
+    # corpus side; the bench set is config-scale either way); None disables
+    decontaminate_ngram: int = 13
+    decontaminate_min_hits: int = 1
 
 
-def curate(df: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, dict[str, int]]:
+def curate(
+    df: DataFrame, cfg: CurateConfig, bench: DataFrame | None = None
+) -> tuple[DataFrame, dict[str, int]]:
     """Run the pipeline; returns (curated DataFrame, stage-count stats).
 
     Input columns: cfg.url_col, cfg.ts_col, (cfg.lsn_col), cfg.text_col,
     cfg.lang_col — extra columns are carried through untouched.
+
+    ``bench`` (optional): eval-benchmark documents with columns
+    (bench_id, text) — when given, documents sharing any
+    ``cfg.decontaminate_ngram``-gram with the benchmark are dropped after
+    dedup (step 6.5).
     """
     stats: dict[str, int] = {}
     u, t = cfg.url_col, cfg.text_col
@@ -143,6 +154,17 @@ def curate(df: DataFrame, cfg: CurateConfig) -> tuple[DataFrame, dict[str, int]]
         deduped = CC.dedup_representatives(deduped, comp, u)
         deduped = deduped.localCheckpoint(eager=True)
         stats["after_neardup"] = deduped.count()
+
+    # 6.5 benchmark decontamination (bench grams broadcast — one map-side
+    # pass over the already-deduped survivors, no corpus shuffle)
+    if bench is not None:
+        from .decontaminate import decontaminate as _decon
+
+        deduped = _decon(
+            deduped, bench, text_col=t, id_col=u,
+            n=cfg.decontaminate_ngram, min_hits=cfg.decontaminate_min_hits,
+        ).localCheckpoint(eager=True)
+        stats["after_decontaminate"] = deduped.count()
 
     # 7. deterministic per-language quota sample (pure filter)
     if cfg.sample_fractions is not None:

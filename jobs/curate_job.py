@@ -32,6 +32,11 @@ def main() -> None:
                     help='JSON per-language fractions, e.g. {"en": 0.5}')
     ap.add_argument("--sample-default", type=float, default=1.0)
     ap.add_argument("--seed", default="curate")
+    ap.add_argument("--bench", default=None,
+                    help="parquet dir of eval-benchmark docs (bench_id, text); "
+                         "enables shared-n-gram decontamination")
+    ap.add_argument("--bench-ngram", type=int, default=13)
+    ap.add_argument("--bench-min-hits", type=int, default=1)
     args = ap.parse_args()
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
@@ -58,8 +63,11 @@ def main() -> None:
         sample_fractions=json.loads(args.sample) if args.sample else None,
         sample_default=args.sample_default,
         seed=args.seed,
+        decontaminate_ngram=args.bench_ngram,
+        decontaminate_min_hits=args.bench_min_hits,
     )
-    out, stats = curate(df, cfg)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    out, stats = curate(df, cfg, bench=bench)
     out.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"metric": "curate_stage_rows", **stats}))
     spark.stop()

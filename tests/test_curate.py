@@ -136,3 +136,23 @@ def test_line_dedup_stage(spark):
     assert urls == {"https://a.com/1", "https://a.com/2"}
     assert footer in texts["https://a.com/1"]  # first occurrence kept
     assert footer not in texts["https://a.com/2"]
+
+
+def test_decontaminate_stage(spark, corpus):
+    """With a benchmark set containing one page's unique run, that page is
+    dropped after dedup; everything else (and the stats ledger) is
+    unchanged relative to a bench-free run."""
+    # bench text = ONLY the page-unique token run (benchmark questions are
+    # distinctive text; shared boilerplate like GOOD would correctly flag
+    # every page — realistic, but not what this test plants)
+    bench = spark.createDataFrame(
+        [(1, _uniq("de3"))], "bench_id long, text string"
+    )
+    cfg = CurateConfig(minhash=None, decontaminate_ngram=13)
+    base_out, base_stats = curate(corpus, cfg)
+    out, stats = curate(corpus, cfg, bench=bench)
+    base_urls = {r["url"] for r in base_out.collect()}
+    urls = {r["url"] for r in out.collect()}
+    assert base_urls - urls == {"https://f.com/de3"}
+    assert stats["after_decontaminate"] == stats["after_exact_dedup"] - 1
+    assert stats["output_rows"] == base_stats["output_rows"] - 1
