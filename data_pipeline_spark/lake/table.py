@@ -865,6 +865,10 @@ class LakeTable:
         """Drop old snapshots and physically delete data files no live
         snapshot references (S16 / Iceberg snapshot expiry). Tagged
         snapshots (:meth:`tag`) are always retained."""
+        if keep_last < 1:
+            # keep_last=0 would be a silent no-op (snaps[-0:] is the whole
+            # list) while the caller meant "maximal trim" — reject it.
+            raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
         self._assert_current()
         snaps = self.meta["snapshots"]
         if len(snaps) <= keep_last:

@@ -72,7 +72,8 @@ class CurateConfig:
     sample_default: float = 1.0
     seed: str = "curate"
     # benchmark decontamination (after dedup — dedup first shrinks the
-    # corpus side; the bench set is config-scale either way); None disables
+    # corpus side; the bench set is config-scale either way). The stage
+    # runs only when curate() is given a bench DataFrame; these tune it.
     decontaminate_ngram: int = 13
     decontaminate_min_hits: int = 1
 
@@ -156,10 +157,16 @@ def curate(
         stats["after_neardup"] = deduped.count()
 
     # 6.5 benchmark decontamination (bench grams broadcast — one map-side
-    # pass over the already-deduped survivors, no corpus shuffle)
+    # pass over the already-deduped survivors, no corpus shuffle). The
+    # corpus text was PII-masked in stage 4, so the bench side must pass
+    # through the SAME mask — otherwise any benchmark n-gram containing an
+    # email/IP/phone could never match its masked occurrence in the corpus.
     if bench is not None:
         from .decontaminate import decontaminate as _decon
 
+        if cfg.mask_pii:
+            bcarried = [c for c in bench.columns if c != "text"]
+            bench = bench.select(*bcarried, WU.mask_pii("text").alias("text"))
         deduped = _decon(
             deduped, bench, text_col=t, id_col=u,
             n=cfg.decontaminate_ngram, min_hits=cfg.decontaminate_min_hits,

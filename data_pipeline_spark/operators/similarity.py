@@ -361,6 +361,16 @@ def ivf_index(
             # One-row probe job — pass ``dim`` to keep the index build
             # zero-jobs-before-the-scan (callers know their embedding dim).
             dim = len(df.select(vec_col).first()[0])
+        # A wrong dim would otherwise corrupt SILENTLY: zip_with pads the
+        # shorter side with NULLs, every centroid dot goes NULL, and the
+        # row_number tiebreak dumps ALL vectors into list 0. Fail loudly
+        # per row instead (one int comparison — no extra job or scan).
+        base = base.where(
+            F.assert_true(
+                F.size("v") == F.lit(dim),
+                f"ivf_index: embedding dim != configured dim={dim}",
+            ).isNull()
+        )
         cents = fixed_centroids(dim, n_lists, seed)
         centroids = spark.createDataFrame(
             list(enumerate(cents)), "list_id int, centroid array<double>"

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--gc-grace-seconds", type=float, default=3600.0,
                     help="orphans younger than this are kept (in-flight writers)")
     args = ap.parse_args()
+    if args.expire_keep_last is not None and args.expire_keep_last < 1:
+        # keep_last=0 would be a silent no-op (list[-0:] is the whole
+        # list); reject it before paying Spark startup.
+        ap.error("--expire-keep-last must be >= 1 (the current snapshot stays)")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -52,10 +56,16 @@ def main() -> None:
 
     if args.compact:
         buckets = table.dirty_buckets() if args.compact_dirty_only else None
-        table.compact(buckets=buckets, drop_tombstones=args.drop_tombstones)
-        done["compacted_buckets"] = (
-            sorted(buckets) if buckets is not None else "all"
-        )
+        if buckets == []:
+            # Clean table (the cron steady state): skip entirely — an empty
+            # compact would still run a write job and commit a no-op
+            # snapshot every run, churning history out of --expire-keep-last.
+            done["compacted_buckets"] = []
+        else:
+            table.compact(buckets=buckets, drop_tombstones=args.drop_tombstones)
+            done["compacted_buckets"] = (
+                sorted(buckets) if buckets is not None else "all"
+            )
     if args.expire_keep_last is not None:
         done["expired_snapshots"] = table.expire_snapshots(
             keep_last=args.expire_keep_last

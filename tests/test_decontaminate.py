@@ -83,3 +83,40 @@ def test_corpus_side_broadcast_no_shuffle_before_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_short_bench_item_matched_by_containment(spark):
+    """A benchmark item SHORTER than n tokens has no true n-grams; it must
+    still flag docs containing it verbatim (token-boundary containment),
+    and must not match mid-token ('fox jumps' !~ 'foxy jumpsuit')."""
+    bench = spark.createDataFrame(
+        [(1, "quick brown fox jumps"),        # 4 tokens < n=13
+         (2, "zebra stripes pattern")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro the quick brown fox jumps over things and more text"),
+         (2, "the quickest brown foxy jumpsuit is not a match at all"),
+         (3, "zebra stripes patterned wallpaper is not the same gram")],
+        "doc_id long, text string",
+    )
+    bad = contaminated_ids(corpus, bench, n=13)
+    rows = {r["doc_id"]: r for r in bad.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_hits"] == 1 and rows[1]["n_bench_docs"] == 1
+
+
+def test_min_hits_counts_distinct_grams_not_pairs(spark):
+    """One shared gram appearing in TWO bench docs (duplicate eval splits)
+    is still one hit — min_hits=2 must spare the doc."""
+    bench = spark.createDataFrame(
+        [(1, BENCH_TEXT), (2, BENCH_TEXT)],  # duplicated benchmark item
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "pad " + " ".join(BENCH_TEXT.split()[:13]) + " tail")],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r for r in contaminated_ids(corpus, bench, n=13).collect()}
+    assert one[1]["n_hits"] == 1 and one[1]["n_bench_docs"] == 2
+    assert contaminated_ids(corpus, bench, n=13, min_hits=2).count() == 0

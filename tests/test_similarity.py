@@ -172,3 +172,21 @@ def test_ivf_recall_against_bruteforce(spark):
     full = ivf_topk(centroids, assigned, queries, k=5, nprobe=8)
     got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert got_full == truth
+
+
+def test_ivf_fixed_dim_mismatch_fails_loudly(spark):
+    """A wrong explicit dim must raise, not silently dump every vector
+    into list 0 (zip_with NULL-pads, all centroid sims go NULL)."""
+    import pytest as _pytest
+
+    from data_pipeline_spark.operators.similarity import ivf_index
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<double>"
+    )
+    _, assigned = ivf_index(df, n_lists=2, quantizer="fixed", dim=4)
+    with _pytest.raises(Exception, match="dim"):
+        assigned.collect()
+    # correct dim still works
+    _, ok = ivf_index(df, n_lists=2, quantizer="fixed", dim=8)
+    assert ok.count() == 2
