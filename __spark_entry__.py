@@ -405,6 +405,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation — bit-identical to
+    DuckDB's quantile_cont). Exact percentile buffers a group's values, so
+    the 10^10-row path is approx_percentile (Greenwald-Khanna sketch,
+    map-side mergeable, bounded memory) — relative-error pinned against
+    this exact query in tests/test_plans.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("_q"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("_q")[0], 6).alias("p50"),
+            F.round(F.col("_q")[1], 6).alias("p90"),
+            F.round(F.col("_q")[2], 6).alias("p99"),
+            "n",
+        )
+    )
+
+
+_SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (single-shuffle union+window plan, no range-join
     explosion): each event gains the dim value of the user's latest signup
@@ -1641,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "events_rollup_cube": q_events_rollup_cube,
         "events_user_reach": q_events_user_reach,
+        "events_value_quantiles": q_events_value_quantiles,
         "events_running_total": q_events_running_total,
         "events_asof_enrich": q_events_asof_enrich,
         "events_sessionize": q_events_sessionize,
@@ -1706,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_rollup": _SQL_HOURLY,
         "events_rollup_cube": _SQL_ROLLUP_CUBE,
         "events_user_reach": _SQL_USER_REACH,
+        "events_value_quantiles": _SQL_VALUE_QUANTILES,
         "events_running_total": _SQL_RUNNING,
         "events_asof_enrich": _SQL_ASOF,
         "events_sessionize": _SQL_SESSIONIZE,

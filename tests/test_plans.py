@@ -155,3 +155,40 @@ def test_approx_distinct_tracks_exact(spark, entry):
     assert exact.keys() == approx.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.10 * n), (k, n, approx[k])
+
+
+def test_approx_percentile_tracks_exact(spark, entry):
+    """The GK-sketch scale path (approx_percentile) guarantees RANK error,
+    not value error — so pin each approx quantile inside the exact value
+    window of q ± 2% rank (value-relative bounds would flake on sparse
+    tails, where one rank step is a big value step)."""
+    import pyspark.sql.functions as F
+
+    windows = {0.5: (0.48, 0.52), 0.9: (0.88, 0.92), 0.99: (0.97, 1.0)}
+    qs = [q for w in windows.values() for q in w]
+    bounds = {
+        r["event_type"]: r["b"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.expr(f"percentile(value, array({', '.join(map(str, qs))}))").alias("b"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("a"))
+        .collect()
+    }
+    # sanity: the exact contract query agrees with the mid-window exacts
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in entry.queries()["events_value_quantiles"](spark, SF).collect()
+    }
+    assert bounds.keys() == approx.keys() == exact.keys()
+    for k in bounds:
+        for i in range(3):
+            lo, hi = bounds[k][2 * i], bounds[k][2 * i + 1]
+            assert lo <= approx[k][i] <= hi, (k, i, lo, approx[k][i], hi)
