@@ -163,12 +163,18 @@ def decontaminate(
     broadcast_bench: bool = True,
 ) -> DataFrame:
     """The corpus minus contaminated documents (left-anti join on the
-    contaminated id set — no corpus shuffle; the id set is aggregate-small)."""
+    contaminated id set — no corpus shuffle; the id set is aggregate-small).
+
+    Null-safe on the id: a NULL-keyed doc (e.g. a malformed url upstream)
+    that is flagged must actually be dropped — a plain equality anti-join
+    never matches NULL and would ship the contaminated doc anyway."""
     bad = contaminated_ids(
         docs, bench, text_col, id_col, bench_text_col, bench_id_col,
         n, min_hits, broadcast_bench,
-    ).select(F.col("doc_id").alias(id_col))
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    ).select(F.col("doc_id").alias("_bad_id"))
+    return docs.join(
+        F.broadcast(bad), F.col(id_col).eqNullSafe(F.col("_bad_id")), "left_anti"
+    )
 
 
 def sql_contaminated_ids(
@@ -186,7 +192,6 @@ def sql_contaminated_ids(
     rule, same distinct-gram count semantics."""
     b_toks = sql_tokens(f"lower({bench_text_col})")
     d_norm = f"array_to_string({sql_tokens(f'lower({text_col})')}, ' ')"
-    b_norm = f"array_to_string({b_toks}, ' ')"
     return f"""
 WITH dc_doc_grams AS (
   SELECT doc_id, unnest(grams) AS gram FROM (

@@ -3,7 +3,9 @@
   spark-submit --py-files dist/data_pipeline_spark.zip jobs/curate_job.py \
       --input <parquet dir | lake table dir> --output <parquet dir> \
       [--from-lake] [--line-dedup] [--no-gopher] [--no-minhash] [--no-pii] \
-      [--sample '{"en": 0.5, "de": 1.0}'] [--sample-default 0.1]
+      [--sample '{"en": 0.5, "de": 1.0}'] [--sample-default 0.1] \
+      [--bench <parquet dir of (bench_id, text)>] \
+      [--bench-ngram 13] [--bench-min-hits 1]
 
 Input columns: url, warc_ts, (lsn), text, lang. With --from-lake the input
 is an icelite lake table (the CDC replay's sink) and the latest snapshot is

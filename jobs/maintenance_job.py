@@ -44,6 +44,11 @@ def main() -> None:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
         # list); reject it before paying Spark startup.
         ap.error("--expire-keep-last must be >= 1 (the current snapshot stays)")
+    if (args.drop_tombstones or args.compact_dirty_only) and not args.compact:
+        # Dependent flags must not silently no-op: an operator asking for
+        # tombstone removal without --compact would get exit 0 and believe
+        # tombstones are being dropped.
+        ap.error("--drop-tombstones / --compact-dirty-only require --compact")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession

@@ -120,3 +120,18 @@ def test_min_hits_counts_distinct_grams_not_pairs(spark):
     one = {r["doc_id"]: r for r in contaminated_ids(corpus, bench, n=13).collect()}
     assert one[1]["n_hits"] == 1 and one[1]["n_bench_docs"] == 2
     assert contaminated_ids(corpus, bench, n=13, min_hits=2).count() == 0
+
+
+def test_null_id_contaminated_doc_is_dropped(spark):
+    """A NULL-keyed doc flagged as contaminated must be dropped by the
+    (null-safe) anti-join — plain equality would ship it (regression)."""
+    bench = _bench(spark)
+    corpus = spark.createDataFrame(
+        [(None, "pad " + BENCH_TEXT + " tail"),
+         (3, "completely different clean text about something else here")],
+        "doc_id long, text string",
+    )
+    flagged = contaminated_ids(corpus, bench, n=13).collect()
+    assert [r["doc_id"] for r in flagged] == [None]
+    out = decontaminate(corpus, bench, n=13)
+    assert [r["doc_id"] for r in out.collect()] == [3]
