@@ -46,7 +46,10 @@ AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 USERINFO_RE = r"^[^@]*@"
 PORT_STRIP_RE = r":[0-9]+$"
 PORT_RE = r":([0-9]+)$"
-HOST_DOT_RE = r"\.$"
+# ALL trailing dots, not one: a host like ".." must collapse in a single
+# pass or canonical_url isn't idempotent (".." → "." → "" across repeated
+# canonicalizations; hypothesis-found).
+HOST_DOT_RE = r"\.+$"
 WWW_RE = r"^www\."
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 TRAILING_SLASH_RE = r"/+$"

@@ -74,6 +74,24 @@ class CommitConflictError(RuntimeError):
     """
 
 
+def _may_contain(file_rec: dict, key) -> bool:
+    """Manifest-level data skipping for one file: key min/max range first
+    (prunes across buckets), then the per-file Bloom filter if the file has
+    one (prunes across commits WITHIN a bucket, where hash-distributed keys
+    make min/max useless — see lake/bloom.py). Files lacking stats are
+    conservatively kept."""
+    if "key_min" in file_rec and not (
+        file_rec["key_min"] <= key <= file_rec["key_max"]
+    ):
+        return False
+    if "bloom" in file_rec:
+        from .bloom import might_contain
+
+        if not might_contain(file_rec["bloom"], key):
+            return False
+    return True
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -368,10 +386,7 @@ class LakeTable:
             bset = set(buckets)
             snap_files = [f for f in snap_files if f["bucket"] in bset]
         if key_equals is not None:
-            snap_files = [
-                f for f in snap_files
-                if "key_min" not in f or (f["key_min"] <= key_equals <= f["key_max"])
-            ]
+            snap_files = [f for f in snap_files if _may_contain(f, key_equals)]
         out = self._read_files(snap_files)
         if with_system:
             return out
@@ -824,6 +839,69 @@ class LakeTable:
             needs_resolve=needs_resolve,
         )
         return {"snapshot_id": snap["snapshot_id"], "new_files": len(new_files)}
+
+    def build_blooms(
+        self,
+        bits_per_key: int | None = None,
+        k: int | None = None,
+        cap_bits: int | None = None,
+    ) -> dict:
+        """Stats-only commit: add per-file key Bloom filters to the current
+        manifest (Iceberg's puffin-blob analog; see lake/bloom.py for why
+        min/max cannot prune within a bucket). Data files are untouched and
+        carried verbatim, so ``read_changes`` across this commit yields an
+        empty delta and time travel is unaffected.
+
+        Maintenance-time by design: the build is one column-pruned
+        distributed pass over files that lack blooms, which would add a
+        per-epoch job to the replay hot path — run it with compaction
+        (``jobs/maintenance_job.py --build-blooms``), where the cost
+        amortizes over long-lived files.
+        """
+        from . import bloom as B
+
+        self._assert_current()
+        snap = self._current_snapshot()
+        files = [dict(f) for f in self.files_of(snap)]
+        todo = [f for f in files if "bloom" not in f]
+        if not todo:
+            return {"built": 0, "snapshot_id": snap["snapshot_id"] if snap else None}
+        by_schema: dict[int, list[dict]] = {}
+        for f in todo:
+            by_schema.setdefault(f["schema_id"], []).append(f)
+        groups = [
+            (
+                [os.path.join(self.path, f["path"]) for f in fs],
+                self._with_system(self.schema_for(sid)),
+            )
+            for sid, fs in by_schema.items()
+        ]
+        kwargs = {}
+        if bits_per_key is not None:
+            kwargs["bits_per_key"] = bits_per_key
+        if k is not None:
+            kwargs["k"] = k
+        if cap_bits is not None:
+            kwargs["cap_bits"] = cap_bits
+        built = B.build_file_blooms(self.spark, groups, self.key_col, **kwargs)
+        # input_file_name() returns file: URIs; manifest paths are
+        # table-relative. Normalize for the join back.
+        by_abs = {}
+        for f in files:
+            by_abs[os.path.abspath(os.path.join(self.path, f["path"]))] = f
+        n = 0
+        for uri, rec in built.items():
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            while p.startswith("//"):
+                p = p[1:]
+            target = by_abs.get(os.path.abspath(p))
+            if target is not None:
+                target["bloom"] = rec
+                n += 1
+        snap = self._commit(
+            files, {"operation": "build-blooms", "n_blooms": n}
+        )
+        return {"built": n, "snapshot_id": snap["snapshot_id"]}
 
     def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files no live snapshot references (Iceberg's

@@ -4,13 +4,16 @@ README "Maintenance runbook" as one shippable job):
   spark-submit --py-files dist/data_pipeline_spark.zip jobs/maintenance_job.py \
       --table <lake table dir> \
       [--compact] [--compact-dirty-only] [--drop-tombstones] \
+      [--build-blooms] \
       [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600]
 
 Operations run in the safe order: compact (collapses MoR versions; dirty
-buckets only unless --compact with full rewrite wanted), then snapshot
-expiry (history trim), then orphan-file GC (sweeps crashed-commit debris;
-grace period protects in-flight writers). Each is independently optional,
-so a cron can run e.g. hourly compaction and a daily expiry+GC.
+buckets only unless --compact with full rewrite wanted), then bloom build
+(per-file key Bloom filters for within-bucket point-lookup skipping —
+after compaction so the blooms cover the long-lived compacted files), then
+snapshot expiry (history trim), then orphan-file GC (sweeps crashed-commit
+debris; grace period protects in-flight writers). Each is independently
+optional, so a cron can run e.g. hourly compaction and a daily expiry+GC.
 
 Prints one JSON line of what was done (buckets compacted, snapshots
 expired, orphans removed).
@@ -33,6 +36,10 @@ def main() -> None:
                     help="with --compact: physically drop delete markers "
                          "(ONLY after the replay horizon — no older event "
                          "can still arrive)")
+    ap.add_argument("--build-blooms", action="store_true",
+                    help="add per-file key Bloom filters to the manifest "
+                         "(stats-only commit; prunes point lookups within "
+                         "a bucket where min/max can't)")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     help="expire all but the newest N snapshots")
     ap.add_argument("--gc-orphans", action="store_true",
@@ -71,6 +78,8 @@ def main() -> None:
             done["compacted_buckets"] = (
                 sorted(buckets) if buckets is not None else "all"
             )
+    if args.build_blooms:
+        done["blooms_built"] = table.build_blooms()["built"]
     if args.expire_keep_last is not None:
         done["expired_snapshots"] = table.expire_snapshots(
             keep_last=args.expire_keep_last

@@ -155,7 +155,7 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path):
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "maintenance_job.py"),
             "--table", table_dir,
-            "--compact", "--compact-dirty-only",
+            "--compact", "--compact-dirty-only", "--build-blooms",
             "--expire-keep-last", "1", "--gc-orphans",
             "--gc-grace-seconds", "0",
         ],
@@ -167,4 +167,5 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path):
     )
     assert done["metric"] == "lake_maintenance"
     assert "compacted_buckets" in done and "expired_snapshots" in done
+    assert done["blooms_built"] > 0  # post-compaction files got key blooms
     assert done["orphans_removed"] == 0  # expiry already swept dead files
