@@ -7,6 +7,11 @@ Two Structured Streaming building blocks beyond the merge tailer:
   CDC merge itself needs no watermark because LWW is order-insensitive, but
   *analytics over the change stream* do — the watermark bounds state while
   late events inside it still land in their window).
+- :func:`deduplicated_change_stream` — at-least-once tails redeliver events
+  after connector restarts; ``dropDuplicatesWithinWatermark`` on
+  ``(url, lsn)`` drops the redeliveries with WATERMARK-BOUNDED state (plain
+  streaming dropDuplicates would keep every key ever seen — unusable on an
+  unbounded stream).
 - :func:`stateful_current_versions` — ``applyInPandasWithState``: per-key
   state carrying the current LWW winner across micro-batches, emitting a
   row whenever a key's winner CHANGES. This is the custom-stateful-operator
@@ -55,6 +60,31 @@ def windowed_event_rollup(
             "n_keys",
         )
     )
+
+
+def deduplicated_change_stream(
+    changes: DataFrame,
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("url", "lsn"),
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Drop redelivered change events from an at-least-once tail.
+
+    A WAL/binlog tail replayed after a connector restart redelivers events;
+    the lake merge itself is immune (LWW + epoch-idempotent commits), but
+    stream-side consumers (rollups, winner-transition streams) would
+    double-count. ``(url, lsn)`` identifies an event uniquely — dedup on it
+    with ``dropDuplicatesWithinWatermark``, which (unlike plain
+    ``dropDuplicates`` on a stream) EVICTS seen-key state once it falls
+    behind the watermark, so state is O(events inside the watermark), not
+    O(all events ever) — the only formulation that survives an unbounded
+    10^10-event stream. Batch DataFrames degrade to plain dropDuplicates
+    (same result; no state to bound).
+    """
+    cols = list(keys)
+    if not changes.isStreaming:
+        return changes.dropDuplicates(cols)
+    return changes.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
 
 
 # State carries the winner's timestamp as RAW integer microseconds, not a
