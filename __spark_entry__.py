@@ -1277,6 +1277,33 @@ _SQL_MINHASH = TD.sql_minhash_lsh_pairs(
 )
 
 
+def q_dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: incremental MinHash index — the originals are already indexed
+    (epoch 0); the near-dup variants arrive as epoch 1 and are deduped
+    against the stored corpus WITHOUT re-shingling it. Returns epoch 1's
+    pairs (new-vs-old + new-vs-new; old-vs-old never re-reported)."""
+    import tempfile
+
+    from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+
+    d = _docs_neardup(spark, sf_dir)
+    idx = MinHashDedupIndex.create(
+        spark, tempfile.mkdtemp(prefix="mhidx_"),
+        n=3, num_hashes=12, bands=4, threshold=0.5,
+    )
+    idx.update(d.where(F.col("doc_id") < 1000000), epoch=0)
+    return idx.update(d.where(F.col("doc_id") >= 1000000), epoch=1)
+
+
+def _sql_dedup_index() -> str:
+    from data_pipeline_spark.operators.dedup_index import sql_dedup_index_update
+
+    return sql_dedup_index_update(
+        _SQL_DOCS_NEARDUP, "text", "doc_id", new_pred="doc >= 1000000",
+        n=3, num_hashes=12, bands=4, threshold=0.5,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return TD.simhash(d, "text", "doc_id")
@@ -1712,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_index_incremental": q_dedup_index_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1773,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "doc_decontaminate": _SQL_DECONTAMINATE,
         "dedup_minhash_lsh": _SQL_MINHASH,
+        "dedup_index_incremental": _sql_dedup_index(),
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_cosine": _SQL_EMB_NEARDUP,
         "dedup_embedding_lsh": _SQL_EMB_LSH,

@@ -1,0 +1,349 @@
+"""Incrementally-maintained MinHash/LSH near-dup index.
+
+The batch dedup family (operators/textdedup.py) answers "which documents in
+THIS corpus are near-duplicates of each other" — and recomputes shingles +
+signatures for every document every run. A continuously-ingesting pipeline
+(the CDC posture of this engine) asks a different question each epoch:
+"which of the NEW documents duplicate anything already ingested". At
+10^10 accumulated documents, re-shingling the corpus per epoch is the
+dominant cost and is pure waste: old documents' signatures never change.
+
+This index persists, per ingest epoch:
+
+- ``sigs/epoch=N/``   — (doc_id, sig array<string>) MinHash signatures
+- ``bands/epoch=N/``  — (band, key, doc_id) LSH band keys
+
+and a ``meta.json`` (atomic rename, icelite-style) carrying the LSH
+parameters, the committed-epoch ledger (exactly-once: re-running an epoch
+is a no-op) and the frozen stop-shingle list. ``update(new_docs)``:
+
+1. shingles + signs ONLY the new batch — the single text-touching step;
+2. joins the batch's band keys against the stored band table (equi-join on
+   ``(band, key)`` — candidates only, never all-pairs; AQE handles skewed
+   band keys from mass-identical docs);
+3. verifies candidates by SIGNATURE AGREEMENT — the unbiased MinHash
+   estimate of Jaccard (matching components / num_hashes). Exact Jaccard
+   would need the old documents' shingle sets, which are the same size as
+   the text itself; an index that stores them has not saved anything.
+   More hashes buy precision (stderr ≈ sqrt(j(1-j)/H));
+4. appends the batch's sigs + bands and commits the epoch atomically.
+
+Scale notes: the per-update join shuffles O(new-batch bands) against
+O(corpus bands) — compact fixed-width rows (band int, md5 key, id), ~100×
+smaller than the text. Signatures of candidate OLD docs are fetched by a
+semi-join on the sigs table, not broadcast. The stop-shingle cut is frozen
+at bootstrap (a drifting document-frequency cut would change the Jaccard
+space between epochs and make scores incomparable).
+
+Reuses the batch family's primitives (same shingles, same md5 order-
+statistic MinHash — sibling-lambda-HOF-safe), so index scores are directly
+comparable to ``minhash_lsh_pairs`` signatures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .textdedup import _signature_from_shingles, hot_shingles, shingles
+
+_META = "meta.json"
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _sig_agree_expr(a: str, b: str, num_hashes: int):
+    """Estimated Jaccard: fraction of equal signature components.
+
+    SQL-parsed lambdas on purpose — python-lambda sibling HOFs under one
+    expression mis-bind in PySpark 4.1 (see textdedup._signature_from_shingles).
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> IF(x = y, 1, 0)), "
+        f"0, (acc, v) -> acc + v) / CAST({num_hashes} AS DOUBLE)"
+    )
+
+
+class MinHashDedupIndex:
+    """See module docstring. Create once (optionally bootstrapping the
+    stop-shingle list), then ``update()`` per ingest epoch."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        n: int = 3,
+        num_hashes: int = 12,
+        bands: int = 4,
+        threshold: float = 0.5,
+        stop_shingles: list[str] | None = None,
+    ) -> "MinHashDedupIndex":
+        """CREATE IF NOT EXISTS; existing params win (and must not be
+        silently contradicted — changing LSH params invalidates every stored
+        signature, so a param mismatch raises)."""
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            idx = cls.load(spark, path)
+            want = {"n": n, "num_hashes": num_hashes, "bands": bands}
+            have = {k: idx.meta[k] for k in want}
+            if want != have:
+                raise ValueError(
+                    f"index at {path} exists with params {have}, asked for "
+                    f"{want}; LSH params are frozen at create"
+                )
+            return idx
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+        meta = {
+            "version": 1,
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "threshold": threshold,
+            "stop_shingles": sorted(stop_shingles or []),
+            "epochs": [],
+        }
+        _atomic_write_json(meta_path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MinHashDedupIndex":
+        with open(os.path.join(path, _META), encoding="utf-8") as f:
+            return cls(spark, path, json.load(f))
+
+    @classmethod
+    def bootstrap_stop_shingles(
+        cls, docs: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+    ) -> list[str]:
+        """Corpus-global stop-shingle list to freeze at create time (the
+        hot-shingle DF cut of the batch family, computed ONCE — a per-epoch
+        cut would drift and make scores incomparable across epochs)."""
+        base = docs.select(
+            F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+        )
+        return sorted(hot_shingles(base, max_df))
+
+    def committed_epochs(self) -> set[int]:
+        return {e["epoch"] for e in self.meta["epochs"]}
+
+    # -- internals -----------------------------------------------------------
+
+    def _sign(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """(doc_id, sig) for a batch — the only text-touching step."""
+        sh = shingles(F.col(text_col), self.meta["n"])
+        stop = self.meta["stop_shingles"]
+        if stop:
+            sh = F.array_except(sh, F.array(*[F.lit(s) for s in stop]))
+        return docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            _signature_from_shingles(sh, self.meta["num_hashes"]).alias("sig"),
+        )
+
+    def _band_keys(self, sigs: DataFrame) -> DataFrame:
+        """(band, key, doc_id) from signatures — no text involved."""
+        bands, num_hashes = self.meta["bands"], self.meta["num_hashes"]
+        rows = num_hashes // bands
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[F.col("sig")[bi * rows + r] for r in range(rows)],
+                                )
+                            ).alias("key"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
+
+    def _epoch_paths(self, sub: str) -> list[str]:
+        return [
+            os.path.join(self.path, sub, f"epoch={e['epoch']}")
+            for e in self.meta["epochs"]
+        ]
+
+    def stored_sigs(self) -> DataFrame:
+        paths = self._epoch_paths("sigs")
+        if not paths:
+            return self.spark.createDataFrame([], "doc_id long, sig array<string>")
+        return self.spark.read.parquet(*paths)
+
+    def stored_bands(self) -> DataFrame:
+        paths = self._epoch_paths("bands")
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "band int, key string, doc_id long"
+            )
+        return self.spark.read.parquet(*paths)
+
+    # -- the operator --------------------------------------------------------
+
+    def update(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch: int | None = None,
+        commit: bool = True,
+    ) -> DataFrame:
+        """Near-dup pairs involving at least one NEW document, then (unless
+        ``commit=False``) add the batch to the index atomically.
+
+        Returns (id_a, id_b, est_jaccard) with ``id_a < id_b`` — new-vs-old
+        and new-vs-new pairs; old-vs-old pairs were reported when their
+        epochs arrived and are never recomputed (the point of the index).
+        The result is materialized (localCheckpoint) BEFORE the commit so
+        its plan reads the pre-commit index state — otherwise a consumer
+        collecting after the commit would see every new doc paired with
+        itself.
+
+        Exactly-once: a committed ``epoch`` is skipped (returns an empty
+        pair frame — its pairs were already reported when it committed).
+        """
+        if epoch is not None and epoch in self.committed_epochs():
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, est_jaccard double"
+            )
+        num_hashes = self.meta["num_hashes"]
+        threshold = self.meta["threshold"]
+
+        new_sigs = self._sign(new_docs, id_col, text_col).persist()
+        try:
+            new_bands = self._band_keys(new_sigs)
+            all_bands = self.stored_bands().unionByName(new_bands)
+            cand = (
+                new_bands.alias("x")
+                .join(all_bands.alias("y"), on=["band", "key"])
+                .where(F.col("x.doc_id") != F.col("y.doc_id"))
+                .select(
+                    F.least("x.doc_id", "y.doc_id").alias("id_a"),
+                    F.greatest("x.doc_id", "y.doc_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            all_sigs = self.stored_sigs().unionByName(new_sigs)
+            verified = (
+                cand.join(
+                    all_sigs.select(
+                        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    all_sigs.select(
+                        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+                    ),
+                    "id_b",
+                )
+                .withColumn(
+                    "est_jaccard",
+                    F.round(_sig_agree_expr("sig_a", "sig_b", num_hashes), 6),
+                )
+                .where(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard")
+            )
+            # Materialize off the pre-commit state (and off new_sigs' cache).
+            pairs = verified.localCheckpoint(eager=True)
+            if commit:
+                eid = epoch if epoch is not None else (
+                    max(self.committed_epochs(), default=-1) + 1
+                )
+                new_sigs.write.mode("overwrite").parquet(
+                    os.path.join(self.path, "sigs", f"epoch={eid}")
+                )
+                self._band_keys(new_sigs).write.mode("overwrite").parquet(
+                    os.path.join(self.path, "bands", f"epoch={eid}")
+                )
+                # Data first, meta pointer second (crash leaves orphan data
+                # dirs, never a committed epoch without data).
+                self.meta["epochs"].append({"epoch": eid})
+                _atomic_write_json(os.path.join(self.path, _META), self.meta)
+            return pairs
+        finally:
+            new_sigs.unpersist()
+
+    def duplicates(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Read-only probe: pairs a batch would produce, without indexing it
+        (e.g. score a candidate crawl against the corpus before ingest)."""
+        return self.update(docs, id_col, text_col, commit=False)
+
+
+def sql_dedup_index_update(
+    table: str,
+    text_col: str,
+    id_col: str,
+    new_pred: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of one ``update()`` call: the pairs reported when the
+    docs matching ``new_pred`` (a predicate over the aliased ``doc`` id)
+    arrive into an index already holding the rest of ``table``. Candidate
+    x-side ranges over new docs only; verification is the same
+    signature-agreement estimate the index uses."""
+    from .textdedup import sql_shingles
+
+    rows = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, {bi} AS band, "
+        f"md5(concat_ws('|', {', '.join(f'mh{bi * rows + r}' for r in range(rows))})) AS key "
+        f"FROM sig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(a.mh{i} = b.mh{i} AS INT)" for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / CAST({num_hashes} AS DOUBLE), 6)"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {sql_shingles(text_col, n)} AS sh FROM {table}
+), sig AS (
+  SELECT doc, {mh} FROM base
+), bk AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT least(x.doc, y.doc) AS id_a, greatest(x.doc, y.doc) AS id_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key AND x.doc <> y.doc
+  WHERE x.doc IN (SELECT doc FROM base WHERE {new_pred})
+), scored AS (
+  SELECT c.id_a, c.id_b, {est} AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc = c.id_a
+  JOIN sig b ON b.doc = c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= {threshold}
+"""

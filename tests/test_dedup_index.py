@@ -1,0 +1,169 @@
+"""Incremental MinHash/LSH dedup index (operators/dedup_index.py).
+
+Pins: incremental-over-epochs == full recompute on the union corpus (same
+signature-agreement metric), exactly-once epoch commits, the pre-commit
+materialization contract (no self-pairs after commit), cold reload, param
+freezing, estimate-vs-exact Jaccard sanity, and stop-shingle freezing.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators.dedup_index import (
+    MinHashDedupIndex,
+    _sig_agree_expr,
+)
+from data_pipeline_spark.operators.textdedup import minhash_signature, shingles
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls "
+    "softly on the quiet green meadow near the old stone bridge"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus(spark):
+    """Three near-dup clusters + singletons, split across two batches."""
+    batch1 = _docs(spark, [
+        (1, BASE),
+        (2, BASE + " tonight"),                      # near-dup of 1
+        (3, "completely different words about spark partitions and shuffles here"),
+        (4, "yet another unrelated document mentioning benchmarks and parquet files"),
+    ])
+    batch2 = _docs(spark, [
+        (5, BASE + " again tonight"),                # near-dup of 1/2 (cross-batch)
+        (6, "completely different words about spark partitions and shuffles here!"),  # near-dup of 3
+        (7, "a fresh singleton document with nothing in common with the others at all"),
+        (8, BASE),                                   # exact dup of 1 (cross-batch)
+    ])
+    return batch1, batch2
+
+
+def _full_recompute_pairs(spark, idx, docs):
+    """Oracle: same signatures + bands + agreement metric, one shot over
+    the union corpus — what a non-incremental run would report in total."""
+    sigs = idx._sign(docs, "doc_id", "text")
+    bands = idx._band_keys(sigs)
+    cand = (
+        bands.alias("x").join(bands.alias("y"), on=["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn("est_jaccard", F.round(_sig_agree_expr("sig_a", "sig_b", idx.meta["num_hashes"]), 6))
+        .where(F.col("est_jaccard") >= idx.meta["threshold"])
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out.collect()}
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path, corpus):
+    batch1, batch2 = corpus
+    idx = MinHashDedupIndex.create(spark, str(tmp_path / "idx"), num_hashes=24, bands=6)
+    p1 = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+          for r in idx.update(batch1, epoch=0).collect()}
+    p2 = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+          for r in idx.update(batch2, epoch=1).collect()}
+    assert not (set(p1) & set(p2)), "old-old pairs must not be re-reported"
+    union = _full_recompute_pairs(spark, idx, batch1.unionByName(batch2))
+    assert {**p1, **p2} == union
+    # The interesting pairs actually surfaced.
+    assert (1, 8) in union and union[(1, 8)] == 1.0  # exact dup across batches
+    assert (1, 5) in p2 or (2, 5) in p2              # cross-batch near-dup
+    assert (3, 6) in p2                              # cross-batch near-dup
+
+
+def test_exactly_once_epoch_and_cold_reload(spark, tmp_path, corpus):
+    batch1, batch2 = corpus
+    path = str(tmp_path / "idx2")
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=24, bands=6)
+    idx.update(batch1, epoch=0)
+    assert idx.update(batch1, epoch=0).count() == 0  # replay is a no-op
+    assert idx.committed_epochs() == {0}
+    # Cold reload sees the same state; next epoch works off it.
+    idx2 = MinHashDedupIndex.load(spark, path)
+    assert idx2.committed_epochs() == {0}
+    pairs = idx2.update(batch2, epoch=1).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 8 for r in pairs)
+    # Signatures of both batches are stored exactly once.
+    assert idx2.stored_sigs().count() == 8
+    assert idx2.stored_sigs().select("doc_id").distinct().count() == 8
+
+
+def test_pairs_materialized_before_commit_no_self_pairs(spark, tmp_path, corpus):
+    batch1, _ = corpus
+    idx = MinHashDedupIndex.create(spark, str(tmp_path / "idx3"), num_hashes=24, bands=6)
+    pairs = idx.update(batch1, epoch=0)
+    # Collected AFTER the commit: the plan must not see the batch twice.
+    rows = pairs.collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_duplicates_probe_is_read_only(spark, tmp_path, corpus):
+    batch1, batch2 = corpus
+    idx = MinHashDedupIndex.create(spark, str(tmp_path / "idx4"), num_hashes=24, bands=6)
+    idx.update(batch1, epoch=0)
+    probe = idx.duplicates(batch2).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 8 for r in probe)
+    assert idx.committed_epochs() == {0}  # nothing committed
+    assert MinHashDedupIndex.load(spark, str(tmp_path / "idx4")).committed_epochs() == {0}
+
+
+def test_param_freeze_and_create_if_not_exists(spark, tmp_path):
+    path = str(tmp_path / "idx5")
+    MinHashDedupIndex.create(spark, path, num_hashes=24, bands=6)
+    again = MinHashDedupIndex.create(spark, path, num_hashes=24, bands=6)
+    assert again.meta["num_hashes"] == 24
+    with pytest.raises(ValueError, match="frozen"):
+        MinHashDedupIndex.create(spark, path, num_hashes=12, bands=4)
+    with pytest.raises(ValueError, match="divisible"):
+        MinHashDedupIndex.create(spark, str(tmp_path / "idx6"), num_hashes=10, bands=4)
+
+
+def test_estimate_tracks_exact_jaccard(spark):
+    """Signature agreement is the unbiased MinHash Jaccard estimator —
+    with enough hashes it must sit near the exact value."""
+    a, b = BASE, BASE + " tonight"
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    row = df.select(
+        minhash_signature(F.col("a"), num_hashes=96).alias("sa"),
+        minhash_signature(F.col("b"), num_hashes=96).alias("sb"),
+        shingles(F.col("a")).alias("ga"),
+        shingles(F.col("b")).alias("gb"),
+    ).select(
+        F.round(_sig_agree_expr("sa", "sb", 96), 6).alias("est"),
+        (
+            F.size(F.array_intersect("ga", "gb")).cast("double")
+            / F.size(F.array_union("ga", "gb")).cast("double")
+        ).alias("exact"),
+    ).collect()[0]
+    assert abs(row["est"] - row["exact"]) < 0.15
+
+
+def test_stop_shingles_frozen_and_applied(spark, tmp_path):
+    """A frozen stop-shingle list removes boilerplate from the Jaccard
+    space consistently across epochs."""
+    boiler = "copyright footer all rights reserved"
+    docs1 = _docs(spark, [(1, "alpha beta gamma delta " + boiler),
+                          (2, "epsilon zeta eta theta " + boiler)])
+    stop = MinHashDedupIndex.bootstrap_stop_shingles(
+        docs1, "text", "doc_id", n=3, max_df=1
+    )
+    assert any("copyright" in s for s in stop)
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "idx7"), num_hashes=24, bands=6, stop_shingles=stop
+    )
+    # Docs sharing ONLY boilerplate must not pair.
+    assert idx.update(docs1, epoch=0).count() == 0
+    # Real near-dups (beyond boilerplate) still pair in a later epoch.
+    docs2 = _docs(spark, [(3, "alpha beta gamma delta " + boiler + " x")])
+    pairs = idx.update(docs2, epoch=1).collect()
+    assert any({r["id_a"], r["id_b"]} == {1, 3} for r in pairs)
