@@ -76,6 +76,15 @@ class CurateConfig:
     # runs only when curate() is given a bench DataFrame; these tune it.
     decontaminate_ngram: int = 13
     decontaminate_min_hits: int = 1
+    # cross-RUN near-dup dedup: path of a persistent MinHashDedupIndex.
+    # When set, stage 6 additionally drops new docs that near-duplicate
+    # documents SHIPPED BY PREVIOUS RUNS (probed read-only), and the final
+    # survivors are committed to the index — so the index tracks the
+    # shipped corpus, and a doc that was sampled/decontaminated away does
+    # not suppress future occurrences. ``dedup_index_epoch`` makes the
+    # commit exactly-once across job retries.
+    dedup_index_path: str | None = None
+    dedup_index_epoch: int | None = None
 
 
 def curate(
@@ -147,6 +156,43 @@ def curate(
     # 6. near-dup dedup: banded pairs → components → canonical survivors.
     # materialize=True: the component loop iterates actions, so the pair
     # plan must be computed ONCE (checkpointed), not re-derived per round.
+    idx = None
+    if cfg.dedup_index_path is not None:
+        from .dedup_index import MinHashDedupIndex
+
+        mh = cfg.minhash or dict(n=3, num_hashes=12, bands=4, threshold=0.5)
+        idx = MinHashDedupIndex.create(
+            deduped.sparkSession, cfg.dedup_index_path,
+            n=mh["n"], num_hashes=mh["num_hashes"], bands=mh["bands"],
+            threshold=mh["threshold"], id_type="string",
+        )
+        # Cross-run: drop new docs near-duplicating anything a PREVIOUS run
+        # shipped (read-only probe — within-batch pairs also surface here,
+        # but the in-batch stage below owns those via components, so only
+        # pairs with an out-of-batch side act). Probe BEFORE the in-batch
+        # stage: a new doc that duplicates the shipped corpus must not
+        # survive by being its in-batch cluster's representative.
+        probe = idx.duplicates(deduped, id_col=u, text_col=t)
+        ids_a = (
+            deduped.select(F.col(u).alias("id_a")).distinct()
+            .withColumn("_a_new", F.lit(True))
+        )
+        ids_b = (
+            deduped.select(F.col(u).alias("id_b")).distinct()
+            .withColumn("_b_new", F.lit(True))
+        )
+        flagged = probe.join(ids_a, "id_a", "left").join(ids_b, "id_b", "left")
+        # A pair with an out-of-batch (old) side kills its new side; pairs
+        # with both sides new are left for the in-batch components stage.
+        drop = (
+            flagged.where(F.col("_a_new").isNull()).select(F.col("id_b").alias(u))
+            .unionByName(
+                flagged.where(F.col("_b_new").isNull()).select(F.col("id_a").alias(u))
+            )
+            .distinct()
+        )
+        deduped = deduped.join(drop, u, "left_anti").localCheckpoint(eager=True)
+        stats["after_index_dedup"] = deduped.count()
     if cfg.minhash is not None:
         pairs = TD.minhash_lsh_pairs(deduped, t, u, **cfg.minhash)
         comp = CC.connected_components(
@@ -182,4 +228,8 @@ def curate(
 
     out = deduped.localCheckpoint(eager=True)
     stats["output_rows"] = out.count()
+    # 8. index the SHIPPED survivors (cross-run dedup for future batches).
+    if idx is not None:
+        eid = idx.commit(out, id_col=u, text_col=t, epoch=cfg.dedup_index_epoch)
+        stats["index_epoch"] = -1 if eid is None else eid
     return out, stats

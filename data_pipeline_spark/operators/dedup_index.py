@@ -96,14 +96,20 @@ class MinHashDedupIndex:
         bands: int = 4,
         threshold: float = 0.5,
         stop_shingles: list[str] | None = None,
+        id_type: str = "long",
     ) -> "MinHashDedupIndex":
         """CREATE IF NOT EXISTS; existing params win (and must not be
         silently contradicted — changing LSH params invalidates every stored
-        signature, so a param mismatch raises)."""
+        signature, so a param mismatch raises). ``id_type`` is the doc-id
+        column type ("long" for synthetic ids, "string" for url-keyed
+        corpora) — frozen like the LSH params."""
+        if id_type not in ("long", "string"):
+            raise ValueError(f"id_type must be 'long' or 'string', got {id_type!r}")
         meta_path = os.path.join(path, _META)
         if os.path.exists(meta_path):
             idx = cls.load(spark, path)
-            want = {"n": n, "num_hashes": num_hashes, "bands": bands}
+            want = {"n": n, "num_hashes": num_hashes, "bands": bands,
+                    "id_type": id_type}
             have = {k: idx.meta[k] for k in want}
             if want != have:
                 raise ValueError(
@@ -119,6 +125,7 @@ class MinHashDedupIndex:
             "num_hashes": num_hashes,
             "bands": bands,
             "threshold": threshold,
+            "id_type": id_type,
             "stop_shingles": sorted(stop_shingles or []),
             "epochs": [],
         }
@@ -154,9 +161,13 @@ class MinHashDedupIndex:
         if stop:
             sh = F.array_except(sh, F.array(*[F.lit(s) for s in stop]))
         return docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).cast(self._id_type).alias("doc_id"),
             _signature_from_shingles(sh, self.meta["num_hashes"]).alias("sig"),
         )
+
+    @property
+    def _id_type(self) -> str:
+        return self.meta.get("id_type", "long")
 
     def _band_keys(self, sigs: DataFrame) -> DataFrame:
         """(band, key, doc_id) from signatures — no text involved."""
@@ -191,14 +202,16 @@ class MinHashDedupIndex:
     def stored_sigs(self) -> DataFrame:
         paths = self._epoch_paths("sigs")
         if not paths:
-            return self.spark.createDataFrame([], "doc_id long, sig array<string>")
+            return self.spark.createDataFrame(
+                [], f"doc_id {self._id_type}, sig array<string>"
+            )
         return self.spark.read.parquet(*paths)
 
     def stored_bands(self) -> DataFrame:
         paths = self._epoch_paths("bands")
         if not paths:
             return self.spark.createDataFrame(
-                [], "band int, key string, doc_id long"
+                [], f"band int, key string, doc_id {self._id_type}"
             )
         return self.spark.read.parquet(*paths)
 
@@ -228,7 +241,7 @@ class MinHashDedupIndex:
         """
         if epoch is not None and epoch in self.committed_epochs():
             return self.spark.createDataFrame(
-                [], "id_a long, id_b long, est_jaccard double"
+                [], f"id_a {self._id_type}, id_b {self._id_type}, est_jaccard double"
             )
         num_hashes = self.meta["num_hashes"]
         threshold = self.meta["threshold"]
@@ -271,22 +284,47 @@ class MinHashDedupIndex:
             # Materialize off the pre-commit state (and off new_sigs' cache).
             pairs = verified.localCheckpoint(eager=True)
             if commit:
-                eid = epoch if epoch is not None else (
-                    max(self.committed_epochs(), default=-1) + 1
-                )
-                new_sigs.write.mode("overwrite").parquet(
-                    os.path.join(self.path, "sigs", f"epoch={eid}")
-                )
-                self._band_keys(new_sigs).write.mode("overwrite").parquet(
-                    os.path.join(self.path, "bands", f"epoch={eid}")
-                )
-                # Data first, meta pointer second (crash leaves orphan data
-                # dirs, never a committed epoch without data).
-                self.meta["epochs"].append({"epoch": eid})
-                _atomic_write_json(os.path.join(self.path, _META), self.meta)
+                self._commit_sigs(new_sigs, epoch)
             return pairs
         finally:
             new_sigs.unpersist()
+
+    def _commit_sigs(self, sigs: DataFrame, epoch: int | None) -> int:
+        eid = epoch if epoch is not None else (
+            max(self.committed_epochs(), default=-1) + 1
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.path, "sigs", f"epoch={eid}")
+        )
+        self._band_keys(sigs).write.mode("overwrite").parquet(
+            os.path.join(self.path, "bands", f"epoch={eid}")
+        )
+        # Data first, meta pointer second (crash leaves orphan data
+        # dirs, never a committed epoch without data).
+        self.meta["epochs"].append({"epoch": eid})
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return eid
+
+    def commit(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch: int | None = None,
+    ) -> int | None:
+        """Index a batch WITHOUT reporting pairs — for pipelines that probe
+        with :meth:`duplicates` first, filter, and then index only the
+        surviving (shipped) documents, so the index tracks the shipped
+        corpus rather than everything ever seen. Returns the committed
+        epoch id, or None if ``epoch`` was already committed (exactly-once,
+        same ledger as :meth:`update`)."""
+        if epoch is not None and epoch in self.committed_epochs():
+            return None
+        sigs = self._sign(docs, id_col, text_col).persist()
+        try:
+            return self._commit_sigs(sigs, epoch)
+        finally:
+            sigs.unpersist()
 
     def duplicates(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"

@@ -5,7 +5,12 @@
       [--from-lake] [--line-dedup] [--no-gopher] [--no-minhash] [--no-pii] \
       [--sample '{"en": 0.5, "de": 1.0}'] [--sample-default 0.1] \
       [--bench <parquet dir of (bench_id, text)>] \
-      [--bench-ngram 13] [--bench-min-hits 1]
+      [--bench-ngram 13] [--bench-min-hits 1] \
+      [--dedup-index <index dir>] [--dedup-index-epoch N]
+
+--dedup-index makes near-dup dedup CROSS-RUN: new docs are probed against
+the persistent MinHash index of everything previous runs shipped, and this
+run's survivors are committed back (exactly-once per --dedup-index-epoch).
 
 Input columns: url, warc_ts, (lsn), text, lang. With --from-lake the input
 is an icelite lake table (the CDC replay's sink) and the latest snapshot is
@@ -39,7 +44,15 @@ def main() -> None:
                          "enables shared-n-gram decontamination")
     ap.add_argument("--bench-ngram", type=int, default=13)
     ap.add_argument("--bench-min-hits", type=int, default=1)
+    ap.add_argument("--dedup-index", default=None,
+                    help="persistent MinHash index dir: dedup new docs "
+                         "against prior runs' shipped corpus, then index "
+                         "this run's survivors")
+    ap.add_argument("--dedup-index-epoch", type=int, default=None,
+                    help="exactly-once ledger id for the index commit")
     args = ap.parse_args()
+    if args.dedup_index_epoch is not None and args.dedup_index is None:
+        ap.error("--dedup-index-epoch requires --dedup-index")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -67,6 +80,8 @@ def main() -> None:
         seed=args.seed,
         decontaminate_ngram=args.bench_ngram,
         decontaminate_min_hits=args.bench_min_hits,
+        dedup_index_path=args.dedup_index,
+        dedup_index_epoch=args.dedup_index_epoch,
     )
     bench = spark.read.parquet(args.bench) if args.bench else None
     out, stats = curate(df, cfg, bench=bench)

@@ -156,3 +156,48 @@ def test_decontaminate_stage(spark, corpus):
     assert base_urls - urls == {"https://f.com/de3"}
     assert stats["after_decontaminate"] == stats["after_exact_dedup"] - 1
     assert stats["output_rows"] == base_stats["output_rows"] - 1
+
+
+def test_cross_run_dedup_index(spark, tmp_path, corpus):
+    """--dedup-index semantics: run 2 drops near-dups of what run 1
+    SHIPPED, keeps novel pages, and the index commit is exactly-once."""
+    from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+
+    path = str(tmp_path / "mhidx")
+    out1, stats1 = curate(
+        corpus, CurateConfig(dedup_index_path=path, dedup_index_epoch=0)
+    )
+    assert stats1["index_epoch"] == 0
+    shipped1 = {r["url"] for r in out1.select("url").collect()}
+    assert "https://a.com/page?a=1&b=2" in shipped1  # canonicalized survivor
+
+    page_a = GOOD + " " + _uniq("a")
+    rows2 = [
+        # near-dup of run 1's shipped a.com page (one extra token)
+        ("https://g.com/rerun-neardup", 300, 1, page_a + " current extra", "en"),
+        # genuinely novel page
+        ("https://h.com/fresh", 300, 2, GOOD + " " + _uniq("h") + " novel", "en"),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    out2, stats2 = curate(
+        df2, CurateConfig(dedup_index_path=path, dedup_index_epoch=1)
+    )
+    urls2 = {r["url"] for r in out2.collect()}
+    assert "https://g.com/rerun-neardup" not in urls2, "cross-run dup shipped twice"
+    assert "https://h.com/fresh" in urls2
+    assert stats2["after_index_dedup"] == 1
+    assert stats2["index_epoch"] == 1
+
+    # Exactly-once: re-running the same epoch re-produces the output but
+    # does NOT double-commit the index.
+    out2b, stats2b = curate(
+        df2, CurateConfig(dedup_index_path=path, dedup_index_epoch=1)
+    )
+    assert stats2b["index_epoch"] == -1
+    idx = MinHashDedupIndex.load(spark, path)
+    assert idx.committed_epochs() == {0, 1}
+    # The index holds exactly what the two runs shipped (url-keyed strings).
+    n_shipped = len(shipped1) + len(urls2)
+    assert idx.stored_sigs().count() == n_shipped
