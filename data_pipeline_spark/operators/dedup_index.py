@@ -194,10 +194,12 @@ class MinHashDedupIndex:
         ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "doc_id")
 
     def _epoch_paths(self, sub: str) -> list[str]:
-        return [
-            os.path.join(self.path, sub, f"epoch={e['epoch']}")
-            for e in self.meta["epochs"]
-        ]
+        # Compacted epochs share one merged directory (see compact());
+        # dedupe while preserving order.
+        seen: dict[str, None] = {}
+        for e in self.meta["epochs"]:
+            seen.setdefault(str(e.get("dir", e["epoch"])), None)
+        return [os.path.join(self.path, sub, f"epoch={d}") for d in seen]
 
     def stored_sigs(self) -> DataFrame:
         paths = self._epoch_paths("sigs")
@@ -332,6 +334,51 @@ class MinHashDedupIndex:
         """Read-only probe: pairs a batch would produce, without indexing it
         (e.g. score a candidate crawl against the corpus before ingest)."""
         return self.update(docs, id_col, text_col, commit=False)
+
+    def compact(self) -> dict:
+        """Merge all epoch directories into one (maintenance).
+
+        A long-running pipeline accumulates one sigs/bands directory pair
+        per epoch; every update then pays O(epochs) file listing and opens
+        thousands of small parquet files. Compaction rewrites the
+        accumulated state as a single epoch directory while PRESERVING the
+        exactly-once ledger (the committed epoch ids keep their entries,
+        all pointing at the merged directory), so replaying an old epoch is
+        still a no-op. Write-new-then-swap: a crash mid-compact leaves the
+        old directories and the old meta intact (the new dir is an orphan).
+        """
+        epochs = [e["epoch"] for e in self.meta["epochs"]]
+        dirs = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
+        if len(dirs) <= 1:
+            return {"compacted": False, "dirs": len(dirs)}
+        # Distinct namespace: a plain integer here would collide with the
+        # NEXT epoch commit's directory (max+1) and be clobbered by it.
+        new_dir = f"compact-{max(epochs)}"
+        self.stored_sigs().repartition(
+            max(self.spark.sparkContext.defaultParallelism, 1)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.path, "sigs", f"epoch={new_dir}")
+        )
+        self.stored_bands().repartition(
+            max(self.spark.sparkContext.defaultParallelism, 1)
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.path, "bands", f"epoch={new_dir}")
+        )
+        self.meta["epochs"] = [
+            {"epoch": e, "dir": new_dir} for e in sorted(epochs)
+        ]
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        # Old directories are now orphans; sweep them (best-effort — a
+        # failure here leaks storage, never correctness).
+        import shutil as _sh
+
+        for sub in ("sigs", "bands"):
+            for d in dirs:
+                _sh.rmtree(
+                    os.path.join(self.path, sub, f"epoch={d}"),
+                    ignore_errors=True,
+                )
+        return {"compacted": True, "dirs_merged": len(dirs), "dir": new_dir}
 
 
 def sql_dedup_index_update(

@@ -167,3 +167,37 @@ def test_stop_shingles_frozen_and_applied(spark, tmp_path):
     docs2 = _docs(spark, [(3, "alpha beta gamma delta " + boiler + " x")])
     pairs = idx.update(docs2, epoch=1).collect()
     assert any({r["id_a"], r["id_b"]} == {1, 3} for r in pairs)
+
+
+def test_compact_merges_epochs_preserving_ledger(spark, tmp_path, corpus):
+    """Compaction merges per-epoch dirs into one while the exactly-once
+    ledger, stored state, and subsequent updates are unchanged."""
+    import os
+
+    batch1, batch2 = corpus
+    path = str(tmp_path / "idxc")
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=24, bands=6)
+    idx.update(batch1, epoch=0)
+    idx.update(batch2, epoch=1)
+    before = {(r["doc_id"], tuple(r["sig"])) for r in idx.stored_sigs().collect()}
+
+    res = idx.compact()
+    assert res["compacted"] and res["dirs_merged"] == 2
+    assert {(r["doc_id"], tuple(r["sig"])) for r in idx.stored_sigs().collect()} == before
+    assert idx.committed_epochs() == {0, 1}          # ledger preserved
+    assert idx.update(batch1, epoch=0).count() == 0   # replay still a no-op
+    assert sorted(os.listdir(os.path.join(path, "sigs"))) == ["epoch=compact-1"]
+    # Idempotent: nothing to merge now.
+    assert idx.compact() == {"compacted": False, "dirs": 1}
+
+    # A later epoch commits into its own dir and does NOT clobber the
+    # compacted one; a second compact merges both.
+    b3 = _docs(spark, [(9, "a brand new third batch document with its own words")])
+    idx.update(b3, epoch=2)
+    assert idx.stored_sigs().count() == 9
+    cold = MinHashDedupIndex.load(spark, path)
+    assert cold.stored_sigs().count() == 9
+    res2 = idx.compact()
+    assert res2["compacted"] and res2["dirs_merged"] == 2
+    assert idx.stored_sigs().count() == 9
+    assert idx.committed_epochs() == {0, 1, 2}
