@@ -85,6 +85,10 @@ class CurateConfig:
     # commit exactly-once across job retries.
     dedup_index_path: str | None = None
     dedup_index_epoch: int | None = None
+    # band-bucket cap for the index probe: a mass-duplicated page otherwise
+    # makes its band key quadratic in the probe join; 50 representatives
+    # per bucket is far more than dedup verdicts need.
+    dedup_index_max_bucket: int | None = 50
 
 
 def curate(
@@ -172,7 +176,10 @@ def curate(
         # pairs with an out-of-batch side act). Probe BEFORE the in-batch
         # stage: a new doc that duplicates the shipped corpus must not
         # survive by being its in-batch cluster's representative.
-        probe = idx.duplicates(deduped, id_col=u, text_col=t)
+        probe = idx.duplicates(
+            deduped, id_col=u, text_col=t,
+            max_bucket=cfg.dedup_index_max_bucket,
+        )
         ids_a = (
             deduped.select(F.col(u).alias("id_a")).distinct()
             .withColumn("_a_new", F.lit(True))

@@ -226,9 +226,19 @@ class MinHashDedupIndex:
         text_col: str = "text",
         epoch: int | None = None,
         commit: bool = True,
+        max_bucket: int | None = None,
     ) -> DataFrame:
         """Near-dup pairs involving at least one NEW document, then (unless
         ``commit=False``) add the batch to the index atomically.
+
+        ``max_bucket`` bounds the quadratic skew key: a band bucket holding
+        m near-identical docs yields O(m·new) candidates. With the cap, the
+        join's index side keeps only the ``max_bucket`` LOWEST doc_ids per
+        (band, key) — every new duplicate still pairs with its cluster's
+        deterministic representatives (dedup verdicts are unchanged; only
+        redundant same-cluster pairs are dropped), and candidate count is
+        bounded by |new bands| × max_bucket. REQUIRED at real scale; the
+        None default is for small-corpus oracle parity.
 
         Returns (id_a, id_b, est_jaccard) with ``id_a < id_b`` — new-vs-old
         and new-vs-new pairs; old-vs-old pairs were reported when their
@@ -252,6 +262,18 @@ class MinHashDedupIndex:
         try:
             new_bands = self._band_keys(new_sigs)
             all_bands = self.stored_bands().unionByName(new_bands)
+            if max_bucket is not None:
+                # Keep the max_bucket lowest ids per bucket. The window's
+                # hot-key task reads m rows to emit max_bucket — linear in
+                # the bucket, never quadratic in the join.
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("band", "key").orderBy("doc_id")
+                all_bands = (
+                    all_bands.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= max_bucket)
+                    .drop("_rn")
+                )
             cand = (
                 new_bands.alias("x")
                 .join(all_bands.alias("y"), on=["band", "key"])
@@ -329,11 +351,16 @@ class MinHashDedupIndex:
             sigs.unpersist()
 
     def duplicates(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_bucket: int | None = None,
     ) -> DataFrame:
         """Read-only probe: pairs a batch would produce, without indexing it
         (e.g. score a candidate crawl against the corpus before ingest)."""
-        return self.update(docs, id_col, text_col, commit=False)
+        return self.update(docs, id_col, text_col, commit=False,
+                           max_bucket=max_bucket)
 
     def compact(self) -> dict:
         """Merge all epoch directories into one (maintenance).

@@ -201,3 +201,23 @@ def test_compact_merges_epochs_preserving_ledger(spark, tmp_path, corpus):
     assert res2["compacted"] and res2["dirs_merged"] == 2
     assert idx.stored_sigs().count() == 9
     assert idx.committed_epochs() == {0, 1, 2}
+
+
+def test_max_bucket_bounds_candidates_without_losing_dups(spark, tmp_path):
+    """50 identical new docs against an indexed copy: candidates are
+    bounded by the cap, yet EVERY new doc is still flagged as a duplicate
+    (pairs with the cluster's low-id representatives)."""
+    path = str(tmp_path / "idxcap")
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=24, bands=6)
+    idx.update(_docs(spark, [(0, BASE)]), epoch=0)
+    clones = _docs(spark, [(i, BASE) for i in range(1, 51)])
+
+    pairs = idx.update(clones, epoch=1, max_bucket=3).collect()
+    flagged = set()
+    for r in pairs:
+        flagged.add(r["id_a"]); flagged.add(r["id_b"])
+        assert r["est_jaccard"] == 1.0
+    assert set(range(1, 51)) <= flagged      # every clone caught
+    # Bounded: each new doc pairs with <= cap representatives per band,
+    # nowhere near the uncapped 50*51/2 = 1275 pairs.
+    assert len(pairs) <= 50 * 3
