@@ -1475,6 +1475,27 @@ _SQL_ANN_IVF = SIM.sql_ivf_topk(
 )
 
 
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: persistent IVF index grown over two ingest epochs — the frozen
+    fixed quantizer makes adds append-only, so the incremental index must
+    return byte-identical results to the one-shot build. The oracle IS the
+    one-shot ann_ivf SQL twin (same vectors, same params)."""
+    import tempfile
+
+    from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    idx = IVFVectorIndex.create(
+        spark, tempfile.mkdtemp(prefix="ivfidx_"), dim=64, n_lists=8, seed=42
+    )
+    idx.add(e.where(F.col("vec_id") % 20 == 0), epoch=0)
+    idx.add(e.where(F.col("vec_id") % 20 != 0), epoch=1)
+    return idx.topk(queries, k=5, nprobe=3)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing: binary → features via mapInPandas
     (deterministic fake decoder; real codec is a drop-in decode_fn)."""
@@ -1746,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
         # multimodal
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -1808,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _SQL_COMPONENTS,
         "ann_topk": _SQL_ANN_TOPK,
         "ann_ivf": _SQL_ANN_IVF,
+        "ann_ivf_incremental": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
     }

@@ -1,0 +1,250 @@
+"""Persistent, incrementally-growing IVF vector index.
+
+``similarity.ivf_index`` builds the inverted lists in one shot; a
+continuously-ingesting pipeline gets new embeddings every epoch and must
+not re-assign 10^10 stored vectors to add 10^7. With the DETERMINISTIC
+fixed-centroid quantizer (seeded literals — similarity.fixed_centroids),
+the coarse quantizer never changes, so adding vectors is append-only:
+assign the new batch to its lists, write it under the epoch directory,
+done. (A learned-KMeans quantizer cannot be extended this way without
+re-clustering — centroid drift would silently strand old vectors in wrong
+lists; that is why this index only supports the fixed quantizer, and why
+``create`` freezes dim/n_lists/seed.)
+
+Layout (icelite-style: parquet + atomic JSON meta):
+
+    path/meta.json                      params + exactly-once epoch ledger
+    path/lists/epoch=N/list_id=K/*.parquet
+
+Vectors are PHYSICALLY PARTITIONED by ``list_id``, which is what makes the
+probe cheap: a query batch ranks the (driver-regenerable) centroids, takes
+the union of its top-``nprobe`` lists, and the scan reads ONLY those
+list_id directories — O(nprobe/n_lists) of the index, the IVF contract,
+enforced by directory pruning rather than hoped for from the optimizer.
+
+Search reuses ``similarity.ivf_topk`` unchanged, so the incremental index
+returns byte-identical results to a one-shot build over the same vectors
+(pinned by the ``ann_ivf_incremental`` contract query, which shares the
+one-shot DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup_index import _atomic_write_json
+from .similarity import assign_to_lists, fixed_centroids, ivf_topk
+
+_META = "meta.json"
+
+
+class IVFVectorIndex:
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        n_lists: int = 16,
+        seed: int = 42,
+    ) -> "IVFVectorIndex":
+        """CREATE IF NOT EXISTS; params frozen (a different quantizer would
+        strand every stored vector — mismatch raises)."""
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            idx = cls.load(spark, path)
+            want = {"dim": dim, "n_lists": n_lists, "seed": seed}
+            have = {k: idx.meta[k] for k in want}
+            if want != have:
+                raise ValueError(
+                    f"index at {path} exists with {have}, asked for {want}; "
+                    "quantizer params are frozen at create"
+                )
+            return idx
+        meta = {"version": 1, "dim": dim, "n_lists": n_lists, "seed": seed,
+                "epochs": []}
+        _atomic_write_json(meta_path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFVectorIndex":
+        with open(os.path.join(path, _META), encoding="utf-8") as f:
+            return cls(spark, path, json.load(f))
+
+    def committed_epochs(self) -> set[int]:
+        return {e["epoch"] for e in self.meta["epochs"]}
+
+    def centroids(self) -> DataFrame:
+        """Regenerated from the frozen seed — config-scale, never stored."""
+        cents = fixed_centroids(
+            self.meta["dim"], self.meta["n_lists"], self.meta["seed"]
+        )
+        return self.spark.createDataFrame(
+            list(enumerate(cents)), "list_id int, centroid array<double>"
+        )
+
+    # -- write ---------------------------------------------------------------
+
+    def add(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        epoch: int | None = None,
+    ) -> int | None:
+        """Assign a batch to its lists and append it (exactly-once per
+        ``epoch``). Returns the committed epoch id, or None if skipped."""
+        if epoch is not None and epoch in self.committed_epochs():
+            return None
+        dim = self.meta["dim"]
+        base = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).where(
+            F.assert_true(
+                F.size("v") == F.lit(dim),
+                f"IVFVectorIndex.add: embedding dim != indexed dim={dim}",
+            ).isNull()
+        )
+        assigned = assign_to_lists(base, self.centroids())
+        eid = epoch if epoch is not None else (
+            max(self.committed_epochs(), default=-1) + 1
+        )
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(self.path, "lists", f"epoch={eid}"))
+        )
+        self.meta["epochs"].append({"epoch": eid})
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return eid
+
+    # -- read ----------------------------------------------------------------
+
+    def _dirs(self) -> list[str]:
+        seen: dict[str, None] = {}
+        for e in self.meta["epochs"]:
+            seen.setdefault(str(e.get("dir", e["epoch"])), None)
+        return [os.path.join(self.path, "lists", f"epoch={d}") for d in seen]
+
+    def assigned(self, list_ids: list[int] | None = None) -> DataFrame:
+        """The stored (id, v, list_id) rows; ``list_ids`` restricts the scan
+        to those lists' DIRECTORIES — the physical partition pruning that
+        makes a probe O(nprobe/n_lists) of the index."""
+        empty = "id long, v array<double>, list_id int"
+        parts = []
+        for d in self._dirs():
+            if list_ids is None:
+                paths = [d]
+            else:
+                paths = [
+                    os.path.join(d, f"list_id={li}")
+                    for li in sorted(set(list_ids))
+                    if os.path.isdir(os.path.join(d, f"list_id={li}"))
+                ]
+                if not paths:
+                    continue
+            # basePath keeps the list_id partition column when reading the
+            # pruned leaf directories directly.
+            parts.append(
+                self.spark.read.option("basePath", d)
+                .parquet(*paths)
+                .select("id", "v", F.col("list_id").cast("int").alias("list_id"))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def topk(
+        self,
+        queries: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        k: int = 5,
+        nprobe: int = 4,
+        prune_lists: bool = True,
+    ) -> DataFrame:
+        """IVF search over the stored index (same output shape and ranking
+        as ``similarity.ivf_topk``).
+
+        ``prune_lists=True`` first computes the query batch's probed-list
+        union (one tiny job: |queries| × n_lists broadcast scores) and reads
+        ONLY those list directories. For a query batch large enough to
+        probe every list this degrades to the full read — pass
+        ``prune_lists=False`` to skip the extra job in that regime.
+        """
+        list_ids = None
+        if prune_lists:
+            from pyspark.sql import Window
+
+            from .similarity import vec_dot, vec_norm
+
+            q = queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+                vec_norm(vec_col).alias("_nq"),
+            )
+            cents = self.centroids().withColumn("_ncent", vec_norm("centroid"))
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("c_sim"), F.asc("list_id")
+            )
+            probed = (
+                q.crossJoin(F.broadcast(cents))
+                .withColumn(
+                    "c_sim",
+                    vec_dot("qv", "centroid") / (F.col("_nq") * F.col("_ncent")),
+                )
+                .withColumn("_pr", F.row_number().over(w))
+                .where(F.col("_pr") <= nprobe)
+                .select("list_id")
+                .distinct()
+                .collect()
+            )
+            list_ids = [r["list_id"] for r in probed]
+        return ivf_topk(
+            self.centroids(),
+            self.assigned(list_ids),
+            queries,
+            vec_col=vec_col,
+            id_col=id_col,
+            k=k,
+            nprobe=nprobe,
+        )
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Merge epoch directories (same contract as the dedup index's
+        compact: ledger preserved, write-new-then-swap, distinct compact-*
+        namespace so the next add cannot clobber it)."""
+        epochs = [e["epoch"] for e in self.meta["epochs"]]
+        dirs = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
+        if len(dirs) <= 1:
+            return {"compacted": False, "dirs": len(dirs)}
+        new_dir = f"compact-{max(epochs)}"
+        (
+            self.assigned().write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(self.path, "lists", f"epoch={new_dir}"))
+        )
+        self.meta["epochs"] = [{"epoch": e, "dir": new_dir} for e in sorted(epochs)]
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        import shutil as _sh
+
+        for d in dirs:
+            _sh.rmtree(
+                os.path.join(self.path, "lists", f"epoch={d}"), ignore_errors=True
+            )
+        return {"compacted": True, "dirs_merged": len(dirs), "dir": new_dir}

@@ -1,0 +1,100 @@
+"""Persistent incremental IVF vector index (operators/vector_index.py).
+
+Pins: incremental adds == one-shot ivf_index build (same fixed quantizer →
+identical topk results), exactly-once epochs, physical list pruning reads
+only probed directories, compaction preserves state + ledger, param freeze.
+"""
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators.similarity import ivf_index, ivf_topk
+from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+
+DIM = 16
+
+
+def _vecs(spark, ids, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(DIM)]) for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _topk_map(df):
+    return {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_adds_equal_one_shot_build(spark, tmp_path):
+    all_vecs = _vecs(spark, range(60))
+    queries = all_vecs.where(F.col("vec_id") % 20 == 0)
+
+    idx = IVFVectorIndex.create(spark, str(tmp_path / "ivf"), dim=DIM, n_lists=4)
+    idx.add(all_vecs.where(F.col("vec_id") < 30), epoch=0)
+    idx.add(all_vecs.where(F.col("vec_id") >= 30), epoch=1)
+    got = _topk_map(idx.topk(queries, k=3, nprobe=2))
+
+    cents, assigned = ivf_index(
+        all_vecs, n_lists=4, seed=42, quantizer="fixed", dim=DIM
+    )
+    want = _topk_map(ivf_topk(cents, assigned, queries, k=3, nprobe=2))
+    assert got == want and got
+    # Pruning off must give the same answer too.
+    assert _topk_map(idx.topk(queries, k=3, nprobe=2, prune_lists=False)) == want
+
+
+def test_exactly_once_and_cold_reload(spark, tmp_path):
+    path = str(tmp_path / "ivf2")
+    idx = IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    assert idx.add(_vecs(spark, range(10)), epoch=0) == 0
+    assert idx.add(_vecs(spark, range(10)), epoch=0) is None  # replay no-op
+    cold = IVFVectorIndex.load(spark, path)
+    assert cold.committed_epochs() == {0}
+    assert cold.assigned().count() == 10
+
+
+def test_probe_reads_only_probed_list_dirs(spark, tmp_path):
+    path = str(tmp_path / "ivf3")
+    idx = IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    idx.add(_vecs(spark, range(80)), epoch=0)
+    one_query = _vecs(spark, [0])
+    res = idx.topk(one_query, k=3, nprobe=1)
+    files = res.inputFiles()
+    # nprobe=1 and one query → exactly one list directory scanned.
+    lists_touched = {p.split("list_id=")[1].split("/")[0] for p in files if "list_id=" in p}
+    assert len(lists_touched) == 1
+    # And the restricted scan still returns k results ranked 1..k.
+    assert [r["rank"] for r in res.where(F.col("query_id") == 0).collect()] == [1, 2, 3]
+
+
+def test_compact_preserves_state_and_ledger(spark, tmp_path):
+    path = str(tmp_path / "ivf4")
+    idx = IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    idx.add(_vecs(spark, range(20)), epoch=0)
+    idx.add(_vecs(spark, range(20, 40)), epoch=1)
+    before = {r["id"]: r["list_id"] for r in idx.assigned().collect()}
+    res = idx.compact()
+    assert res["compacted"] and res["dirs_merged"] == 2
+    assert {r["id"]: r["list_id"] for r in idx.assigned().collect()} == before
+    assert idx.committed_epochs() == {0, 1}
+    assert idx.add(_vecs(spark, range(20)), epoch=0) is None  # ledger intact
+    assert sorted(os.listdir(os.path.join(path, "lists"))) == ["epoch=compact-1"]
+    # Later add lands in its own dir; nothing clobbered.
+    idx.add(_vecs(spark, range(40, 45)), epoch=2)
+    assert idx.assigned().count() == 45
+
+
+def test_param_freeze_and_dim_guard(spark, tmp_path):
+    path = str(tmp_path / "ivf5")
+    IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    with pytest.raises(ValueError, match="frozen"):
+        IVFVectorIndex.create(spark, path, dim=DIM, n_lists=8)
+    idx = IVFVectorIndex.load(spark, path)
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="dim"):
+        idx.add(bad, epoch=0)
