@@ -5,7 +5,12 @@ README "Maintenance runbook" as one shippable job):
       --table <lake table dir> \
       [--compact] [--compact-dirty-only] [--drop-tombstones] \
       [--build-blooms] \
-      [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600]
+      [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600] \
+      [--minhash-index DIR] [--vector-index DIR]
+
+--minhash-index / --vector-index compact the persistent dedup/ANN indexes
+(merge per-epoch directories; exactly-once ledgers preserved) — the same
+cron can maintain the lake table and its sidecar indexes.
 
 Operations run in the safe order: compact (collapses MoR versions; dirty
 buckets only unless --compact with full rewrite wanted), then bloom build
@@ -27,7 +32,9 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--table", required=True)
+    ap.add_argument("--table", default=None,
+                    help="lake table dir (required for table operations; "
+                         "index-only maintenance may omit it)")
     ap.add_argument("--compact", action="store_true",
                     help="collapse MoR versions (full rewrite of targeted buckets)")
     ap.add_argument("--compact-dirty-only", action="store_true",
@@ -46,6 +53,10 @@ def main() -> None:
                     help="delete data files no live snapshot references")
     ap.add_argument("--gc-grace-seconds", type=float, default=3600.0,
                     help="orphans younger than this are kept (in-flight writers)")
+    ap.add_argument("--minhash-index", default=None,
+                    help="compact this MinHash dedup index's epoch dirs")
+    ap.add_argument("--vector-index", default=None,
+                    help="compact this IVF vector index's epoch dirs")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -56,6 +67,12 @@ def main() -> None:
         # tombstone removal without --compact would get exit 0 and believe
         # tombstones are being dropped.
         ap.error("--drop-tombstones / --compact-dirty-only require --compact")
+    table_ops = (args.compact or args.build_blooms
+                 or args.expire_keep_last is not None or args.gc_orphans)
+    if table_ops and args.table is None:
+        ap.error("--table is required for table operations")
+    if not table_ops and not args.minhash_index and not args.vector_index:
+        ap.error("nothing to do: pass at least one maintenance operation")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -63,7 +80,7 @@ def main() -> None:
     from data_pipeline_spark.lake.table import LakeTable
 
     spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
-    table = LakeTable.load(spark, args.table)
+    table = LakeTable.load(spark, args.table) if args.table else None
     done: dict = {"metric": "lake_maintenance", "table": args.table}
 
     if args.compact:
@@ -88,6 +105,18 @@ def main() -> None:
         done["orphans_removed"] = table.remove_orphan_files(
             grace_seconds=args.gc_grace_seconds
         )
+    if args.minhash_index:
+        from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+
+        done["minhash_index_compact"] = MinHashDedupIndex.load(
+            spark, args.minhash_index
+        ).compact()
+    if args.vector_index:
+        from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+
+        done["vector_index_compact"] = IVFVectorIndex.load(
+            spark, args.vector_index
+        ).compact()
 
     print(json.dumps(done))
     spark.stop()

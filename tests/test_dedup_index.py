@@ -221,3 +221,38 @@ def test_max_bucket_bounds_candidates_without_losing_dups(spark, tmp_path):
     # Bounded: each new doc pairs with <= cap representatives per band,
     # nowhere near the uncapped 50*51/2 = 1275 pairs.
     assert len(pairs) <= 50 * 3
+
+
+# -- property: ANY batch split is equivalent to one-shot ---------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_text = st.lists(_word, min_size=4, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(_text, min_size=2, max_size=10),
+    cut=st.integers(min_value=0, max_value=9),
+)
+def test_property_any_split_equals_full_recompute(spark, tmp_path_factory, texts, cut):
+    """For ARBITRARY small-vocabulary corpora (dup-heavy by construction)
+    and an arbitrary batch boundary, updating in two epochs reports exactly
+    the pairs a one-shot recompute would, with identical scores."""
+    path = str(tmp_path_factory.mktemp("idxprop"))
+    docs = _docs(spark, list(enumerate(texts)))
+    k = min(cut, len(texts))
+    b1 = docs.where(F.col("doc_id") < k)
+    b2 = docs.where(F.col("doc_id") >= k)
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=12, bands=4)
+    got = {}
+    if k > 0:
+        got.update({(r["id_a"], r["id_b"]): r["est_jaccard"]
+                    for r in idx.update(b1, epoch=0).collect()})
+    if k < len(texts):
+        got.update({(r["id_a"], r["id_b"]): r["est_jaccard"]
+                    for r in idx.update(b2, epoch=1).collect()})
+    assert got == _full_recompute_pairs(spark, idx, docs)

@@ -130,15 +130,31 @@ def test_spark_submit_curate_job(submit_env, tmp_path, spark):
     assert os.path.isdir(out_dir)
 
 
-def test_spark_submit_maintenance_job(submit_env, tmp_path):
+def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
     """The maintenance runbook ships as one job: replay a log into a table
-    (MoR, multi-version buckets), then compact + expire + GC via
-    spark-submit from the zip alone."""
+    (MoR, multi-version buckets), then compact + expire + GC — plus
+    sidecar-index compaction — via spark-submit from the zip alone."""
     work, log_dir, zip_path = submit_env
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
         pytest.skip("spark-submit not on PATH")
     table_dir = str(work / "t_maint")
+
+    # Two-epoch sidecar indexes for the job to compact.
+    from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+    from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+
+    mh_dir, vi_dir = str(work / "mh_idx"), str(work / "vi_idx")
+    mh = MinHashDedupIndex.create(spark, mh_dir, num_hashes=12, bands=4)
+    for e in range(2):
+        mh.update(spark.createDataFrame(
+            [(e * 10 + i, f"epoch {e} doc {i} words alpha beta") for i in range(3)],
+            "doc_id long, text string"), epoch=e)
+    vi = IVFVectorIndex.create(spark, vi_dir, dim=4, n_lists=2)
+    for e in range(2):
+        vi.add(spark.createDataFrame(
+            [(e * 10 + i, [float(i), float(e), 1.0, 0.0]) for i in range(3)],
+            "vec_id long, embedding array<double>"), epoch=e)
     _submit(
         {
             "zip": zip_path, "log": log_dir,
@@ -158,6 +174,7 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path):
             "--compact", "--compact-dirty-only", "--build-blooms",
             "--expire-keep-last", "1", "--gc-orphans",
             "--gc-grace-seconds", "0",
+            "--minhash-index", mh_dir, "--vector-index", vi_dir,
         ],
         capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
     )
@@ -169,3 +186,8 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path):
     assert "compacted_buckets" in done and "expired_snapshots" in done
     assert done["blooms_built"] > 0  # post-compaction files got key blooms
     assert done["orphans_removed"] == 0  # expiry already swept dead files
+    assert done["minhash_index_compact"]["compacted"] is True
+    assert done["vector_index_compact"]["compacted"] is True
+    # Compacted indexes still hold everything (ledger + state intact).
+    assert MinHashDedupIndex.load(spark, mh_dir).stored_sigs().count() == 6
+    assert IVFVectorIndex.load(spark, vi_dir).assigned().count() == 6
