@@ -884,16 +884,20 @@ class LakeTable:
         if cap_bits is not None:
             kwargs["cap_bits"] = cap_bits
         built = B.build_file_blooms(self.spark, groups, self.key_col, **kwargs)
-        # input_file_name() returns file: URIs; manifest paths are
-        # table-relative. Normalize for the join back.
+        # input_file_name() returns file: URIs (percent-encoded — a table
+        # path with a space arrives as %20); manifest paths are
+        # table-relative. Decode + normalize for the join back.
+        from urllib.parse import unquote, urlparse
+
         by_abs = {}
         for f in files:
             by_abs[os.path.abspath(os.path.join(self.path, f["path"]))] = f
         n = 0
         for uri, rec in built.items():
-            p = uri[len("file:"):] if uri.startswith("file:") else uri
-            while p.startswith("//"):
-                p = p[1:]
+            if uri.startswith("file:"):
+                p = unquote(urlparse(uri).path)
+            else:
+                p = unquote(uri) if "%" in uri else uri
             target = by_abs.get(os.path.abspath(p))
             if target is not None:
                 target["bloom"] = rec

@@ -164,7 +164,10 @@ def curate(
     if cfg.dedup_index_path is not None:
         from .dedup_index import MinHashDedupIndex
 
-        mh = cfg.minhash or dict(n=3, num_hashes=12, bands=4, threshold=0.5)
+        # Merge over the defaults: a PARTIAL cfg.minhash dict is valid for
+        # minhash_lsh_pairs (keyword defaults) and must be here too.
+        mh = {**dict(n=3, num_hashes=12, bands=4, threshold=0.5),
+              **(cfg.minhash or {})}
         idx = MinHashDedupIndex.create(
             deduped.sparkSession, cfg.dedup_index_path,
             n=mh["n"], num_hashes=mh["num_hashes"], bands=mh["bands"],

@@ -63,6 +63,29 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _fresh_compact_name(max_epoch: int, existing_dirs: set[str]) -> str:
+    """A merged-dir name that collides with NO live directory. Epoch ids
+    are caller-supplied and may commit out of order, so compact-{max} can
+    already exist from an earlier compaction; overwriting a SOURCE dir
+    while lazily reading it (then sweeping it) would destroy the index."""
+    name = f"compact-{max_epoch}"
+    gen = 1
+    while name in existing_dirs:
+        gen += 1
+        name = f"compact-{max_epoch}-{gen}"
+    return name
+
+
+def _has_parquet(root: str) -> bool:
+    """Any data-bearing parquet file under ``root`` (a dynamic-partition
+    write of an empty frame leaves only _SUCCESS, which a later read cannot
+    infer a schema from)."""
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _sig_agree_expr(a: str, b: str, num_hashes: int):
     """Estimated Jaccard: fraction of equal signature components.
 
@@ -160,9 +183,16 @@ class MinHashDedupIndex:
         stop = self.meta["stop_shingles"]
         if stop:
             sh = F.array_except(sh, F.array(*[F.lit(s) for s in stop]))
-        return docs.select(
-            F.col(id_col).cast(self._id_type).alias("doc_id"),
-            _signature_from_shingles(sh, self.meta["num_hashes"]).alias("sig"),
+        # Docs whose (post-stop-cut) shingle set is EMPTY are unindexable:
+        # signing them would yield the fold's identity signature, making
+        # every pair of such docs a "perfect duplicate" despite sharing no
+        # content. Their Jaccard space is empty — exclude them.
+        base = docs.select(
+            F.col(id_col).cast(self._id_type).alias("doc_id"), sh.alias("_sh")
+        ).where(F.size("_sh") > 0)
+        return base.select(
+            "doc_id",
+            _signature_from_shingles(F.col("_sh"), self.meta["num_hashes"]).alias("sig"),
         )
 
     @property
@@ -201,13 +231,27 @@ class MinHashDedupIndex:
             seen.setdefault(str(e.get("dir", e["epoch"])), None)
         return [os.path.join(self.path, sub, f"epoch={d}") for d in seen]
 
-    def stored_sigs(self) -> DataFrame:
+    def stored_sigs(self, resolve_latest: bool = False) -> DataFrame:
+        """Stored (doc_id, sig, _iepoch). ``resolve_latest=True`` collapses
+        re-shipped ids to their newest signature (one max_by hash agg) —
+        used by compact(), NOT by the per-update hot path (it would shuffle
+        the whole sig table per batch; between compactions a re-shipped id
+        carries both versions and pair emission dedups by max score)."""
         paths = self._epoch_paths("sigs")
         if not paths:
-            return self.spark.createDataFrame(
-                [], f"doc_id {self._id_type}, sig array<string>"
+            df = self.spark.createDataFrame(
+                [], f"doc_id {self._id_type}, sig array<string>, _iepoch int"
             )
-        return self.spark.read.parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
+            if "_iepoch" not in df.columns:
+                df = df.withColumn("_iepoch", F.lit(-1))
+        if resolve_latest:
+            df = df.groupBy("doc_id").agg(
+                F.max_by("sig", "_iepoch").alias("sig"),
+                F.max("_iepoch").alias("_iepoch"),
+            )
+        return df.select("doc_id", "sig", "_iepoch")
 
     def stored_bands(self) -> DataFrame:
         paths = self._epoch_paths("bands")
@@ -261,19 +305,30 @@ class MinHashDedupIndex:
         new_sigs = self._sign(new_docs, id_col, text_col).persist()
         try:
             new_bands = self._band_keys(new_sigs)
-            all_bands = self.stored_bands().unionByName(new_bands)
+            all_bands = (
+                self.stored_bands().withColumn("_stored", F.lit(True))
+                .unionByName(new_bands.withColumn("_stored", F.lit(False)))
+            )
             if max_bucket is not None:
-                # Keep the max_bucket lowest ids per bucket. The window's
-                # hot-key task reads m rows to emit max_bucket — linear in
-                # the bucket, never quadratic in the join.
+                # Keep max_bucket representatives per bucket, STORED docs
+                # first (then lowest id): a mass-duplicated new batch must
+                # never evict the already-shipped copy from the bucket, or
+                # a dup-of-old would surface only as new-vs-new and
+                # consumers that drop only old-adjacent docs (curate) would
+                # ship it again. The window's hot-key task reads m rows to
+                # emit max_bucket — linear in the bucket, never quadratic
+                # in the join.
                 from pyspark.sql import Window
 
-                w = Window.partitionBy("band", "key").orderBy("doc_id")
+                w = Window.partitionBy("band", "key").orderBy(
+                    F.desc("_stored"), F.asc("doc_id")
+                )
                 all_bands = (
                     all_bands.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") <= max_bucket)
                     .drop("_rn")
                 )
+            all_bands = all_bands.drop("_stored")
             cand = (
                 new_bands.alias("x")
                 .join(all_bands.alias("y"), on=["band", "key"])
@@ -284,7 +339,9 @@ class MinHashDedupIndex:
                 )
                 .distinct()
             )
-            all_sigs = self.stored_sigs().unionByName(new_sigs)
+            all_sigs = (
+                self.stored_sigs().select("doc_id", "sig").unionByName(new_sigs)
+            )
             verified = (
                 cand.join(
                     all_sigs.select(
@@ -302,6 +359,11 @@ class MinHashDedupIndex:
                     "est_jaccard",
                     F.round(_sig_agree_expr("sig_a", "sig_b", num_hashes), 6),
                 )
+                # One row per pair even when a re-shipped id carries several
+                # stored signature versions (resolved fully at compaction):
+                # keep the best-scoring version's estimate.
+                .groupBy("id_a", "id_b")
+                .agg(F.max("est_jaccard").alias("est_jaccard"))
                 .where(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard")
             )
@@ -317,7 +379,10 @@ class MinHashDedupIndex:
         eid = epoch if epoch is not None else (
             max(self.committed_epochs(), default=-1) + 1
         )
-        sigs.write.mode("overwrite").parquet(
+        # _iepoch stamps each signature's ingest epoch so compaction can
+        # LWW-resolve re-shipped ids to their newest version.
+        sigs.select("doc_id", "sig", F.lit(eid).cast("int").alias("_iepoch")) \
+            .write.mode("overwrite").parquet(
             os.path.join(self.path, "sigs", f"epoch={eid}")
         )
         self._band_keys(sigs).write.mode("overwrite").parquet(
@@ -378,15 +443,25 @@ class MinHashDedupIndex:
         dirs = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
         if len(dirs) <= 1:
             return {"compacted": False, "dirs": len(dirs)}
-        # Distinct namespace: a plain integer here would collide with the
-        # NEXT epoch commit's directory (max+1) and be clobbered by it.
-        new_dir = f"compact-{max(epochs)}"
-        self.stored_sigs().repartition(
+        # Distinct namespace: a plain integer would collide with the NEXT
+        # epoch commit's directory (max+1); _fresh_compact_name also
+        # guards against out-of-order epochs reproducing a PREVIOUS
+        # compaction's name (overwriting a source dir mid-read).
+        new_dir = _fresh_compact_name(max(epochs), dirs)
+        # Compaction is also when re-shipped ids collapse: keep each
+        # doc_id's LATEST (_iepoch) signature — stale versions stop
+        # consuming bucket-cap slots and emitting shadow pairs.
+        latest = self.stored_sigs(resolve_latest=True)
+        latest.repartition(
             max(self.spark.sparkContext.defaultParallelism, 1)
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "sigs", f"epoch={new_dir}")
         )
-        self.stored_bands().repartition(
+        self._band_keys(
+            self.spark.read.parquet(
+                os.path.join(self.path, "sigs", f"epoch={new_dir}")
+            )
+        ).repartition(
             max(self.spark.sparkContext.defaultParallelism, 1)
         ).write.mode("overwrite").parquet(
             os.path.join(self.path, "bands", f"epoch={new_dir}")

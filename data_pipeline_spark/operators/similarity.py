@@ -474,6 +474,39 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def probe_lists(
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Per query, the top-``nprobe`` inverted lists by centroid cosine —
+    (query_id, qv, _nq, list_id) rows. THE single definition of IVF probe
+    ranking (ties broken by list_id): :func:`ivf_topk` scores against these
+    lists, and the persistent index (operators/vector_index.py) prunes its
+    directory scan with the same rows — a fork of this ranking would let
+    the pruned scan silently miss lists the search probes."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(vec_col).alias("_nq"),
+    )
+    cents = centroids.withColumn("_ncent", vec_norm("centroid"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("list_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "c_sim",
+            vec_dot("qv", "centroid") / (F.col("_nq") * F.col("_ncent")),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "_nq", "list_id")
+    )
+
+
 def ivf_topk(
     centroids: DataFrame,
     assigned: DataFrame,
@@ -492,24 +525,7 @@ def ivf_topk(
     """
     # Query/centroid/index norms are each computed once per vector —
     # probing and re-scoring then run one scalar dot fold per pair.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        vec_norm(vec_col).alias("_nq"),
-    )
-    cents = centroids.withColumn("_ncent", vec_norm("centroid"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("list_id")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "c_sim",
-            vec_dot("qv", "centroid") / (F.col("_nq") * F.col("_ncent")),
-        )
-        .withColumn("_pr", F.row_number().over(probe_w))
-        .where(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "_nq", "list_id")
-    )
+    probes = probe_lists(centroids, queries, vec_col, id_col, nprobe)
     scored = (
         probes.join(assigned.withColumn("_nv", vec_norm("v")), "list_id")
         .where(F.col("query_id") != F.col("id"))

@@ -36,7 +36,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .dedup_index import _atomic_write_json
+from .dedup_index import _atomic_write_json, _fresh_compact_name, _has_parquet
 from .similarity import assign_to_lists, fixed_centroids, ivf_topk
 
 _META = "meta.json"
@@ -119,12 +119,20 @@ class IVFVectorIndex:
         eid = epoch if epoch is not None else (
             max(self.committed_epochs(), default=-1) + 1
         )
-        (
-            assigned.write.mode("overwrite")
-            .partitionBy("list_id")
-            .parquet(os.path.join(self.path, "lists", f"epoch={eid}"))
-        )
-        self.meta["epochs"].append({"epoch": eid})
+        out_dir = os.path.join(self.path, "lists", f"epoch={eid}")
+        assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)
+        if not _has_parquet(out_dir):
+            # A dynamic-partition write of an EMPTY batch leaves only
+            # _SUCCESS — no schema-bearing file — and a later read of the
+            # dir would throw 'unable to infer schema', bricking every
+            # probe. Record the epoch in the ledger (exactly-once holds)
+            # but drop the unreadable directory.
+            import shutil as _sh
+
+            _sh.rmtree(out_dir, ignore_errors=True)
+            self.meta["epochs"].append({"epoch": eid, "empty": True})
+        else:
+            self.meta["epochs"].append({"epoch": eid})
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return eid
 
@@ -133,6 +141,8 @@ class IVFVectorIndex:
     def _dirs(self) -> list[str]:
         seen: dict[str, None] = {}
         for e in self.meta["epochs"]:
+            if e.get("empty"):
+                continue  # empty epoch: ledger entry only, no directory
             seen.setdefault(str(e.get("dir", e["epoch"])), None)
         return [os.path.join(self.path, "lists", f"epoch={d}") for d in seen]
 
@@ -187,30 +197,14 @@ class IVFVectorIndex:
         """
         list_ids = None
         if prune_lists:
-            from pyspark.sql import Window
+            # THE probe ranking (shared with ivf_topk via probe_lists) —
+            # the pruned directory set must be exactly the lists the search
+            # will probe.
+            from .similarity import probe_lists
 
-            from .similarity import vec_dot, vec_norm
-
-            q = queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).cast("array<double>").alias("qv"),
-                vec_norm(vec_col).alias("_nq"),
-            )
-            cents = self.centroids().withColumn("_ncent", vec_norm("centroid"))
-            w = Window.partitionBy("query_id").orderBy(
-                F.desc("c_sim"), F.asc("list_id")
-            )
             probed = (
-                q.crossJoin(F.broadcast(cents))
-                .withColumn(
-                    "c_sim",
-                    vec_dot("qv", "centroid") / (F.col("_nq") * F.col("_ncent")),
-                )
-                .withColumn("_pr", F.row_number().over(w))
-                .where(F.col("_pr") <= nprobe)
-                .select("list_id")
-                .distinct()
-                .collect()
+                probe_lists(self.centroids(), queries, vec_col, id_col, nprobe)
+                .select("list_id").distinct().collect()
             )
             list_ids = [r["list_id"] for r in probed]
         return ivf_topk(
@@ -229,17 +223,22 @@ class IVFVectorIndex:
         """Merge epoch directories (same contract as the dedup index's
         compact: ledger preserved, write-new-then-swap, distinct compact-*
         namespace so the next add cannot clobber it)."""
-        epochs = [e["epoch"] for e in self.meta["epochs"]]
-        dirs = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
+        live = [e for e in self.meta["epochs"] if not e.get("empty")]
+        dirs = {str(e.get("dir", e["epoch"])) for e in live}
         if len(dirs) <= 1:
             return {"compacted": False, "dirs": len(dirs)}
-        new_dir = f"compact-{max(epochs)}"
+        new_dir = _fresh_compact_name(
+            max(e["epoch"] for e in self.meta["epochs"]), dirs
+        )
         (
             self.assigned().write.mode("overwrite")
             .partitionBy("list_id")
             .parquet(os.path.join(self.path, "lists", f"epoch={new_dir}"))
         )
-        self.meta["epochs"] = [{"epoch": e, "dir": new_dir} for e in sorted(epochs)]
+        self.meta["epochs"] = [
+            e if e.get("empty") else {"epoch": e["epoch"], "dir": new_dir}
+            for e in sorted(self.meta["epochs"], key=lambda e: e["epoch"])
+        ]
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         import shutil as _sh
 

@@ -143,3 +143,22 @@ def test_build_on_empty_and_keyless_schema(spark, tmp_path):
     assert build_file_blooms(
         spark, [([], spark.createDataFrame([], "x long").schema)], "url"
     ) == {}
+
+
+def test_build_blooms_under_percent_encoded_path(spark, tmp_path):
+    """input_file_name() percent-encodes URIs — a table dir with a space
+    must still get blooms attached (review regression)."""
+    path = str(tmp_path / "my tables" / "t")
+    table = LakeTable.create(
+        spark, path, spark.createDataFrame([], "url string, v long").schema,
+        key_col="url", n_buckets=2,
+    )
+    staged = spark.createDataFrame(
+        [(f"https://x.example/{i}", i, "upsert", i) for i in range(20)],
+        "url string, v long, op string, lsn long",
+    )
+    table.merge(staged, epoch=0, mode="mor", ts_col="v")
+    res = table.build_blooms()
+    files = table.files_of(table._current_snapshot())
+    assert res["built"] == len(files) > 0
+    assert all("bloom" in f for f in files)

@@ -201,3 +201,17 @@ def test_cross_run_dedup_index(spark, tmp_path, corpus):
     # The index holds exactly what the two runs shipped (url-keyed strings).
     n_shipped = len(shipped1) + len(urls2)
     assert idx.stored_sigs().count() == n_shipped
+
+
+def test_partial_minhash_dict_with_dedup_index(spark, tmp_path, corpus):
+    """A partial cfg.minhash dict (valid for minhash_lsh_pairs via keyword
+    defaults) must work with the index path too (review regression)."""
+    out, stats = curate(
+        corpus,
+        CurateConfig(
+            minhash={"threshold": 0.5},
+            dedup_index_path=str(tmp_path / "mhidx_partial"),
+            dedup_index_epoch=0,
+        ),
+    )
+    assert stats["index_epoch"] == 0 and stats["output_rows"] > 0

@@ -256,3 +256,84 @@ def test_property_any_split_equals_full_recompute(spark, tmp_path_factory, texts
         got.update({(r["id_a"], r["id_b"]): r["est_jaccard"]
                     for r in idx.update(b2, epoch=1).collect()})
     assert got == _full_recompute_pairs(spark, idx, docs)
+
+
+def test_compact_name_never_collides_with_prior_compact(spark, tmp_path):
+    """Out-of-order epoch ids must not make a second compaction reuse (and
+    destroy) the first compaction's directory (review regression)."""
+    import os
+
+    path = str(tmp_path / "idxooo")
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=12, bands=4)
+    idx.update(_docs(spark, [(1, "first epoch words here")]), epoch=2)
+    idx.update(_docs(spark, [(2, "second epoch words here")]), epoch=5)
+    assert idx.compact()["compacted"]
+    # Backfill an EARLIER epoch id (valid: not in the ledger).
+    idx.update(_docs(spark, [(3, "backfilled epoch words here")]), epoch=3)
+    res = idx.compact()
+    # First compaction took "compact-5" (max epoch unchanged since) — the
+    # second must pick a fresh name, not overwrite-and-sweep its own source.
+    assert res["compacted"] and res["dir"] == "compact-5-2"
+    assert idx.stored_sigs().count() == 3
+    assert idx.committed_epochs() == {2, 3, 5}
+    dirs = os.listdir(os.path.join(path, "sigs"))
+    assert len(dirs) == 1  # one merged dir, fully readable
+    assert MinHashDedupIndex.load(spark, path).stored_sigs().count() == 3
+
+
+def test_stored_representative_survives_bucket_cap(spark, tmp_path):
+    """A flood of new clones with lexically smaller ids must NOT evict the
+    stored copy from the capped bucket — every clone must be old-adjacent
+    (review regression: curate drops only docs paired with OLD sides)."""
+    path = str(tmp_path / "idxevict")
+    idx = MinHashDedupIndex.create(
+        spark, path, num_hashes=12, bands=4, id_type="string"
+    )
+    idx.update(
+        spark.createDataFrame([("zzz://shipped/page", BASE)], "doc_id string, text string"),
+        "doc_id", "text", epoch=0,
+    )
+    clones = spark.createDataFrame(
+        [(f"aaa://new/{i:03d}", BASE) for i in range(30)], "doc_id string, text string"
+    )
+    pairs = idx.update(clones, "doc_id", "text", epoch=1, max_bucket=3).collect()
+    old_adjacent = {
+        r["id_a"] if r["id_b"] == "zzz://shipped/page" else r["id_b"]
+        for r in pairs
+        if "zzz://shipped/page" in (r["id_a"], r["id_b"])
+    }
+    assert old_adjacent == {f"aaa://new/{i:03d}" for i in range(30)}
+
+
+def test_fully_boilerplate_docs_are_unindexable_not_identical(spark, tmp_path):
+    """Two docs whose every shingle is stop-listed must NOT pair as perfect
+    duplicates via the fold-identity signature (review regression)."""
+    boiler = "copyright footer all rights reserved today"
+    stop = MinHashDedupIndex.bootstrap_stop_shingles(
+        _docs(spark, [(1, boiler), (2, boiler)]), "text", "doc_id", n=3, max_df=1
+    )
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "idxboil"), num_hashes=12, bands=4, stop_shingles=stop
+    )
+    idx.update(_docs(spark, [(1, boiler)]), epoch=0)
+    assert idx.update(_docs(spark, [(2, boiler)]), epoch=1).count() == 0
+    # Unindexable docs are excluded from storage too.
+    assert idx.stored_sigs().count() == 0
+
+
+def test_reshipped_id_emits_one_pair_and_compact_keeps_latest(spark, tmp_path):
+    """Re-shipping an id stores a second signature version; pair emission
+    stays one row per pair (best score), and compaction LWW-resolves to the
+    newest version (review regression)."""
+    path = str(tmp_path / "idxreship")
+    idx = MinHashDedupIndex.create(spark, path, num_hashes=12, bands=4)
+    idx.update(_docs(spark, [(1, BASE)]), epoch=0)
+    idx.update(_docs(spark, [(1, BASE + " revised tonight")]), epoch=1)  # re-ship
+    assert idx.stored_sigs().count() == 2  # both versions until compaction
+    pairs = idx.update(_docs(spark, [(2, BASE)]), epoch=2).collect()
+    assert len([r for r in pairs if {r["id_a"], r["id_b"]} == {1, 2}]) == 1
+    idx.compact()
+    resolved = idx.stored_sigs().collect()
+    by_id = {r["doc_id"]: r["_iepoch"] for r in resolved}
+    assert len(resolved) == len(by_id)  # one row per id
+    assert by_id[1] == 1  # the newest version won

@@ -98,3 +98,34 @@ def test_param_freeze_and_dim_guard(spark, tmp_path):
     bad = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="dim"):
         idx.add(bad, epoch=0)
+
+
+def test_empty_add_does_not_brick_the_index(spark, tmp_path):
+    """A zero-row epoch must stay in the ledger (exactly-once) without
+    leaving an unreadable schema-less partition dir (review regression)."""
+    path = str(tmp_path / "ivfempty")
+    idx = IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    idx.add(_vecs(spark, range(10)), epoch=0)
+    empty = _vecs(spark, range(10)).where(F.col("vec_id") > 1000)
+    assert idx.add(empty, epoch=1) == 1
+    assert idx.add(empty, epoch=1) is None  # still exactly-once
+    # Every read path survives the empty epoch.
+    assert idx.assigned().count() == 10
+    res = idx.topk(_vecs(spark, [0]), k=3, nprobe=2)
+    assert res.count() == 3
+    assert idx.compact() == {"compacted": False, "dirs": 1}
+    cold = IVFVectorIndex.load(spark, path)
+    assert cold.assigned().count() == 10 and cold.committed_epochs() == {0, 1}
+
+
+def test_vector_compact_name_never_collides(spark, tmp_path):
+    path = str(tmp_path / "ivfooo")
+    idx = IVFVectorIndex.create(spark, path, dim=DIM, n_lists=4)
+    idx.add(_vecs(spark, range(5)), epoch=2)
+    idx.add(_vecs(spark, range(5, 10)), epoch=5)
+    assert idx.compact()["dir"] == "compact-5"
+    idx.add(_vecs(spark, range(10, 15)), epoch=3)  # out-of-order backfill
+    res = idx.compact()
+    assert res["compacted"] and res["dir"] == "compact-5-2"
+    assert idx.assigned().count() == 15
+    assert idx.committed_epochs() == {2, 3, 5}
