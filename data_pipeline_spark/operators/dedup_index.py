@@ -271,6 +271,7 @@ class MinHashDedupIndex:
         epoch: int | None = None,
         commit: bool = True,
         max_bucket: int | None = None,
+        materialize: bool = True,
     ) -> DataFrame:
         """Near-dup pairs involving at least one NEW document, then (unless
         ``commit=False``) add the batch to the index atomically.
@@ -367,6 +368,11 @@ class MinHashDedupIndex:
                 .where(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard")
             )
+            if not commit and not materialize:
+                # Lazy plan for composition/plan-pinning — only safe
+                # read-only: a commit MUST materialize first or a consumer
+                # collecting later would see the batch self-paired.
+                return verified
             # Materialize off the pre-commit state (and off new_sigs' cache).
             pairs = verified.localCheckpoint(eager=True)
             if commit:
@@ -421,11 +427,14 @@ class MinHashDedupIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         max_bucket: int | None = None,
+        materialize: bool = True,
     ) -> DataFrame:
         """Read-only probe: pairs a batch would produce, without indexing it
-        (e.g. score a candidate crawl against the corpus before ingest)."""
+        (e.g. score a candidate crawl against the corpus before ingest).
+        ``materialize=False`` returns the lazy plan (plan pinning /
+        composition into a larger cached pipeline)."""
         return self.update(docs, id_col, text_col, commit=False,
-                           max_bucket=max_bucket)
+                           max_bucket=max_bucket, materialize=materialize)
 
     def compact(self) -> dict:
         """Merge all epoch directories into one (maintenance).

@@ -192,3 +192,44 @@ def test_approx_percentile_tracks_exact(spark, entry):
         for i in range(3):
             lo, hi = bounds[k][2 * i], bounds[k][2 * i + 1]
             assert lo <= approx[k][i] <= hi, (k, i, lo, approx[k][i], hi)
+
+
+def test_dedup_index_update_is_equi_join(spark, tmp_path):
+    """The incremental dedup index's candidate generation must be a band
+    equi-join against the stored band table — no cartesian anywhere, and
+    no per-row Python (md5/minhash all JVM-side SQL lambdas). Probed via
+    duplicates(materialize=False) — the committed path localCheckpoints,
+    which hides the plan behind an ExistingRDD scan."""
+    from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "planidx"), num_hashes=12, bands=4
+    )
+    idx.update(
+        spark.createDataFrame(
+            [(1, "stored words for the plan pin test here")],
+            "doc_id long, text string",
+        ),
+        epoch=0,
+    )
+    probe = idx.duplicates(
+        spark.createDataFrame(
+            [(2, "new words for the plan pin test here")],
+            "doc_id long, text string",
+        ),
+        materialize=False,
+    )
+    plan = _plan(spark, probe)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_ivf_incremental_broadcasts_centroids(spark, entry):
+    """The persistent IVF index's search must broadcast the centroid table
+    (assignment happened at add-time; the probe side still crossJoins the
+    tiny centroid frame) and never produce a cartesian over vectors."""
+    plan = _plan(spark, entry.queries()["ann_ivf_incremental"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny centroid crossJoin only
