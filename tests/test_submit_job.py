@@ -118,6 +118,8 @@ def test_spark_submit_curate_job(submit_env, tmp_path, spark):
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "curate_job.py"),
             "--input", src, "--output", out_dir, "--no-minhash",
+            "--dedup-index", str(work / "curate_idx"),
+            "--dedup-index-epoch", "0",
         ],
         capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
     )
@@ -127,7 +129,12 @@ def test_spark_submit_curate_job(submit_env, tmp_path, spark):
     )
     assert stats["metric"] == "curate_stage_rows"
     assert stats["input_rows"] == 40 and stats["output_rows"] > 0
+    assert stats["index_epoch"] == 0  # survivors indexed for future runs
     assert os.path.isdir(out_dir)
+    from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
+
+    idx = MinHashDedupIndex.load(spark, str(work / "curate_idx"))
+    assert idx.stored_sigs().count() == stats["output_rows"]
 
 
 def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
