@@ -385,13 +385,26 @@ class MinHashDedupIndex:
         eid = epoch if epoch is not None else (
             max(self.committed_epochs(), default=-1) + 1
         )
+        # Size epoch files by ROW COUNT, not input partitioning: a small
+        # batch written at full parallelism leaves ~32 near-empty files per
+        # epoch, and the accumulated listing/footer overhead made updates
+        # SLOWER than full recompute at small scale (measured,
+        # bench/index_bench.py). sigs is persisted by the callers, so the
+        # count is a cached-data scan, not a recompute.
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        n_sig_files = max(1, min(int(sigs.count() // 500_000) + 1, par))
         # _iepoch stamps each signature's ingest epoch so compaction can
         # LWW-resolve re-shipped ids to their newest version.
         sigs.select("doc_id", "sig", F.lit(eid).cast("int").alias("_iepoch")) \
+            .repartition(n_sig_files) \
             .write.mode("overwrite").parquet(
             os.path.join(self.path, "sigs", f"epoch={eid}")
         )
-        self._band_keys(sigs).write.mode("overwrite").parquet(
+        n_band_files = max(1, min(
+            int(sigs.count() * self.meta["bands"] // 2_000_000) + 1, par
+        ))
+        self._band_keys(sigs).repartition(n_band_files) \
+            .write.mode("overwrite").parquet(
             os.path.join(self.path, "bands", f"epoch={eid}")
         )
         # Data first, meta pointer second (crash leaves orphan data
