@@ -74,6 +74,43 @@ class CommitConflictError(RuntimeError):
     """
 
 
+def _stat_json(v):
+    """Parquet-footer stat → JSON-comparable scalar. Timestamps become
+    epoch micros (both the stored stat AND read-time filter bounds go
+    through this, so comparisons live in one space regardless of the
+    session timezone convention)."""
+    import datetime as dt
+
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "replace")
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return v.toordinal()
+    if isinstance(v, bool):
+        return None  # min/max pruning on booleans is pointless
+    if isinstance(v, (str, int, float)):
+        return v
+    return None
+
+
+def _range_overlaps(file_rec: dict, col: str, lo, hi) -> bool:
+    """File-level range pruning: keep the file unless its recorded
+    [min, max] for ``col`` is provably disjoint from [lo, hi] (either
+    bound may be None = open). Files without stats are kept."""
+    stats = file_rec.get("stats", {}).get(col)
+    if not stats:
+        return True
+    fmin, fmax = stats
+    if lo is not None and fmax < lo:
+        return False
+    if hi is not None and fmin > hi:
+        return False
+    return True
+
+
 def _may_contain(file_rec: dict, key) -> bool:
     """Manifest-level data skipping for one file: key min/max range first
     (prunes across buckets), then the per-file Bloom filter if the file has
@@ -121,19 +158,30 @@ class LakeTable:
         key_col: str = "url",
         n_buckets: int = 16,
         order_col: str = "warc_ts",
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """CREATE TABLE IF NOT EXISTS semantics (S13). ``order_col`` is the
-        event-time column of the LWW order (tie-broken by ``__lsn``)."""
+        event-time column of the LWW order (tie-broken by ``__lsn``).
+
+        ``stats_cols`` get per-file min/max recorded in the manifest at
+        commit time (Iceberg column stats) so :meth:`read` can prune whole
+        files for range predicates; defaults to ``[order_col]`` — the
+        event-time dimension every CDC lake is range-queried on."""
         if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
             return cls.load(spark, path)
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        if stats_cols is None:
+            stats_cols = [order_col] if any(
+                f.name == order_col for f in schema.fields
+            ) else []
         meta = {
             "format_version": 1,
             "table_uuid": uuid.uuid4().hex,
             "key_col": key_col,
             "n_buckets": n_buckets,
             "order_col": order_col,
+            "stats_cols": stats_cols,
             "schemas": {"1": json.loads(schema.json())},
             "current_schema_id": 1,
             "snapshots": [],
@@ -359,6 +407,7 @@ class LakeTable:
         with_system: bool = False,
         key_equals=None,
         ref: str | None = None,
+        range_filters: dict | None = None,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / bucket-pruned).
 
@@ -375,6 +424,16 @@ class LakeTable:
         version of a key lives in files whose range contains it, so MoR
         LWW resolution stays correct on the pruned set). Files predating
         the stats (or non-string keys) are conservatively kept.
+
+        ``range_filters`` is ``{col: (lo, hi)}`` over the table's
+        ``stats_cols`` (either bound may be None): files whose recorded
+        min/max is disjoint from the range are skipped, and the predicate
+        is ALSO applied row-level (inclusive bounds), so kept-but-
+        conservative files never leak out-of-range rows. CAUTION with MoR
+        range scans: pruning drops a key's out-of-range VERSIONS before
+        scan-time LWW resolution, so the per-key winner is the winner
+        WITHIN the range (range-local semantics — for global-winner-then-
+        filter semantics, read() then filter).
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -387,7 +446,21 @@ class LakeTable:
             snap_files = [f for f in snap_files if f["bucket"] in bset]
         if key_equals is not None:
             snap_files = [f for f in snap_files if _may_contain(f, key_equals)]
+        if range_filters:
+            for col, (lo, hi) in range_filters.items():
+                jlo, jhi = _stat_json(lo), _stat_json(hi)
+                snap_files = [
+                    f for f in snap_files if _range_overlaps(f, col, jlo, jhi)
+                ]
         out = self._read_files(snap_files)
+        if range_filters:
+            # Row-level twin of the file pruning (inclusive bounds) — kept
+            # files may straddle the range.
+            for col, (lo, hi) in range_filters.items():
+                if lo is not None:
+                    out = out.where(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.where(F.col(col) <= F.lit(hi))
         if with_system:
             return out
         if snap is not None and snap.get("needs_resolve"):
@@ -550,8 +623,50 @@ class LakeTable:
                     rng = self._key_range_from_footer(os.path.join(bdir, fn))
                     if rng is not None:
                         rec["key_min"], rec["key_max"] = rng
+                    stats = self._col_ranges_from_footer(os.path.join(bdir, fn))
+                    if stats:
+                        rec["stats"] = stats
                     files.append(rec)
         return files
+
+    def _col_ranges_from_footer(self, path: str) -> dict:
+        """Per-file (min, max) for every ``stats_cols`` column, from the
+        parquet footer at commit time — the Iceberg column-stats analog,
+        letting :meth:`read` prune files for range predicates (e.g.
+        ``warc_ts BETWEEN ...`` over a CDC lake touches only the epochs in
+        range). Values are JSON-normalized via ``_stat_json`` (timestamps →
+        epoch micros); a column whose stats are unavailable is simply
+        absent (conservatively unprunable)."""
+        cols = self.meta.get("stats_cols") or []
+        if not cols:
+            return {}
+        out = {}
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for col in cols:
+                if col not in idx:
+                    continue
+                ci = idx[col]
+                mins, maxs = [], []
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if not ok or not mins:
+                    continue
+                lo, hi = _stat_json(min(mins)), _stat_json(max(maxs))
+                if lo is not None and hi is not None:
+                    out[col] = [lo, hi]
+        except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+            return out
+        return out
 
     def _key_range_from_footer(self, path: str) -> tuple | None:
         """(min, max) of the key column from the parquet footer — the

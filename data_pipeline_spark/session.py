@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps across the DuckDB oracle boundary.
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default) carries NO parquet min/max stats,
+        # which silently disables the lake's per-file timestamp range
+        # pruning (stats_cols) AND row-group skipping on event time.
+        # TIMESTAMP_MICROS is the modern format with full statistics.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -61,6 +61,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("curate").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Timestamp stats for lake range pruning (INT96 has none).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     if args.from_lake:
         from data_pipeline_spark.lake.table import LakeTable

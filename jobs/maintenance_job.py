@@ -80,6 +80,8 @@ def main() -> None:
     from data_pipeline_spark.lake.table import LakeTable
 
     spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
+    # Timestamp stats for lake range pruning (INT96 has none).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     table = LakeTable.load(spark, args.table) if args.table else None
     done: dict = {"metric": "lake_maintenance", "table": args.table}
 

@@ -41,6 +41,8 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("cdc-replay").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Timestamp stats for lake range pruning (INT96 has none).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     registry = SchemaRegistry()
     table = make_table_for_log(
