@@ -1,0 +1,80 @@
+"""Streaming maintenance of the persistent MinHash dedup index.
+
+Composes the X24 incremental index with Structured Streaming the same way
+the tailer composes the lake merge (streaming/tailer.py): ``foreachBatch``
+applies each micro-batch through ``MinHashDedupIndex.update`` keyed by the
+micro-batch id. Exactly-once falls out of the two ledgers meeting:
+
+- Structured Streaming re-executes a failed/restarted micro-batch with the
+  SAME batch_id;
+- ``update(epoch=batch_id)`` is a no-op for a committed epoch;
+
+so every document is indexed exactly once across driver crashes, and its
+near-dup pairs against the ENTIRE historical corpus are reported exactly
+once — a live "is this new page a duplicate of anything we have ever
+ingested" stream.
+
+Scale posture: per batch the only text-touching work is the batch itself;
+the band equi-join against the stored corpus is the X24 plan, with the
+stored-first ``max_bucket`` cap available for mass-duplicated pages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators.dedup_index import MinHashDedupIndex
+
+# Same motivation as tailer.STREAM_EPOCH_BASE: keep stream batch ids from
+# colliding with batch-pipeline epoch ids when one index is fed by both.
+STREAM_EPOCH_BASE = 1_000_000_000
+
+
+class StreamingDedupIndexer:
+    """``foreachBatch`` sink: index the doc stream, surface dup pairs.
+
+    ``on_pairs(pairs_df, batch_id)`` (optional) receives each batch's
+    MATERIALIZED pair frame — route it to a sink (parquet append, metrics,
+    alerting). Skipped batches (restart re-delivery) produce no callback:
+    their pairs were already delivered when the epoch first committed.
+    """
+
+    def __init__(
+        self,
+        index: MinHashDedupIndex,
+        id_col: str = "url",
+        text_col: str = "text",
+        max_bucket: int | None = 50,
+        on_pairs: Callable[[DataFrame, int], None] | None = None,
+        epoch_base: int = STREAM_EPOCH_BASE,
+    ):
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+        self.max_bucket = max_bucket
+        self.on_pairs = on_pairs
+        self.epoch_base = epoch_base
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        epoch = self.epoch_base + int(batch_id)
+        if epoch in self.index.committed_epochs():
+            return  # restart re-delivery: already indexed + reported
+        pairs = self.index.update(
+            batch_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            epoch=epoch,
+            max_bucket=self.max_bucket,
+        )
+        if self.on_pairs is not None:
+            self.on_pairs(pairs, int(batch_id))
+
+    def attach(self, stream_docs: DataFrame, checkpoint_dir: str):
+        """Wire onto a streaming DataFrame of documents; returns the
+        DataStreamWriter (caller picks the trigger and calls start())."""
+        return (
+            stream_docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
