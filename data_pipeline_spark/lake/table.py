@@ -129,6 +129,17 @@ def _may_contain(file_rec: dict, key) -> bool:
     return True
 
 
+def _row_count_from_footer(path: str) -> int | None:
+    """Exact row count from the parquet footer (Iceberg's per-file
+    record_count) — driver-local metadata, no Spark job."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:  # noqa: BLE001 — metadata is an optimization, never fatal
+        return None
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -626,6 +637,9 @@ class LakeTable:
                     stats = self._col_ranges_from_footer(os.path.join(bdir, fn))
                     if stats:
                         rec["stats"] = stats
+                    rows = _row_count_from_footer(os.path.join(bdir, fn))
+                    if rows is not None:
+                        rec["rows"] = rows
                     files.append(rec)
         return files
 
@@ -1021,6 +1035,96 @@ class LakeTable:
             files, {"operation": "build-blooms", "n_blooms": n}
         )
         return {"built": n, "snapshot_id": snap["snapshot_id"]}
+
+    def purge_keys(self, keys, isin_max: int = 1000) -> dict:
+        """Physically remove EVERY stored version of the given keys
+        (takedown / right-to-be-forgotten — a first-class need for a
+        web-crawl lake; the reference's only analog is whole-object delete,
+        /root/reference/src/storage/minio_client.rs:284-296).
+
+        A tombstone delete (``merge`` with op='delete') masks a key but the
+        payload bytes stay in the old data files. Purge REWRITES the files
+        that may contain a target key with those rows dropped, so the new
+        snapshot's files no longer hold the bytes at all. Prior snapshots
+        still reference the old files — complete physical erasure is
+        ``purge_keys()`` then ``expire_snapshots()`` then
+        ``remove_orphan_files()`` (the maintenance job's ``--purge-keys``
+        path chains them).
+
+        Cost is O(files that may contain a target key), not O(table): keys
+        route to their buckets via the driver-side xxhash64 twin (zero Spark
+        jobs), then per-file key min/max and manifest Blooms prune within
+        the bucket; every other file carries into the new snapshot by
+        reference. One Spark job total (the rewrite); row accounting comes
+        from parquet footers (driver-local metadata, not an extra job — and
+        not an ``observe()``, which AQE's empty-relation propagation elides
+        when a rewrite leaves zero survivors).
+
+        Key lists above ``isin_max`` switch from an ``isin`` predicate
+        (pushed to the parquet reader) to a broadcast anti-join, so a
+        million-key takedown list never builds a million-literal plan.
+        """
+        from .xxhash import spark_xxhash64
+
+        self._assert_current()
+        keys = sorted(set(keys))
+        snap = self._current_snapshot()
+        files = self.files_of(snap)
+        by_bucket: dict[int, list] = {}
+        for kv in keys:
+            b = int(spark_xxhash64(kv) % self.n_buckets)
+            by_bucket.setdefault(b, []).append(kv)
+        todo, carried = [], []
+        for f in files:
+            ks = by_bucket.get(f["bucket"])
+            if ks and any(_may_contain(f, kv) for kv in ks):
+                todo.append(f)
+            else:
+                carried.append(f)
+        if not todo:
+            # Nothing can contain the keys — no rewrite, no commit.
+            return {
+                "snapshot_id": snap["snapshot_id"] if snap else None,
+                "files_rewritten": 0,
+                "rows_removed": 0,
+                "committed": False,
+            }
+        cand = self._read_files(todo)
+        if len(keys) <= isin_max:
+            kept = cand.where(~F.col(self.key_col).isin(keys))
+        else:
+            key_df = self.spark.createDataFrame(
+                [(kv,) for kv in keys], f"{self.key_col} string"
+            )
+            kept = cand.join(
+                F.broadcast(key_df), on=self.key_col, how="left_anti"
+            )
+        kept = kept.withColumn(BUCKET_COL, self._bucket_expr())
+        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+        new_files = self._write_data_files(kept, snapshot_id)
+        rows_in = sum(
+            f["rows"]
+            if "rows" in f
+            else (_row_count_from_footer(os.path.join(self.path, f["path"])) or 0)
+            for f in todo
+        )
+        removed = rows_in - sum(f.get("rows") or 0 for f in new_files)
+        snap = self._commit(
+            carried + new_files,
+            {
+                "operation": "purge",
+                "purged-keys": len(keys),
+                "rows-removed": removed,
+                "files-rewritten": len(todo),
+                "new-files": len(new_files),
+            },
+        )
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "files_rewritten": len(todo),
+            "rows_removed": removed,
+            "committed": True,
+        }
 
     def remove_orphan_files(self, grace_seconds: float = 3600.0) -> int:
         """Delete data files no live snapshot references (Iceberg's

@@ -5,14 +5,22 @@ README "Maintenance runbook" as one shippable job):
       --table <lake table dir> \
       [--compact] [--compact-dirty-only] [--drop-tombstones] \
       [--build-blooms] \
+      [--purge-keys FILE] \
       [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600] \
       [--minhash-index DIR] [--vector-index DIR]
+
+--purge-keys physically removes every stored version of the keys listed in
+FILE (one key per line; blank lines ignored) — the takedown /
+right-to-be-forgotten path. Combine with --expire-keep-last 1 --gc-orphans
+--gc-grace-seconds 0 for complete physical erasure in one run (purge runs
+before expiry/GC, so the old files holding the purged bytes are swept).
 
 --minhash-index / --vector-index compact the persistent dedup/ANN indexes
 (merge per-epoch directories; exactly-once ledgers preserved) — the same
 cron can maintain the lake table and its sidecar indexes.
 
-Operations run in the safe order: compact (collapses MoR versions; dirty
+Operations run in the safe order: purge (so the rewritten-away bytes are
+eligible for this same run's expiry+GC), then compact (collapses MoR versions; dirty
 buckets only unless --compact with full rewrite wanted), then bloom build
 (per-file key Bloom filters for within-bucket point-lookup skipping —
 after compaction so the blooms cover the long-lived compacted files), then
@@ -47,6 +55,10 @@ def main() -> None:
                     help="add per-file key Bloom filters to the manifest "
                          "(stats-only commit; prunes point lookups within "
                          "a bucket where min/max can't)")
+    ap.add_argument("--purge-keys", default=None, metavar="FILE",
+                    help="physically purge every version of the keys listed "
+                         "in FILE (one per line); add --expire-keep-last 1 "
+                         "--gc-orphans for complete physical erasure")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     help="expire all but the newest N snapshots")
     ap.add_argument("--gc-orphans", action="store_true",
@@ -67,7 +79,7 @@ def main() -> None:
         # tombstone removal without --compact would get exit 0 and believe
         # tombstones are being dropped.
         ap.error("--drop-tombstones / --compact-dirty-only require --compact")
-    table_ops = (args.compact or args.build_blooms
+    table_ops = (args.compact or args.build_blooms or args.purge_keys
                  or args.expire_keep_last is not None or args.gc_orphans)
     if table_ops and args.table is None:
         ap.error("--table is required for table operations")
@@ -85,6 +97,13 @@ def main() -> None:
     table = LakeTable.load(spark, args.table) if args.table else None
     done: dict = {"metric": "lake_maintenance", "table": args.table}
 
+    if args.purge_keys:
+        with open(args.purge_keys, encoding="utf-8") as f:
+            keys = [ln.strip() for ln in f if ln.strip()]
+        res = table.purge_keys(keys)
+        done["purged_keys"] = len(keys)
+        done["purge_rows_removed"] = res["rows_removed"]
+        done["purge_files_rewritten"] = res["files_rewritten"]
     if args.compact:
         buckets = table.dirty_buckets() if args.compact_dirty_only else None
         if buckets == []:

@@ -170,6 +170,14 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
         },
         cwd=str(tmp_path),
     )
+    # Takedown path: purge one live key in the same maintenance run (purge
+    # commits first, so this run's expiry+GC sweep the old files too).
+    from data_pipeline_spark.lake.table import LakeTable
+
+    victim = LakeTable.load(spark, table_dir).read().select("url").first()["url"]
+    purge_file = str(work / "purge_keys.txt")
+    with open(purge_file, "w", encoding="utf-8") as f:
+        f.write(victim + "\n")
     res = subprocess.run(
         [
             spark_submit, "--master", "local[4]",
@@ -178,6 +186,7 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
             "--py-files", zip_path,
             os.path.join(REPO, "jobs", "maintenance_job.py"),
             "--table", table_dir,
+            "--purge-keys", purge_file,
             "--compact", "--compact-dirty-only", "--build-blooms",
             "--expire-keep-last", "1", "--gc-orphans",
             "--gc-grace-seconds", "0",
@@ -193,6 +202,9 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
     assert "compacted_buckets" in done and "expired_snapshots" in done
     assert done["blooms_built"] > 0  # post-compaction files got key blooms
     assert done["orphans_removed"] == 0  # expiry already swept dead files
+    assert done["purged_keys"] == 1 and done["purge_rows_removed"] >= 1
+    purged_table = LakeTable.load(spark, table_dir)
+    assert purged_table.lookup(victim).count() == 0
     assert done["minhash_index_compact"]["compacted"] is True
     assert done["vector_index_compact"]["compacted"] is True
     # Compacted indexes still hold everything (ledger + state intact).
