@@ -138,21 +138,40 @@ class IVFVectorIndex:
 
     # -- read ----------------------------------------------------------------
 
-    def _dirs(self) -> list[str]:
-        seen: dict[str, None] = {}
+    def _dirs(self, exclude_epochs: set[int] | None = None) -> list[str]:
+        by_dir: dict[str, set[int]] = {}
         for e in self.meta["epochs"]:
             if e.get("empty"):
                 continue  # empty epoch: ledger entry only, no directory
-            seen.setdefault(str(e.get("dir", e["epoch"])), None)
-        return [os.path.join(self.path, "lists", f"epoch={d}") for d in seen]
+            by_dir.setdefault(str(e.get("dir", e["epoch"])), set()).add(e["epoch"])
+        out = []
+        for d, epochs in by_dir.items():
+            if exclude_epochs and epochs <= exclude_epochs:
+                continue
+            if exclude_epochs and epochs & exclude_epochs:
+                # Compaction merged an excluded epoch's rows into a shared
+                # directory — they can no longer be skipped physically.
+                raise ValueError(
+                    f"cannot exclude epochs {sorted(epochs & exclude_epochs)}: "
+                    f"compacted into shared dir epoch={d}"
+                )
+            out.append(d)
+        return [os.path.join(self.path, "lists", f"epoch={d}") for d in out]
 
-    def assigned(self, list_ids: list[int] | None = None) -> DataFrame:
+    def assigned(
+        self,
+        list_ids: list[int] | None = None,
+        exclude_epochs: list[int] | None = None,
+    ) -> DataFrame:
         """The stored (id, v, list_id) rows; ``list_ids`` restricts the scan
         to those lists' DIRECTORIES — the physical partition pruning that
-        makes a probe O(nprobe/n_lists) of the index."""
+        makes a probe O(nprobe/n_lists) of the index. ``exclude_epochs``
+        drops whole (uncompacted) epoch directories from the scan — the
+        streaming indexer probes "everything except the batch I just added"
+        this way."""
         empty = "id long, v array<double>, list_id int"
         parts = []
-        for d in self._dirs():
+        for d in self._dirs(set(exclude_epochs) if exclude_epochs else None):
             if list_ids is None:
                 paths = [d]
             else:
@@ -185,6 +204,7 @@ class IVFVectorIndex:
         k: int = 5,
         nprobe: int = 4,
         prune_lists: bool = True,
+        exclude_epochs: list[int] | None = None,
     ) -> DataFrame:
         """IVF search over the stored index (same output shape and ranking
         as ``similarity.ivf_topk``).
@@ -209,7 +229,7 @@ class IVFVectorIndex:
             list_ids = [r["list_id"] for r in probed]
         return ivf_topk(
             self.centroids(),
-            self.assigned(list_ids),
+            self.assigned(list_ids, exclude_epochs=exclude_epochs),
             queries,
             vec_col=vec_col,
             id_col=id_col,

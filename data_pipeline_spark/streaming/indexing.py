@@ -1,4 +1,5 @@
-"""Streaming maintenance of the persistent MinHash dedup index.
+"""Streaming maintenance of the persistent sidecar indexes (MinHash dedup
+index and IVF vector index).
 
 Composes the X24 incremental index with Structured Streaming the same way
 the tailer composes the lake merge (streaming/tailer.py): ``foreachBatch``
@@ -76,5 +77,65 @@ class StreamingDedupIndexer:
         DataStreamWriter (caller picks the trigger and calls start())."""
         return (
             stream_docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+
+
+class StreamingVectorIndexer:
+    """``foreachBatch`` sink for an embedding stream: append each batch to
+    the persistent IVF index (X25) with the micro-batch id as an
+    exactly-once epoch, and optionally surface each batch's nearest
+    neighbours among everything indexed BEFORE it.
+
+    Same two-ledger construction as :class:`StreamingDedupIndexer`:
+    stream-checkpoint re-delivery meets the index epoch ledger, so every
+    vector is indexed exactly once across driver restarts. ``on_matches``
+    fires after the epoch commits and probes with the just-committed epoch
+    excluded (physically — its directory is skipped), so matches are
+    against the strictly-prior corpus and, like the dedup indexer's pairs,
+    are delivered at most once per batch.
+    """
+
+    def __init__(
+        self,
+        index,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        nprobe: int = 4,
+        on_matches: Callable[[DataFrame, int], None] | None = None,
+        epoch_base: int = STREAM_EPOCH_BASE,
+    ):
+        self.index = index
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+        self.nprobe = nprobe
+        self.on_matches = on_matches
+        self.epoch_base = epoch_base
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        epoch = self.epoch_base + int(batch_id)
+        if epoch in self.index.committed_epochs():
+            return  # restart re-delivery: already indexed + reported
+        self.index.add(
+            batch_df, id_col=self.id_col, vec_col=self.vec_col, epoch=epoch
+        )
+        if self.on_matches is not None:
+            matches = self.index.topk(
+                batch_df,
+                vec_col=self.vec_col,
+                id_col=self.id_col,
+                k=self.k,
+                nprobe=self.nprobe,
+                exclude_epochs=[epoch],
+            )
+            self.on_matches(matches, int(batch_id))
+
+    def attach(self, stream_vectors: DataFrame, checkpoint_dir: str):
+        """Wire onto a streaming DataFrame of (id, embedding) rows; returns
+        the DataStreamWriter (caller picks the trigger and calls start())."""
+        return (
+            stream_vectors.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)
         )

@@ -99,3 +99,80 @@ def test_stream_indexing_dedups_against_preexisting_corpus(spark, tmp_path):
     q = indexer.attach(stream, str(tmp_path / "cp2")).trigger(availableNow=True).start()
     q.awaitTermination()
     assert any({r["id_a"], r["id_b"]} == {7, 999} for r in hits)
+
+
+def test_stream_vector_indexing_prior_corpus_matches_and_restart(spark, tmp_path):
+    """StreamingVectorIndexer: every embedding indexed exactly once across a
+    checkpoint restart; on_matches probes the STRICTLY-PRIOR corpus (the
+    just-committed batch's directory is physically excluded), so a streamed
+    vector matches a bootstrapped neighbour but never a same-batch one."""
+    from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+    from data_pipeline_spark.streaming.indexing import StreamingVectorIndexer
+
+    idx_path = str(tmp_path / "vidx")
+    idx = IVFVectorIndex.create(spark, idx_path, dim=4, n_lists=2)
+    # Bootstrapped (batch) corpus: id 7 points along e1.
+    idx.add(
+        spark.createDataFrame(
+            [(7, [1.0, 0.0, 0.0, 0.0]), (8, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        epoch=0,
+    )
+    # One streamed micro-batch with TWO near-identical vectors near e1:
+    # each must match 7 (prior corpus), and must NOT match its batchmate.
+    log = str(tmp_path / "veclog")
+    spark.createDataFrame(
+        [(999, [0.99, 0.01, 0.0, 0.0]), (998, [0.98, 0.02, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(log)
+
+    matches: list = []
+    indexer = StreamingVectorIndexer(
+        idx, k=2, nprobe=2, on_matches=lambda m, b: matches.extend(m.collect()),
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(log)
+    q = indexer.attach(stream, str(tmp_path / "vcp")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+
+    assert idx.assigned().count() == 4  # 2 bootstrapped + 2 streamed
+    by_query: dict = {}
+    for r in matches:
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # Prior-corpus neighbours only: batchmates 998/999 never match each
+    # other even though they are each other's true nearest neighbours.
+    assert by_query[999] == {7, 8}
+    assert by_query[998] == {7, 8}
+
+    # Restart from the same checkpoint: no re-add, no re-report.
+    n_before = len(matches)
+    q2 = indexer.attach(stream, str(tmp_path / "vcp")).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination()
+    assert len(matches) == n_before
+    reloaded = IVFVectorIndex.load(spark, idx_path)
+    assert reloaded.assigned().count() == 4
+    assert reloaded.assigned().select("id").distinct().count() == 4
+
+
+def test_vector_index_exclude_epochs_guard(spark, tmp_path):
+    """exclude_epochs skips uncompacted epoch dirs; once compaction merges
+    an epoch into a shared dir, excluding it must raise, not silently
+    include the rows."""
+    import pytest as _pytest
+
+    from data_pipeline_spark.operators.vector_index import IVFVectorIndex
+
+    idx = IVFVectorIndex.create(spark, str(tmp_path / "vx"), dim=2, n_lists=2)
+    idx.add(spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>"), epoch=0)
+    idx.add(spark.createDataFrame([(2, [0.0, 1.0])], "vec_id long, embedding array<double>"), epoch=1)
+    assert idx.assigned(exclude_epochs=[1]).count() == 1
+    assert idx.assigned().count() == 2
+    idx.compact()
+    with _pytest.raises(ValueError, match="compacted into shared dir"):
+        idx.assigned(exclude_epochs=[1]).count()
