@@ -449,7 +449,7 @@ class MinHashDedupIndex:
         return self.update(docs, id_col, text_col, commit=False,
                            max_bucket=max_bucket, materialize=materialize)
 
-    def compact(self) -> dict:
+    def compact(self, drop_ids=None) -> dict:
         """Merge all epoch directories into one (maintenance).
 
         A long-running pipeline accumulates one sigs/bands directory pair
@@ -460,11 +460,21 @@ class MinHashDedupIndex:
         all pointing at the merged directory), so replaying an old epoch is
         still a no-op. Write-new-then-swap: a crash mid-compact leaves the
         old directories and the old meta intact (the new dir is an orphan).
+
+        ``drop_ids`` removes those doc ids' signatures and band keys during
+        the rewrite — the sidecar half of a takedown (the lake's
+        ``purge_keys`` removes the rows; this removes the derived MinHash
+        state, which would otherwise keep REPORTING the purged doc as a
+        near-dup neighbour forever). Forces a rewrite even when a single
+        directory already exists.
         """
+        drop_ids = sorted(set(drop_ids)) if drop_ids else None
         epochs = [e["epoch"] for e in self.meta["epochs"]]
         dirs = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
-        if len(dirs) <= 1:
+        if len(dirs) <= 1 and not drop_ids:
             return {"compacted": False, "dirs": len(dirs)}
+        if not dirs:
+            return {"compacted": False, "dirs": 0}
         # Distinct namespace: a plain integer would collide with the NEXT
         # epoch commit's directory (max+1); _fresh_compact_name also
         # guards against out-of-order epochs reproducing a PREVIOUS
@@ -474,6 +484,16 @@ class MinHashDedupIndex:
         # doc_id's LATEST (_iepoch) signature — stale versions stop
         # consuming bucket-cap slots and emitting shadow pairs.
         latest = self.stored_sigs(resolve_latest=True)
+        if drop_ids:
+            if len(drop_ids) <= 1000:
+                latest = latest.where(~F.col("doc_id").isin(drop_ids))
+            else:
+                drop_df = self.spark.createDataFrame(
+                    [(i,) for i in drop_ids], f"doc_id {self._id_type}"
+                )
+                latest = latest.join(
+                    F.broadcast(drop_df), on="doc_id", how="left_anti"
+                )
         latest.repartition(
             max(self.spark.sparkContext.defaultParallelism, 1)
         ).write.mode("overwrite").parquet(
@@ -502,7 +522,12 @@ class MinHashDedupIndex:
                     os.path.join(self.path, sub, f"epoch={d}"),
                     ignore_errors=True,
                 )
-        return {"compacted": True, "dirs_merged": len(dirs), "dir": new_dir}
+        return {
+            "compacted": True,
+            "dirs_merged": len(dirs),
+            "dir": new_dir,
+            "dropped_ids": len(drop_ids or []),
+        }
 
 
 def sql_dedup_index_update(

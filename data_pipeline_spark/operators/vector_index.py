@@ -239,31 +239,68 @@ class IVFVectorIndex:
 
     # -- maintenance -----------------------------------------------------------
 
-    def compact(self) -> dict:
+    def compact(self, drop_ids=None) -> dict:
         """Merge epoch directories (same contract as the dedup index's
         compact: ledger preserved, write-new-then-swap, distinct compact-*
-        namespace so the next add cannot clobber it)."""
+        namespace so the next add cannot clobber it).
+
+        ``drop_ids`` removes those vectors during the rewrite — the sidecar
+        half of a takedown: embeddings are derived from the purged content
+        and must not keep serving as ANN results after the lake's
+        ``purge_keys``. Forces a rewrite even with a single directory.
+        """
+        drop_ids = sorted(set(drop_ids)) if drop_ids else None
         live = [e for e in self.meta["epochs"] if not e.get("empty")]
         dirs = {str(e.get("dir", e["epoch"])) for e in live}
-        if len(dirs) <= 1:
+        if len(dirs) <= 1 and not drop_ids:
             return {"compacted": False, "dirs": len(dirs)}
+        if not dirs:
+            return {"compacted": False, "dirs": 0}
         new_dir = _fresh_compact_name(
             max(e["epoch"] for e in self.meta["epochs"]), dirs
         )
+        rows = self.assigned()
+        if drop_ids:
+            if len(drop_ids) <= 1000:
+                rows = rows.where(~F.col("id").isin(drop_ids))
+            else:
+                drop_df = self.spark.createDataFrame(
+                    [(i,) for i in drop_ids], "id long"
+                )
+                rows = rows.join(
+                    F.broadcast(drop_df), on="id", how="left_anti"
+                )
+        new_path = os.path.join(self.path, "lists", f"epoch={new_dir}")
         (
-            self.assigned().write.mode("overwrite")
+            rows.write.mode("overwrite")
             .partitionBy("list_id")
-            .parquet(os.path.join(self.path, "lists", f"epoch={new_dir}"))
+            .parquet(new_path)
         )
-        self.meta["epochs"] = [
-            e if e.get("empty") else {"epoch": e["epoch"], "dir": new_dir}
-            for e in sorted(self.meta["epochs"], key=lambda e: e["epoch"])
-        ]
-        _atomic_write_json(os.path.join(self.path, _META), self.meta)
         import shutil as _sh
 
+        if not _has_parquet(new_path):
+            # drop_ids removed everything: a dynamic-partition write of an
+            # empty frame leaves no schema-bearing file (see add()) — mark
+            # every epoch empty instead of pointing the ledger at an
+            # unreadable directory.
+            _sh.rmtree(new_path, ignore_errors=True)
+            self.meta["epochs"] = [
+                e if e.get("empty") else {"epoch": e["epoch"], "empty": True}
+                for e in sorted(self.meta["epochs"], key=lambda e: e["epoch"])
+            ]
+        else:
+            self.meta["epochs"] = [
+                e if e.get("empty") else {"epoch": e["epoch"], "dir": new_dir}
+                for e in sorted(self.meta["epochs"], key=lambda e: e["epoch"])
+            ]
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
         for d in dirs:
             _sh.rmtree(
                 os.path.join(self.path, "lists", f"epoch={d}"), ignore_errors=True
             )
-        return {"compacted": True, "dirs_merged": len(dirs), "dir": new_dir}
+        return {
+            "compacted": True,
+            "dirs_merged": len(dirs),
+            "dir": new_dir,
+            "dropped_ids": len(drop_ids or []),
+        }

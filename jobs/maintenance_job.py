@@ -69,6 +69,12 @@ def main() -> None:
                     help="compact this MinHash dedup index's epoch dirs")
     ap.add_argument("--vector-index", default=None,
                     help="compact this IVF vector index's epoch dirs")
+    ap.add_argument("--drop-index-ids", default=None, metavar="FILE",
+                    help="with --minhash-index/--vector-index: drop these "
+                         "ids (one per line) from the index during "
+                         "compaction — the sidecar half of a takedown "
+                         "(derived signatures/embeddings must not keep "
+                         "serving after the lake rows are purged)")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -85,6 +91,8 @@ def main() -> None:
         ap.error("--table is required for table operations")
     if not table_ops and not args.minhash_index and not args.vector_index:
         ap.error("nothing to do: pass at least one maintenance operation")
+    if args.drop_index_ids and not (args.minhash_index or args.vector_index):
+        ap.error("--drop-index-ids requires --minhash-index or --vector-index")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -126,18 +134,28 @@ def main() -> None:
         done["orphans_removed"] = table.remove_orphan_files(
             grace_seconds=args.gc_grace_seconds
         )
+    drop_ids = None
+    if args.drop_index_ids:
+        with open(args.drop_index_ids, encoding="utf-8") as f:
+            raw = [ln.strip() for ln in f if ln.strip()]
+        # ids are stored typed: parse ints when every line is one.
+        drop_ids = [int(x) for x in raw] if all(
+            x.lstrip("-").isdigit() for x in raw
+        ) else raw
     if args.minhash_index:
         from data_pipeline_spark.operators.dedup_index import MinHashDedupIndex
 
         done["minhash_index_compact"] = MinHashDedupIndex.load(
             spark, args.minhash_index
-        ).compact()
+        ).compact(drop_ids=drop_ids)
     if args.vector_index:
         from data_pipeline_spark.operators.vector_index import IVFVectorIndex
 
+        if drop_ids and not all(isinstance(i, int) for i in drop_ids):
+            ap.error("--drop-index-ids for --vector-index must be integer ids")
         done["vector_index_compact"] = IVFVectorIndex.load(
             spark, args.vector_index
-        ).compact()
+        ).compact(drop_ids=drop_ids)
 
     print(json.dumps(done))
     spark.stop()

@@ -337,3 +337,25 @@ def test_reshipped_id_emits_one_pair_and_compact_keeps_latest(spark, tmp_path):
     by_id = {r["doc_id"]: r["_iepoch"] for r in resolved}
     assert len(resolved) == len(by_id)  # one row per id
     assert by_id[1] == 1  # the newest version won
+
+
+def test_compact_drop_ids_removes_derived_state(spark, tmp_path):
+    """Takedown sidecar: compact(drop_ids=...) removes the doc's signature
+    and band keys, so a later near-identical batch no longer matches it;
+    works even with a single epoch dir (forces the rewrite)."""
+    idx = MinHashDedupIndex.create(
+        spark, str(tmp_path / "di"), num_hashes=24, bands=6
+    )
+    idx.update(_docs(spark, [(1, BASE), (2, "totally different words " * 8)]),
+               epoch=0)
+    res = idx.compact(drop_ids=[1])
+    assert res["compacted"] is True and res["dropped_ids"] == 1
+    assert idx.stored_sigs().select("doc_id").rdd.isEmpty() is False
+    assert idx.stored_sigs().where(F.col("doc_id") == 1).count() == 0
+    # A near-dup of the purged doc arrives later: no pair against id 1.
+    pairs = idx.update(_docs(spark, [(9, BASE + " tail")]), epoch=1)
+    assert pairs.where((F.col("id_a") == 1) | (F.col("id_b") == 1)).count() == 0
+    # Ledger intact: replaying epoch 0 is still a no-op.
+    again = idx.update(_docs(spark, [(1, BASE)]), epoch=0)
+    assert again.count() == 0
+    assert idx.stored_sigs().where(F.col("doc_id") == 1).count() == 0

@@ -129,3 +129,24 @@ def test_vector_compact_name_never_collides(spark, tmp_path):
     assert res["compacted"] and res["dir"] == "compact-5-2"
     assert idx.assigned().count() == 15
     assert idx.committed_epochs() == {2, 3, 5}
+
+
+def test_compact_drop_ids_removes_vectors(spark, tmp_path):
+    """Takedown sidecar: compact(drop_ids=...) removes the embeddings, so
+    the purged vector stops appearing in ANN results; dropping everything
+    leaves a readable (empty) index that accepts later adds."""
+    idx = IVFVectorIndex.create(spark, str(tmp_path / "vdrop"), dim=DIM,
+                                n_lists=4)
+    idx.add(_vecs(spark, range(10)), epoch=0)
+    idx.add(_vecs(spark, range(10, 20), seed=8), epoch=1)
+    res = idx.compact(drop_ids=[3, 15])
+    assert res["compacted"] is True and res["dropped_ids"] == 2
+    assert idx.assigned().count() == 18
+    assert idx.assigned().where(F.col("id").isin([3, 15])).count() == 0
+    got = idx.topk(_vecs(spark, range(10)), k=18, nprobe=4)
+    assert got.where(F.col("neighbor_id").isin([3, 15])).count() == 0
+    # Drop everything: index stays readable and accepts new epochs.
+    idx.compact(drop_ids=list(range(20)))
+    assert idx.assigned().count() == 0
+    idx.add(_vecs(spark, [99]), epoch=2)
+    assert idx.assigned().count() == 1
