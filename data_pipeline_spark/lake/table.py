@@ -541,6 +541,23 @@ class LakeTable:
             "lsn", F.col(LSN_COL)
         ).drop(LSN_COL, DELETED_COL)
 
+    def stored_row_count(self, snapshot_id: int | None = None) -> int:
+        """Exact PHYSICAL row count of a snapshot from manifest metadata —
+        zero Spark jobs (the S12 metadata-probe analog,
+        /root/reference/src/storage/minio_client.rs:271-281). Counts stored
+        rows: under merge-on-read this includes superseded versions and
+        tombstones until compaction, so it bounds (not equals) the logical
+        count; after compact(drop_tombstones=True) they coincide. Files
+        predating the per-file ``rows`` stat fall back to one driver-local
+        footer read each."""
+        total = 0
+        for f in self.files_of(self.snapshot(snapshot_id)):
+            n = f.get("rows")
+            if n is None:
+                n = _row_count_from_footer(os.path.join(self.path, f["path"])) or 0
+            total += n
+        return total
+
     def lookup(self, key_value) -> DataFrame:
         """Point lookup: hash the key to its ONE bucket, scan only that
         bucket's files with the key predicate pushed into the parquet reader

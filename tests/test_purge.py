@@ -140,3 +140,18 @@ def test_purge_after_compaction_cow(spark, tmp_path):
     assert res["rows_removed"] == 1  # compaction collapsed to one winner
     assert table.read().where(F.col("url") == TARGET).count() == 0
     assert table.read().count() == 3
+
+
+def test_stored_row_count_metadata_probe(spark, tmp_path):
+    """stored_row_count: exact physical rows from manifest metadata (no
+    Spark job); tracks purge and equals the logical count once compacted
+    tombstone-free."""
+    table = _build(spark, tmp_path)
+    n_physical = table.read(with_system=True).count()
+    assert table.stored_row_count() == n_physical
+    pre = table.meta["current_snapshot_id"]
+    table.purge_keys([TARGET])
+    assert table.stored_row_count() == n_physical - 2
+    assert table.stored_row_count(snapshot_id=pre) == n_physical
+    table.compact(drop_tombstones=True)
+    assert table.stored_row_count() == table.read().count() == 3
