@@ -233,3 +233,29 @@ def test_ivf_incremental_broadcasts_centroids(spark, entry):
     plan = _plan(spark, entry.queries()["ann_ivf_incremental"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # tiny centroid crossJoin only
+
+
+def test_purge_filter_pushed_to_scan(spark, tmp_path):
+    """The purge rewrite's NOT-IN key filter must reach the parquet reader
+    (PushedFilters), so rewriting a file skips row groups that provably
+    lack the purged keys instead of decoding every row."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "pp"),
+        spark.createDataFrame([], "url string, warc_ts timestamp").schema,
+        key_col="url", n_buckets=2,
+    )
+    staged = spark.createDataFrame(
+        [(f"https://x.example/{i}", "upsert", i) for i in range(20)],
+        "url string, op string, lsn long",
+    ).withColumn("warc_ts", F.current_timestamp())
+    table.merge(staged, epoch=0, mode="mor")
+    files = table.files_of(table._current_snapshot())
+    kept = table._read_files(files).where(
+        ~F.col("url").isin(["https://x.example/3", "https://x.example/7"])
+    )
+    plan = _plan(spark, kept)
+    assert "PushedFilters: [Not(In(url" in plan
