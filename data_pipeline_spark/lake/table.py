@@ -326,10 +326,76 @@ class LakeTable:
             self._write_version(self.meta["version"] + 1)
 
     def ref(self, name: str) -> int:
+        """Resolve a name to a snapshot id — tags first, then branch heads
+        (so ``read(ref="audit")`` reads a branch's staged state)."""
         refs = self.meta.get("refs", {})
-        if name not in refs:
-            raise ValueError(f"unknown ref {name!r}; have {sorted(refs)}")
-        return refs[name]
+        if name in refs:
+            return refs[name]
+        branches = self.meta.get("branches", {})
+        if name in branches:
+            return branches[name]
+        raise ValueError(
+            f"unknown ref {name!r}; have tags {sorted(refs)}, "
+            f"branches {sorted(branches)}"
+        )
+
+    # -- branches (write-audit-publish) -----------------------------------------
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Start a branch at a snapshot (default: current) — the Iceberg
+        write-audit-publish pattern: stage epoch commits on the branch
+        (``merge(..., branch=name)``), audit them via ``read(ref=name)``,
+        then :meth:`fast_forward` to publish. Readers of main never see
+        unaudited data; an audit failure is ``drop_branch`` + GC, touching
+        nothing published."""
+        self._assert_current()
+        sid = at if at is not None else self.meta["current_snapshot_id"]
+        if sid is not None and self.snapshot(sid) is None:
+            raise ValueError(f"cannot branch from unknown snapshot {sid}")
+        branches = self.meta.setdefault("branches", {})
+        if name in branches or name in self.meta.get("refs", {}):
+            raise ValueError(f"ref {name!r} already exists")
+        branches[name] = sid
+        self._write_version(self.meta["version"] + 1)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (its snapshots become expirable history)."""
+        self._assert_current()
+        branches = self.meta.get("branches", {})
+        if name in branches:
+            del branches[name]
+            self._write_version(self.meta["version"] + 1)
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: point main at the branch head. Requires main's
+        current snapshot to be an ANCESTOR of the head (pure fast-forward —
+        nothing main already serves is rewritten); a diverged branch (main
+        advanced since the fork) must be re-staged, not force-published.
+
+        The ancestry check walks parent ids, so publish (or drop) branches
+        before aggressive ``expire_snapshots`` — a broken chain refuses
+        (safely) rather than force-publishing."""
+        self._assert_current()
+        head = self.meta.get("branches", {}).get(name)
+        if head is None:
+            raise ValueError(f"unknown branch {name!r}")
+        cur = self.meta["current_snapshot_id"]
+        node = head
+        while True:
+            if node == cur:  # includes cur=None: every chain roots at None
+                self.meta["current_snapshot_id"] = head
+                del self.meta["branches"][name]
+                self._write_version(self.meta["version"] + 1)
+                return head
+            if node is None:
+                break
+            snap = self.snapshot(node)
+            node = snap["parent_id"] if snap else None
+        raise ValueError(
+            f"branch {name!r} (head {head}) does not descend from main's "
+            f"current snapshot {cur}: diverged — re-stage on a fresh branch"
+        )
 
     def files_of(self, snap: dict | None) -> list[dict]:
         """A snapshot's data-file list, from its manifest file.
@@ -354,18 +420,37 @@ class LakeTable:
         self._manifest_cache[sid] = files
         return files
 
+    def _next_snapshot_id(self) -> int:
+        """Globally unique next id: with branches (WAP), main and a branch
+        interleave commits, so parent+1 would collide (and overwrite a
+        commit-N data dir)."""
+        return max(
+            (s["snapshot_id"] for s in self.meta["snapshots"]), default=0
+        ) + 1
+
+    def _head(self, branch: str | None) -> dict | None:
+        """The snapshot a commit builds on: main's current, or the branch
+        head."""
+        if branch is None:
+            return self._current_snapshot()
+        return self.snapshot(self.meta.get("branches", {})[branch])
+
     def _commit(
-        self, files: list[dict], summary: dict, needs_resolve: bool | None = None
+        self,
+        files: list[dict],
+        summary: dict,
+        needs_resolve: bool | None = None,
+        branch: str | None = None,
     ) -> dict:
         self._assert_current()
-        parent = self.meta["current_snapshot_id"]
-        parent_snap = self._current_snapshot()
+        parent_snap = self._head(branch)
+        parent = parent_snap["snapshot_id"] if parent_snap else None
         if needs_resolve is None:
             # Carry the parent's state: a commit that neither appends
             # multi-version rows (MoR) nor collapses them (compact) cannot
             # change whether scan-time LWW resolution is required.
             needs_resolve = bool(parent_snap and parent_snap.get("needs_resolve"))
-        snapshot_id = (parent or 0) + 1
+        snapshot_id = self._next_snapshot_id()
         manifest_rel = f"metadata/manifest-{snapshot_id}.json"
         # Manifest first, metadata pointer second: a crash in between leaves
         # an orphan manifest (harmless), never a dangling pointer.
@@ -382,7 +467,10 @@ class LakeTable:
         }
         self._manifest_cache[snapshot_id] = files
         self.meta["snapshots"].append(snap)
-        self.meta["current_snapshot_id"] = snapshot_id
+        if branch is None:
+            self.meta["current_snapshot_id"] = snapshot_id
+        else:
+            self.meta["branches"][branch] = snapshot_id
         self._write_version(self.meta["version"] + 1)
         return snap
 
@@ -733,8 +821,13 @@ class LakeTable:
         except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
             return None
 
-    def append(self, df: DataFrame, epoch: int | None = None) -> dict:
-        """Blind append (no key resolution) — bulk backfill path."""
+    def append(
+        self, df: DataFrame, epoch: int | None = None, branch: str | None = None
+    ) -> dict:
+        """Blind append (no key resolution) — bulk backfill path.
+        ``branch`` stages the commit on a WAP branch (see
+        :meth:`create_branch`) instead of main."""
+        self._require_branch(branch)
         summary: dict = {"operation": "append"}
         if epoch is not None:
             if epoch in self.committed_epochs():
@@ -746,11 +839,17 @@ class LakeTable:
             .withColumn(DELETED_COL, F.lit(False))
             .withColumn(BUCKET_COL, self._bucket_expr())
         )
-        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
-        new_files = self._write_data_files(staged, snapshot_id)
-        files = self.files_of(self._current_snapshot()) + new_files
-        snap = self._commit(files, summary)
+        new_files = self._write_data_files(staged, self._next_snapshot_id())
+        files = self.files_of(self._head(branch)) + new_files
+        snap = self._commit(files, summary, branch=branch)
         return {"skipped": False, "epoch": epoch, "snapshot_id": snap["snapshot_id"]}
+
+    def _require_branch(self, branch: str | None) -> None:
+        if branch is not None and branch not in self.meta.get("branches", {}):
+            raise ValueError(
+                f"unknown branch {branch!r}; create_branch() first "
+                f"(have {sorted(self.meta.get('branches', {}))})"
+            )
 
     def merge(
         self,
@@ -762,6 +861,7 @@ class LakeTable:
         ts_col: str = "warc_ts",
         mode: str = "cow",
         extra_summary: dict | None = None,
+        branch: str | None = None,
     ) -> dict:
         """MERGE INTO with per-key ``(ts, lsn)`` last-writer-wins.
 
@@ -798,7 +898,12 @@ class LakeTable:
            untouched buckets carry over by reference;
         4. single atomic snapshot commit carrying ``engine.epoch`` — applying
            the same epoch twice is a no-op (exactly-once).
+
+        ``branch`` stages the commit on a WAP branch (built on the branch
+        head, main untouched until :meth:`fast_forward`); the epoch ledger
+        spans branches, so a staged-but-unpublished epoch still skips.
         """
+        self._require_branch(branch)
         if epoch is not None and epoch in self.committed_epochs():
             return {"skipped": True, "epoch": epoch, "reason": "epoch already committed"}
 
@@ -838,11 +943,10 @@ class LakeTable:
             # extraction, LWW dedup) runs exactly once, inside the write job —
             # no persist/count materialization, no target read. The
             # observation fills in during the same job.
-            snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
-            new_files = self._write_data_files(s_cand, snapshot_id)
+            new_files = self._write_data_files(s_cand, self._next_snapshot_id())
             staged_count = obs.get["n"]
             touched = sorted(obs.get["buckets"])
-            carried = list(self.files_of(self._current_snapshot()))
+            carried = list(self.files_of(self._head(branch)))
             summary = {
                 "operation": "merge-mor",
                 "staged-rows": staged_count,
@@ -853,7 +957,9 @@ class LakeTable:
             }
             if epoch is not None:
                 summary["engine.epoch"] = epoch
-            snap = self._commit(carried + new_files, summary, needs_resolve=True)
+            snap = self._commit(
+                carried + new_files, summary, needs_resolve=True, branch=branch
+            )
             return {
                 "skipped": False,
                 "epoch": epoch,
@@ -872,7 +978,19 @@ class LakeTable:
             staged_count = obs.get["n"]
             touched = sorted(obs.get["buckets"])  # ≤ n_buckets ints
 
-            t_cand = self.read(buckets=touched, with_system=True).withColumn(
+            head = self._head(branch)
+            if head is None:
+                # Empty target (virgin table, or branch forked before any
+                # snapshot): read(None) would fall through to main's
+                # CURRENT state, which is wrong for a branch.
+                t_scan = self._read_files([])
+            else:
+                t_scan = self.read(
+                    snapshot_id=head["snapshot_id"],
+                    buckets=touched,
+                    with_system=True,
+                )
+            t_cand = t_scan.withColumn(
                 BUCKET_COL, self._bucket_expr()
             ).withColumn("__src", F.lit(0))
 
@@ -896,13 +1014,12 @@ class LakeTable:
             out = winners.select(
                 key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
             )
-            snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
-            new_files = self._write_data_files(out, snapshot_id)
+            new_files = self._write_data_files(out, self._next_snapshot_id())
 
             touched_set = set(touched)
             carried = [
                 f
-                for f in self.files_of(self._current_snapshot())
+                for f in self.files_of(head)
                 if f["bucket"] not in touched_set
             ]
             summary = {
@@ -915,7 +1032,7 @@ class LakeTable:
             }
             if epoch is not None:
                 summary["engine.epoch"] = epoch
-            snap = self._commit(carried + new_files, summary)
+            snap = self._commit(carried + new_files, summary, branch=branch)
         finally:
             staged.unpersist()
         return {
@@ -961,7 +1078,7 @@ class LakeTable:
         if drop_tombstones:
             resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         out = resolved.withColumn(BUCKET_COL, self._bucket_expr())
-        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+        snapshot_id = self._next_snapshot_id()
         new_files = self._write_data_files(out, snapshot_id)
         prior = self._current_snapshot()
         if buckets is None:
@@ -1117,7 +1234,7 @@ class LakeTable:
                 F.broadcast(key_df), on=self.key_col, how="left_anti"
             )
         kept = kept.withColumn(BUCKET_COL, self._bucket_expr())
-        snapshot_id = (self.meta["current_snapshot_id"] or 0) + 1
+        snapshot_id = self._next_snapshot_id()
         new_files = self._write_data_files(kept, snapshot_id)
         rows_in = sum(
             f["rows"]
@@ -1191,8 +1308,17 @@ class LakeTable:
         snaps = self.meta["snapshots"]
         if len(snaps) <= keep_last:
             return 0
-        keep_ids = {s["snapshot_id"] for s in snaps[-keep_last:]} | set(
-            self.meta.get("refs", {}).values()
+        keep_ids = (
+            {s["snapshot_id"] for s in snaps[-keep_last:]}
+            | set(self.meta.get("refs", {}).values())
+            # Branch snapshots interleave with main's in the log, so "last
+            # N" alone could drop main's current head or a branch head.
+            | {
+                sid
+                for sid in [self.meta["current_snapshot_id"]]
+                + list(self.meta.get("branches", {}).values())
+                if sid is not None
+            }
         )
         keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
         live = {f["path"] for s in keep for f in self.files_of(s)}

@@ -137,11 +137,16 @@ class ReplayRunner:
         registry: SchemaRegistry | None = None,
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        branch: str | None = None,
     ):
         """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
         stay cheap); "mor" appends winner deltas per epoch — O(epoch)
         commits, the high-ingest-rate posture — with ``compact_every``
-        controlling how many applied epochs pass between compactions."""
+        controlling how many applied epochs pass between compactions.
+
+        ``branch`` stages every epoch commit on a WAP branch (created if
+        absent): main's readers see nothing until the caller audits
+        ``table.read(ref=branch)`` and ``table.fast_forward(branch)``."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
@@ -149,6 +154,9 @@ class ReplayRunner:
         self.registry = registry
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.branch = branch
+        if branch is not None and branch not in table.meta.get("branches", {}):
+            table.create_branch(branch)
         self._applied_since_compact = 0
         # Log-schema cache: skips the per-epoch schema-inference job. Reset
         # whenever footer stats show a schema_version change (the epoch may
@@ -201,12 +209,18 @@ class ReplayRunner:
             os.path.getsize(os.path.join(epoch_dir, fn)) for fn in input_files
         )
 
-        merge_metrics = self.table.merge(staged, epoch=epoch, mode=self.merge_mode)
+        merge_metrics = self.table.merge(
+            staged, epoch=epoch, mode=self.merge_mode, branch=self.branch
+        )
         if not merge_metrics.get("skipped"):
             self._applied_since_compact += 1
             if (
                 self.compact_every
                 and self._applied_since_compact >= self.compact_every
+                # Compaction operates on MAIN's head; under WAP staging it
+                # belongs after fast_forward (the maintenance job), not
+                # mid-stage on the branch.
+                and self.branch is None
             ):
                 # Partial compaction: only buckets that accumulated files —
                 # keeps periodic maintenance O(dirty), not O(table).
