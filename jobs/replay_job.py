@@ -30,7 +30,28 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true",
                     help="tail via Structured Streaming (readStream + "
                          "foreachBatch merge) instead of the batch epoch loop")
+    ap.add_argument("--branch", default=None,
+                    help="stage every epoch commit on this WAP branch "
+                         "instead of main (audit, then publish)")
+    ap.add_argument("--audit-publish", action="store_true",
+                    help="with --branch: run the audit checks and "
+                         "fast-forward publish only if all pass (main "
+                         "untouched otherwise; branch kept for forensics)")
+    ap.add_argument("--audit-min-rows", type=int, default=1,
+                    help="audit: branch must hold at least N rows")
+    ap.add_argument("--audit-no-shrink", type=float, default=None,
+                    help="audit: branch may shrink vs main by at most this "
+                         "fraction (e.g. 0.1)")
+    ap.add_argument("--audit-max-null-frac", default=None, metavar="COL:F",
+                    help="audit: at most F of branch rows may have COL null")
+    ap.add_argument("--audit-max-delete-frac", type=float, default=None,
+                    help="audit: at most this fraction of branch winners "
+                         "may be delete tombstones (mass-delete guard)")
     args = ap.parse_args()
+    if args.audit_publish and not args.branch:
+        ap.error("--audit-publish requires --branch")
+    if args.streaming and args.branch:
+        ap.error("--branch applies to the batch epoch loop (drop --streaming)")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -59,19 +80,29 @@ def main() -> None:
         runner = ReplayRunner(
             spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir),
             registry, merge_mode=args.mode, compact_every=args.compact_every,
+            branch=args.branch,
         )
         results = runner.run(max_epochs=args.max_epochs)
     applied = [r for r in results if not r.get("skipped")]
-    print(
-        json.dumps(
-            {
-                "epochs_seen": len(results),
-                "epochs_applied": len(applied),
-                "rows_merged": sum(r.get("staged_rows", 0) for r in applied),
-                "table_version": table.meta["version"],
-            }
-        )
-    )
+    out = {
+        "epochs_seen": len(results),
+        "epochs_applied": len(applied),
+        "rows_merged": sum(r.get("staged_rows", 0) for r in applied),
+        "table_version": table.meta["version"],
+    }
+    if args.audit_publish:
+        from data_pipeline_spark.lake import audit as A
+
+        checks = [A.min_rows(args.audit_min_rows)]
+        if args.audit_no_shrink is not None:
+            checks.append(A.no_shrink(args.audit_no_shrink))
+        if args.audit_max_null_frac is not None:
+            col, frac = args.audit_max_null_frac.rsplit(":", 1)
+            checks.append(A.max_null_fraction(col, float(frac)))
+        if args.audit_max_delete_frac is not None:
+            checks.append(A.max_delete_fraction(args.audit_max_delete_frac))
+        out["audit"] = A.publish_if(table, args.branch, checks)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -168,3 +168,57 @@ def test_replay_runner_stages_on_branch(spark, tmp_path):
     a = {tuple(r) for r in t_wap.read().select("url", "text", "warc_ts").collect()}
     b = {tuple(r) for r in t_direct.read().select("url", "text", "warc_ts").collect()}
     assert a == b and len(key) == staged_n
+
+
+def test_audit_publish_gate(spark, tmp_path):
+    """publish_if: all checks green → atomic publish; a failing check →
+    main untouched, branch kept (or dropped), full report either way."""
+    from data_pipeline_spark.lake import audit as A
+
+    table = _mk_table(spark, str(tmp_path / "a1"))
+    table.merge(_staged(spark, [("a", 1, 1, "upsert", 1),
+                                ("b", 2, 1, "upsert", 2)]), epoch=0, mode="mor")
+    table.create_branch("wap")
+    table.merge(
+        _staged(spark, [("c", 3, 5, "upsert", 5), ("a", 9, 6, "upsert", 6)]),
+        epoch=1, mode="mor", branch="wap",
+    )
+    rep = A.publish_if(table, "wap", [
+        A.min_rows(3), A.no_shrink(0.0), A.max_null_fraction("v", 0.0),
+        A.max_delete_fraction(0.0),
+    ])
+    assert rep["published"] is True
+    assert all(c["ok"] for c in rep["checks"]) and len(rep["checks"]) == 4
+    assert {(r["url"], r["v"]) for r in table.read().collect()} == {
+        ("a", 9), ("b", 2), ("c", 3),
+    }
+
+
+def test_audit_blocks_mass_delete(spark, tmp_path):
+    from data_pipeline_spark.lake import audit as A
+
+    table = _mk_table(spark, str(tmp_path / "a2"))
+    table.merge(_staged(spark, [(f"k{i}", i, 1, "upsert", i) for i in range(10)]),
+                epoch=0, mode="mor")
+    table.create_branch("wap")
+    # A buggy feed deletes 8 of 10 keys.
+    table.merge(
+        _staged(spark, [(f"k{i}", 0, 20, "delete", 100 + i) for i in range(8)]),
+        epoch=1, mode="mor", branch="wap",
+    )
+    rep = A.publish_if(
+        table, "wap",
+        [A.no_shrink(0.5), A.max_delete_fraction(0.5)], on_fail="keep",
+    )
+    assert rep["published"] is False
+    by_name = {c["name"]: c["ok"] for c in rep["checks"]}
+    assert by_name["no_shrink"] is False
+    assert by_name["max_delete_fraction"] is False
+    # Main untouched; branch retained for forensics.
+    assert table.read().count() == 10
+    assert "wap" in table.meta["branches"]
+    # on_fail="drop" abandons it.
+    rep2 = A.publish_if(table, "wap", [A.min_rows(10**9)], on_fail="drop")
+    assert rep2["published"] is False
+    assert "wap" not in table.meta.get("branches", {})
+    assert table.read().count() == 10

@@ -210,3 +210,31 @@ def test_spark_submit_maintenance_job(submit_env, tmp_path, spark):
     # Compacted indexes still hold everything (ledger + state intact).
     assert MinHashDedupIndex.load(spark, mh_dir).stored_sigs().count() == 6
     assert IVFVectorIndex.load(spark, vi_dir).assigned().count() == 6
+
+
+def test_spark_submit_wap_replay(submit_env, tmp_path, spark):
+    """WAP from the shipped CLI: stage the replay on a branch, audit, and
+    publish in one run; main serves the audited state afterwards."""
+    work, log_dir, zip_path = submit_env
+    table_dir = str(work / "t_wap")
+    done = _submit(
+        {
+            "zip": zip_path, "log": log_dir,
+            "table": table_dir, "cp": str(work / "cp_wap"),
+            "extra": [
+                "--mode", "mor", "--branch", "staging",
+                "--audit-publish", "--audit-min-rows", "1",
+                "--audit-max-null-frac", "url:0.0",
+                "--audit-max-delete-frac", "0.9",
+            ],
+        },
+        cwd=str(tmp_path),
+    )
+    assert done["epochs_applied"] > 0
+    assert done["audit"]["published"] is True
+    assert all(c["ok"] for c in done["audit"]["checks"])
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, table_dir)
+    assert table.read().count() > 0
+    assert "staging" not in table.meta.get("branches", {})
