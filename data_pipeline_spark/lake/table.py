@@ -430,10 +430,13 @@ class LakeTable:
 
     def _head(self, branch: str | None) -> dict | None:
         """The snapshot a commit builds on: main's current, or the branch
-        head."""
+        head. A branch forked at the empty state has head id None — that is
+        an EMPTY head, not "fall through to main's current" (snapshot(None)
+        would do exactly that)."""
         if branch is None:
             return self._current_snapshot()
-        return self.snapshot(self.meta.get("branches", {})[branch])
+        sid = self.meta.get("branches", {})[branch]
+        return None if sid is None else self.snapshot(sid)
 
     def _commit(
         self,

@@ -222,3 +222,18 @@ def test_audit_blocks_mass_delete(spark, tmp_path):
     assert rep2["published"] is False
     assert "wap" not in table.meta.get("branches", {})
     assert table.read().count() == 10
+
+
+def test_branch_forked_at_empty_does_not_see_mains_progress(spark, tmp_path):
+    """A branch created before any snapshot has an EMPTY head even after
+    main advances — its commits must not silently build on main's state."""
+    table = _mk_table(spark, str(tmp_path / "t7"))
+    table.create_branch("early")  # forked at the empty state
+    table.merge(_staged(spark, [("m", 1, 1, "upsert", 1)]), epoch=0)  # main
+    table.merge(_staged(spark, [("b", 2, 2, "upsert", 2)]),
+                epoch=1, branch="early")
+    assert {r["url"] for r in table.read(ref="early").collect()} == {"b"}
+    assert {r["url"] for r in table.read().collect()} == {"m"}
+    # And it is now diverged (main moved after the fork) → publish refuses.
+    with pytest.raises(ValueError, match="diverged"):
+        table.fast_forward("early")
