@@ -129,6 +129,88 @@ WHERE o.o_totalprice <> l.new_price
 """
 
 
+def q_merge_into_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic declarative MERGE (Delta/Iceberg `MERGE INTO` surface,
+    `lake/merge.py::MergeBuilder`): all four clause families — matched
+    DELETE, matched UPDATE, not-matched INSERT, not-matched-BY-SOURCE
+    UPDATE — compiled to ONE full-outer equi-join plan with
+    first-match-wins CASE branches (no per-clause passes, no second
+    shuffle). The reference only ships the hard-wired LWW upsert; this is
+    the general form its lake users would reach for."""
+    from data_pipeline_spark.lake.merge import merge_frames
+
+    t = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    newbies = base.where(F.col("custkey") % 7 == 0).select(
+        (F.col("custkey") + F.lit(1000000)).alias("custkey"), "order_cnt", "spend"
+    )
+    src = base.unionByName(newbies)
+    return (
+        merge_frames(t, src, on=["custkey"])
+        .when_matched_delete(condition="s.order_cnt > 24")
+        .when_matched_update(
+            set={
+                "c_acctbal": "round(t.c_acctbal + s.spend / 1000, 2)",
+                "c_mktsegment": "'ACTIVE'",
+            }
+        )
+        .when_not_matched_insert(
+            values={
+                "custkey": "s.custkey",
+                "c_name": "concat('new#', cast(s.custkey as string))",
+                "c_acctbal": "round(s.spend / 100, 2)",
+                "c_mktsegment": "'NEW'",
+            }
+        )
+        .when_not_matched_by_source_update(
+            set={"c_mktsegment": "'DORMANT'"}, condition="t.c_acctbal < 0"
+        )
+        .plan()
+    )
+
+
+_SQL_MERGE_INTO = """
+WITH base AS (
+  SELECT o_custkey AS custkey, count(*) AS order_cnt,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+), src AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT custkey + 1000000, order_cnt, spend FROM base WHERE custkey % 7 = 0
+), t AS (
+  SELECT c_custkey AS custkey, c_name, c_acctbal, c_mktsegment FROM customer
+), j AS (
+  SELECT t.custkey AS t_key, t.c_name, t.c_acctbal, t.c_mktsegment,
+         s.custkey AS s_key, s.order_cnt, s.spend
+  FROM t FULL OUTER JOIN src s ON t.custkey = s.custkey
+)
+SELECT
+  COALESCE(t_key, s_key) AS custkey,
+  CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN c_name
+       ELSE concat('new#', CAST(s_key AS VARCHAR)) END AS c_name,
+  CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL
+         THEN round(c_acctbal + spend / 1000, 2)
+       WHEN t_key IS NULL THEN round(spend / 100, 2)
+       ELSE c_acctbal END AS c_acctbal,
+  CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 'ACTIVE'
+       WHEN t_key IS NULL THEN 'NEW'
+       WHEN c_acctbal < 0 THEN 'DORMANT'
+       ELSE c_mktsegment END AS c_mktsegment
+FROM j
+WHERE NOT (t_key IS NOT NULL AND s_key IS NOT NULL AND order_cnt > 24)
+"""
+
+
 def _event_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → synthetic CDC change log: op by event_type, key=user_id."""
     ev = _t(spark, sf_dir, "events")
@@ -1712,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_key_diff": q_cdc_key_diff,
         "cdc_update_detect": q_cdc_update_detect,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "merge_into_generic": q_merge_into_generic,
         # aggregates / joins / windows
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1781,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_diff": _SQL_KEY_DIFF,
         "cdc_update_detect": _SQL_UPDATE_DETECT,
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
+        "merge_into_generic": _SQL_MERGE_INTO,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

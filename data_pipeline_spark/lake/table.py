@@ -1047,6 +1047,14 @@ class LakeTable:
             "new_files": len(new_files),
         }
 
+    def merge_builder(self, source: DataFrame, on: list[str] | None = None):
+        """Generic declarative MERGE INTO this table (Delta-style clause
+        builder; see :mod:`data_pipeline_spark.lake.merge`).  ``on``
+        defaults to the table's key column.  Finish with ``.execute()``."""
+        from .merge import LakeMergeBuilder
+
+        return LakeMergeBuilder(self, source, on)
+
     # -- maintenance -----------------------------------------------------------------
 
     def dirty_buckets(self, min_files: int = 2) -> list[int]:
