@@ -297,12 +297,16 @@ class LakeMergeBuilder(MergeBuilder):
 
         touched = self._touched_buckets()
         head = tbl._head(branch)
-        if head is None:
-            self.target = tbl._read_files([]).drop(LSN_COL, DELETED_COL)
-        else:
-            self.target = tbl.read(
-                snapshot_id=head["snapshot_id"], buckets=touched
-            )
+        # Spec-aware split (bucket evolution): legacy-spec files are
+        # conservatively selected and rewritten under the current spec;
+        # carried is exactly the complement.
+        selected, carried = tbl._split_by_buckets(tbl.files_of(head), touched)
+        raw = tbl._read_files(selected)
+        if head is not None and head.get("needs_resolve"):
+            raw = tbl._resolve(raw)
+        self.target = raw.where(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(LSN_COL, DELETED_COL)
         merged = self.plan()
 
         snapshot_id = tbl._next_snapshot_id()
@@ -314,12 +318,6 @@ class LakeMergeBuilder(MergeBuilder):
             .withColumn(BUCKET_COL, tbl._bucket_expr())
         )
         new_files = tbl._write_data_files(out, snapshot_id)
-        touched_set = set(touched) if touched is not None else None
-        carried = [
-            f
-            for f in tbl.files_of(head)
-            if touched_set is not None and f["bucket"] not in touched_set
-        ]
         summary = {
             "operation": "merge-into",
             "clauses": len(self.clauses),

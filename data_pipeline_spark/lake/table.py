@@ -191,6 +191,8 @@ class LakeTable:
             "table_uuid": uuid.uuid4().hex,
             "key_col": key_col,
             "n_buckets": n_buckets,
+            "bucket_specs": {"1": n_buckets},
+            "current_spec_id": 1,
             "order_col": order_col,
             "stats_cols": stats_cols,
             "schemas": {"1": json.loads(schema.json())},
@@ -251,7 +253,70 @@ class LakeTable:
 
     @property
     def n_buckets(self) -> int:
-        return self.meta["n_buckets"]
+        return self.bucket_spec(self.current_spec_id)
+
+    @property
+    def current_spec_id(self) -> int:
+        return self.meta.get("current_spec_id", 1)
+
+    def bucket_spec(self, spec_id: int) -> int:
+        """Bucket count of a partition spec (pre-evolution metadata has a
+        single implicit spec 1 = ``n_buckets``)."""
+        specs = self.meta.get("bucket_specs")
+        if specs is None:
+            return self.meta["n_buckets"]
+        return specs[str(spec_id)]
+
+    def rescale_buckets(self, new_n_buckets: int) -> int:
+        """Partition-spec evolution (the Iceberg bucket-rescale analog): new
+        writes hash into ``new_n_buckets`` buckets; EXISTING data files are
+        untouched and keep their original spec id — a metadata-only change,
+        no data rewrite, which is the only affordable way to re-bucket a
+        10^10-row table whose key space outgrew its bucket count.
+
+        Mixed-spec reads stay correct because bucket pruning is per-file
+        spec-aware (see :meth:`_split_by_buckets`): files under a
+        non-current spec are conservatively scanned until :meth:`compact`
+        rewrites them under the current spec (any compaction — full or
+        partial — migrates every legacy file it selects, and
+        :meth:`dirty_buckets` reports legacy files as dirty so periodic
+        maintenance converges the table to one spec)."""
+        self._assert_current()
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        specs = self.meta.setdefault(
+            "bucket_specs", {"1": self.meta["n_buckets"]}
+        )
+        new_id = max(int(s) for s in specs) + 1
+        specs[str(new_id)] = new_n_buckets
+        self.meta["current_spec_id"] = new_id
+        # kept in sync for old readers / debugging dumps
+        self.meta["n_buckets"] = new_n_buckets
+        self._write_version(self.meta["version"] + 1)
+        return new_id
+
+    @staticmethod
+    def _spec_of(f: dict) -> int:
+        return f.get("spec_id", 1)
+
+    def _split_by_buckets(
+        self, files: list[dict], buckets: list[int] | None
+    ) -> tuple[list[dict], list[dict]]:
+        """(selected, excluded) for a CURRENT-spec bucket-id prune.
+
+        A file written under a different spec hashes keys into a different
+        bucket count, so its id is not comparable — it is conservatively
+        SELECTED (pruning is an optimization, never a correctness filter).
+        Rewrite paths (merge, compact) must carry exactly the excluded
+        list, never recompute it by bucket id."""
+        if buckets is None:
+            return list(files), []
+        bset = set(buckets)
+        cur = self.current_spec_id
+        sel, exc = [], []
+        for f in files:
+            (sel if self._spec_of(f) != cur or f["bucket"] in bset else exc).append(f)
+        return sel, exc
 
     @property
     def order_col(self) -> str:
@@ -544,8 +609,7 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         snap_files = self.files_of(snap)
         if buckets is not None:
-            bset = set(buckets)
-            snap_files = [f for f in snap_files if f["bucket"] in bset]
+            snap_files, _ = self._split_by_buckets(snap_files, buckets)
         if key_equals is not None:
             snap_files = [f for f in snap_files if _may_contain(f, key_equals)]
         if range_filters:
@@ -834,6 +898,7 @@ class LakeTable:
                         "path": f"{commit_dir}/{entry}/{fn}",
                         "bucket": bucket,
                         "schema_id": self.meta["current_schema_id"],
+                        "spec_id": self.current_spec_id,
                     }
                     rng = self._key_range_from_footer(os.path.join(bdir, fn))
                     if rng is not None:
@@ -1082,13 +1147,16 @@ class LakeTable:
                 # Empty target (virgin table, or branch forked before any
                 # snapshot): read(None) would fall through to main's
                 # CURRENT state, which is wrong for a branch.
-                t_scan = self._read_files([])
+                selected, carried = [], []
             else:
-                t_scan = self.read(
-                    snapshot_id=head["snapshot_id"],
-                    buckets=touched,
-                    with_system=True,
+                # Spec-aware split: legacy-spec files are conservatively
+                # selected (and thus rewritten under the current spec);
+                # carried is exactly the complement, never recomputed by
+                # bucket id.
+                selected, carried = self._split_by_buckets(
+                    self.files_of(head), touched
                 )
+            t_scan = self._read_files(selected)
             t_cand = t_scan.withColumn(
                 BUCKET_COL, self._bucket_expr()
             ).withColumn("__src", F.lit(0))
@@ -1115,12 +1183,6 @@ class LakeTable:
             )
             new_files = self._write_data_files(out, self._next_snapshot_id())
 
-            touched_set = set(touched)
-            carried = [
-                f
-                for f in self.files_of(head)
-                if f["bucket"] not in touched_set
-            ]
             summary = {
                 "operation": "merge",
                 "staged-rows": staged_count,
@@ -1158,9 +1220,24 @@ class LakeTable:
         the candidates that can hold multi-version rows (every MoR commit
         appends at most one file per touched bucket). Metadata-only."""
         counts: dict[int, int] = {}
+        cur = self.current_spec_id
+        legacy = False
         for f in self.files_of(self._current_snapshot()):
+            if self._spec_of(f) != cur:
+                # A file under a non-current bucket spec is always dirty: it
+                # needs migration, and any compact() selecting it rewrites
+                # it under the current spec. Its bucket id is not comparable
+                # to current-spec ids, so mark its presence instead.
+                legacy = True
+                continue
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        return sorted(b for b, n in counts.items() if n >= min_files)
+        dirty = sorted(b for b, n in counts.items() if n >= min_files)
+        if legacy and not dirty:
+            # Ensure a nonempty result so periodic maintenance triggers a
+            # compaction; the conservative bucket split then sweeps every
+            # legacy file regardless of which bucket ids are passed.
+            dirty = [0]
+        return dirty
 
     def compact(
         self, drop_tombstones: bool = False, buckets: list[int] | None = None
@@ -1180,23 +1257,21 @@ class LakeTable:
         arrive (i.e. the replay horizon has passed); otherwise a late
         out-of-order event could resurrect a deleted key.
         """
-        raw = self.read(with_system=True, buckets=buckets)
+        prior = self._current_snapshot()
+        # Spec-aware split: legacy-spec files are always selected, so any
+        # compaction migrates them to the current bucket spec.
+        selected, carried = self._split_by_buckets(self.files_of(prior), buckets)
+        raw = self._read_files(selected)
         resolved = self._resolve(raw)
         if drop_tombstones:
             resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         out = resolved.withColumn(BUCKET_COL, self._bucket_expr())
         snapshot_id = self._next_snapshot_id()
         new_files = self._write_data_files(out, snapshot_id)
-        prior = self._current_snapshot()
-        if buckets is None:
-            carried: list[dict] = []
-            replaced = len(self.files_of(prior))
-            needs_resolve = False
-        else:
-            bset = set(buckets)
-            carried = [f for f in self.files_of(prior) if f["bucket"] not in bset]
-            replaced = len(self.files_of(prior)) - len(carried)
-            needs_resolve = bool(prior and prior.get("needs_resolve"))
+        replaced = len(selected)
+        needs_resolve = (
+            False if buckets is None else bool(prior and prior.get("needs_resolve"))
+        )
         snap = self._commit(
             carried + new_files,
             {
@@ -1311,13 +1386,19 @@ class LakeTable:
         keys = sorted(set(keys))
         snap = self._current_snapshot()
         files = self.files_of(snap)
-        by_bucket: dict[int, list] = {}
-        for kv in keys:
-            b = int(spark_xxhash64(kv) % self.n_buckets)
-            by_bucket.setdefault(b, []).append(kv)
+        # Route keys to buckets under EACH live spec (bucket-spec evolution
+        # means files can disagree on the bucket count; a file only matches
+        # keys hashed with ITS spec's modulus).
+        by_spec: dict[int, dict[int, list]] = {}
+        for spec in {self._spec_of(f) for f in files}:
+            n = self.bucket_spec(spec)
+            route: dict[int, list] = {}
+            for kv in keys:
+                route.setdefault(int(spark_xxhash64(kv) % n), []).append(kv)
+            by_spec[spec] = route
         todo, carried = [], []
         for f in files:
-            ks = by_bucket.get(f["bucket"])
+            ks = by_spec[self._spec_of(f)].get(f["bucket"])
             if ks and any(_may_contain(f, kv) for kv in ks):
                 todo.append(f)
             else:
