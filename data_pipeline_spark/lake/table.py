@@ -809,6 +809,87 @@ class LakeTable:
             total += n
         return total
 
+    def inspect(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata tables (the Iceberg ``table$snapshots`` /
+        ``table$files`` analog): table internals exposed as DataFrames so
+        operators can run SQL over their lake's own metadata (audit
+        dashboards, file-size skew checks, snapshot forensics).
+
+        Driver-side metadata only — building the frame launches no scan of
+        data files.
+
+        - ``snapshots``: one row per snapshot (id, parent, branch-reachable
+          operation summary, file count, commit time);
+        - ``files``: the data files of one snapshot (default current) with
+          bucket, spec, schema id, row count and key/stats ranges;
+        - ``refs``: named refs — ``main``, tags, branches — with their
+          snapshot ids;
+        - ``specs``: bucket partition specs (id, n_buckets, current flag).
+        """
+        if name == "snapshots":
+            rows = [
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "parent_id": s.get("parent_id"),
+                    "timestamp_ms": s.get("timestamp_ms"),
+                    "operation": s.get("summary", {}).get("operation"),
+                    "n_files": s.get("n_files"),
+                    "needs_resolve": bool(s.get("needs_resolve")),
+                    "summary": {k: str(v) for k, v in s.get("summary", {}).items()},
+                }
+                for s in self.meta["snapshots"]
+            ]
+            schema = (
+                "snapshot_id long, parent_id long, timestamp_ms long, "
+                "operation string, n_files long, needs_resolve boolean, "
+                "summary map<string,string>"
+            )
+        elif name == "files":
+            rows = [
+                {
+                    "path": f["path"],
+                    "bucket": f["bucket"],
+                    "spec_id": self._spec_of(f),
+                    "schema_id": f.get("schema_id"),
+                    "rows": f.get("rows"),
+                    "key_min": f.get("key_min"),
+                    "key_max": f.get("key_max"),
+                    "stats": {
+                        c: json.dumps(v) for c, v in (f.get("stats") or {}).items()
+                    },
+                }
+                for f in self.files_of(self.snapshot(snapshot_id))
+            ]
+            schema = (
+                "path string, bucket int, spec_id int, schema_id int, "
+                "rows long, key_min string, key_max string, "
+                "stats map<string,string>"
+            )
+        elif name == "refs":
+            rows = [
+                {"name": "main", "type": "branch",
+                 "snapshot_id": self.meta.get("current_snapshot_id")}
+            ]
+            for t, sid in sorted(self.meta.get("refs", {}).items()):
+                rows.append({"name": t, "type": "tag", "snapshot_id": sid})
+            for b, sid in sorted(self.meta.get("branches", {}).items()):
+                rows.append({"name": b, "type": "branch", "snapshot_id": sid})
+            schema = "name string, type string, snapshot_id long"
+        elif name == "specs":
+            specs = self.meta.get("bucket_specs") or {"1": self.meta["n_buckets"]}
+            rows = [
+                {"spec_id": int(sid), "n_buckets": n,
+                 "is_current": int(sid) == self.current_spec_id}
+                for sid, n in sorted(specs.items(), key=lambda kv: int(kv[0]))
+            ]
+            schema = "spec_id int, n_buckets int, is_current boolean"
+        else:
+            raise ValueError(
+                f"unknown metadata table {name!r} "
+                "(have: snapshots, files, refs, specs)"
+            )
+        return self.spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+
     def lookup(self, key_value) -> DataFrame:
         """Point lookup: hash the key to its ONE bucket, scan only that
         bucket's files with the key predicate pushed into the parquet reader
@@ -851,9 +932,14 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
 
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int
+        self, df: DataFrame, snapshot_id: int, sort_cols: list[str] | None = None
     ) -> list[dict]:
         """Write rows (already in current schema + BUCKET_COL) as data files.
+
+        ``sort_cols`` orders rows within each written file (default: the
+        key column — see the point-lookup note below). Compaction passes
+        ``cluster_by`` through here to re-cluster files on a range-scan
+        dimension instead.
 
         Salted repartition bounds files-per-bucket while spreading hot
         buckets over several tasks (north_rule skew handling). Deterministic
@@ -877,11 +963,13 @@ class LakeTable:
         (
             salted.repartition(n_out, F.col(BUCKET_COL), F.col("_salt"))
             .drop("_salt")
-            # Sort by key within each task: parquet row-group min/max stats
-            # on the key column become selective, so point lookups
-            # (WHERE url = ...) prune row groups inside the one bucket file
-            # they hash to — O(log) inside the bucket instead of full scan.
-            .sortWithinPartitions(self.key_col)
+            # Sort within each task: parquet row-group min/max stats on the
+            # sort columns become selective. Default = the key column, so
+            # point lookups (WHERE url = ...) prune row groups inside the
+            # one bucket file they hash to — O(log) inside the bucket
+            # instead of full scan. cluster_by compaction substitutes a
+            # range-scan dimension here.
+            .sortWithinPartitions(*(sort_cols or [self.key_col]))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_path)
@@ -1240,10 +1328,21 @@ class LakeTable:
         return dirty
 
     def compact(
-        self, drop_tombstones: bool = False, buckets: list[int] | None = None
+        self,
+        drop_tombstones: bool = False,
+        buckets: list[int] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> dict:
         """Collapse MoR multi-version rows to one winner row per key and
         rewrite data files (Iceberg rewrite_data_files).
+
+        ``cluster_by`` sorts rewritten files on those columns instead of
+        the key (Iceberg rewrite_data_files sort-order): parquet row-group
+        min/max on a range-scan dimension (e.g. the event-time column)
+        become tight and monotone, so ``read(range_filters=...)``'s pushed
+        predicate skips whole row groups. Trade-off: point lookups lose
+        within-file key ordering in the re-clustered files (manifests'
+        key min/max and Blooms still prune at file granularity).
 
         ``buckets=None`` compacts the whole table and clears the scan-time
         resolve flag. Passing ``buckets`` (e.g. :meth:`dirty_buckets`)
@@ -1267,7 +1366,12 @@ class LakeTable:
             resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         out = resolved.withColumn(BUCKET_COL, self._bucket_expr())
         snapshot_id = self._next_snapshot_id()
-        new_files = self._write_data_files(out, snapshot_id)
+        if cluster_by:
+            known = {f.name for f in self.schema.fields}
+            bad = [c for c in cluster_by if c not in known]
+            if bad:
+                raise ValueError(f"cluster_by columns not in schema: {bad}")
+        new_files = self._write_data_files(out, snapshot_id, sort_cols=cluster_by)
         replaced = len(selected)
         needs_resolve = (
             False if buckets is None else bool(prior and prior.get("needs_resolve"))
@@ -1280,6 +1384,7 @@ class LakeTable:
                 "new-files": len(new_files),
                 "buckets": "all" if buckets is None else len(buckets),
                 "dropped-tombstones": drop_tombstones,
+                **({"cluster-by": ",".join(cluster_by)} if cluster_by else {}),
             },
             needs_resolve=needs_resolve,
         )

@@ -47,6 +47,9 @@ def main() -> None:
                     help="collapse MoR versions (full rewrite of targeted buckets)")
     ap.add_argument("--compact-dirty-only", action="store_true",
                     help="with --compact: only buckets flagged dirty by merges")
+    ap.add_argument("--cluster-by", default=None, metavar="COL[,COL]",
+                    help="with --compact: sort rewritten files on these "
+                         "columns (range-scan clustering) instead of the key")
     ap.add_argument("--drop-tombstones", action="store_true",
                     help="with --compact: physically drop delete markers "
                          "(ONLY after the replay horizon — no older event "
@@ -80,11 +83,15 @@ def main() -> None:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
         # list); reject it before paying Spark startup.
         ap.error("--expire-keep-last must be >= 1 (the current snapshot stays)")
-    if (args.drop_tombstones or args.compact_dirty_only) and not args.compact:
+    if (args.drop_tombstones or args.compact_dirty_only or args.cluster_by) \
+            and not args.compact:
         # Dependent flags must not silently no-op: an operator asking for
         # tombstone removal without --compact would get exit 0 and believe
         # tombstones are being dropped.
-        ap.error("--drop-tombstones / --compact-dirty-only require --compact")
+        ap.error(
+            "--drop-tombstones / --compact-dirty-only / --cluster-by "
+            "require --compact"
+        )
     table_ops = (args.compact or args.build_blooms or args.purge_keys
                  or args.expire_keep_last is not None or args.gc_orphans)
     if table_ops and args.table is None:
@@ -120,7 +127,13 @@ def main() -> None:
             # snapshot every run, churning history out of --expire-keep-last.
             done["compacted_buckets"] = []
         else:
-            table.compact(buckets=buckets, drop_tombstones=args.drop_tombstones)
+            table.compact(
+                buckets=buckets,
+                drop_tombstones=args.drop_tombstones,
+                cluster_by=(
+                    args.cluster_by.split(",") if args.cluster_by else None
+                ),
+            )
             done["compacted_buckets"] = (
                 sorted(buckets) if buckets is not None else "all"
             )
