@@ -259,3 +259,48 @@ def test_purge_filter_pushed_to_scan(spark, tmp_path):
     )
     plan = _plan(spark, kept)
     assert "PushedFilters: [Not(In(url" in plan
+
+
+def test_generic_merge_is_single_join(spark, entry):
+    """The MERGE clause compiler must stay a ONE-join plan: N clauses
+    compile to CASE branches over one action ordinal, never per-clause
+    joins or unions of per-clause passes."""
+    import re
+
+    plan = _plan(spark, entry.queries()["merge_into_generic"](spark, SF))
+    joins = re.findall(
+        r"^\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M,
+    )
+    assert len(joins) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_change_feed_is_one_join_over_pruned_scans(spark, tmp_path):
+    """change_feed = two bucket-pruned snapshot scans + ONE full-outer key
+    join; no second pass, no union-of-diffs."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "cfp"),
+        spark.createDataFrame([], "url string, warc_ts timestamp").schema,
+        key_col="url", n_buckets=4,
+    )
+    staged = spark.createDataFrame(
+        [(f"https://x.example/{i}", "upsert", i) for i in range(10)],
+        "url string, op string, lsn long",
+    ).withColumn("warc_ts", F.current_timestamp())
+    table.merge(staged, epoch=0)
+    s0 = table.snapshot()["snapshot_id"]
+    table.merge(staged.withColumn("lsn", F.col("lsn") + 100), epoch=1)
+    import re
+
+    plan = _plan(spark, table.change_feed(s0))
+    joins = re.findall(
+        r"^\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M,
+    )
+    assert len(joins) == 1, plan
+    assert "CartesianProduct" not in plan
