@@ -171,3 +171,47 @@ class TableSync:
             extra_summary={CURSOR_KEY: to_id},
         )
         return {**res, "synced_to": to_id}
+
+
+class StreamingTableSync:
+    """Continuous lake→lake sync: Structured Streaming drives
+    :meth:`TableSync.refresh` on a processing-time trigger.
+
+    The streamed rows are only a clock (a ``rate`` source); state lives
+    entirely in the tables — the cursor is the target's own commit summary,
+    so exactly-once survives driver restarts WITHOUT depending on the
+    stream checkpoint: a re-fired trigger sees an already-advanced cursor
+    and no-ops. This mirrors how ``streaming/indexing.py`` composes
+    incremental operators with ``foreachBatch``.
+    """
+
+    def __init__(self, sync: TableSync, mode: str = "cow"):
+        self.sync = sync
+        self.mode = mode
+        self.results: list[dict] = []
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # The source is typically written by another process (the replay
+        # job); re-read its metadata each tick so new snapshots are seen.
+        self.sync.source.refresh()
+        res = self.sync.refresh(mode=self.mode)
+        self.results.append(res)
+
+    def start(
+        self,
+        checkpoint_dir: str,
+        interval: str = "1 second",
+        rows_per_second: int = 1,
+    ):
+        spark = self.sync.source.spark
+        clock = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        return (
+            clock.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=interval)
+            .start()
+        )

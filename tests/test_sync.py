@@ -179,3 +179,40 @@ def test_key_mismatch_and_missing_order_col(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key"):
         TableSync(src, bad)
+
+
+def test_streaming_sync_tracks_source(spark, tmp_path):
+    """Continuous sync: a running rate-clock stream applies refreshes; the
+    target converges to every source state without manual refresh calls."""
+    import time
+
+    from data_pipeline_spark.lake.sync import StreamingTableSync
+
+    src = _mk_src(spark, str(tmp_path / "ss"))
+    tgt = _mk_tgt(spark, str(tmp_path / "st"))
+    sync = TableSync(src, tgt, predicate="lang = 'en'")
+    stream = StreamingTableSync(sync)
+    q = stream.start(str(tmp_path / "cp"), interval="1 second")
+    try:
+        src.merge(_stage(spark, [
+            ("a", 1, "en", 1.0, "upsert"), ("b", 1, "de", 2.0, "upsert"),
+        ]), epoch=0)
+        _await(lambda: set(_state(tgt)) == {"a"})
+        src.merge(_stage(spark, [
+            ("a", 2, "en", 0.0, "delete"), ("c", 2, "en", 3.0, "upsert"),
+        ]), epoch=1)
+        _await(lambda: set(_state(tgt)) == {"c"})
+    finally:
+        q.stop()
+    assert any(not r.get("skipped") for r in stream.results)
+
+
+def _await(cond, timeout=60.0):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if cond():
+            return
+        time.sleep(0.5)
+    raise AssertionError("condition not reached within timeout")
