@@ -358,6 +358,49 @@ class LakeTable:
             (s for s in self.meta["snapshots"] if s["snapshot_id"] == snapshot_id), None
         )
 
+    def commit_with_retry(self, fn, attempts: int = 3):
+        """Optimistic-concurrency retry loop for multi-writer tables.
+
+        ``fn(table)`` performs one commit operation (a merge / append /
+        compact / merge_builder execute). If another writer advanced the
+        table since this handle loaded metadata, the commit refuses with
+        :class:`CommitConflictError`; this helper ``refresh()``-es and
+        re-runs ``fn`` against the new head — the Iceberg commit loop.
+        Safe to re-run because every commit path either recomputes from
+        the (now refreshed) current state or no-ops via the epoch ledger.
+        """
+        last: Exception | None = None
+        for i in range(attempts):
+            try:
+                return fn(self)
+            except CommitConflictError as e:
+                last = e
+                self.refresh()
+        raise last
+
+    def snapshot_as_of(self, timestamp_ms: int) -> dict | None:
+        """Latest snapshot committed at or before ``timestamp_ms`` (the
+        ``FOR SYSTEM_TIME AS OF`` analog). Returns None if the table had no
+        snapshot yet at that time. Expired snapshots are gone from history,
+        so an as-of older than the retention window resolves to None —
+        callers distinguish "empty table then" from "history expired" via
+        the oldest live snapshot's timestamp."""
+        best = None
+        for s in self.meta["snapshots"]:
+            if s.get("timestamp_ms", 0) <= timestamp_ms and (
+                best is None or s["snapshot_id"] > best["snapshot_id"]
+            ):
+                best = s
+        return best
+
+    def read_as_of(self, timestamp_ms: int, **kwargs) -> DataFrame:
+        """Time travel by wall-clock commit time; kwargs pass to
+        :meth:`read`."""
+        snap = self.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            return self._read_files([]).drop(LSN_COL, DELETED_COL)
+        return self.read(snapshot_id=snap["snapshot_id"], **kwargs)
+
     def history(self) -> list[dict]:
         return list(self.meta["snapshots"])
 
@@ -945,7 +988,14 @@ class LakeTable:
         buckets over several tasks (north_rule skew handling). Deterministic
         salt — task retries rewrite identical partitions.
         """
-        commit_dir = f"data/commit-{snapshot_id}"
+        # The uuid suffix makes the write target collision-proof across
+        # CONCURRENT HANDLES: two writers racing from the same metadata
+        # version compute the same next snapshot id, and without the
+        # suffix the loser's .mode("overwrite") write would destroy the
+        # winner's already-committed data files before the optimistic
+        # commit check ever ran. With it, the loser's files land in a
+        # sibling directory that remove_orphan_files later sweeps.
+        commit_dir = f"data/commit-{snapshot_id}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, commit_dir)
         # Parquet encode is the CPU-expensive part of a commit, so the write
         # must use every core (without an explicit count AQE coalesces this
@@ -1156,6 +1206,9 @@ class LakeTable:
         spans branches, so a staged-but-unpublished epoch still skips.
         """
         self._require_branch(branch)
+        # Fail fast on a stale handle before any data is written; the
+        # commit-time check remains the authority.
+        self._assert_current()
         if epoch is not None and epoch in self.committed_epochs():
             return {"skipped": True, "epoch": epoch, "reason": "epoch already committed"}
 

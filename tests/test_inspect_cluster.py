@@ -136,3 +136,53 @@ def test_cluster_by_unknown_column_raises(spark, tmp_path):
     _seed(spark, tbl, n=50)
     with pytest.raises(ValueError, match="cluster_by"):
         tbl.compact(cluster_by=["nope"])
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF analog: commit-time time travel."""
+    import time
+
+    tbl = _mk(spark, str(tmp_path / "asof"))
+    before_any = int(time.time() * 1000) - 1
+    tbl.merge(_stage(spark, [("a", 1, 1.0, "upsert")]), epoch=0)
+    t1 = tbl.snapshot()["timestamp_ms"]
+    time.sleep(0.01)
+    tbl.merge(_stage(spark, [("a", 2, 2.0, "upsert")]), epoch=1)
+
+    assert tbl.snapshot_as_of(before_any) is None
+    assert tbl.read_as_of(before_any).count() == 0
+    assert tbl.read_as_of(t1).collect()[0]["score"] == 1.0
+    now = int(time.time() * 1000) + 1000
+    assert tbl.read_as_of(now).collect()[0]["score"] == 2.0
+
+
+def test_commit_with_retry_on_conflict(spark, tmp_path):
+    """Two handles, one table: the stale handle's commit refuses, the
+    retry loop refreshes and lands it; both writes survive."""
+    import pytest as _pytest
+
+    from data_pipeline_spark.lake.table import CommitConflictError
+
+    path = str(tmp_path / "mw")
+    a = _mk(spark, path)
+    a.merge(_stage(spark, [("k0", 1, 0.0, "upsert")]), epoch=0)
+    b = LakeTable.load(spark, path)
+    # writer A advances the table; handle B is now stale
+    a.merge(_stage(spark, [("k1", 2, 1.0, "upsert")]), epoch=1)
+    with _pytest.raises(CommitConflictError):
+        b.merge(_stage(spark, [("k2", 3, 2.0, "upsert")]), epoch=2)
+    res = b.commit_with_retry(
+        lambda t: t.merge(_stage(spark, [("k2", 3, 2.0, "upsert")]), epoch=2)
+    )
+    assert not res["skipped"]
+    assert {r["url"] for r in b.read().collect()} == {"k0", "k1", "k2"}
+    # retry loop re-raises after exhausting attempts on a persistent conflict
+    b.meta["version"] -= 1  # simulate permanent staleness
+    with _pytest.raises(CommitConflictError):
+        b.commit_with_retry(
+            lambda t: (
+                t.meta.__setitem__("version", t.meta["version"] - 1),
+                t.merge(_stage(spark, [("k3", 4, 3.0, "upsert")]), epoch=3),
+            ),
+            attempts=2,
+        )
