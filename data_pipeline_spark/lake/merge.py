@@ -137,8 +137,12 @@ class MergeBuilder:
 
     # -- compile -----------------------------------------------------------------
 
-    def plan(self) -> DataFrame:
-        """The post-merge table image (target schema), as one lazy plan."""
+    def plan(self, include_action: bool = False) -> DataFrame:
+        """The post-merge table image (target schema), as one lazy plan.
+
+        ``include_action`` (internal, used by the lake apply path) appends
+        the ``__action`` clause ordinal (-1 = pass-through) so the caller
+        can distinguish rows the merge actually changed."""
         if not self.clauses:
             raise ValueError("MERGE needs at least one WHEN clause")
         t = self.target.withColumn("__t_present", F.lit(True)).alias("t")
@@ -189,6 +193,8 @@ class MergeBuilder:
                 if expr is not None:
                     col = F.when(F.col("__action") == i, expr).otherwise(col)
             out_cols.append(col.cast(field.dataType).alias(name))
+        if include_action:
+            out_cols.append(F.col("__action"))
         return kept.select(*out_cols)
 
     def _clause_value(self, c: _Clause, name: str) -> Column | None:
@@ -304,18 +310,43 @@ class LakeMergeBuilder(MergeBuilder):
         raw = tbl._read_files(selected)
         if head is not None and head.get("needs_resolve"):
             raw = tbl._resolve(raw)
-        self.target = raw.where(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        ).drop(LSN_COL, DELETED_COL)
-        merged = self.plan()
+        is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        # Winner tombstones are live metadata: they are what stops a late
+        # out-of-order CDC event from resurrecting a deleted key. A merge
+        # rewrite must carry them — EXCEPT for keys the source re-creates
+        # (an explicit INSERT establishes a new baseline; keeping the old
+        # tombstone would non-deterministically re-delete the key at the
+        # next LWW resolve).
+        tombs = raw.where(is_del)
+        if tbl.key_col in self.on:
+            tombs = tombs.join(
+                self.source.select(tbl.key_col).distinct(),
+                tbl.key_col,
+                "left_anti",
+            )
+        # The live view keeps each row's stored LSN as a hidden passthrough
+        # column: rows no clause touches must retain their original
+        # (order_col, lsn) LWW coordinates, or a later re-delivered event
+        # would compare against a meaningless snapshot-counter LSN.
+        self.target = (
+            raw.where(~is_del)
+            .drop(DELETED_COL)
+            .withColumnRenamed(LSN_COL, "__t_lsn")
+        )
+        merged = self.plan(include_action=True)
 
         snapshot_id = tbl._next_snapshot_id()
+        stamp = F.when(
+            F.col("__action") >= 0,
+            F.lit(snapshot_id if lsn is None else lsn),
+        ).otherwise(F.coalesce(F.col("__t_lsn"), F.lit(-1)))
         out = (
-            merged.withColumn(
-                LSN_COL, F.lit(snapshot_id if lsn is None else lsn).cast("long")
-            )
+            merged.withColumn(LSN_COL, stamp.cast("long"))
+            .drop("__action", "__t_lsn")
             .withColumn(DELETED_COL, F.lit(False))
-            .withColumn(BUCKET_COL, tbl._bucket_expr())
+        )
+        out = out.unionByName(tombs.select(*out.columns)).withColumn(
+            BUCKET_COL, tbl._bucket_expr()
         )
         new_files = tbl._write_data_files(out, snapshot_id)
         summary = {

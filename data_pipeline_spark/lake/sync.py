@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 from .table import LakeTable
 
 CURSOR_KEY = "sync.source-snapshot"
+# Tag pinned to the latest sync commit so target snapshot expiry never
+# GC's the cursor-bearing snapshot.
+CURSOR_TAG = "sync-cursor"
 
 
 class TableSync:
@@ -67,11 +70,25 @@ class TableSync:
     # -- cursor ------------------------------------------------------------------
 
     def cursor(self) -> int | None:
-        """Last applied source snapshot id, from the target's history."""
+        """Last applied source snapshot id, from the target's history.
+
+        The latest sync commit is additionally pinned with a target tag
+        (``sync-cursor``) so snapshot expiry on the target can never GC
+        the cursor-bearing commit. Raises if the target has history but no
+        cursor anywhere (e.g. the tag was dropped and expiry swept the
+        sync commits): silently treating that as "never synced" would
+        re-apply the source as inserts-only and leave deleted keys behind
+        in the replica forever.
+        """
         for snap in reversed(self.target.history()):
             v = snap.get("summary", {}).get(CURSOR_KEY)
             if v is not None:
                 return int(v)
+        if self.target.snapshot() is not None:
+            raise ValueError(
+                "target has snapshots but no sync cursor (expired or "
+                "foreign table); run refresh(rebuild=True) to converge"
+            )
         return None
 
     # -- refresh -----------------------------------------------------------------
@@ -129,7 +146,7 @@ class TableSync:
         """
         src_snap = self.source.snapshot()
         to_id = src_snap["snapshot_id"] if src_snap else None
-        cur = self.cursor()
+        cur = None if rebuild else self.cursor()
         if to_id is None or (not rebuild and cur == to_id):
             return {"skipped": True, "synced_to": cur, "reason": "no new snapshot"}
 
@@ -148,28 +165,36 @@ class TableSync:
                 .when_not_matched_by_source_delete()
                 .execute(extra_summary={CURSOR_KEY: to_id}, lsn=to_id)
             )
+            self.target.tag(CURSOR_TAG)
             return {**res, "synced_to": to_id, "rebuilt": True}
 
-        feed = self.source.change_feed(cur, to_id)
-        post = feed.where(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).drop("_change_type", "_commit_snapshot_id")
-        dels = feed.where(F.col("_change_type") == "delete").select(key, order)
-        staged = self._post_to_staged(post, dels).withColumn(
-            "__sync_lsn", F.lit(to_id).cast("long")
-        )
-        res = self.target.merge(
-            staged,
-            op_col="op",
-            # cow: ts_col names a column absent from the staged frame, so
-            # the merge orders purely by (__sync_lsn, __src) = source commit
-            # order; mor: order by the real event-time column (scan-time
-            # resolution uses it anyway).
-            ts_col="__sync_commit_order" if mode == "cow" else order,
-            lsn_col="__sync_lsn",
-            mode=mode,
-            extra_summary={CURSOR_KEY: to_id},
-        )
+        # The staged frame references the change feed several times (post
+        # images, source deletes, predicate-exit deletes); persist the
+        # feed so the snapshot-diff join runs once, not once per branch.
+        feed = self.source.change_feed(cur, to_id).persist()
+        try:
+            post = feed.where(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop("_change_type", "_commit_snapshot_id")
+            dels = feed.where(F.col("_change_type") == "delete").select(key, order)
+            staged = self._post_to_staged(post, dels).withColumn(
+                "__sync_lsn", F.lit(to_id).cast("long")
+            )
+            res = self.target.merge(
+                staged,
+                op_col="op",
+                # cow: ts_col names a column absent from the staged frame,
+                # so the merge orders purely by (__sync_lsn, __src) =
+                # source commit order; mor: order by the real event-time
+                # column (scan-time resolution uses it anyway).
+                ts_col="__sync_commit_order" if mode == "cow" else order,
+                lsn_col="__sync_lsn",
+                mode=mode,
+                extra_summary={CURSOR_KEY: to_id},
+            )
+        finally:
+            feed.unpersist()
+        self.target.tag(CURSOR_TAG)
         return {**res, "synced_to": to_id}
 
 
@@ -185,10 +210,14 @@ class StreamingTableSync:
     incremental operators with ``foreachBatch``.
     """
 
-    def __init__(self, sync: TableSync, mode: str = "cow"):
+    def __init__(self, sync: TableSync, mode: str = "cow", keep_results: int = 100):
+        import collections
+
         self.sync = sync
         self.mode = mode
-        self.results: list[dict] = []
+        # Bounded: an always-on 1s trigger would otherwise leak one dict
+        # per tick on the driver for the stream's lifetime.
+        self.results: collections.deque = collections.deque(maxlen=keep_results)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # The source is typically written by another process (the replay

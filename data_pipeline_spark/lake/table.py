@@ -385,8 +385,18 @@ class LakeTable:
         so an as-of older than the retention window resolves to None —
         callers distinguish "empty table then" from "history expired" via
         the oldest live snapshot's timestamp."""
+        # Follow MAIN's lineage only: meta['snapshots'] also holds
+        # branch-staged (write-audit-publish) commits, and time travel must
+        # never resolve to staged, unpublished — possibly audit-failed —
+        # state. Branch state is read explicitly via read(ref=...).
+        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
+        lineage = []
+        cur = self.meta.get("current_snapshot_id")
+        while cur is not None and cur in by_id:
+            lineage.append(by_id[cur])
+            cur = by_id[cur].get("parent_id")
         best = None
-        for s in self.meta["snapshots"]:
+        for s in lineage:
             if s.get("timestamp_ms", 0) <= timestamp_ms and (
                 best is None or s["snapshot_id"] > best["snapshot_id"]
             ):
@@ -784,8 +794,11 @@ class LakeTable:
 
         key = self.key_col
         payload = [f.name for f in self.schema.fields if f.name != key]
+        by_name = {f.name: f for f in self.schema.fields}
+        # Key-first field order to match the non-empty frame (tagged()).
         cdf_type = StructType(
-            list(self.schema.fields)
+            [by_name[key]]
+            + [by_name[c] for c in payload]
             + [
                 StructField("_change_type", StringType(), False),
                 StructField("_commit_snapshot_id", LongType(), True),
@@ -799,7 +812,11 @@ class LakeTable:
         else:
             pre = self.read(snapshot_id=from_snapshot_id, buckets=touched)
         post = self.read(snapshot_id=to_id, buckets=touched)
-        p, c = pre.alias("p"), post.alias("c")
+        # Explicit presence literals, NOT key-null checks: a stored null-key
+        # row never joins (SQL equality), and without these it would fall
+        # through every branch and silently vanish from the feed.
+        p = pre.withColumn("__p_present", F.lit(True)).alias("p")
+        c = post.withColumn("__c_present", F.lit(True)).alias("c")
         j = p.join(c, F.col(f"p.{key}") == F.col(f"c.{key}"), "full_outer")
 
         def img(side: str) -> Column:
@@ -807,8 +824,8 @@ class LakeTable:
                 *[F.col(f"{side}.{col}") for col in [key] + payload]
             )
 
-        pre_there = F.col(f"p.{key}").isNotNull()
-        post_there = F.col(f"c.{key}").isNotNull()
+        pre_there = F.coalesce(F.col("p.__p_present"), F.lit(False))
+        post_there = F.coalesce(F.col("c.__c_present"), F.lit(False))
 
         def tagged(side: str, tag: str) -> Column:
             return F.struct(
@@ -1362,23 +1379,25 @@ class LakeTable:
         appends at most one file per touched bucket). Metadata-only."""
         counts: dict[int, int] = {}
         cur = self.current_spec_id
-        legacy = False
         for f in self.files_of(self._current_snapshot()):
             if self._spec_of(f) != cur:
-                # A file under a non-current bucket spec is always dirty: it
-                # needs migration, and any compact() selecting it rewrites
-                # it under the current spec. Its bucket id is not comparable
-                # to current-spec ids, so mark its presence instead.
-                legacy = True
+                # Non-current-spec files need migration, but their bucket
+                # ids live in a different modulus — callers check
+                # has_legacy_files() and pass even an empty bucket list to
+                # compact(), whose conservative split sweeps them.
                 continue
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-        dirty = sorted(b for b, n in counts.items() if n >= min_files)
-        if legacy and not dirty:
-            # Ensure a nonempty result so periodic maintenance triggers a
-            # compaction; the conservative bucket split then sweeps every
-            # legacy file regardless of which bucket ids are passed.
-            dirty = [0]
-        return dirty
+        return sorted(b for b, n in counts.items() if n >= min_files)
+
+    def has_legacy_files(self) -> bool:
+        """True if any current-snapshot file was written under a
+        non-current bucket spec (pending migration; any compact() —
+        including ``compact(buckets=[])`` — rewrites exactly those)."""
+        cur = self.current_spec_id
+        return any(
+            self._spec_of(f) != cur
+            for f in self.files_of(self._current_snapshot())
+        )
 
     def compact(
         self,

@@ -223,8 +223,12 @@ class ReplayRunner:
                 and self.branch is None
             ):
                 # Partial compaction: only buckets that accumulated files —
-                # keeps periodic maintenance O(dirty), not O(table).
-                self.table.compact(buckets=self.table.dirty_buckets())
+                # keeps periodic maintenance O(dirty), not O(table). Legacy
+                # bucket-spec files (post-rescale) are swept by the same
+                # call even with an otherwise-clean bucket list.
+                dirty = self.table.dirty_buckets()
+                if dirty or self.table.has_legacy_files():
+                    self.table.compact(buckets=dirty)
                 self._applied_since_compact = 0
         record = {
             "skipped": False,

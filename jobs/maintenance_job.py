@@ -121,10 +121,12 @@ def main() -> None:
         done["purge_files_rewritten"] = res["files_rewritten"]
     if args.compact:
         buckets = table.dirty_buckets() if args.compact_dirty_only else None
-        if buckets == []:
+        if buckets == [] and not table.has_legacy_files():
             # Clean table (the cron steady state): skip entirely — an empty
             # compact would still run a write job and commit a no-op
             # snapshot every run, churning history out of --expire-keep-last.
+            # (With legacy-spec files pending migration the empty list is
+            # NOT a skip: compact(buckets=[]) selects exactly those files.)
             done["compacted_buckets"] = []
         else:
             table.compact(

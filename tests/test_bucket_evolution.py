@@ -110,13 +110,16 @@ def test_compact_migrates_legacy_files(spark, tmp_path):
     tbl.merge(_stage(spark, [(f"u{i}", 1, float(i), "upsert") for i in range(40)]),
               epoch=0, mode="mor")
     tbl.rescale_buckets(8)
-    assert tbl.dirty_buckets() != []  # legacy files are dirty
+    assert tbl.has_legacy_files()  # legacy files pending migration
     before = _state(tbl)
+    # compact with the (possibly empty) dirty list sweeps exactly the
+    # legacy files via the conservative spec split
     tbl.compact(buckets=tbl.dirty_buckets())
     files = tbl.files_of(tbl.snapshot())
     assert all(tbl._spec_of(f) == 2 for f in files)
     assert all(0 <= f["bucket"] < 8 for f in files)
     assert _state(tbl) == before
+    assert not tbl.has_legacy_files()
     assert tbl.dirty_buckets() == []
 
 

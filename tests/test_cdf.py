@@ -159,3 +159,19 @@ def test_generic_merge_shows_in_feed(spark, tmp_path):
     expected = python_diff_oracle(_state(tbl, s0), _state(tbl))
     assert _feed(tbl, s0) == expected
     assert ("z", "insert", 7.0) in expected
+
+
+def test_null_key_rows_visible_in_feed(spark, tmp_path):
+    """Review finding: null-key rows never join (SQL equality), so presence
+    must come from literals — a null-key insert/delete shows in the feed."""
+    tbl = _mk(spark, str(tmp_path / "nk"))
+    tbl.merge(_stage(spark, [("a", 1, 1.0, "upsert"), (None, 1, 9.0, "upsert")]),
+              epoch=0)
+    s0 = tbl.snapshot()["snapshot_id"]
+    rows0 = {(r["url"], r["_change_type"], r["score"])
+             for r in tbl.change_feed(None, s0).collect()}
+    assert (None, "insert", 9.0) in rows0
+    tbl.merge(_stage(spark, [(None, 2, 9.0, "delete")]), epoch=1)
+    rows1 = {(r["url"], r["_change_type"], r["score"])
+             for r in tbl.change_feed(s0).collect()}
+    assert (None, "delete", 9.0) in rows1

@@ -186,3 +186,19 @@ def test_commit_with_retry_on_conflict(spark, tmp_path):
             ),
             attempts=2,
         )
+
+
+def test_as_of_never_resolves_branch_snapshots(spark, tmp_path):
+    """Review finding: time travel must follow MAIN's lineage — staged
+    (write-audit-publish) branch commits are invisible to as-of."""
+    import time
+
+    tbl = _mk(spark, str(tmp_path / "br"))
+    tbl.merge(_stage(spark, [("a", 1, 1.0, "upsert")]), epoch=0)
+    main_snap = tbl.snapshot()["snapshot_id"]
+    tbl.create_branch("audit")
+    tbl.merge(_stage(spark, [("z", 2, 66.0, "upsert")]), epoch=1, branch="audit")
+    now = int(time.time() * 1000) + 1000
+    snap = tbl.snapshot_as_of(now)
+    assert snap["snapshot_id"] == main_snap
+    assert {r["url"] for r in tbl.read_as_of(now).collect()} == {"a"}

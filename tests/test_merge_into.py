@@ -11,6 +11,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from data_pipeline_spark.lake.merge import (
@@ -225,3 +226,65 @@ def test_lake_merge_into_validates_dup_source(spark, tmp_path):
     )
     with pytest.raises(MergeCardinalityError):
         tbl.merge_builder(dup).when_matched_update(set={"score": "s.score"}).execute()
+
+
+CDC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("score", DoubleType()),
+])
+
+
+def _cdc_stage(spark, rows):
+    """rows: (url, sec, score, op, lsn)"""
+    return spark.createDataFrame(
+        rows, "url string, sec long, score double, op string, lsn long"
+    ).select(
+        "url", F.timestamp_seconds("sec").alias("warc_ts"), "score", "op", "lsn",
+    )
+
+
+def test_merge_preserves_unrelated_tombstones(spark, tmp_path):
+    """Review finding: a generic-merge bucket rewrite must carry winner
+    tombstones, or a late out-of-order CDC event resurrects deleted keys."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tb"), CDC_SCHEMA, key_col="url", n_buckets=1,
+        order_col="warc_ts",
+    )
+    tbl.merge(_cdc_stage(spark, [
+        ("k_del", 10, 1.0, "upsert", 10), ("k_live", 10, 2.0, "upsert", 10),
+    ]), epoch=0)
+    tbl.merge(_cdc_stage(spark, [("k_del", 20, 0.0, "delete", 20)]), epoch=1)
+    # generic merge touching the same (only) bucket, unrelated key
+    src = spark.createDataFrame([("k_live", 99.0)], "url string, score double")
+    tbl.merge_builder(src).when_matched_update(set={"score": "s.score"}).execute()
+    # late event OLDER than the deletion must NOT resurrect k_del
+    tbl.merge(_cdc_stage(spark, [("k_del", 15, 5.0, "upsert", 15)]), epoch=2)
+    state = {r["url"]: r["score"] for r in tbl.read().collect()}
+    assert state == {"k_live": 99.0}
+    # but a key the merge explicitly RE-INSERTS drops its tombstone
+    src2 = spark.createDataFrame([("k_del", 7.0)], "url string, score double")
+    (tbl.merge_builder(src2)
+        .when_not_matched_insert(
+            values={"url": "s.url", "warc_ts": "timestamp_seconds(30)",
+                    "score": "s.score"})
+        .execute())
+    state = {r["url"]: r["score"] for r in tbl.read().collect()}
+    assert state["k_del"] == 7.0
+
+
+def test_merge_preserves_passthrough_lsn(spark, tmp_path):
+    """Review finding: pass-through rows keep their stored (ts, lsn) LWW
+    coordinates; a re-delivered older event still loses after a merge."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "pl"), CDC_SCHEMA, key_col="url", n_buckets=1,
+        order_col="warc_ts",
+    )
+    # ts tie: lsn decides. Stored row has lsn=100.
+    tbl.merge(_cdc_stage(spark, [("k", 10, 1.0, "upsert", 100)]), epoch=0)
+    # generic merge passes k through (no clause matches it)
+    src = spark.createDataFrame([("other", 1.0)], "url string, score double")
+    tbl.merge_builder(src).when_matched_update(set={"score": "s.score"}).execute()
+    # re-delivered event: same ts, LOWER lsn -> must lose the tie-break
+    tbl.merge(_cdc_stage(spark, [("k", 10, 666.0, "upsert", 50)]), epoch=1)
+    assert {r["url"]: r["score"] for r in tbl.read().collect()} == {"k": 1.0}

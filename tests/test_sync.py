@@ -216,3 +216,30 @@ def _await(cond, timeout=60.0):
             return
         time.sleep(0.5)
     raise AssertionError("condition not reached within timeout")
+
+
+def test_lost_cursor_raises_and_tag_protects_it(spark, tmp_path):
+    """Review finding: a target whose cursor-bearing commits were expired
+    must raise, not silently re-apply inserts-only; and the sync-cursor
+    tag keeps expiry from dropping the cursor in the first place."""
+    src = _mk_src(spark, str(tmp_path / "ls"))
+    tgt = _mk_tgt(spark, str(tmp_path / "lt"))
+    sync = TableSync(src, tgt)
+    src.merge(_stage(spark, [("a", 1, "en", 1.0, "upsert")]), epoch=0)
+    sync.refresh()
+    # churn the target with non-sync commits, then expire aggressively:
+    # the tagged sync commit must survive and the cursor stay readable
+    for i in range(4):
+        tgt.compact()
+    tgt.expire_snapshots(keep_last=1)
+    assert sync.cursor() == src.snapshot()["snapshot_id"]
+    # drop the protective tag and expire the sync commits away -> raise
+    tgt.drop_tag("sync-cursor")
+    for i in range(2):
+        tgt.compact()
+    tgt.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no sync cursor"):
+        sync.refresh()
+    # rebuild converges
+    sync.refresh(rebuild=True)
+    assert _state(tgt) == _state(src)
