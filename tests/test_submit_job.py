@@ -238,3 +238,46 @@ def test_spark_submit_wap_replay(submit_env, tmp_path, spark):
     table = LakeTable.load(spark, table_dir)
     assert table.read().count() > 0
     assert "staging" not in table.meta.get("branches", {})
+
+
+def test_spark_submit_sync_job(submit_env, tmp_path):
+    """Ship contract for the lake-sync job: replay a source table, then
+    run sync_job twice from OUTSIDE the repo (zip-only import) — first
+    refresh bootstraps the filtered view, second no-ops on the cursor."""
+    work, log_dir, zip_path = submit_env
+    # build the source table via the replay job
+    _submit(
+        {
+            "zip": zip_path, "log": log_dir,
+            "table": str(work / "sync_src"), "cp": str(work / "sync_cp"),
+        },
+        cwd=str(tmp_path),
+    )
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    def run_sync():
+        out = subprocess.run(
+            [
+                spark_submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", "sync_job.py"),
+                "--source-dir", str(work / "sync_src"),
+                "--target-dir", str(work / "sync_view"),
+                "--predicate", "lang = 'en'",
+                "--select", "url,warc_ts,lang",
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(last)
+
+    r1 = run_sync()
+    assert not r1["skipped"] and r1["target_rows"] > 0
+    r2 = run_sync()
+    assert r2["skipped"]
+    assert r2["target_rows"] == r1["target_rows"]
