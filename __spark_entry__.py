@@ -129,6 +129,59 @@ WHERE o.o_totalprice <> l.new_price
 """
 
 
+def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 change-data-feed core (`lake/diff.py::snapshot_diff`): net
+    row-level diff of two keyed relations — delete / insert /
+    update_preimage / update_postimage — as ONE full-outer join with an
+    exploded CASE array (no union of per-change-type legs). The same
+    operator `LakeTable.change_feed` runs over its bucket-pruned snapshot
+    scans."""
+    from data_pipeline_spark.lake.diff import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus"),
+    )
+    pre = base.where(F.col("o_orderkey") % 7 != 0)
+    post = base.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("price") + 10, 2)
+        ).otherwise(F.col("price")),
+    )
+    return snapshot_diff(pre, post, "o_orderkey")
+
+
+_SQL_NET_CHANGES = """
+WITH base AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price, o_orderstatus AS st
+  FROM orders
+), pre AS (
+  SELECT * FROM base WHERE k % 7 <> 0
+), post AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN round(price + 10, 2) ELSE price END AS price,
+         st
+  FROM base WHERE k % 5 <> 0
+)
+SELECT p.k AS o_orderkey, p.price, p.st AS o_orderstatus,
+       'delete' AS _change_type
+FROM pre p LEFT JOIN post c ON p.k = c.k WHERE c.k IS NULL
+UNION ALL
+SELECT c.k, c.price, c.st, 'insert'
+FROM post c LEFT JOIN pre p ON p.k = c.k WHERE p.k IS NULL
+UNION ALL
+SELECT p.k, p.price, p.st, 'update_preimage'
+FROM pre p JOIN post c ON p.k = c.k
+WHERE p.price <> c.price OR p.st <> c.st
+UNION ALL
+SELECT c.k, c.price, c.st, 'update_postimage'
+FROM pre p JOIN post c ON p.k = c.k
+WHERE p.price <> c.price OR p.st <> c.st
+"""
+
+
 def q_merge_into_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic declarative MERGE (Delta/Iceberg `MERGE INTO` surface,
     `lake/merge.py::MergeBuilder`): all four clause families — matched
@@ -1795,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_detect": q_cdc_update_detect,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "merge_into_generic": q_merge_into_generic,
+        "cdc_net_changes": q_cdc_net_changes,
         # aggregates / joins / windows
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
@@ -1865,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_update_detect": _SQL_UPDATE_DETECT,
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
         "merge_into_generic": _SQL_MERGE_INTO,
+        "cdc_net_changes": _SQL_NET_CHANGES,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

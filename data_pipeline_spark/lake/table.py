@@ -812,45 +812,17 @@ class LakeTable:
         else:
             pre = self.read(snapshot_id=from_snapshot_id, buckets=touched)
         post = self.read(snapshot_id=to_id, buckets=touched)
-        # Explicit presence literals, NOT key-null checks: a stored null-key
-        # row never joins (SQL equality), and without these it would fall
-        # through every branch and silently vanish from the feed.
-        p = pre.withColumn("__p_present", F.lit(True)).alias("p")
-        c = post.withColumn("__c_present", F.lit(True)).alias("c")
-        j = p.join(c, F.col(f"p.{key}") == F.col(f"c.{key}"), "full_outer")
+        # Diff semantics live in lake/diff.py (pure operator, oracle-
+        # checked by the cdc_net_changes contract query). Unchanged keys —
+        # which CoW bucket rewrites put on both sides — drop there via the
+        # null-safe row-image filter.
+        from .diff import snapshot_diff
 
-        def img(side: str) -> Column:
-            return F.struct(
-                *[F.col(f"{side}.{col}") for col in [key] + payload]
-            )
-
-        pre_there = F.coalesce(F.col("p.__p_present"), F.lit(False))
-        post_there = F.coalesce(F.col("c.__c_present"), F.lit(False))
-
-        def tagged(side: str, tag: str) -> Column:
-            return F.struct(
-                *[F.col(f"{side}.{col}").alias(col) for col in [key] + payload],
-                F.lit(tag).alias("_change_type"),
-            )
-
-        # Unchanged keys (CoW bucket rewrites carry them on both sides) fall
-        # through every branch -> NULL array -> explode drops the row.
-        changes = (
-            F.when(pre_there & ~post_there, F.array(tagged("p", "delete")))
-            .when(~pre_there & post_there, F.array(tagged("c", "insert")))
-            .when(
-                pre_there & post_there & ~img("p").eqNullSafe(img("c")),
-                F.array(
-                    tagged("p", "update_preimage"), tagged("c", "update_postimage")
-                ),
-            )
+        pre = pre.select(key, *payload)
+        post = post.select(key, *payload)
+        return snapshot_diff(pre, post, key).withColumn(
+            "_commit_snapshot_id", F.lit(to_id).cast("long")
         )
-        exploded = (
-            j.select(F.explode(changes).alias("_r"))
-            .select("_r.*")
-            .withColumn("_commit_snapshot_id", F.lit(to_id).cast("long"))
-        )
-        return exploded
 
     def stored_row_count(self, snapshot_id: int | None = None) -> int:
         """Exact PHYSICAL row count of a snapshot from manifest metadata —
