@@ -38,6 +38,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -157,6 +158,12 @@ class LakeTable:
         self.path = path
         self.meta = meta
         self._manifest_cache: dict[int, list[dict]] = {}
+        # Content-addressed manifest segments are immutable, so this cache
+        # is shared across snapshots (CDF's two-snapshot diff loads common
+        # segments once). Entries describe the FILE (path, stats, bloom),
+        # not the snapshot, so sharing entry dicts between snapshots that
+        # reference the same data file is correct by construction.
+        self._segment_cache: dict[str, list[dict]] = {}
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -220,6 +227,7 @@ class LakeTable:
         """Re-read metadata from disk (pick up another handle's commits)."""
         self.meta = LakeTable.load(self.spark, self.path).meta
         self._manifest_cache.clear()
+        self._segment_cache.clear()
 
     def _assert_current(self) -> None:
         hint = os.path.join(self.path, "metadata", "version-hint.text")
@@ -516,14 +524,24 @@ class LakeTable:
         )
 
     def files_of(self, snap: dict | None) -> list[dict]:
-        """A snapshot's data-file list, from its manifest file.
+        """A snapshot's data-file list, from its manifest.
 
         File lists live OUTSIDE the table metadata (one
-        ``metadata/manifest-{snapshot_id}.json`` per snapshot — the icelite
-        analog of Iceberg's manifest list): commits write O(current files)
-        bytes, not O(all snapshots × files), so the metadata document stays
-        metadata-sized at any history length. Reads ``files`` inline for
-        backward compatibility with pre-manifest tables.
+        ``metadata/manifest-{snapshot_id}.json`` per snapshot), and since
+        format 2 that manifest is a *manifest list* of content-addressed
+        per-(spec, bucket) SEGMENT files (``metadata/seg-{digest}.json``) —
+        the icelite analog of Iceberg's manifest-list → shared-manifest
+        layout. A commit that touches k of B buckets rewrites k segments
+        plus one small manifest list; the untouched buckets' segments hash
+        identically and are referenced, not rewritten, so per-commit
+        metadata WRITE volume is O(touched files + B), not O(total files).
+        (Canonicalizing + hashing the file list is still O(total files) of
+        driver CPU per commit — microseconds per thousand files — but the
+        write/PUT volume, the thing that hurts against an object store at
+        10^6-file scale, is O(touched).)
+
+        Reads both older formats: a flat JSON list manifest (format 1) and
+        ``files`` inline in the snapshot (pre-manifest tables).
         """
         if snap is None:
             return []
@@ -534,9 +552,66 @@ class LakeTable:
         if cached is not None:
             return cached
         with open(os.path.join(self.path, snap["manifest"]), encoding="utf-8") as f:
-            files = json.load(f)
+            doc = json.load(f)
+        if isinstance(doc, dict):
+            files = []
+            for seg in doc["segments"]:
+                files.extend(self._load_segment(seg["path"]))
+        else:
+            files = doc
         self._manifest_cache[sid] = files
         return files
+
+    def _load_segment(self, rel: str) -> list[dict]:
+        cached = self._segment_cache.get(rel)
+        if cached is None:
+            with open(os.path.join(self.path, rel), encoding="utf-8") as f:
+                cached = json.load(f)
+            self._segment_cache[rel] = cached
+        return cached
+
+    def _segments_of(self, snap: dict) -> list[str]:
+        """Segment paths a snapshot's manifest list references ([] for the
+        flat/inline legacy formats)."""
+        if "manifest" not in snap:
+            return []
+        mp = os.path.join(self.path, snap["manifest"])
+        if not os.path.exists(mp):
+            return []
+        with open(mp, encoding="utf-8") as f:
+            doc = json.load(f)
+        if isinstance(doc, dict):
+            return [seg["path"] for seg in doc["segments"]]
+        return []
+
+    def _write_manifest(self, files: list[dict], manifest_rel: str) -> None:
+        """Write ``files`` as a manifest list of content-addressed segments,
+        one per (spec_id, bucket), each sorted by path so a group's bytes —
+        and therefore its digest and segment file — are identical across
+        commits whenever its entries are. Two racing writers producing the
+        same group content write the same segment path atomically, so
+        content addressing is also concurrency-safe for free."""
+        groups: dict[tuple, list[dict]] = {}
+        for f in files:
+            groups.setdefault((f.get("spec_id", 1), f["bucket"]), []).append(f)
+        segments = []
+        for (spec_id, bucket) in sorted(groups):
+            entries = sorted(groups[(spec_id, bucket)], key=lambda e: e["path"])
+            payload = json.dumps(entries, sort_keys=True)
+            digest = hashlib.sha256(payload.encode("utf-8")).hexdigest()[:20]
+            rel = f"metadata/seg-{digest}.json"
+            full = os.path.join(self.path, rel)
+            if not os.path.exists(full):
+                _atomic_write(full, payload)
+            self._segment_cache.setdefault(rel, entries)
+            segments.append(
+                {"path": rel, "spec_id": spec_id, "bucket": bucket,
+                 "n_files": len(entries)}
+            )
+        _atomic_write(
+            os.path.join(self.path, manifest_rel),
+            json.dumps({"format": 2, "segments": segments}),
+        )
 
     def _next_snapshot_id(self) -> int:
         """Globally unique next id: with branches (WAP), main and a branch
@@ -573,9 +648,10 @@ class LakeTable:
             needs_resolve = bool(parent_snap and parent_snap.get("needs_resolve"))
         snapshot_id = self._next_snapshot_id()
         manifest_rel = f"metadata/manifest-{snapshot_id}.json"
-        # Manifest first, metadata pointer second: a crash in between leaves
-        # an orphan manifest (harmless), never a dangling pointer.
-        _atomic_write(os.path.join(self.path, manifest_rel), json.dumps(files))
+        # Segments first, manifest list second, metadata pointer last: a
+        # crash between any two leaves orphan segment/manifest files
+        # (harmless, GC'd by remove_orphan_files), never a dangling pointer.
+        self._write_manifest(files, manifest_rel)
         snap = {
             "snapshot_id": snapshot_id,
             "parent_id": parent,
@@ -1631,6 +1707,26 @@ class LakeTable:
                     continue
                 os.remove(full)
                 removed += 1
+        # Manifest segments a crashed commit wrote but never referenced
+        # (crash between _write_manifest's segment writes and the metadata
+        # pointer) leak the same way data files do; sweep them under the
+        # same grace window.
+        live_segs = {
+            seg for s in self.meta["snapshots"] for seg in self._segments_of(s)
+        }
+        meta_dir = os.path.join(self.path, "metadata")
+        for fn in os.listdir(meta_dir):
+            if not (fn.startswith("seg-") and fn.endswith(".json")):
+                continue
+            rel = f"metadata/{fn}"
+            if rel in live_segs:
+                continue
+            full = os.path.join(meta_dir, fn)
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            os.remove(full)
+            self._segment_cache.pop(rel, None)
+            removed += 1
         return removed
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
@@ -1667,13 +1763,25 @@ class LakeTable:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
                 os.remove(p)
-        # Expired snapshots' manifests go with them.
+        # Expired snapshots' manifests go with them — and so do manifest
+        # segments only they reference. Segments shared with a kept
+        # snapshot (the common case: untouched buckets) must survive, so
+        # collect both reference sets BEFORE removing the manifest lists.
+        live_segs = {seg for s in keep for seg in self._segments_of(s)}
+        dead_segs = {
+            seg for s in dropped for seg in self._segments_of(s)
+        } - live_segs
         for s in dropped:
             if "manifest" in s:
                 mp = os.path.join(self.path, s["manifest"])
                 if os.path.exists(mp):
                     os.remove(mp)
             self._manifest_cache.pop(s["snapshot_id"], None)
+        for seg in dead_segs:
+            sp = os.path.join(self.path, seg)
+            if os.path.exists(sp):
+                os.remove(sp)
+            self._segment_cache.pop(seg, None)
         # Remove now-empty commit dirs.
         data_dir = os.path.join(self.path, "data")
         for d in os.listdir(data_dir):
