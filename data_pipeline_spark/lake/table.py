@@ -1040,11 +1040,12 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets))
 
     def _write_data_files(
-        self, df: DataFrame, snapshot_id: int, sort_cols: list[str] | None = None
+        self, df: DataFrame, snapshot_id: int, sort_cols: list | None = None
     ) -> list[dict]:
         """Write rows (already in current schema + BUCKET_COL) as data files.
 
-        ``sort_cols`` orders rows within each written file (default: the
+        ``sort_cols`` (column names or Column expressions, e.g. a Z-value)
+        orders rows within each written file (default: the
         key column — see the point-lookup note below). Compaction passes
         ``cluster_by`` through here to re-cluster files on a range-scan
         dimension instead.
@@ -1084,7 +1085,14 @@ class LakeTable:
             # one bucket file they hash to — O(log) inside the bucket
             # instead of full scan. cluster_by compaction substitutes a
             # range-scan dimension here.
-            .sortWithinPartitions(*(sort_cols or [self.key_col]))
+            # BUCKET_COL must LEAD the sort: partitionBy(BUCKET_COL) makes
+            # the writer require ordering by the partition column, and if
+            # the plan's ordering doesn't already satisfy it Spark inserts
+            # its own non-stable SortExec — which silently destroys the
+            # clustering this sort just established (measured: files came
+            # out unsorted). With the bucket prefix the required ordering
+            # is satisfied and the writer adds nothing.
+            .sortWithinPartitions(F.col(BUCKET_COL), *(sort_cols or [self.key_col]))
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(out_path)
@@ -1452,6 +1460,7 @@ class LakeTable:
         drop_tombstones: bool = False,
         buckets: list[int] | None = None,
         cluster_by: list[str] | None = None,
+        cluster_strategy: str = "linear",
     ) -> dict:
         """Collapse MoR multi-version rows to one winner row per key and
         rewrite data files (Iceberg rewrite_data_files).
@@ -1463,6 +1472,15 @@ class LakeTable:
         predicate skips whole row groups. Trade-off: point lookups lose
         within-file key ordering in the re-clustered files (manifests'
         key min/max and Blooms still prune at file granularity).
+
+        ``cluster_strategy="zorder"`` orders by the Morton interleave of
+        the ``cluster_by`` columns instead of lexicographically (the Delta
+        ``OPTIMIZE ... ZORDER BY`` analog): with a linear sort only the
+        LEADING column's row-group stats get tight; Z-order makes range
+        predicates on EVERY clustered column skip row groups, at the cost
+        of each being somewhat looser than a dedicated single-column sort
+        (see lake/zorder.py). Costs one extra column-pruned min/max pass
+        over the rewritten rows.
 
         ``buckets=None`` compacts the whole table and clears the scan-time
         resolve flag. Passing ``buckets`` (e.g. :meth:`dirty_buckets`)
@@ -1486,12 +1504,19 @@ class LakeTable:
             resolved = resolved.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         out = resolved.withColumn(BUCKET_COL, self._bucket_expr())
         snapshot_id = self._next_snapshot_id()
+        if cluster_strategy not in ("linear", "zorder"):
+            raise ValueError(f"unknown cluster_strategy {cluster_strategy!r}")
+        sort_arg = cluster_by
         if cluster_by:
             known = {f.name for f in self.schema.fields}
             bad = [c for c in cluster_by if c not in known]
             if bad:
                 raise ValueError(f"cluster_by columns not in schema: {bad}")
-        new_files = self._write_data_files(out, snapshot_id, sort_cols=cluster_by)
+            if cluster_strategy == "zorder":
+                from .zorder import zorder_expr
+
+                sort_arg = [zorder_expr(out, cluster_by)]
+        new_files = self._write_data_files(out, snapshot_id, sort_cols=sort_arg)
         replaced = len(selected)
         needs_resolve = (
             False if buckets is None else bool(prior and prior.get("needs_resolve"))
@@ -1504,7 +1529,8 @@ class LakeTable:
                 "new-files": len(new_files),
                 "buckets": "all" if buckets is None else len(buckets),
                 "dropped-tombstones": drop_tombstones,
-                **({"cluster-by": ",".join(cluster_by)} if cluster_by else {}),
+                **({"cluster-by": ",".join(cluster_by),
+                    "cluster-strategy": cluster_strategy} if cluster_by else {}),
             },
             needs_resolve=needs_resolve,
         )

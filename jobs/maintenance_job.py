@@ -50,6 +50,11 @@ def main() -> None:
     ap.add_argument("--cluster-by", default=None, metavar="COL[,COL]",
                     help="with --compact: sort rewritten files on these "
                          "columns (range-scan clustering) instead of the key")
+    ap.add_argument("--cluster-strategy", default="linear",
+                    choices=("linear", "zorder"),
+                    help="with --cluster-by: lexicographic sort (tightens "
+                         "the leading column) or Z-order Morton interleave "
+                         "(tightens every clustered column)")
     ap.add_argument("--drop-tombstones", action="store_true",
                     help="with --compact: physically drop delete markers "
                          "(ONLY after the replay horizon — no older event "
@@ -83,6 +88,8 @@ def main() -> None:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
         # list); reject it before paying Spark startup.
         ap.error("--expire-keep-last must be >= 1 (the current snapshot stays)")
+    if args.cluster_strategy != "linear" and not args.cluster_by:
+        ap.error("--cluster-strategy requires --cluster-by")
     if (args.drop_tombstones or args.compact_dirty_only or args.cluster_by) \
             and not args.compact:
         # Dependent flags must not silently no-op: an operator asking for
@@ -135,6 +142,7 @@ def main() -> None:
                 cluster_by=(
                     args.cluster_by.split(",") if args.cluster_by else None
                 ),
+                cluster_strategy=args.cluster_strategy,
             )
             done["compacted_buckets"] = (
                 sorted(buckets) if buckets is not None else "all"
