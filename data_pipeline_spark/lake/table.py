@@ -241,6 +241,14 @@ class LakeTable:
                 f"handle holds version {self.meta['version']}; refresh() and retry"
             )
 
+    # How many past v{N}.metadata.json files to retain. Every commit writes
+    # a full metadata document, so an unbounded history is O(commits^2)
+    # metadata bytes at 10^5 commits; old versions serve only catalog-less
+    # forensics (all table function — snapshots, time travel, refs — lives
+    # in the CURRENT document). The Iceberg analog is
+    # write.metadata.delete-after-commit.enabled + previous-versions-max.
+    METADATA_KEEP = 50
+
     def _write_version(self, version: int) -> None:
         self.meta["version"] = version
         meta_path = os.path.join(self.path, "metadata", f"v{version}.metadata.json")
@@ -248,6 +256,17 @@ class LakeTable:
         _atomic_write(
             os.path.join(self.path, "metadata", "version-hint.text"), str(version)
         )
+        # Trim expired version files, walking down from the retention edge
+        # until the first gap — steady state deletes exactly one file per
+        # commit, a table predating retention catches up on its first
+        # commit, and the directory is never listed.
+        v = version - self.METADATA_KEEP
+        while v >= 0:
+            old = os.path.join(self.path, "metadata", f"v{v}.metadata.json")
+            if not os.path.exists(old):
+                break
+            os.remove(old)
+            v -= 1
 
     # -- schema ----------------------------------------------------------------
 
@@ -463,6 +482,36 @@ class LakeTable:
         raise ValueError(
             f"unknown ref {name!r}; have tags {sorted(refs)}, "
             f"branches {sorted(branches)}"
+        )
+
+    def rollback_to(
+        self, snapshot_id: int | None = None, ref: str | None = None
+    ) -> dict:
+        """Restore an earlier snapshot's STATE as a NEW commit (Iceberg
+        ``rollback_to_snapshot``): the bad commits stay in history (time
+        travel and forensics keep working, ``expire_snapshots`` eventually
+        reclaims their files), readers atomically flip to the restored
+        state, and the change feed across the rollback commit emits the
+        reverse deltas — so downstream sync replicas (lake/sync.py) heal
+        themselves on their next refresh.
+
+        The exactly-once epoch ledger spans the WHOLE snapshot log, rolled
+        back commits included: replaying an epoch whose effects were rolled
+        back still skips. Rollback is a state-repair hatch, not an undo of
+        ingestion — re-ingest corrected data under a new epoch, or better,
+        stage suspect epochs on a WAP branch and audit before publish.
+        """
+        if (snapshot_id is None) == (ref is None):
+            raise ValueError("pass exactly one of snapshot_id or ref")
+        if ref is not None:
+            snapshot_id = self.ref(ref)
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError(f"cannot roll back to unknown snapshot {snapshot_id}")
+        return self._commit(
+            list(self.files_of(snap)),
+            {"operation": "rollback", "rollback-to": snapshot_id},
+            needs_resolve=bool(snap.get("needs_resolve")),
         )
 
     # -- branches (write-audit-publish) -----------------------------------------
