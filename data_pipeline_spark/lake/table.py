@@ -600,8 +600,7 @@ class LakeTable:
         cached = self._manifest_cache.get(sid)
         if cached is not None:
             return cached
-        with open(os.path.join(self.path, snap["manifest"]), encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = self._manifest_doc(snap)
         if isinstance(doc, dict):
             files = []
             for seg in doc["segments"]:
@@ -610,6 +609,13 @@ class LakeTable:
             files = doc
         self._manifest_cache[sid] = files
         return files
+
+    def _manifest_doc(self, snap: dict):
+        """A snapshot's raw manifest document: a format-2 manifest list
+        (dict) or a legacy flat file list. Single home of the format
+        dispatch for files_of and _segments_of."""
+        with open(os.path.join(self.path, snap["manifest"]), encoding="utf-8") as f:
+            return json.load(f)
 
     def _load_segment(self, rel: str) -> list[dict]:
         cached = self._segment_cache.get(rel)
@@ -622,13 +628,11 @@ class LakeTable:
     def _segments_of(self, snap: dict) -> list[str]:
         """Segment paths a snapshot's manifest list references ([] for the
         flat/inline legacy formats)."""
-        if "manifest" not in snap:
+        if "manifest" not in snap or not os.path.exists(
+            os.path.join(self.path, snap["manifest"])
+        ):
             return []
-        mp = os.path.join(self.path, snap["manifest"])
-        if not os.path.exists(mp):
-            return []
-        with open(mp, encoding="utf-8") as f:
-            doc = json.load(f)
+        doc = self._manifest_doc(snap)
         if isinstance(doc, dict):
             return [seg["path"] for seg in doc["segments"]]
         return []
@@ -652,6 +656,13 @@ class LakeTable:
             full = os.path.join(self.path, rel)
             if not os.path.exists(full):
                 _atomic_write(full, payload)
+            else:
+                # Refresh mtime on reuse: the orphan sweep's grace window
+                # protects in-flight commits by modification time, and a
+                # reused segment may be an old crash-orphan whose stale
+                # mtime would otherwise let the sweep delete it between
+                # this write and the metadata-pointer commit.
+                os.utime(full)
             self._segment_cache.setdefault(rel, entries)
             segments.append(
                 {"path": rel, "spec_id": spec_id, "bucket": bucket,
@@ -1555,6 +1566,10 @@ class LakeTable:
         snapshot_id = self._next_snapshot_id()
         if cluster_strategy not in ("linear", "zorder"):
             raise ValueError(f"unknown cluster_strategy {cluster_strategy!r}")
+        if cluster_strategy != "linear" and not cluster_by:
+            # Must not silently fall back to the key sort: the caller would
+            # believe the table is Z-ordered when it is not.
+            raise ValueError("cluster_strategy requires cluster_by")
         sort_arg = cluster_by
         if cluster_by:
             known = {f.name for f in self.schema.fields}
@@ -1782,19 +1797,28 @@ class LakeTable:
                     continue
                 os.remove(full)
                 removed += 1
-        # Manifest segments a crashed commit wrote but never referenced
-        # (crash between _write_manifest's segment writes and the metadata
-        # pointer) leak the same way data files do; sweep them under the
-        # same grace window.
+        # Manifest files a crashed commit wrote but never referenced (crash
+        # between _write_manifest and the metadata pointer) leak the same
+        # way data files do; sweep both halves — segment files no live
+        # snapshot references, and manifest-list files whose snapshot id
+        # is not in the snapshot log — under the same grace window.
         live_segs = {
             seg for s in self.meta["snapshots"] for seg in self._segments_of(s)
         }
+        live_manifests = {
+            s["manifest"] for s in self.meta["snapshots"] if "manifest" in s
+        }
         meta_dir = os.path.join(self.path, "metadata")
         for fn in os.listdir(meta_dir):
-            if not (fn.startswith("seg-") and fn.endswith(".json")):
-                continue
-            rel = f"metadata/{fn}"
-            if rel in live_segs:
+            if fn.startswith("seg-") and fn.endswith(".json"):
+                rel = f"metadata/{fn}"
+                if rel in live_segs:
+                    continue
+            elif fn.startswith("manifest-") and fn.endswith(".json"):
+                rel = f"metadata/{fn}"
+                if rel in live_manifests:
+                    continue
+            else:
                 continue
             full = os.path.join(meta_dir, fn)
             if now - os.path.getmtime(full) < grace_seconds:

@@ -128,17 +128,27 @@ def test_expiry_gcs_exclusive_segments_keeps_shared(spark, tmp_path):
     assert t.read().count() == 202
 
 
-def test_orphan_segment_sweep(spark, tmp_path):
+def test_orphan_segment_and_manifest_sweep(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "orph"), n_buckets=2)
     t.merge(_stage(spark, ["https://a/1"], 0), epoch=0, mode="mor", ts_col="v")
-    orphan = os.path.join(t.path, "metadata", "seg-deadbeefdeadbeefdead.json")
-    with open(orphan, "w", encoding="utf-8") as f:
-        f.write("[]")
-    old = os.path.getmtime(orphan) - 10
-    os.utime(orphan, (old, old))
+    # Crash residue: a segment and a manifest list no snapshot references.
+    orphans = [
+        os.path.join(t.path, "metadata", "seg-deadbeefdeadbeefdead.json"),
+        os.path.join(t.path, "metadata", "manifest-9999.json"),
+    ]
+    for p in orphans:
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("[]")
+        old = os.path.getmtime(p) - 10
+        os.utime(p, (old, old))
     live = set(t._segments_of(t._current_snapshot()))
     removed = t.remove_orphan_files(grace_seconds=5.0)
-    assert removed >= 1 and not os.path.exists(orphan)
+    assert removed >= 2
+    for p in orphans:
+        assert not os.path.exists(p)
     for seg in live:
         assert os.path.exists(os.path.join(t.path, seg))
+    assert os.path.exists(
+        os.path.join(t.path, t._current_snapshot()["manifest"])
+    )
     assert t.read().count() == 1

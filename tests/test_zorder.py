@@ -70,6 +70,14 @@ def test_zorder_rejects_bad_input(spark):
         zorder_expr(df, ["v"], bits=63)
 
 
+def test_compact_zorder_without_cluster_by_raises(spark, tmp_path):
+    tbl = _mk_table(spark, str(tmp_path / "noz"))
+    _seed(spark, tbl, n=20)
+    # Must not silently key-sort while the caller believes it Z-ordered.
+    with pytest.raises(ValueError, match="requires cluster_by"):
+        tbl.compact(cluster_strategy="zorder")
+
+
 def _mk_table(spark, path):
     return LakeTable.create(
         spark, path, SCHEMA, key_col="url", n_buckets=1, order_col="warc_ts",
@@ -127,6 +135,8 @@ def small_rowgroups(spark):
     hc.setInt("parquet.page.size", 1024 * 1024)
     if prev:
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    else:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
 
 
 def test_zorder_tightens_both_dims_linear_only_leading(
