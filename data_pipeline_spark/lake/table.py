@@ -992,7 +992,9 @@ class LakeTable:
           bucket, spec, schema id, row count and key/stats ranges;
         - ``refs``: named refs — ``main``, tags, branches — with their
           snapshot ids;
-        - ``specs``: bucket partition specs (id, n_buckets, current flag).
+        - ``specs``: bucket partition specs (id, n_buckets, current flag);
+        - ``manifests``: (snapshot, segment) pairs — the segment-sharing
+          audit surface (how much manifest metadata commits actually reuse).
         """
         if name == "snapshots":
             rows = [
@@ -1051,10 +1053,21 @@ class LakeTable:
                 for sid, n in sorted(specs.items(), key=lambda kv: int(kv[0]))
             ]
             schema = "spec_id int, n_buckets int, is_current boolean"
+        elif name == "manifests":
+            # One row per (snapshot, segment): which snapshots share which
+            # segment files — the audit surface for X35's reuse claim
+            # (SELECT path, count(*) shows the sharing factor; total rows
+            # vs distinct paths shows metadata amplification).
+            rows = [
+                {"snapshot_id": s["snapshot_id"], "segment": seg}
+                for s in self.meta["snapshots"]
+                for seg in self._segments_of(s)
+            ]
+            schema = "snapshot_id long, segment string"
         else:
             raise ValueError(
                 f"unknown metadata table {name!r} "
-                "(have: snapshots, files, refs, specs)"
+                "(have: snapshots, files, refs, specs, manifests)"
             )
         return self.spark.createDataFrame([tuple(r.values()) for r in rows], schema)
 

@@ -3,7 +3,9 @@ README "Maintenance runbook" as one shippable job):
 
   spark-submit --py-files dist/data_pipeline_spark.zip jobs/maintenance_job.py \
       --table <lake table dir> \
+      [--rollback-to SNAPSHOT_OR_REF] \
       [--compact] [--compact-dirty-only] [--drop-tombstones] \
+      [--cluster-by COL[,COL] [--cluster-strategy linear|zorder]] \
       [--build-blooms] \
       [--purge-keys FILE] \
       [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600] \
@@ -19,7 +21,8 @@ before expiry/GC, so the old files holding the purged bytes are swept).
 (merge per-epoch directories; exactly-once ledgers preserved) — the same
 cron can maintain the lake table and its sidecar indexes.
 
-Operations run in the safe order: purge (so the rewritten-away bytes are
+Operations run in the safe order: rollback first (an emergency restore the
+same run's compact/expiry then operate on), then purge (so the rewritten-away bytes are
 eligible for this same run's expiry+GC), then compact (collapses MoR versions; dirty
 buckets only unless --compact with full rewrite wanted), then bloom build
 (per-file key Bloom filters for within-bucket point-lookup skipping —
@@ -59,6 +62,11 @@ def main() -> None:
                     help="with --compact: physically drop delete markers "
                          "(ONLY after the replay horizon — no older event "
                          "can still arrive)")
+    ap.add_argument("--rollback-to", default=None, metavar="SNAPSHOT_OR_REF",
+                    help="restore an earlier snapshot's state as a new "
+                         "commit (emergency hatch; runs FIRST so the same "
+                         "run's compact/expiry operate on the restored "
+                         "state); integer = snapshot id, else a tag/branch")
     ap.add_argument("--build-blooms", action="store_true",
                     help="add per-file key Bloom filters to the manifest "
                          "(stats-only commit; prunes point lookups within "
@@ -100,7 +108,8 @@ def main() -> None:
             "require --compact"
         )
     table_ops = (args.compact or args.build_blooms or args.purge_keys
-                 or args.expire_keep_last is not None or args.gc_orphans)
+                 or args.expire_keep_last is not None or args.gc_orphans
+                 or args.rollback_to is not None)
     if table_ops and args.table is None:
         ap.error("--table is required for table operations")
     if not table_ops and not args.minhash_index and not args.vector_index:
@@ -119,6 +128,13 @@ def main() -> None:
     table = LakeTable.load(spark, args.table) if args.table else None
     done: dict = {"metric": "lake_maintenance", "table": args.table}
 
+    if args.rollback_to is not None:
+        if args.rollback_to.isdigit():
+            snap = table.rollback_to(int(args.rollback_to))
+        else:
+            snap = table.rollback_to(ref=args.rollback_to)
+        done["rolled_back_to"] = args.rollback_to
+        done["rollback_snapshot_id"] = snap["snapshot_id"]
     if args.purge_keys:
         with open(args.purge_keys, encoding="utf-8") as f:
             keys = [ln.strip() for ln in f if ln.strip()]

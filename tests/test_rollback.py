@@ -101,6 +101,52 @@ def test_rollback_by_tag_and_arg_validation(spark, rb_table):
         t.rollback_to(9999)
 
 
+def test_maintenance_job_rollback_flag(spark, rb_table, capsys, monkeypatch):
+    """--rollback-to (id or ref) through the job entrypoint, in-process
+    (the real spark-submit path is covered by test_submit_job.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    t = rb_table
+    good = t.meta["snapshots"][0]["snapshot_id"]
+    t.tag("good", good)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["maintenance_job.py", "--table", t.path, "--rollback-to", "good"],
+    )
+    # The job ends with spark.stop(); in-process that would kill the shared
+    # session-scoped SparkSession for every later test.
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    maintenance_job.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+
+    done = _json.loads(out)
+    assert done["rolled_back_to"] == "good"
+    t.refresh()
+    assert _state(t) == {"a": 1, "b": 2}
+
+
+def test_inspect_manifests_shows_segment_sharing(spark, rb_table):
+    t = rb_table
+    good = t.meta["snapshots"][0]["snapshot_id"]
+    t.rollback_to(good)
+    m = t.inspect("manifests")
+    rows = m.count()
+    distinct = m.select("segment").distinct().count()
+    # The rollback commit references the good snapshot's exact segments,
+    # so sharing is visible: more (snapshot, segment) rows than segments.
+    assert rows > distinct
+    shared = (
+        m.groupBy("segment").count().where(F.col("count") >= 2).count()
+    )
+    assert shared >= 1
+
+
 def test_metadata_version_retention(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "keep"))
     t.METADATA_KEEP = 3
