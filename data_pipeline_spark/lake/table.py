@@ -150,6 +150,43 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+def load_table_meta(path: str) -> dict:
+    """Current table metadata document, from version-hint — a pure function
+    (no SparkSession) so Spark-less contexts (the Python DataSource stream
+    reader runs in a worker with no session) share the one loader."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    with open(hint, encoding="utf-8") as f:
+        version = int(f.read().strip())
+    with open(
+        os.path.join(path, "metadata", f"v{version}.metadata.json"),
+        encoding="utf-8",
+    ) as f:
+        return json.load(f)
+
+
+def manifest_files(path: str, snap: dict | None, load_segment=None) -> list[dict]:
+    """A snapshot's data-file list — the single home of the manifest format
+    dispatch (inline ``files`` / flat list / format-2 segment list).
+    ``load_segment`` lets LakeTable plug its cross-snapshot segment cache;
+    the default reads segments from disk."""
+    if snap is None:
+        return []
+    if "files" in snap:
+        return snap["files"]
+    with open(os.path.join(path, snap["manifest"]), encoding="utf-8") as f:
+        doc = json.load(f)
+    if not isinstance(doc, dict):
+        return doc
+    if load_segment is None:
+        def load_segment(rel):
+            with open(os.path.join(path, rel), encoding="utf-8") as f:
+                return json.load(f)
+    files: list[dict] = []
+    for seg in doc["segments"]:
+        files.extend(load_segment(seg["path"]))
+    return files
+
+
 class LakeTable:
     """Single-writer lake table. All mutation goes through ``_commit``."""
 
@@ -214,14 +251,7 @@ class LakeTable:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        hint = os.path.join(path, "metadata", "version-hint.text")
-        with open(hint, encoding="utf-8") as f:
-            version = int(f.read().strip())
-        with open(
-            os.path.join(path, "metadata", f"v{version}.metadata.json"), encoding="utf-8"
-        ) as f:
-            meta = json.load(f)
-        return cls(spark, path, meta)
+        return cls(spark, path, load_table_meta(path))
 
     def refresh(self) -> None:
         """Re-read metadata from disk (pick up another handle's commits)."""
@@ -600,20 +630,14 @@ class LakeTable:
         cached = self._manifest_cache.get(sid)
         if cached is not None:
             return cached
-        doc = self._manifest_doc(snap)
-        if isinstance(doc, dict):
-            files = []
-            for seg in doc["segments"]:
-                files.extend(self._load_segment(seg["path"]))
-        else:
-            files = doc
+        files = manifest_files(self.path, snap, load_segment=self._load_segment)
         self._manifest_cache[sid] = files
         return files
 
     def _manifest_doc(self, snap: dict):
         """A snapshot's raw manifest document: a format-2 manifest list
-        (dict) or a legacy flat file list. Single home of the format
-        dispatch for files_of and _segments_of."""
+        (dict) or a legacy flat file list (see also module-level
+        ``manifest_files``, the shared entry-list loader)."""
         with open(os.path.join(self.path, snap["manifest"]), encoding="utf-8") as f:
             return json.load(f)
 
