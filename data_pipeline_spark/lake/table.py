@@ -164,6 +164,22 @@ def load_table_meta(path: str) -> dict:
         return json.load(f)
 
 
+def main_lineage(meta: dict) -> list[dict]:
+    """Main's snapshot chain, oldest first. The snapshot log interleaves
+    branch-staged (write-audit-publish) commits; anything that means "the
+    table's history" — time travel, the streaming change feed, rollback
+    targets — must walk parent ids from the current snapshot, never scan
+    the log. The chain ends where history was expired."""
+    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+    chain = []
+    sid = meta.get("current_snapshot_id")
+    while sid is not None and sid in by_id:
+        chain.append(by_id[sid])
+        sid = by_id[sid].get("parent_id")
+    chain.reverse()
+    return chain
+
+
 def manifest_files(path: str, snap: dict | None, load_segment=None) -> list[dict]:
     """A snapshot's data-file list — the single home of the manifest format
     dispatch (inline ``files`` / flat list / format-2 segment list).
@@ -446,12 +462,7 @@ class LakeTable:
         # branch-staged (write-audit-publish) commits, and time travel must
         # never resolve to staged, unpublished — possibly audit-failed —
         # state. Branch state is read explicitly via read(ref=...).
-        by_id = {s["snapshot_id"]: s for s in self.meta["snapshots"]}
-        lineage = []
-        cur = self.meta.get("current_snapshot_id")
-        while cur is not None and cur in by_id:
-            lineage.append(by_id[cur])
-            cur = by_id[cur].get("parent_id")
+        lineage = main_lineage(self.meta)
         best = None
         for s in lineage:
             if s.get("timestamp_ms", 0) <= timestamp_ms and (
@@ -538,6 +549,16 @@ class LakeTable:
         snap = self.snapshot(snapshot_id)
         if snap is None:
             raise ValueError(f"cannot roll back to unknown snapshot {snapshot_id}")
+        # Iceberg semantics: the target must be an ANCESTOR of current.
+        # Restoring a branch-staged snapshot would splice unpublished state
+        # into main outside the audited fast_forward path (and break the
+        # streaming feed's lineage-ordered retraction).
+        if snapshot_id not in {s["snapshot_id"] for s in main_lineage(self.meta)}:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not on main's lineage; rollback "
+                f"targets must be ancestors of the current snapshot "
+                f"(publish branches via fast_forward, not rollback)"
+            )
         return self._commit(
             list(self.files_of(snap)),
             {"operation": "rollback", "rollback-to": snapshot_id},

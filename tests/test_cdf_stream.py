@@ -12,10 +12,22 @@ import time
 import pytest
 
 from data_pipeline_spark.lake.cdf_stream import (
-    _main_lineage,
+    _ChangesStreamReader,
+    _feed_schema,
     register_changes_source,
 )
-from data_pipeline_spark.lake.table import LakeTable, load_table_meta
+from data_pipeline_spark.lake.table import (
+    LakeTable,
+    load_table_meta,
+    main_lineage,
+)
+
+
+def _reader(table, **opts):
+    meta = load_table_meta(table.path)
+    return _ChangesStreamReader(
+        _feed_schema(meta), {"path": table.path, **opts}
+    )
 
 
 def _mk(spark, path):
@@ -129,7 +141,7 @@ def test_offset_off_lineage_raises(spark, tmp_path):
         t.merge(_stage(spark, [(f"k{e}", e, e)]), epoch=e, mode="mor", ts_col="v")
     from data_pipeline_spark.lake.cdf_stream import _ChangesStreamReader
 
-    rdr = _ChangesStreamReader({"path": t.path})
+    rdr = _reader(t)
     rows, end = rdr._read_span(0, None)
     assert len(rows) == 3 and end == t.snapshot()["snapshot_id"]
     # Roll back PAST the consumed offset: delivered changes were reverted
@@ -143,9 +155,7 @@ def test_offset_off_lineage_raises(spark, tmp_path):
 def test_rollback_inside_unread_span_retracts(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "rr"))
     t.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
-    from data_pipeline_spark.lake.cdf_stream import _ChangesStreamReader
-
-    rdr = _ChangesStreamReader({"path": t.path})
+    rdr = _reader(t)
     _, cursor = rdr._read_span(0, None)  # consumed epoch 0
     # Epochs 1-2 land and are rolled back BEFORE the consumer reads them.
     t.merge(_stage(spark, [("b", 2, 2)]), epoch=1, mode="mor", ts_col="v")
@@ -162,6 +172,92 @@ def test_rollback_inside_unread_span_retracts(spark, tmp_path):
     assert [(r[0], r[2]) for r in rows2] == [("d", "upsert")]
 
 
+def test_bootstrap_after_expiry_emits_full_state(spark, tmp_path):
+    """History expired down to a COMPACT snapshot: a fresh earliest
+    consumer must still receive the full base state, not just post-compact
+    increments (and not depend on which operation survived expiry)."""
+    t = _mk(spark, str(tmp_path / "exp"))
+    for e in range(3):
+        t.merge(_stage(spark, [(f"k{e}", e, e)]), epoch=e, mode="mor", ts_col="v")
+    t.compact()
+    t.expire_snapshots(keep_last=1)  # only the compact snapshot survives
+    assert t.snapshot()["summary"]["operation"] == "compact"
+    t.merge(_stage(spark, [("k3", 3, 3)]), epoch=3, mode="mor", ts_col="v")
+    rows, end = _reader(t)._read_span(0, None)
+    assert {r[0] for r in rows} == {"k0", "k1", "k2", "k3"}
+    assert end == t.snapshot()["snapshot_id"]
+
+
+def test_purge_emits_erasure_deletes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "pg"))
+    t.merge(_stage(spark, [("keep", 1, 1), ("gone", 2, 2)]), epoch=0,
+            mode="mor", ts_col="v")
+    rdr = _reader(t)
+    _, cursor = rdr._read_span(0, None)  # both keys delivered
+    t.purge_keys(["gone"])
+    rows, _ = rdr._read_span(cursor, None)
+    assert rows == [("gone", None, "delete", None,
+                     t.snapshot()["snapshot_id"])]
+    # In-span retraction: upsert and purge in the SAME span — the purged
+    # key's bytes are never delivered, only its erasure delete.
+    t2 = _mk(spark, str(tmp_path / "pg2"))
+    t2.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
+    rdr2 = _reader(t2)
+    _, c2 = rdr2._read_span(0, None)
+    t2.merge(_stage(spark, [("secret", 9, 9)]), epoch=1, mode="mor", ts_col="v")
+    t2.purge_keys(["secret"])
+    rows2, _ = rdr2._read_span(c2, None)
+    assert [(r[0], r[2], r[1]) for r in rows2] == [("secret", "delete", None)]
+
+
+def test_rollback_of_maintenance_only_does_not_force_rebootstrap(spark, tmp_path):
+    """Rollback targeting a snapshot at/after the last DELIVERED commit —
+    e.g. undoing only a compaction — must not raise."""
+    t = _mk(spark, str(tmp_path / "rm"))
+    t.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
+    merge_sid = t.snapshot()["snapshot_id"]
+    t.compact()
+    rdr = _reader(t)
+    _, cursor = rdr._read_span(0, None)  # cursor sits on the compact commit
+    assert cursor > merge_sid
+    t.rollback_to(merge_sid)  # undo the compaction only
+    rows, end = rdr._read_span(cursor, None)
+    assert rows == [] and end == t.snapshot()["snapshot_id"]
+    # And the stream keeps working afterwards.
+    t.merge(_stage(spark, [("b", 2, 2)]), epoch=1, mode="mor", ts_col="v")
+    rows2, _ = rdr._read_span(end, None)
+    assert [(r[0], r[2]) for r in rows2] == [("b", "upsert")]
+
+
+def test_start_latest_rollback_before_attach_is_safe(spark, tmp_path):
+    """A latest-start consumer never delivered historic commits; a rollback
+    over them must not force its re-bootstrap (offset carries base)."""
+    t = _mk(spark, str(tmp_path / "lb"))
+    t.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
+    keep = t.snapshot()["snapshot_id"]
+    t.merge(_stage(spark, [("b", 2, 2)]), epoch=1, mode="mor", ts_col="v")
+    rdr = _reader(t, start="latest")
+    off = rdr.initialOffset()
+    assert off["base"] == off["snapshot_id"] == t.snapshot()["snapshot_id"]
+    t.rollback_to(keep)  # reverts epoch 1 — which this consumer never saw
+    rows, end = rdr._read_span(off["snapshot_id"], None, base=off["base"])
+    assert rows == []
+    t.merge(_stage(spark, [("c", 3, 3)]), epoch=2, mode="mor", ts_col="v")
+    rows2, _ = rdr._read_span(end, None, base=off["base"])
+    assert [(r[0], r[2]) for r in rows2] == [("c", "upsert")]
+
+
+def test_rollback_refuses_branch_target(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "rb"))
+    t.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
+    t.create_branch("wip")
+    t.merge(_stage(spark, [("z", 9, 9)]), epoch=1, mode="mor", ts_col="v",
+            branch="wip")
+    staged = t.meta["branches"]["wip"]
+    with pytest.raises(ValueError, match="not on main's lineage"):
+        t.rollback_to(staged)
+
+
 def test_main_lineage_excludes_branch_interleaves(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "m"))
     t.merge(_stage(spark, [("a", 1, 1)]), epoch=0, mode="mor", ts_col="v")
@@ -170,7 +266,7 @@ def test_main_lineage_excludes_branch_interleaves(spark, tmp_path):
             branch="wip")
     t.merge(_stage(spark, [("c", 3, 3)]), epoch=2, mode="mor", ts_col="v")
     meta = load_table_meta(t.path)
-    chain = [s["snapshot_id"] for s in _main_lineage(meta)]
+    chain = [s["snapshot_id"] for s in main_lineage(meta)]
     branch_head = meta["branches"]["wip"]
     assert branch_head not in chain
     assert chain == sorted(chain)
