@@ -1304,6 +1304,20 @@ _SQL_TFIDF = TP.sql_tfidf_keywords(
 )
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing (256-token packs, 4 shards): the
+    training-sequence assembly pass — one keyed window cumsum per shard
+    plus a narrow span-explode, nothing quadratic."""
+    d = _t(spark, sf_dir, "documents")
+    return TP.pack_sequences(d, "doc_id", "text", ctx_tokens=256, n_shards=4)
+
+
+_SQL_PACK = TP.sql_pack_sequences(
+    "SELECT doc_id, text FROM documents", "doc_id", "text",
+    ctx_tokens=256, n_shards=4,
+)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1891,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_chunks": q_doc_chunks,
         "doc_tfidf": q_doc_tfidf,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "dedup_lines": q_dedup_lines,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1957,6 +1972,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRAT_SAMPLE,
         "doc_chunks": _SQL_CHUNKS,
         "doc_tfidf": _SQL_TFIDF,
+        "doc_pack_sequences": _SQL_PACK,
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

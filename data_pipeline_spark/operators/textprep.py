@@ -166,3 +166,119 @@ WITH tfk_terms AS (
 SELECT {id_col}, term, tf, score, CAST(rank AS INTEGER) AS rank
 FROM tfk_ranked WHERE rank <= {k}
 """
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ctx_tokens: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: the pre-training step that turns a
+    chunked/cleaned corpus into fixed-length training sequences. Documents
+    are concatenated in deterministic (shard, id) order and the token
+    stream is cut every ``ctx_tokens``; each output row maps one document
+    onto one pack it overlaps (a long document spans several packs, several
+    short documents share one) — the boundary-agnostic packing GPT-style
+    pipelines use, expressed exactly (no greedy per-worker state).
+
+    Output: (shard, pack_id, id_col, begin_tok, pack_tokens, doc_tokens) —
+    ``begin_tok`` is the 0-based in-document token offset where the pack's
+    slice of this document starts. Invariants: per document,
+    sum(pack_tokens) == doc_tokens; per (shard, pack), sum(pack_tokens) ==
+    ctx_tokens except each shard's final pack. Empty documents are
+    excluded.
+
+    Scale shape: one window cumsum per shard (a keyed shuffle + in-shard
+    sort — ``n_shards`` bounds sort width and parallelizes the corpus),
+    then a narrow span-explode. Nothing is quadratic; requires a numeric,
+    non-negative ``id_col`` (shard = id % n_shards).
+    """
+    if ctx_tokens < 1:
+        raise ValueError("ctx_tokens must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    base = (
+        df.select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .withColumn("shard", (F.col(id_col) % n_shards).cast("integer"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = base.select(
+        "shard",
+        id_col,
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("start"),
+    ).withColumn("end", F.col("start") + F.col("n"))
+    spans = cum.withColumn(
+        "pack_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {ctx_tokens}"),
+                F.expr(f"(end - 1) div {ctx_tokens}"),
+            )
+        ),
+    )
+    c = F.lit(ctx_tokens).cast("long")
+    return spans.select(
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        F.greatest(F.lit(0).cast("long"), F.col("pack_id") * c - F.col("start"))
+        .alias("begin_tok"),
+        (
+            F.least(F.col("end"), (F.col("pack_id") + 1) * c)
+            - F.greatest(F.col("start"), F.col("pack_id") * c)
+        ).cast("long").alias("pack_tokens"),
+        F.col("n").alias("doc_tokens"),
+    )
+
+
+def sql_pack_sequences(
+    input_sql: str,
+    id_col: str,
+    text_col: str,
+    ctx_tokens: int = 512,
+    n_shards: int = 8,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (``//`` is floor division;
+    ``range`` is end-exclusive)."""
+    if ctx_tokens < 1 or n_shards < 1:
+        raise ValueError("need ctx_tokens >= 1 and n_shards >= 1")
+    return f"""
+WITH pk_base AS (
+  SELECT {id_col},
+         CAST(len({sql_tokens(text_col)}) AS BIGINT) AS n,
+         CAST({id_col} % {n_shards} AS INTEGER) AS shard
+  FROM ({input_sql})
+  WHERE len({sql_tokens(text_col)}) > 0
+), pk_cum AS (
+  SELECT shard, {id_col}, n,
+         CAST(COALESCE(SUM(n) OVER (
+           PARTITION BY shard ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start
+  FROM pk_base
+), pk_spans AS (
+  SELECT *, start + n AS "end",
+         unnest(range(start // {ctx_tokens}, (start + n - 1) // {ctx_tokens} + 1))
+           AS pack_id
+  FROM pk_cum
+)
+SELECT shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       {id_col},
+       greatest(0, pack_id * {ctx_tokens} - start) AS begin_tok,
+       least("end", (pack_id + 1) * {ctx_tokens})
+         - greatest(start, pack_id * {ctx_tokens}) AS pack_tokens,
+       n AS doc_tokens
+FROM pk_spans
+"""

@@ -115,3 +115,59 @@ def test_tfidf_duckdb_twin(docs):
     sql = sql_tfidf_keywords("SELECT * FROM tp", "doc_id", "text", k=3)
     oracle = sorted(tuple(r) for r in _duck().execute(sql).fetchall())
     assert got == oracle
+
+
+def test_pack_sequences_invariants(spark):
+    from data_pipeline_spark.operators.textprep import (
+        pack_sequences,
+        sql_pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 12)))
+            for i in range(40)] + [(40, ""), (41, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ctx, shards = 16, 3
+    out = pack_sequences(docs, "doc_id", "text", ctx_tokens=ctx,
+                         n_shards=shards).collect()
+    assert all(r["shard"] == r["doc_id"] % shards for r in out)
+    # Empty docs excluded entirely.
+    assert not any(r["doc_id"] in (40, 41) for r in out)
+    # Per document, the pack slices cover it exactly once.
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, parts in by_doc.items():
+        parts.sort(key=lambda r: r["pack_id"])
+        assert sum(p["pack_tokens"] for p in parts) == parts[0]["doc_tokens"]
+        assert parts[0]["begin_tok"] == 0
+        # Consecutive spans are contiguous in the document.
+        for a, b in zip(parts, parts[1:]):
+            assert b["begin_tok"] == a["begin_tok"] + a["pack_tokens"]
+            assert b["pack_id"] == a["pack_id"] + 1
+    # Per (shard, pack), exactly ctx tokens except each shard's last pack.
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["shard"], r["pack_id"]), 0)
+        by_pack[(r["shard"], r["pack_id"])] += r["pack_tokens"]
+    last = {s: max(p for (sh, p) in by_pack if sh == s)
+            for s in {sh for (sh, _) in by_pack}}
+    for (sh, p), tok in by_pack.items():
+        if p == last[sh]:
+            assert 0 < tok <= ctx
+        else:
+            assert tok == ctx
+    # Pack ids are dense per shard from 0.
+    for s, mx in last.items():
+        assert {p for (sh, p) in by_pack if sh == s} == set(range(mx + 1))
+    # DuckDB twin parity on the same frame.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pk (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO pk VALUES (?,?)", rows)
+    sql = sql_pack_sequences("SELECT * FROM pk", "doc_id", "text",
+                             ctx_tokens=ctx, n_shards=shards)
+    oracle = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert sorted(tuple(r) for r in out) == oracle
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "text", ctx_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "text", n_shards=0)
