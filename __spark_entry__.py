@@ -1318,6 +1318,18 @@ _SQL_PACK = TP.sql_pack_sequences(
 )
 
 
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram surprisal (CCNet-style perplexity filtering
+    without an external LM): two keyed hash aggs + a term-keyed join."""
+    d = _t(spark, sf_dir, "documents")
+    return TP.unigram_surprisal(d, "doc_id", "text")
+
+
+_SQL_SURPRISAL = TP.sql_unigram_surprisal(
+    "SELECT doc_id, text FROM documents", "doc_id", "text"
+)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -1906,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_tfidf": q_doc_tfidf,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_surprisal": q_doc_surprisal,
         "dedup_lines": q_dedup_lines,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -1973,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_CHUNKS,
         "doc_tfidf": _SQL_TFIDF,
         "doc_pack_sequences": _SQL_PACK,
+        "doc_surprisal": _SQL_SURPRISAL,
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

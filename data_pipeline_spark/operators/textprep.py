@@ -282,3 +282,61 @@ SELECT shard,
        n AS doc_tokens
 FROM pk_spans
 """
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own unigram
+    LM — the shape of CCNet/RedPajama perplexity filtering with the model
+    trained on the corpus itself (no external LM in this sandbox): p(term)
+    = corpus_count(term) / total_tokens, score = mean(-ln p) over the
+    document's tokens. Low = boilerplate/common text, high = rare-token
+    noise; both tails are the usual filter targets.
+
+    Output: (id_col, n_tokens, surprisal) — surprisal rounded to 6dp.
+    Shape: one (doc, term) hash agg (map-side combinable), a term-count
+    agg derived from it (the explode runs once), a term-keyed join (the
+    vocabulary is never broadcast), a broadcast one-row total, and a final
+    doc-keyed agg. Nothing quadratic; every shuffle is keyed.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    total = cf.select(F.sum("cf").cast("double").alias("_total"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                (F.sum(F.col("tf") * -F.log(F.col("cf") / F.col("_total")))
+                 / F.sum("tf")), 6
+            ).alias("surprisal"),
+        )
+    )
+
+
+def sql_unigram_surprisal(input_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`unigram_surprisal`."""
+    return f"""
+WITH us_terms AS (
+  SELECT {id_col}, unnest({sql_tokens(f'lower({text_col})')}) AS term
+  FROM ({input_sql})
+), us_tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+  FROM us_terms GROUP BY {id_col}, term
+), us_cf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM us_tf GROUP BY term
+), us_total AS (
+  SELECT CAST(sum(cf) AS DOUBLE) AS total FROM us_cf
+)
+SELECT t.{id_col},
+       CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+       round(sum(t.tf * -ln(c.cf / n.total)) / sum(t.tf), 6) AS surprisal
+FROM us_tf t JOIN us_cf c USING (term), us_total n
+GROUP BY t.{id_col}
+"""

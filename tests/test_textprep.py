@@ -171,3 +171,36 @@ def test_pack_sequences_invariants(spark):
         pack_sequences(docs, "doc_id", "text", ctx_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, "doc_id", "text", n_shards=0)
+
+
+def test_unigram_surprisal(spark, docs):
+    from data_pipeline_spark.operators.textprep import (
+        sql_unigram_surprisal,
+        unigram_surprisal,
+    )
+
+    got = {r["doc_id"]: r for r in
+           unigram_surprisal(docs, "doc_id", "text").collect()}
+    # Python oracle over the same corpus.
+    toks = {i: t.lower().split() for i, t in DOCS if t.split()}
+    cf = {}
+    for ts in toks.values():
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    total = sum(cf.values())
+    for i, ts in toks.items():
+        want = round(sum(-math.log(cf[t] / total) for t in ts) / len(ts), 6)
+        assert got[i]["n_tokens"] == len(ts)
+        assert abs(got[i]["surprisal"] - want) < 1e-6
+    # Empty docs excluded; common-token doc scores BELOW rare-token doc.
+    assert 2 not in got and 3 not in got
+    assert got[5]["surprisal"] < got[6]["surprisal"]
+    # DuckDB twin parity.
+    sql = sql_unigram_surprisal("SELECT * FROM tp", "doc_id", "text")
+    oracle = sorted(tuple(r) for r in _duck().execute(sql).fetchall())
+    spark_rows = sorted(
+        tuple(r) for r in unigram_surprisal(docs, "doc_id", "text").collect()
+    )
+    assert [(a, b, round(c, 6)) for a, b, c in spark_rows] == [
+        (a, b, round(c, 6)) for a, b, c in oracle
+    ]
