@@ -63,6 +63,12 @@ class CurateConfig:
     max_dup_3gram_frac: float = 0.50
     # pii
     mask_pii: bool = True
+    # corpus-self unigram surprisal band (CCNet-style perplexity filter):
+    # (lo, hi) keeps documents with lo <= mean token surprisal <= hi —
+    # low-tail = boilerplate, high-tail = rare-token noise. None disables.
+    # Runs AFTER the row-local gate (the corpus LM shouldn't be trained on
+    # junk the cheap rules already reject) and BEFORE the dedup shuffles.
+    surprisal_band: tuple[float, float] | None = None
     # near-dup (MinHash-LSH → components); None disables the stage
     minhash: dict | None = field(
         default_factory=lambda: dict(n=3, num_hashes=12, bands=4, threshold=0.5)
@@ -151,6 +157,21 @@ def curate(
         kept = kept.select(*carried, WU.mask_pii(t).alias(t))
     kept = kept.localCheckpoint(eager=True)
     stats["after_quality"] = kept.count()
+
+    # 4.5 corpus-self surprisal band (optional): two keyed aggs + a
+    # term-keyed join over the gate's survivors, then an id-keyed
+    # semi-join filter.
+    if cfg.surprisal_band is not None:
+        from .textprep import unigram_surprisal
+
+        lo, hi = cfg.surprisal_band
+        ok = (
+            unigram_surprisal(kept, u, t)
+            .where(F.col("surprisal").between(lo, hi))
+            .select(u)
+        )
+        kept = kept.join(ok, u, "left_semi").localCheckpoint(eager=True)
+        stats["after_surprisal"] = kept.count()
 
     # 5. exact dedup (one fingerprint hash-agg; keeper = min url).
     # Checkpointed: the component loop below iterates actions over it.

@@ -48,6 +48,17 @@ def main() -> None:
                     help="persistent MinHash index dir: dedup new docs "
                          "against prior runs' shipped corpus, then index "
                          "this run's survivors")
+    ap.add_argument("--surprisal-band", default=None, metavar="LO,HI",
+                    help="keep docs whose corpus-self unigram surprisal is "
+                         "in [LO, HI] (CCNet-style perplexity filter; "
+                         "low = boilerplate, high = rare-token noise)")
+    ap.add_argument("--pack", type=int, default=None, metavar="CTX",
+                    help="also emit training sequences: concat-and-cut the "
+                         "curated corpus into CTX-token packs, written to "
+                         "<output>_packs (doc -> pack span map)")
+    ap.add_argument("--pack-shards", type=int, default=64,
+                    help="independent packing shards (bounds the per-shard "
+                         "sort; pack ids are (shard, pack))")
     ap.add_argument("--dedup-index-epoch", type=int, default=None,
                     help="exactly-once ledger id for the index commit")
     args = ap.parse_args()
@@ -84,10 +95,32 @@ def main() -> None:
         decontaminate_min_hits=args.bench_min_hits,
         dedup_index_path=args.dedup_index,
         dedup_index_epoch=args.dedup_index_epoch,
+        surprisal_band=(
+            tuple(float(x) for x in args.surprisal_band.split(","))
+            if args.surprisal_band else None
+        ),
     )
     bench = spark.read.parquet(args.bench) if args.bench else None
     out, stats = curate(df, cfg, bench=bench)
     out.write.mode("overwrite").parquet(args.output)
+    if args.pack is not None:
+        import pyspark.sql.functions as F
+
+        from data_pipeline_spark.operators.textprep import pack_sequences
+
+        # pack_sequences shards by a numeric id; derive one from the url
+        # (non-negative, deterministic — collisions only reorder ties).
+        keyed = out.withColumn(
+            "_pack_key", F.pmod(F.xxhash64(cfg.url_col), F.lit(2**61)).cast("long")
+        )
+        packs = pack_sequences(
+            keyed, "_pack_key", cfg.text_col,
+            ctx_tokens=args.pack, n_shards=args.pack_shards,
+        ).join(
+            keyed.select("_pack_key", cfg.url_col), "_pack_key"
+        ).drop("_pack_key")
+        packs.write.mode("overwrite").parquet(f"{args.output}_packs")
+        stats["pack_rows"] = spark.read.parquet(f"{args.output}_packs").count()
     print(json.dumps({"metric": "curate_stage_rows", **stats}))
     spark.stop()
 

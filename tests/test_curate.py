@@ -215,3 +215,75 @@ def test_partial_minhash_dict_with_dedup_index(spark, tmp_path, corpus):
         ),
     )
     assert stats["index_epoch"] == 0 and stats["output_rows"] > 0
+
+
+def test_surprisal_band_stage(spark):
+    """The band filter drops the rare-token-noise outlier while ordinary
+    english pages survive (corpus LM trained on the gate's survivors)."""
+    rows = []
+    for i in range(6):
+        rows.append((f"https://ok{i}.com/p", 100, i,
+                     GOOD + " " + _uniq(f"s{i}"), "en"))
+    # All-novel-token page: every token is rare -> max surprisal.
+    noise = " ".join(f"zq{i}qz{i}zz" for i in range(120))
+    rows.append(("https://noise.com/p", 100, 99, GOOD + " " + noise, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    base_cfg = CurateConfig(minhash=None, mask_pii=False)
+    out_all, stats_all = curate(df, base_cfg)
+    assert stats_all["output_rows"] == 7
+
+    from data_pipeline_spark.operators.textprep import unigram_surprisal
+
+    scores = {
+        r["url"]: r["surprisal"]
+        for r in unigram_surprisal(df, "url", "text").collect()
+    }
+    noisy = "https://noise.com/p"
+    hi = max(v for u, v in scores.items() if u != noisy) + 0.01
+    assert scores[noisy] > hi
+    out, stats = curate(
+        df, CurateConfig(minhash=None, mask_pii=False, surprisal_band=(0.0, hi))
+    )
+    urls = {r["url"] for r in out.collect()}
+    assert noisy not in urls and len(urls) == 6
+    assert stats["after_surprisal"] == 6
+
+
+def test_curate_job_pack_output(spark, tmp_path, monkeypatch, capsys):
+    """--pack CTX emits the <output>_packs doc->span map alongside the
+    curated corpus (in-process; spark-submit path in test_submit_job)."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import curate_job
+
+    rows = [(f"https://p{i}.com/x", 100, i, GOOD + " " + _uniq(f"j{i}"), "en")
+            for i in range(5)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    monkeypatch.setattr("sys.argv", [
+        "curate_job.py", "--input", src, "--output", out_dir,
+        "--no-minhash", "--pack", "64", "--pack-shards", "2",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    curate_job.main()
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["output_rows"] == 5 and stats["pack_rows"] > 0
+    packs = spark.read.parquet(out_dir + "_packs")
+    cols = set(packs.columns)
+    assert {"shard", "pack_id", "url", "begin_tok", "pack_tokens",
+            "doc_tokens"} <= cols
+    # Every curated doc is packed exactly once (sum of spans == tokens).
+    agg = packs.groupBy("url").agg(
+        F.sum("pack_tokens").alias("s"), F.first("doc_tokens").alias("n")
+    ).collect()
+    assert len(agg) == 5 and all(r["s"] == r["n"] for r in agg)
