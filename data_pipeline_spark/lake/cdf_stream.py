@@ -63,6 +63,7 @@ the chain may root at a compact), then increments.
 from __future__ import annotations
 
 import os
+import sys
 from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
@@ -302,4 +303,19 @@ class IceliteChangesDataSource(DataSource):
 
 
 def register_changes_source(spark) -> None:
+    """Register the source on the session.
+
+    The DataSource class is shipped to Spark's data-source Python worker
+    by pickle, and that worker does NOT inherit ``--py-files``/
+    ``addPyFile`` paths (unlike UDF workers) — so the module (and the
+    table-metadata helpers it calls) must serialize BY VALUE, not by
+    module reference, or spark-submit runs die with ModuleNotFoundError
+    in plan_data_source.
+    """
+    from pyspark import cloudpickle
+
+    from . import table as _table_mod
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_table_mod)
     spark.dataSource.register(IceliteChangesDataSource)

@@ -281,3 +281,69 @@ def test_spark_submit_sync_job(submit_env, tmp_path):
     r2 = run_sync()
     assert r2["skipped"]
     assert r2["target_rows"] == r1["target_rows"]
+
+
+def test_spark_submit_changes_stream(submit_env, tmp_path, spark):
+    """The streaming change-feed source works from the zip alone: the
+    Python DataSource class must be importable in spark-submit's driver
+    AND its data-source worker process."""
+    work, _, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table_dir = str(work / "t_stream_src")
+    t = LakeTable.create(
+        spark, table_dir,
+        spark.createDataFrame([], "url string, v long").schema,
+        key_col="url", n_buckets=2,
+    )
+    for e in range(2):
+        staged = spark.createDataFrame(
+            [(f"https://s{e}.com/{i}", e * 10 + i, "upsert", e * 10 + i)
+             for i in range(5)],
+            "url string, v long, op string, lsn long",
+        )
+        t.merge(staged, epoch=e, mode="mor", ts_col="v")
+
+    script = tmp_path / "drain_stream.py"
+    script.write_text(
+        """
+import json, sys
+from pyspark.sql import SparkSession
+from data_pipeline_spark.lake.cdf_stream import register_changes_source
+
+spark = SparkSession.builder.getOrCreate()
+register_changes_source(spark)
+seen = []
+def collect(df, bid):
+    seen.extend(df.collect())
+q = (spark.readStream.format("icelite_changes")
+     .option("path", sys.argv[1]).load()
+     .writeStream.foreachBatch(collect)
+     .option("checkpointLocation", sys.argv[2])
+     .trigger(availableNow=True).start())
+q.awaitTermination(180)
+ops = sorted({r["op"] for r in seen})
+print(json.dumps({"rows": len(seen), "ops": ops,
+                  "sids": sorted({r["_commit_snapshot_id"] for r in seen})}))
+spark.stop()
+"""
+    )
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            str(script), table_dir, str(tmp_path / "cp"),
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert res["rows"] == 10 and res["ops"] == ["upsert"]
+    assert len(res["sids"]) == 2
