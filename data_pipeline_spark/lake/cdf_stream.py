@@ -69,7 +69,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from .table import (
+from .metautil import (
     DELETED_COL,
     LSN_COL,
     load_table_meta,
@@ -310,12 +310,17 @@ def register_changes_source(spark) -> None:
     ``addPyFile`` paths (unlike UDF workers) — so the module (and the
     table-metadata helpers it calls) must serialize BY VALUE, not by
     module reference, or spark-submit runs die with ModuleNotFoundError
-    in plan_data_source.
+    in plan_data_source. Registration is scoped to exactly this module
+    and the dependency-free lake.metautil: ``register_pickle_by_value``
+    is process-global and permanent, and covering lake.table with it
+    would change how EVERY pickle in the session that captures table
+    objects serializes (payload bloat; by-value class copies failing
+    isinstance/except checks against by-reference imports).
     """
     from pyspark import cloudpickle
 
-    from . import table as _table_mod
+    from . import metautil as _metautil
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    cloudpickle.register_pickle_by_value(_table_mod)
+    cloudpickle.register_pickle_by_value(_metautil)
     spark.dataSource.register(IceliteChangesDataSource)

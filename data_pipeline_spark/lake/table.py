@@ -51,16 +51,24 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.skew import with_salt
 
+from .metautil import (  # noqa: F401 — canonical home; re-exported for callers
+    DELETED_COL,
+    LSN_COL,
+    load_table_meta,
+    main_lineage,
+    manifest_files,
+)
+
 BUCKET_COL = "__bucket"
-# System columns persisted in data files but outside the logical schema —
-# the icelite analog of Iceberg metadata columns. They carry the LWW order
-# (__lsn) and merge-on-read delete markers (__deleted tombstones), which is
-# what makes replay independent of epoch batching: a later epoch carrying an
-# *older* (warc_ts, lsn) event can never clobber a newer stored row, and a
-# winning delete stays deleted even if an older event for the key arrives in
-# a later epoch.
-LSN_COL = "__lsn"
-DELETED_COL = "__deleted"
+# LSN_COL/DELETED_COL (imported above; defined in lake/metautil.py so the
+# Spark-less stream reader shares them): system columns persisted in data
+# files but outside the logical schema — the icelite analog of Iceberg
+# metadata columns. They carry the LWW order (__lsn) and merge-on-read
+# delete markers (__deleted tombstones), which is what makes replay
+# independent of epoch batching: a later epoch carrying an *older*
+# (warc_ts, lsn) event can never clobber a newer stored row, and a winning
+# delete stays deleted even if an older event for the key arrives in a
+# later epoch.
 _TS_FLOOR = "1900-01-01 00:00:00"
 
 
@@ -150,57 +158,8 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
-def load_table_meta(path: str) -> dict:
-    """Current table metadata document, from version-hint — a pure function
-    (no SparkSession) so Spark-less contexts (the Python DataSource stream
-    reader runs in a worker with no session) share the one loader."""
-    hint = os.path.join(path, "metadata", "version-hint.text")
-    with open(hint, encoding="utf-8") as f:
-        version = int(f.read().strip())
-    with open(
-        os.path.join(path, "metadata", f"v{version}.metadata.json"),
-        encoding="utf-8",
-    ) as f:
-        return json.load(f)
-
-
-def main_lineage(meta: dict) -> list[dict]:
-    """Main's snapshot chain, oldest first. The snapshot log interleaves
-    branch-staged (write-audit-publish) commits; anything that means "the
-    table's history" — time travel, the streaming change feed, rollback
-    targets — must walk parent ids from the current snapshot, never scan
-    the log. The chain ends where history was expired."""
-    by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
-    chain = []
-    sid = meta.get("current_snapshot_id")
-    while sid is not None and sid in by_id:
-        chain.append(by_id[sid])
-        sid = by_id[sid].get("parent_id")
-    chain.reverse()
-    return chain
-
-
-def manifest_files(path: str, snap: dict | None, load_segment=None) -> list[dict]:
-    """A snapshot's data-file list — the single home of the manifest format
-    dispatch (inline ``files`` / flat list / format-2 segment list).
-    ``load_segment`` lets LakeTable plug its cross-snapshot segment cache;
-    the default reads segments from disk."""
-    if snap is None:
-        return []
-    if "files" in snap:
-        return snap["files"]
-    with open(os.path.join(path, snap["manifest"]), encoding="utf-8") as f:
-        doc = json.load(f)
-    if not isinstance(doc, dict):
-        return doc
-    if load_segment is None:
-        def load_segment(rel):
-            with open(os.path.join(path, rel), encoding="utf-8") as f:
-                return json.load(f)
-    files: list[dict] = []
-    for seg in doc["segments"]:
-        files.extend(load_segment(seg["path"]))
-    return files
+# load_table_meta / main_lineage / manifest_files live in lake/metautil.py
+# (imported above) so the Spark-less stream reader shares them by value.
 
 
 class LakeTable:

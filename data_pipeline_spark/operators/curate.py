@@ -68,6 +68,9 @@ class CurateConfig:
     # low-tail = boilerplate, high-tail = rare-token noise. None disables.
     # Runs AFTER the row-local gate (the corpus LM shouldn't be trained on
     # junk the cheap rules already reject) and BEFORE the dedup shuffles.
+    # Zero-token documents have undefined surprisal and are DROPPED when a
+    # band is set (with the Gopher gate on they are already gone; with
+    # --no-gopher the band is the stage that removes them).
     surprisal_band: tuple[float, float] | None = None
     # near-dup (MinHash-LSH → components); None disables the stage
     minhash: dict | None = field(
@@ -170,6 +173,8 @@ def curate(
             .where(F.col("surprisal").between(lo, hi))
             .select(u)
         )
+        # Semi-join keeps only scored-in-band docs; zero-token docs have
+        # no surprisal row and are dropped by design (documented above).
         kept = kept.join(ok, u, "left_semi").localCheckpoint(eager=True)
         stats["after_surprisal"] = kept.count()
 

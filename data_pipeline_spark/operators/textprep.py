@@ -99,6 +99,31 @@ FROM chk_starts
 """
 
 
+
+def _doc_term_freq(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) from lowercased whitespace tokens — the shared
+    corpus-statistics base of tfidf_keywords and unigram_surprisal (one
+    tokenizer contract, one explode+agg construction)."""
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    return terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def _sql_doc_term_freq(input_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`_doc_term_freq` (CTE body, aliased dtf_tf)."""
+    return f"""
+dtf_terms AS (
+  SELECT {id_col}, unnest({sql_tokens(f'lower({text_col})')}) AS term
+  FROM ({input_sql})
+), dtf_tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+  FROM dtf_terms GROUP BY {id_col}, term
+)"""
+
+
 def tfidf_keywords(
     df: DataFrame, id_col: str, text_col: str, k: int = 5
 ) -> DataFrame:
@@ -108,10 +133,7 @@ def tfidf_keywords(
     whitespace tokens; idf is the smooth ln((N+1)/(df+1)) + 1; ties rank
     deterministically by (score desc, term asc). Scores rounded to 6dp.
     """
-    terms = df.select(
-        id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    tf = _doc_term_freq(df, id_col, text_col)
     # df(term) AND the doc count both derive from the tf relation — the
     # explode output is aggregated once, no second scan of the source; N
     # counts token-bearing docs, the same universe df(term) is drawn from.
@@ -144,12 +166,8 @@ def sql_tfidf_keywords(
     input_sql: str, id_col: str, text_col: str, k: int = 5
 ) -> str:
     return f"""
-WITH tfk_terms AS (
-  SELECT {id_col}, unnest({sql_tokens(f'lower({text_col})')}) AS term
-  FROM ({input_sql})
-), tfk_tf AS (
-  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
-  FROM tfk_terms GROUP BY {id_col}, term
+WITH {_sql_doc_term_freq(input_sql, id_col, text_col).strip()}, tfk_tf AS (
+  SELECT * FROM dtf_tf
 ), tfk_df AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfk_tf GROUP BY term
 ), tfk_n AS (
@@ -192,20 +210,37 @@ def pack_sequences(
 
     Scale shape: one window cumsum per shard (a keyed shuffle + in-shard
     sort — ``n_shards`` bounds sort width and parallelizes the corpus),
-    then a narrow span-explode. Nothing is quadratic; requires a numeric,
-    non-negative ``id_col`` (shard = id % n_shards).
+    then a narrow span-explode. Nothing is quadratic. ``id_col`` may be
+    numeric (shard = id % n_shards) or string (shard = xxhash64 mod —
+    string ids order by their own unique value within the shard, so the
+    DuckDB twin covers the numeric path and pytest covers strings).
     """
     if ctx_tokens < 1:
         raise ValueError("ctx_tokens must be >= 1")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    from pyspark.sql.types import NumericType, StringType
+
+    id_type = df.schema[id_col].dataType
+    if isinstance(id_type, NumericType):
+        shard = (F.col(id_col) % n_shards).cast("integer")
+    elif isinstance(id_type, StringType):
+        # String keys (e.g. urls) shard by hash — hash COLLISIONS only
+        # co-locate two docs in a shard (harmless); ORDER within the shard
+        # is by the unique id itself, so packing never cross-attributes
+        # documents the way a derived-numeric-key join would.
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("integer")
+    else:
+        raise ValueError(
+            f"id_col must be numeric or string, got {id_type.simpleString()}"
+        )
     base = (
         df.select(
             F.col(id_col),
             F.size(tokens(F.col(text_col))).cast("long").alias("n"),
         )
         .where(F.col("n") > 0)
-        .withColumn("shard", (F.col(id_col) % n_shards).cast("integer"))
+        .withColumn("shard", shard)
     )
     w = (
         Window.partitionBy("shard")
@@ -300,10 +335,7 @@ def unigram_surprisal(
     vocabulary is never broadcast), a broadcast one-row total, and a final
     doc-keyed agg. Nothing quadratic; every shuffle is keyed.
     """
-    terms = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    tf = _doc_term_freq(df, id_col, text_col)
     cf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
     total = cf.select(F.sum("cf").cast("double").alias("_total"))
     return (
@@ -323,12 +355,8 @@ def unigram_surprisal(
 def sql_unigram_surprisal(input_sql: str, id_col: str, text_col: str) -> str:
     """DuckDB twin of :func:`unigram_surprisal`."""
     return f"""
-WITH us_terms AS (
-  SELECT {id_col}, unnest({sql_tokens(f'lower({text_col})')}) AS term
-  FROM ({input_sql})
-), us_tf AS (
-  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
-  FROM us_terms GROUP BY {id_col}, term
+WITH {_sql_doc_term_freq(input_sql, id_col, text_col).strip()}, us_tf AS (
+  SELECT * FROM dtf_tf
 ), us_cf AS (
   SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM us_tf GROUP BY term
 ), us_total AS (

@@ -62,6 +62,19 @@ def main() -> None:
     ap.add_argument("--dedup-index-epoch", type=int, default=None,
                     help="exactly-once ledger id for the index commit")
     args = ap.parse_args()
+    if args.surprisal_band is not None:
+        # Fail at argparse, not hours into the pipeline.
+        parts = args.surprisal_band.split(",")
+        try:
+            band = tuple(float(x) for x in parts)
+        except ValueError:
+            band = ()
+        if len(band) != 2 or band[0] > band[1]:
+            ap.error("--surprisal-band must be LO,HI with LO <= HI")
+    if args.pack is not None and args.pack < 1:
+        ap.error("--pack must be >= 1")
+    if args.pack_shards < 1:
+        ap.error("--pack-shards must be >= 1")
     if args.dedup_index_epoch is not None and args.dedup_index is None:
         ap.error("--dedup-index-epoch requires --dedup-index")
 
@@ -104,21 +117,15 @@ def main() -> None:
     out, stats = curate(df, cfg, bench=bench)
     out.write.mode("overwrite").parquet(args.output)
     if args.pack is not None:
-        import pyspark.sql.functions as F
-
         from data_pipeline_spark.operators.textprep import pack_sequences
 
-        # pack_sequences shards by a numeric id; derive one from the url
-        # (non-negative, deterministic — collisions only reorder ties).
-        keyed = out.withColumn(
-            "_pack_key", F.pmod(F.xxhash64(cfg.url_col), F.lit(2**61)).cast("long")
-        )
+        # Packing is keyed directly on the unique url (string-id path:
+        # hash only picks the shard; ordering uses the url itself, so a
+        # hash collision can never cross-attribute two documents' spans).
         packs = pack_sequences(
-            keyed, "_pack_key", cfg.text_col,
+            out, cfg.url_col, cfg.text_col,
             ctx_tokens=args.pack, n_shards=args.pack_shards,
-        ).join(
-            keyed.select("_pack_key", cfg.url_col), "_pack_key"
-        ).drop("_pack_key")
+        )
         packs.write.mode("overwrite").parquet(f"{args.output}_packs")
         stats["pack_rows"] = spark.read.parquet(f"{args.output}_packs").count()
     print(json.dumps({"metric": "curate_stage_rows", **stats}))
