@@ -48,6 +48,28 @@ def test_interleave_matches_python_twin(spark):
         assert r["z"] == _interleave_py([a, b], 16), (a, b)
 
 
+def test_interleave_random_sweep_two_and_three_cols(spark):
+    """Seeded randomized parity sweep, incl. the 3-column x 16-bit layout
+    (48 output bits — the widest supported) in one Spark job per arity."""
+    import random
+
+    rng = random.Random(1234)
+    rows2 = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(300)]
+    got2 = spark.createDataFrame(rows2, "a long, b long").select(
+        "a", "b", interleave_bits([F.col("a"), F.col("b")], 16).alias("z")
+    ).collect()
+    for r in got2:
+        assert r["z"] == _interleave_py([r["a"], r["b"]], 16)
+    rows3 = [tuple(rng.randrange(65536) for _ in range(3)) for _ in range(300)]
+    got3 = spark.createDataFrame(rows3, "a long, b long, c long").select(
+        "a", "b", "c",
+        interleave_bits([F.col("a"), F.col("b"), F.col("c")], 16).alias("z"),
+    ).collect()
+    for r in got3:
+        assert r["z"] == _interleave_py([r["a"], r["b"], r["c"]], 16)
+        assert 0 <= r["z"] < (1 << 48)
+
+
 def test_zorder_expr_scales_and_handles_nulls_strings(spark):
     df = spark.createDataFrame(
         [("aaa", 0.0), ("zzz", 100.0), (None, 50.0), ("mmm", None)],
