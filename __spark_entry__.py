@@ -1351,6 +1351,33 @@ _SQL_STRAT_SAMPLE = (
 )
 
 
+_TOKEN_BUDGETS = {"en": 3000, "de": 1500}
+_TOKEN_BUDGET_DEFAULT = 400
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by TOKEN budget: per language, keep docs in
+    deterministic md5 order until the budget is reached (training mixes
+    are specified in tokens, not documents) — one window cumsum per
+    stratum, the same plan class as sequence packing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return SMP.token_budget_sample(
+        d, "doc_id", "lang", "text", _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT,
+        seed="mix",
+    ).select("doc_id", "lang")
+
+
+_SQL_TOKEN_BUDGET = (
+    "SELECT doc_id, lang FROM ("
+    + SMP.sql_token_budget_sample(
+        "SELECT doc_id, lang, text FROM documents",
+        "doc_id", "lang", "text", _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT,
+        seed="mix",
+    )
+    + ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (training-data extension)
 # ---------------------------------------------------------------------------
@@ -1915,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pii_mask": q_pii_mask,
         "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
         "doc_chunks": q_doc_chunks,
         "doc_tfidf": q_doc_tfidf,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1983,6 +2011,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _SQL_URL_CANON,
         "pii_mask": _SQL_PII,
         "stratified_sample": _SQL_STRAT_SAMPLE,
+        "token_budget_sample": _SQL_TOKEN_BUDGET,
         "doc_chunks": _SQL_CHUNKS,
         "doc_tfidf": _SQL_TFIDF,
         "doc_pack_sequences": _SQL_PACK,

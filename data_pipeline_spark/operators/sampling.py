@@ -136,3 +136,88 @@ def sql_stratified_predicate(
     return _stratified_predicate(
         key_col, stratum_col, fractions, default_fraction, seed, duck=True
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    text_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: str = "budget",
+) -> DataFrame:
+    """Domain mixing by TOKEN budget: per stratum, keep documents in
+    deterministic hash order until the stratum's token budget is reached
+    ("30B tokens of web, 5B of code"). Fraction-based sampling (above)
+    fixes a share of DOCUMENTS; training mixtures are specified in tokens,
+    and per-doc token counts vary by orders of magnitude across domains —
+    this keeps the spec exact.
+
+    Each stratum keeps every document whose PRECEDING cumulative token
+    count is under its budget, so the crossing document is included (the
+    realized budget overshoots by at most one document) and a zero budget
+    keeps nothing. Order is ``(md5(seed:key), key)`` — deterministic
+    across reruns and engines, independent across seeds, and unbiased
+    w.r.t. content. Shape: one window cumsum per stratum (a keyed shuffle;
+    strata are few) — the same plan class as sequence packing; no
+    collect, nothing quadratic.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textstats import tokens
+
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    base = df.withColumn("_n_tok", n).withColumn(
+        "_b", sample_bucket(key_col, seed)
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_b", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whens = F.lit(default_budget).cast("long")
+    for s, b in sorted(budgets.items()):
+        whens = F.when(F.col(stratum_col) == s, F.lit(b).cast("long")).otherwise(whens)
+    kept = (
+        base.withColumn("_prev", F.coalesce(F.sum("_n_tok").over(w), F.lit(0)))
+        .where(F.col("_prev") < whens)
+        .drop("_n_tok", "_b", "_prev")
+    )
+    return kept
+
+
+def sql_token_budget_sample(
+    input_sql: str,
+    key_col: str,
+    stratum_col: str,
+    text_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: str = "budget",
+) -> str:
+    """DuckDB twin of :func:`token_budget_sample` (md5 order is identical
+    across engines — same portability trick as the fraction predicates).
+    Emits all input columns."""
+    from ..functions.textstats import sql_tokens
+
+    whens = " ".join(
+        f"WHEN {_slit(s, True)} THEN {int(b)}"
+        for s, b in sorted(budgets.items())
+    )
+    case = f"CASE {stratum_col} {whens} ELSE {int(default_budget)} END"
+    bucket = _bucket(key_col, seed, duck=True)
+    return f"""
+WITH tbs_base AS (
+  SELECT *,
+         CAST(len({sql_tokens(text_col)}) AS BIGINT) AS _n_tok,
+         {bucket} AS _b
+  FROM ({input_sql})
+), tbs_cum AS (
+  SELECT *, CAST(COALESCE(SUM(_n_tok) OVER (
+    PARTITION BY {stratum_col} ORDER BY _b, {key_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS _prev
+  FROM tbs_base
+)
+SELECT * EXCLUDE (_n_tok, _b, _prev) FROM tbs_cum WHERE _prev < {case}
+"""

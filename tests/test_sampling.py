@@ -90,3 +90,48 @@ def test_plan_is_scan_level_filter(keys):
     plan = S.hash_sample(keys, "k", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_sample(spark):
+    """Per-stratum realized tokens land in [budget, budget + crossing doc);
+    deterministic across reruns and partitioning; zero budget = nothing."""
+    import duckdb
+
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "fr"][i % 3]
+        n_words = 5 + (i * 13) % 40
+        rows.append((i, lang, " ".join(f"t{i}w{j}" for j in range(n_words))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    budgets = {"en": 200, "de": 80, "fr": 0}
+    out = S.token_budget_sample(df, "doc_id", "lang", "text", budgets,
+                                default_budget=0, seed="tb")
+    got = out.collect()
+    assert out.columns == ["doc_id", "lang", "text"]  # helpers dropped
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(len(r["text"].split()))
+    assert "fr" not in by_lang  # zero budget keeps nothing
+    for lang, toks in by_lang.items():
+        total = sum(toks)
+        assert total >= budgets[lang]  # budget reached (crossing doc kept)
+        assert total - max(toks) < budgets[lang]  # overshoot < one doc
+    # Determinism across partitioning.
+    got2 = {r["doc_id"] for r in S.token_budget_sample(
+        df.repartition(7), "doc_id", "lang", "text", budgets, 0, seed="tb"
+    ).collect()}
+    assert got2 == {r["doc_id"] for r in got}
+    # Different seed -> different (but valid) selection.
+    got3 = {r["doc_id"] for r in S.token_budget_sample(
+        df, "doc_id", "lang", "text", budgets, 0, seed="other"
+    ).collect()}
+    assert got3 != got2
+    # DuckDB twin parity.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tb (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO tb VALUES (?,?,?)", rows)
+    sql = S.sql_token_budget_sample("SELECT * FROM tb", "doc_id", "lang",
+                                    "text", budgets, 0, seed="tb")
+    oracle = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert oracle == got2
