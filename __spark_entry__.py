@@ -1663,6 +1663,34 @@ _SQL_ANN_IVF = SIM.sql_ivf_topk(
 )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (ADC): vectors compressed to m=8 codebook
+    indices (32x vs float32 at dim 64), queries score candidates with m
+    table lookups instead of a dim-wide dot. Fixed seeded codebooks make
+    the whole encode+search SQL-expressible (the twin embeds the same
+    float64 literals); learned per-subspace KMeans is the quality path
+    (recall pinned in tests/test_pq.py)."""
+    from data_pipeline_spark.operators import pq as PQ
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cbs = PQ.fixed_codebooks(64, m=8, k=16, seed=7)
+    codes = PQ.pq_encode(e, cbs)
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    return PQ.pq_topk(cbs, codes, queries, k=5)
+
+
+from data_pipeline_spark.operators.pq import sql_pq_topk as _sql_pq_topk
+
+_SQL_ANN_PQ = _sql_pq_topk(
+    "(SELECT * FROM embeddings WHERE vec_id % 10 = 0)",
+    "embedding", "vec_id",
+    dim=64, m=8, k_codes=16, seed=7, k=5,
+    query_pred="id % 100 = 0",
+)
+
+
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25: persistent IVF index grown over two ingest epochs — the frozen
     fixed quantizer makes adds append-only, so the incremental index must
@@ -1960,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "ann_ivf_incremental": q_ann_ivf_incremental,
         # multimodal
         "media_features": q_media_features,
@@ -2028,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _SQL_COMPONENTS,
         "ann_topk": _SQL_ANN_TOPK,
         "ann_ivf": _SQL_ANN_IVF,
+        "ann_pq": _SQL_ANN_PQ,
         "ann_ivf_incremental": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,

@@ -1,0 +1,130 @@
+"""Product quantization (operators/pq.py): recall vs exact cosine, the
+compression contract, guards, determinism, learned-codebook quality path,
+and IVF composition."""
+
+import random
+
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators import pq as PQ
+from data_pipeline_spark.operators.similarity import topk_bruteforce
+
+DIM, M, KC = 16, 4, 8
+
+
+def _clustered(n=200, n_clusters=5, seed=3):
+    rng = random.Random(seed)
+    centers = [
+        [rng.gauss(0, 5) for _ in range(DIM)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.3) for x in c]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        _clustered(), "vec_id long, embedding array<double>"
+    )
+
+
+def _quality(spark, vecs, codebooks, k=5, cand=25):
+    """(recall@k within the PQ top-``cand`` candidates, fraction of PQ
+    top-k in the query's true cluster). PQ is a CANDIDATE filter: inside a
+    tight cluster all members quantize to near-identical codes, so exact
+    rank order there is tie-noise by design — what PQ promises is that the
+    true neighbors are in a small candidate set, re-ranked exactly by the
+    caller (the IVF-Flat re-score or a float re-read)."""
+    queries = vecs.where("vec_id % 20 = 0")
+    exact = topk_bruteforce(vecs, queries, k=k)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    codes = PQ.pq_encode(vecs, codebooks)
+    got, same, topk_n = {}, 0, 0
+    for r in PQ.pq_topk(codebooks, codes, queries, k=cand).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        if r["rank"] <= k:
+            topk_n += 1
+            same += int(r["neighbor_id"] % 5 == r["query_id"] % 5)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values()), same / topk_n
+
+
+def test_learned_codebooks_recall(spark, vecs):
+    cbs = PQ.learned_codebooks(vecs, "embedding", DIM, m=M, k=KC, seed=7)
+    assert len(cbs) == M and len(cbs[0]) == KC and len(cbs[0][0]) == DIM // M
+    recall, cluster = _quality(spark, vecs, cbs)  # measured: 0.94 / 1.0
+    assert recall >= 0.85, recall
+    assert cluster >= 0.95, cluster
+
+
+def test_fixed_codebooks_recall_nonzero(spark, vecs):
+    # Seeded random codebooks: lower recall than learned (they tile the
+    # sphere blindly) but far above chance — and fully oracle-checkable.
+    recall, cluster = _quality(
+        spark, vecs, PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    )  # measured: 0.64 / 1.0
+    assert recall >= 0.45, recall
+    assert cluster >= 0.95, cluster
+
+
+def test_codes_shape_and_compression(spark, vecs):
+    cbs = PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    codes = PQ.pq_encode(vecs, cbs)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == M for r in rows)
+    assert all(0 <= c < KC for r in rows for c in r["codes"])
+    # m small ints per vector vs dim doubles: the 32x memory story.
+    assert M < DIM
+
+
+def test_encode_deterministic_across_partitioning(spark, vecs):
+    cbs = PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    a = {r["id"]: r["codes"] for r in PQ.pq_encode(vecs, cbs).collect()}
+    b = {
+        r["id"]: r["codes"]
+        for r in PQ.pq_encode(vecs.repartition(7), cbs).collect()
+    }
+    assert a == b
+
+
+def test_dim_guard_and_zero_vector(spark):
+    cbs = PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    bad = spark.createDataFrame(
+        [(1, [0.0] * (DIM - 1))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        PQ.pq_encode(bad, cbs).collect()
+    zero = spark.createDataFrame(
+        [(1, [0.0] * DIM), (2, [1.0] * DIM)],
+        "vec_id long, embedding array<double>",
+    )
+    out = PQ.pq_encode(zero, cbs).collect()  # zero vector must not NaN out
+    assert len(out) == 2 and all(len(r["codes"]) == M for r in out)
+
+
+def test_ivf_composition_scores_only_probed_lists(spark, vecs):
+    """IVF-PQ: candidates = codes of the probed lists only; the ADC search
+    never touches (or returns) vectors outside them."""
+    from data_pipeline_spark.operators.similarity import ivf_index, probe_lists
+
+    cbs = PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    centroids, assigned = ivf_index(
+        vecs, n_lists=4, seed=42, quantizer="fixed", dim=DIM
+    )
+    queries = vecs.where("vec_id = 0")
+    probes = probe_lists(centroids, queries, nprobe=2)
+    cand_ids = assigned.join(
+        probes.select("list_id").distinct(), "list_id"
+    ).select("id")
+    codes = PQ.pq_encode(vecs, cbs).join(cand_ids, "id", "left_semi")
+    n_cand = codes.count()
+    assert 0 < n_cand < vecs.count()
+    out = PQ.pq_topk(cbs, codes, queries, k=5).collect()
+    allowed = {r["id"] for r in cand_ids.collect()}
+    assert out and all(r["neighbor_id"] in allowed for r in out)
