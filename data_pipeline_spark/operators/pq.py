@@ -72,7 +72,7 @@ def learned_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     d = dim // m
-    nv = df.select(_normalized(vec_col, dim).alias("nv"))
+    nv = _normalized_df(df, vec_col, vec_col, dim).select("nv")
     out = []
     for s in range(m):
         sub = nv.select(
@@ -81,22 +81,45 @@ def learned_codebooks(
         model = strip_training_summary(
             KMeans(k=k, seed=seed + s, featuresCol="_fv").fit(sub)
         )
-        out.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        if len(centers) != k:
+            # KMeans returns fewer centers on degenerate subspaces (e.g.
+            # constant padded dimensions) — a ragged codebook would either
+            # IndexError at plan build or silently truncate every other
+            # subspace to the deficient length. Fail loudly instead.
+            raise ValueError(
+                f"subspace {s}: KMeans produced {len(centers)} centers, "
+                f"expected k={k} — the subspace has too few distinct "
+                f"subvectors; lower k or drop degenerate dimensions"
+            )
+        out.append(centers)
     return out
 
 
-def _normalized(vec_col: str, dim: int):
-    """L2-normalize (zero vectors pass through unscaled); asserts dim so a
-    wrong configuration fails loudly instead of mis-slicing subspaces."""
-    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    norm = f"sqrt(aggregate({v}, 0D, (a, x) -> a + x * x))"
-    return F.expr(
-        f"CASE WHEN size({vec_col}) != {dim} THEN "
-        f"raise_error('pq: embedding dim != configured dim={dim}') "
-        f"WHEN {norm} = 0D THEN {v} "
-        f"ELSE transform({v}, x -> x / {norm}) END"
+def _normalized_df(df: DataFrame, vec_col: str, id_col: str, dim: int,
+                   out_id: str = "id", out_v: str = "nv") -> DataFrame:
+    """(id, nv) with nv L2-normalized (zero vectors pass through
+    unscaled); asserts dim so a wrong configuration fails loudly instead
+    of mis-slicing subspaces. The norm is hoisted into its own projected
+    column — referenced, not re-folded, inside the divide lambda (Spark
+    evaluates lambda bodies per element, so an embedded norm aggregate
+    would cost O(dim^2) per row on the scan-speed encode path)."""
+    base = df.select(
+        F.col(id_col).alias(out_id),
+        F.expr(
+            f"CASE WHEN size({vec_col}) != {dim} THEN "
+            f"raise_error('pq: embedding dim != configured dim={dim}') "
+            f"ELSE transform({vec_col}, x -> CAST(x AS DOUBLE)) END"
+        ).alias("_v"),
+    ).withColumn(
+        "_norm", F.expr("sqrt(aggregate(_v, 0D, (a, x) -> a + x * x))")
+    )
+    return base.select(
+        out_id,
+        F.expr(
+            "CASE WHEN _norm = 0D THEN _v "
+            "ELSE transform(_v, x -> x / _norm) END"
+        ).alias(out_v),
     )
 
 
@@ -126,21 +149,28 @@ def pq_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     d = len(codebooks[0][0])
-    base = df.select(
-        F.col(id_col).alias("id"), _normalized(vec_col, m * d).alias("nv")
-    )
-    cols = [F.col("id")]
-    for s in range(m):
-        dists = "array(" + ", ".join(
-            _sub_dist("nv", s, d, codebooks[s][j]) for j in range(k)
-        ) + ")"
-        cols.append(
-            F.expr(
-                f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
-            ).alias(f"_c{s}")
-        )
-    enc = base.select(*cols)
-    return enc.select(
+    base = _normalized_df(df, vec_col, id_col, m * d)
+    # Each subspace's k-distance array is projected ONCE as its own
+    # column; the argmin then references the column, so the k folds are
+    # never evaluated twice (array_position(expr, array_min(expr)) would
+    # duplicate the subtree — higher-order functions sit outside codegen
+    # CSE).
+    dist_cols = [
+        F.expr(
+            "array(" + ", ".join(
+                _sub_dist("nv", s, d, codebooks[s][j]) for j in range(k)
+            ) + ")"
+        ).alias(f"_d{s}")
+        for s in range(m)
+    ]
+    ds = base.select("id", *dist_cols)
+    codes = [
+        F.expr(
+            f"CAST(array_position(_d{s}, array_min(_d{s})) - 1 AS INT)"
+        ).alias(f"_c{s}")
+        for s in range(m)
+    ]
+    return ds.select("id", *codes).select(
         "id", F.array(*[f"_c{s}" for s in range(m)]).alias("codes")
     )
 
@@ -173,9 +203,8 @@ def pq_topk(
     m = len(codebooks)
     kc = len(codebooks[0])
     d = len(codebooks[0][0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _normalized(vec_col, m * d).alias("qnv"),
+    q = _normalized_df(
+        queries, vec_col, id_col, m * d, out_id="query_id", out_v="qnv"
     ).select("query_id", F.expr(_dtab_expr(codebooks, "qnv")).alias("_dtab"))
     score = (
         f"aggregate(sequence(1, {m}), 0D, (acc, s) -> "
