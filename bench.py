@@ -22,21 +22,30 @@ import __spark_entry__ as entrymod  # noqa: E402
 from data_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, weighted toward the CDC core.
+# Round 3 widened it (VERDICT r2 Next round #2) so every round-2 operator
+# family carries a tracked perf number — a regression there was invisible.
 HEADLINE = [
     "cdc_replay_final_state",
     "cdc_lww_latest",
     "cdc_key_diff",
+    "merge_into_generic",
+    "cdc_net_changes",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",
+    "events_rollup_cube",
+    "events_sessionize",
     "derive_discounts",
+    "json_envelope_extract",
     "html_extract_text",
     "doc_token_stats",
     "doc_fingerprint",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_components",
     "ann_topk",
+    "ann_pq",
     "media_features",
 ]
 

@@ -53,8 +53,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    spark = get_spark("contract-check")
     qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd filter would otherwise report "0 failures" over zero queries.
+        print(f"ERROR: unknown query filter(s): {sorted(unknown)}")
+        sys.exit(2)
+    spark = get_spark("contract-check")
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
