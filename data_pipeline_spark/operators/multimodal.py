@@ -8,17 +8,25 @@ input_hint; reference analog: `raw_html` carried per record,
 
 The Spark-side plumbing (schema, Arrow batch shape, `mapInPandas`
 partition-wise processing, deterministic frame sampling) is real and tested.
-The *codec* step (actual JPEG/PNG/audio decode) is stubbed: the decode
-libraries (PIL/cv2/ffmpeg) are not in this container, so `decode_fn`
-defaults to a clearly-marked `NotImplementedError`, and tests inject
-`fake_decode` — a deterministic md5-seeded stand-in with the same signature
-and output schema. Swapping in a real decoder is a one-argument change; no
-plan/schema/partitioning changes.
+The codec step is real for uncompressed containers — pure-stdlib decoders
+for BMP (struct), binary PPM, and PCM WAV (wave) dispatch on magic bytes in
+`real_decode` — while compressed formats (JPEG/PNG/MP3/H.264) still raise a
+clearly-marked `NotImplementedError` (PIL/cv2/ffmpeg are not in this
+container). `fake_decode` — a deterministic md5-seeded stand-in with the
+same signature and output schema — remains for shape-only tests. Swapping
+in a library decoder is a one-argument change; no plan/schema/partitioning
+changes.
 """
 
 from __future__ import annotations
 
+import array
 import hashlib
+import io
+import math
+import struct
+import sys
+import wave
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -53,12 +61,148 @@ def media_meta_cols(content: F.Column, media_type: str) -> F.Column:
     )
 
 
+def decode_bmp(content: bytes) -> list[float]:
+    """Pure-stdlib decoder for uncompressed 24/32-bpp BMP (BITMAPINFOHEADER).
+
+    Returns FEATURE_DIM floats in [0,1]: decoded flag, width/4096,
+    height/4096, mean R, mean G, mean B, aspect ratio (w/(w+h)), bpp/32.
+    """
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"compressed/{bpp}-bpp BMP not supported")
+    height = abs(height)
+    nbytes = bpp // 8
+    row_stride = (width * nbytes + 3) & ~3  # rows pad to 4-byte boundary
+    tot = [0, 0, 0]
+    npix = max(width * height, 1)
+    for y in range(height):
+        row = content[pix_off + y * row_stride : pix_off + y * row_stride + width * nbytes]
+        for x in range(width):
+            b, g, r = row[x * nbytes], row[x * nbytes + 1], row[x * nbytes + 2]
+            tot[0] += r
+            tot[1] += g
+            tot[2] += b
+    return [
+        1.0,
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+        tot[0] / (npix * 255.0),
+        tot[1] / (npix * 255.0),
+        tot[2] / (npix * 255.0),
+        width / max(width + height, 1),
+        bpp / 32.0,
+    ]
+
+
+def decode_ppm(content: bytes) -> list[float]:
+    """Pure-stdlib decoder for binary PPM (P6, maxval ≤ 255). Same feature
+    layout as `decode_bmp` (bpp slot fixed at 24/32)."""
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # Header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
+    fields, i, n = [], 2, len(content)
+    while len(fields) < 3 and i < n:
+        while i < n and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < n and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pix = content[i : i + width * height * 3]
+    tot = [0, 0, 0]
+    for p in range(0, len(pix) - 2, 3):
+        tot[0] += pix[p]
+        tot[1] += pix[p + 1]
+        tot[2] += pix[p + 2]
+    npix = max(width * height, 1)
+    return [
+        1.0,
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+        tot[0] / (npix * maxval),
+        tot[1] / (npix * maxval),
+        tot[2] / (npix * maxval),
+        width / max(width + height, 1),
+        24 / 32.0,
+    ]
+
+
+def decode_wav(content: bytes) -> list[float]:
+    """Pure-stdlib decoder for PCM WAV (8/16-bit) via the `wave` module.
+
+    Returns FEATURE_DIM floats in [0,1]: decoded flag, sample_rate/96k,
+    n_channels/8, duration_s/3600, RMS amplitude, peak amplitude,
+    mean amplitude, sample_width/4.
+    """
+    with wave.open(io.BytesIO(content)) as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw == 1:  # unsigned 8-bit
+        samples = array.array("b", bytes(b - 128 for b in raw))
+        full = 128.0
+    elif sw == 2:  # signed 16-bit little-endian
+        samples = array.array("h")
+        samples.frombytes(raw[: len(raw) - len(raw) % 2])
+        if sys.byteorder == "big":
+            samples.byteswap()
+        full = 32768.0
+    else:
+        raise NotImplementedError(f"{sw * 8}-bit WAV not supported")
+    n = max(len(samples), 1)
+    rms = math.sqrt(sum((s / full) ** 2 for s in samples) / n)
+    peak = max((abs(s) / full for s in samples), default=0.0)
+    mean = sum(abs(s) / full for s in samples) / n
+    return [
+        1.0,
+        min(rate / 96000.0, 1.0),
+        min(nch / 8.0, 1.0),
+        min(nframes / max(rate, 1) / 3600.0, 1.0),
+        min(rms, 1.0),
+        min(peak, 1.0),
+        min(mean, 1.0),
+        sw / 4.0,
+    ]
+
+
 def real_decode(content: bytes, media_type: str) -> list[float]:
-    """Real decoder hook — STUB. Image/audio libraries are not available in
-    this sandbox; plug PIL/librosa/cv2 here in production."""
+    """Real decoder: dispatches on the payload's magic bytes to a pure-stdlib
+    codec (uncompressed BMP, binary PPM, PCM WAV). Compressed formats
+    (JPEG/PNG/MP3/H.264) still raise — those libraries (PIL/cv2/ffmpeg) are
+    not in this container; plug them in here in production. The Spark
+    plumbing (schema, Arrow batching, partitioning) is identical either way.
+    """
+    content = content or b""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:2] == b"P6":
+        return decode_ppm(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
     raise NotImplementedError(
-        "media decode requires PIL/cv2/librosa — not available in this "
-        "container; inject a decode_fn (tests use fake_decode)"
+        f"no pure-stdlib codec for {media_type!r} (magic {content[:4]!r}); "
+        "compressed formats need PIL/cv2/ffmpeg — inject a decode_fn"
     )
 
 
