@@ -33,10 +33,12 @@ exceeding the per-source request rate.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import random
 import time
+import tomllib
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,38 +78,105 @@ class FetchSpec:
         return 0 if self.pagination == "post_body" else 1
 
 
-# The reference's four API sources + one HTML source, values from
-# src/configs/{krave_mart,bazaar_app,dealcart,pandamart,naheed}.toml.
-REFERENCE_FETCH_SPECS: dict[str, FetchSpec] = {
-    "krave_mart": FetchSpec(
-        source="krave_mart", base_url="https://k2products.kravemart.com",
-        method="GET", pagination="page", page_param="page",
-        limit_param="limit", default_limit=100,
-        auth_env="KRAVE_MART_TOKEN", data_path="data[].krave_mart_products[]",
-    ),
-    "bazaar_app": FetchSpec(
-        source="bazaar_app", base_url="https://www.bazaarapp.com",
-        method="POST", endpoint="/api/products/core-category",
-        pagination="post_body", page_param="page", limit_param="size",
-        default_limit=20, category_field="coreCategorySlug",
-    ),
-    "dealcart": FetchSpec(
-        source="dealcart", base_url="https://api.dealcart.io",
-        method="GET", endpoint="/api/consumer/products/pricing-with-variant",
-        pagination="none", limit_param="limit", default_limit=2000,
-        data_path="body.results",
-    ),
-    "pandamart": FetchSpec(
-        source="pandamart", base_url="https://www.foodpanda.pk",
-        method="GRAPHQL", pagination="none",
-    ),
-    "naheed": FetchSpec(
-        source="naheed", base_url="https://www.naheed.pk",
-        method="HTML", pagination="page", page_param="p",
-        max_pages=5, rate_limit_ms=2000, jitter_ms=1000, retries=3,
-        user_agent="Mozilla/5.0",
-    ),
-}
+# -- file-loadable specs -------------------------------------------------------
+#
+# The reference drives its sources from on-disk TOML documents
+# (/root/reference/src/configs/*.toml, loaded at src/config/api_config.rs:61-66).
+# Mirrored here: one flat TOML (or JSON) document per source; adding a source
+# is a config drop, not a code edit. Secrets are still never on disk — a
+# document carries only the env-var NAME (`auth_env`).
+
+
+def spec_from_dict(d: dict) -> FetchSpec:
+    """Build a spec from a parsed config document; unknown keys are a hard
+    error (a typo'd field silently falling back to a default is how a crawler
+    ends up hammering page 1 fifty times)."""
+    names = {f.name for f in dataclasses.fields(FetchSpec)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"unknown fetch-spec field(s): {sorted(unknown)}")
+    if "source" not in d or "base_url" not in d:
+        raise ValueError("fetch spec requires 'source' and 'base_url'")
+    return FetchSpec(**d)
+
+
+def spec_to_dict(spec: FetchSpec) -> dict:
+    """Serializable view: defaults and None-valued fields dropped, so the
+    document stays as minimal as the hand-written ones."""
+    out = {}
+    for f in dataclasses.fields(FetchSpec):
+        v = getattr(spec, f.name)
+        default = f.default if f.default is not dataclasses.MISSING else (
+            f.default_factory() if f.default_factory is not dataclasses.MISSING else None
+        )
+        if v is not None and v != default:
+            out[f.name] = v
+    out["source"] = spec.source
+    out["base_url"] = spec.base_url
+    return out
+
+
+def load_spec(path: str) -> FetchSpec:
+    """Load one spec document (.toml via stdlib tomllib, or .json)."""
+    with open(path, "rb") as fh:
+        if path.endswith(".toml"):
+            d = tomllib.load(fh)
+        else:
+            d = json.loads(fh.read())
+    return spec_from_dict(d)
+
+
+def save_spec(spec: FetchSpec, path: str) -> None:
+    """Write a spec as a JSON document `load_spec` round-trips (stdlib has
+    no TOML writer; load accepts both)."""
+    with open(path, "w") as fh:
+        json.dump(spec_to_dict(spec), fh, indent=2, sort_keys=True)
+        fh.write("\n")
+
+
+def load_specs(config_dir: str) -> dict[str, FetchSpec]:
+    """Load every *.toml / *.json under `config_dir`, keyed by source name.
+    Two documents claiming the same source name is a hard error."""
+    specs: dict[str, FetchSpec] = {}
+    paths = sorted(
+        os.path.join(config_dir, p)
+        for p in os.listdir(config_dir)
+        if p.endswith((".toml", ".json"))
+    )
+    for p in paths:
+        s = load_spec(p)
+        if s.source in specs:
+            raise ValueError(f"duplicate source {s.source!r} in {p}")
+        specs[s.source] = s
+    return specs
+
+
+def _packaged_specs() -> dict[str, FetchSpec]:
+    """Load the spec documents shipped inside the package. Goes through
+    importlib.resources so it works both from a source checkout and from
+    the spark-submit --py-files zip (where os.listdir can't)."""
+    from importlib import resources
+
+    specs: dict[str, FetchSpec] = {}
+    root = resources.files(__package__) / "configs"
+    for entry in sorted(root.iterdir(), key=lambda e: e.name):
+        if entry.name.endswith(".toml"):
+            d = tomllib.loads(entry.read_text())
+        elif entry.name.endswith(".json"):
+            d = json.loads(entry.read_text())
+        else:
+            continue
+        s = spec_from_dict(d)
+        if s.source in specs:
+            raise ValueError(f"duplicate source {s.source!r} in {entry.name}")
+        specs[s.source] = s
+    return specs
+
+
+# The reference's four API sources + one HTML source, loaded from the
+# packaged config documents (values from the reference's
+# src/configs/{krave_mart,bazaar_app,dealcart,pandamart,naheed}.toml).
+REFERENCE_FETCH_SPECS: dict[str, FetchSpec] = _packaged_specs()
 
 
 def resolve_headers(spec: FetchSpec, env=None) -> dict:

@@ -18,7 +18,9 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .toml: the per-source fetch-spec documents under
+                # sources/configs/ ride along with the code.
+                if fn.endswith((".py", ".toml")):
                     full = os.path.join(root, fn)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)

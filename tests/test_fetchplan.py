@@ -9,6 +9,7 @@ declarative extractor.
 """
 
 import json
+import os
 
 import pytest
 
@@ -21,7 +22,10 @@ from data_pipeline_spark.sources.fetchplan import (
     crawl,
     drive_pagination,
     extract_products_py,
+    load_spec,
+    load_specs,
     resolve_headers,
+    save_spec,
     spec_with,
 )
 
@@ -263,3 +267,70 @@ def test_crawl_lands_pages_and_flattens(spark):
     )
     assert out.count() == 12
     assert out.where("category = 'veg'").count() == 4
+
+
+# -- file-loadable specs (VERDICT r2 Next round #4) ---------------------------
+
+
+def test_specs_load_from_packaged_toml():
+    """REFERENCE_FETCH_SPECS now comes from on-disk TOML documents (the
+    reference's src/configs/*.toml role, minus the committed secrets)."""
+    import data_pipeline_spark.sources as pkg
+
+    cfg_dir = os.path.join(os.path.dirname(pkg.__file__), "configs")
+    files = sorted(os.listdir(cfg_dir))
+    assert {"krave_mart.toml", "bazaar_app.toml", "dealcart.toml",
+            "pandamart.toml", "naheed.toml"} <= set(files)
+    specs = load_specs(cfg_dir)
+    assert specs == REFERENCE_FETCH_SPECS
+    # no secret material on disk, only the env-var name
+    raw = open(os.path.join(cfg_dir, "krave_mart.toml")).read()
+    assert "Bearer" not in raw and "eyJ" not in raw
+    assert specs["krave_mart"].auth_env == "KRAVE_MART_TOKEN"
+
+
+def test_new_source_is_a_config_drop_not_a_code_edit(tmp_path, spark):
+    """Adding a source = dropping one document into a config dir; the loaded
+    spec drives the full pagination/crawl machinery with zero code changes."""
+    (tmp_path / "freshmart.toml").write_text(
+        'source = "freshmart"\n'
+        'base_url = "https://api.freshmart.example"\n'
+        'method = "GET"\n'
+        'pagination = "page"\n'
+        'page_param = "p"\n'
+        'limit_param = "limit"\n'
+        'default_limit = 50\n'
+        'max_pages = 3\n'
+    )
+    specs = load_specs(str(tmp_path))
+    spec = specs["freshmart"]
+    assert spec.default_limit == 50 and spec.max_pages == 3
+
+    def fetch(req):
+        assert req["url"].startswith("https://api.freshmart.example/")
+        assert "p=" in req["url"] and "limit=50" in req["url"]
+        page = req["page"]
+        n = 2 if page == 1 else 0
+        return json.dumps({"products": [{"id": str(i)} for i in range(n)]})
+
+    rows = crawl(spark, spec, ["veg"], fetch, sleep=None).collect()
+    assert len(rows) == 1 and rows[0]["n_products"] == 2
+
+
+def test_spec_round_trip_and_validation(tmp_path):
+    spec = REFERENCE_FETCH_SPECS["naheed"]
+    p = str(tmp_path / "naheed.json")
+    save_spec(spec, p)
+    assert load_spec(p) == spec
+    # unknown field is a hard error, not a silent default
+    (tmp_path / "bad.toml").write_text(
+        'source = "b"\nbase_url = "https://b"\nmax_pgaes = 9\n'
+    )
+    with pytest.raises(ValueError, match="max_pgaes"):
+        load_spec(str(tmp_path / "bad.toml"))
+    # duplicate source names across documents is a hard error
+    (tmp_path / "dup.toml").write_text('source = "naheed"\nbase_url = "https://x"\n')
+    (tmp_path / "dup2.toml").write_text('source = "naheed"\nbase_url = "https://y"\n')
+    os.remove(str(tmp_path / "bad.toml"))
+    with pytest.raises(ValueError, match="duplicate source"):
+        load_specs(str(tmp_path))
