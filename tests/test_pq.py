@@ -128,3 +128,37 @@ def test_ivf_composition_scores_only_probed_lists(spark, vecs):
     out = PQ.pq_topk(cbs, codes, queries, k=5).collect()
     allowed = {r["id"] for r in cand_ids.collect()}
     assert out and all(r["neighbor_id"] in allowed for r in out)
+
+
+def test_rerank_beats_adc_and_matches_exact_on_full_shortlist(spark, vecs):
+    """Two-stage search: ADC shortlist -> exact re-rank. With the shortlist
+    spanning the whole corpus the result must EQUAL brute force (the re-rank
+    is the exact scorer); with a small shortlist it must still beat raw ADC
+    recall."""
+    cbs = PQ.fixed_codebooks(DIM, M, KC, seed=7)
+    codes = PQ.pq_encode(vecs, cbs)
+    queries = vecs.where("vec_id < 10")
+    k = 5
+
+    exact = {}
+    for r in topk_bruteforce(vecs, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # full shortlist == exact
+    full = PQ.pq_topk_rerank(cbs, codes, vecs, queries, k=k, shortlist=10_000)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+    assert got == exact
+
+    def hits(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(exact[q] & by_q.get(q, set())) for q in exact)
+
+    adc = hits(PQ.pq_topk(cbs, codes, queries, k=k))
+    rr = hits(PQ.pq_topk_rerank(cbs, codes, vecs, queries, k=k, shortlist=40))
+    assert rr >= adc
+    assert rr / (len(exact) * k) >= 0.8  # measured: ~0.94 on this fixture
