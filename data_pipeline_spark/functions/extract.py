@@ -551,8 +551,18 @@ def extract_dom_features(html: str) -> list[list[float]]:
     similarity/ANN operators (array<float> embedding input).
     """
     root = _build_dom(html)
+    parents, depths = _dom_context(root)
+    out: list[list[float]] = []
+    for tag in _CANDIDATE_TAGS:
+        for el in root.iter_descendants():
+            if el.tag != tag:
+                continue
+            out.append(_node_features(el, parents, depths))
+    return out
 
-    # depth + parent maps in one walk (reference counts self..root chain).
+
+def _dom_context(root: Node) -> tuple[dict[int, Node], dict[int, int]]:
+    """Depth + parent maps in one walk (reference counts self..root chain)."""
     parents: dict[int, Node] = {}
     depths: dict[int, int] = {id(root): 0}
 
@@ -563,37 +573,99 @@ def extract_dom_features(html: str) -> list[list[float]]:
             walk(child)
 
     walk(root)
+    return parents, depths
 
-    def has_link(node: Node) -> bool:
-        return any(d.tag == "a" for d in node.iter_descendants())
 
-    out: list[list[float]] = []
-    for tag in _CANDIDATE_TAGS:
-        for el in root.iter_descendants():
-            if el.tag != tag:
-                continue
+def _node_features(
+    el: Node, parents: dict[int, Node], depths: dict[int, int]
+) -> list[float]:
+    """The 17-dim H12 feature vector for one element in full-DOM context
+    (html_fetcher.rs:725-788)."""
+    text = " ".join(el.text_chunks())
+    parent = parents.get(id(el))
+    parent_ctx = " ".join(parent.classes()) if parent is not None else ""
+    feats = [
+        float(len(text)),
+        float(sum(1 for c in text if c.isupper())),
+        float(sum(1 for c in text if c.isnumeric())),
+        float(len(text.split())),
+    ]
+    feats += [1.0 if p.search(text) else 0.0 for p in _PRICE_PATTERNS]
+    feats += [1.0 if p.search(text) else 0.0 for p in _NAME_PATTERNS]
+    feats += [
+        float(depths[id(el)]),
+        float(len(el.classes())),
+        float(len(el.attrs)),
+        1.0 if any(d.tag == "a" for d in el.iter_descendants()) else 0.0,
+        1.0 if "product" in parent_ctx else 0.0,
+        1.0 if "item" in parent_ctx else 0.0,
+        1.0 if "grid" in parent_ctx else 0.0,
+    ]
+    return feats
+
+
+# Training-example selectors (naheed_store.rs:460,571-580): positives are
+# product-looking containers; negatives are site-chrome sections, capped at
+# 2 per selector per page.
+POSITIVE_EXAMPLE_SELECTORS = ["div[class*='product']", ".product-item", ".item"]
+NEGATIVE_EXAMPLE_SELECTORS = [
+    "header", "footer", "nav", ".navigation", ".menu",
+    ".breadcrumb", ".sidebar", ".advertisement",
+]
+
+
+def extract_training_examples(html: str) -> list[dict]:
+    """H11 training-data generation (naheed_store.rs:453-600).
+
+    Positive examples: elements matching any POSITIVE_EXAMPLE_SELECTORS
+    part (the reference's comma-compound selector, naheed_store.rs:460)
+    where the name or price cascade extracts something
+    (create_positive_example, :543-563). Negative examples: up to 2
+    elements per NEGATIVE_EXAMPLE_SELECTORS entry with >10 chars of text
+    (create_negative_examples, :565-600). One divergence, on purpose: the
+    reference featurizes a *simplified* re-parse of the example fragment
+    (example_to_candidate, :644-658 — hardcoded tag/depth, empty classes);
+    we featurize the element in full-DOM context with the same H12 vector
+    the scoring path uses, so train and score see one distribution.
+    """
+    root = _build_dom(html)
+    parents, depths = _dom_context(root)
+    examples: list[dict] = []
+
+    pos_preds = [_compile_selector(s) for s in POSITIVE_EXAMPLE_SELECTORS]
+    # One document-order pass over the compound selector, each element once
+    # (scraper's Html::select yields per-element, not per-selector-part).
+    for el in root.iter_descendants():
+        if not any(p is not None and p(el) for p in pos_preds):
+            continue
+        name = _extract_name(el)
+        price = _extract_price(el)
+        if name is None and price is None:
+            continue
+        examples.append(
+            {
+                "label": 1.0,
+                "features": _node_features(el, parents, depths),
+                "name": name,
+                "price": price,
+                "section": "product-section",
+            }
+        )
+
+    for sel in NEGATIVE_EXAMPLE_SELECTORS:
+        for el in select(root, sel)[:2]:
             text = " ".join(el.text_chunks())
-            parent = parents.get(id(el))
-            parent_ctx = " ".join(parent.classes()) if parent is not None else ""
-            feats = [
-                float(len(text)),
-                float(sum(1 for c in text if c.isupper())),
-                float(sum(1 for c in text if c.isnumeric())),
-                float(len(text.split())),
-            ]
-            feats += [1.0 if p.search(text) else 0.0 for p in _PRICE_PATTERNS]
-            feats += [1.0 if p.search(text) else 0.0 for p in _NAME_PATTERNS]
-            feats += [
-                float(depths[id(el)]),
-                float(len(el.classes())),
-                float(len(el.attrs)),
-                1.0 if has_link(el) else 0.0,
-                1.0 if "product" in parent_ctx else 0.0,
-                1.0 if "item" in parent_ctx else 0.0,
-                1.0 if "grid" in parent_ctx else 0.0,
-            ]
-            out.append(feats)
-    return out
+            if text.strip() and len(text) > 10:
+                examples.append(
+                    {
+                        "label": 0.0,
+                        "features": _node_features(el, parents, depths),
+                        "name": None,
+                        "price": None,
+                        "section": sel,
+                    }
+                )
+    return examples
 
 
 # ---------------------------------------------------------------------------
@@ -680,3 +752,27 @@ def dom_features_udf():
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(_series_dom_features, "array<array<float>>")
+
+
+TRAINING_EXAMPLE_DDL = (
+    "array<struct<label:double,features:array<float>,"
+    "name:string,price:string,section:string>>"
+)
+
+
+def _series_training_examples(s: pd.Series) -> pd.Series:
+    def one(b):
+        return [
+            (e["label"], e["features"], e["name"], e["price"], e["section"])
+            for e in extract_training_examples(_decode(b))
+        ]
+
+    return s.map(one)
+
+
+def training_examples_udf():
+    """pandas UDF: html binary → array<struct> of labeled H11 training
+    examples (naheed_store.rs:453-600)."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_series_training_examples, TRAINING_EXAMPLE_DDL)

@@ -120,3 +120,39 @@ def extract_products_with_fallback(
         *id_cols, F.lit("ml").alias("method"), F.col("_rec.*")
     )
     return rule_hits.unionByName(ml_hits)
+
+
+def training_examples(
+    df: DataFrame, html_col: str = "html", id_cols=("url",)
+) -> DataFrame:
+    """Generate labeled training examples from raw pages — the reference's
+    ``generate_training_data`` loop (naheed_store.rs:453-600) as one
+    vectorized pass: positives from product-looking containers whose
+    name/price cascade fires, negatives from site chrome (≤2 per selector
+    per page). Returns (id, example_idx, label, features, name, price,
+    section) rows ready for :func:`train_fallback_model`.
+    """
+    from ..functions.extract import training_examples_udf
+
+    te = training_examples_udf()
+    return df.select(
+        *id_cols, F.posexplode(te(F.col(html_col))).alias("example_idx", "_ex")
+    ).select(*id_cols, "example_idx", F.col("_ex.*"))
+
+
+def train_from_pages(
+    df: DataFrame,
+    html_col: str = "html",
+    id_cols=("url",),
+    num_trees: int = 20,
+    seed: int = 42,
+):
+    """End-to-end: pages → labeled examples → fitted fallback forest — the
+    reference's ``collect_training_data`` + ``train_ml_model`` pipeline
+    (naheed_store.rs:514-623) minus the fetch (the pages DataFrame is the
+    tail's output here). Distributed: example generation is one Arrow pass,
+    the fit is pyspark.ml."""
+    labeled = training_examples(df, html_col=html_col, id_cols=id_cols)
+    return train_fallback_model(
+        labeled.select("features", "label"), num_trees=num_trees, seed=seed
+    )
