@@ -182,6 +182,51 @@ WHERE p.price <> c.price OR p.st <> c.st
 """
 
 
+def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-format adapter (`sources/debezium.py`): events → Debezium JSON
+    envelopes (`to_debezium`) → parsed typed change frame
+    (`parse_debezium`, native from_json). The DuckDB twin computes the
+    target frame directly from the table with no JSON anywhere, so parity
+    proves the envelope construction + parse round trip is lossless —
+    including microsecond timestamps and float payloads."""
+    from data_pipeline_spark.sources.debezium import parse_debezium, to_debezium
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    src = ev.withColumn(
+        "op",
+        F.when(F.col("event_id") % 10 <= 6, F.lit("insert"))
+        .when(F.col("event_id") % 10 <= 8, F.lit("update"))
+        .otherwise(F.lit("delete")),
+    )
+    wire = to_debezium(
+        src,
+        payload_cols=["event_id", "ts", "user_id", "event_type", "value"],
+        op_col="op",
+        lsn_col="event_id",
+        ts_col="ts",
+    )
+    parsed = parse_debezium(
+        wire,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+        " value double",
+    )
+    return parsed.select(
+        "op", "event_id", "ts", "user_id", "event_type", "value", "lsn"
+    )
+
+
+_SQL_DEBEZIUM_ROUNDTRIP = """
+SELECT CASE WHEN event_id % 10 <= 6 THEN 'insert'
+            WHEN event_id % 10 <= 8 THEN 'update'
+            ELSE 'delete' END AS op,
+       event_id, ts, user_id, event_type, round(value, 6) AS value,
+       event_id AS lsn
+FROM events
+"""
+
+
 def q_merge_into_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic declarative MERGE (Delta/Iceberg `MERGE INTO` surface,
     `lake/merge.py::MergeBuilder`): all four clause families — matched
@@ -1942,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        # --- new this round ---
+        "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2012,6 +2059,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
+        "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,
