@@ -227,6 +227,74 @@ FROM events
 """
 
 
+def q_cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse column-level patch apply (`operators/patch.py`): interleaved
+    partial updates, deletes, and a post-delete resurrection folded onto a
+    base snapshot in ONE hash aggregation + ONE full-outer join (per-column
+    max_by LWW — no window, no per-key iteration). The DuckDB twin computes
+    the final state by direct case analysis of the same deterministic
+    patch schedule."""
+    from data_pipeline_spark.operators.patch import apply_patches
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("oprice"),
+        F.col("o_orderstatus").alias("ostatus"),
+    )
+    base = o.where("k % 2 = 0").select(
+        "k", F.col("oprice").alias("price"), F.col("ostatus").alias("status")
+    )
+    nullmap = F.lit(None).cast("map<string,string>")
+    p1 = o.where("k % 3 = 0").select(
+        "k", F.lit(1).cast("bigint").alias("lsn"), F.lit("upsert").alias("op"),
+        F.create_map(F.lit("price"), (F.col("oprice") + 5).cast("string")).alias("patch"),
+    )
+    p2 = o.where("k % 5 = 0").select(
+        "k", F.lit(2).cast("bigint").alias("lsn"), F.lit("upsert").alias("op"),
+        F.create_map(F.lit("status"), F.lit("X")).alias("patch"),
+    )
+    p3 = o.where("k % 7 = 0").select(
+        "k", F.lit(3).cast("bigint").alias("lsn"), F.lit("delete").alias("op"),
+        nullmap.alias("patch"),
+    )
+    p4 = o.where("k % 21 = 0").select(
+        "k", F.lit(4).cast("bigint").alias("lsn"), F.lit("upsert").alias("op"),
+        F.create_map(F.lit("price"), F.lit("1.0")).alias("patch"),
+    )
+    patches = p1.unionByName(p2).unionByName(p3).unionByName(p4)
+    out = apply_patches(base, patches, key_cols=["k"], value_cols=["price", "status"])
+    return out.select(
+        F.col("k").alias("o_orderkey"), F.round("price", 2).alias("price"), "status"
+    )
+
+
+_SQL_PATCH_APPLY = """
+WITH s AS (
+  SELECT o_orderkey AS k, round(o_totalprice, 2) AS oprice,
+         o_orderstatus AS ostatus,
+         (o_orderkey % 2 = 0) AS in_base,
+         (o_orderkey % 3 = 0) AS p_price,
+         (o_orderkey % 5 = 0) AS p_status,
+         (o_orderkey % 7 = 0) AS deleted,
+         (o_orderkey % 21 = 0) AS resurrected
+  FROM orders
+)
+SELECT k AS o_orderkey,
+       round(CASE WHEN resurrected THEN 1.0
+                  WHEN deleted THEN NULL
+                  WHEN p_price THEN oprice + 5
+                  WHEN in_base THEN oprice END, 2) AS price,
+       CASE WHEN deleted AND NOT resurrected THEN NULL
+            WHEN resurrected THEN NULL
+            WHEN p_status THEN 'X'
+            WHEN in_base THEN ostatus END AS status
+FROM s
+WHERE (in_base AND NOT deleted)
+   OR (NOT deleted AND (p_price OR p_status))
+   OR resurrected
+"""
+
+
 def q_merge_into_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic declarative MERGE (Delta/Iceberg `MERGE INTO` surface,
     `lake/merge.py::MergeBuilder`): all four clause families — matched
@@ -1989,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # --- new this round ---
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
+        "cdc_patch_apply": q_cdc_patch_apply,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2060,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
+        "cdc_patch_apply": _SQL_PATCH_APPLY,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,
