@@ -295,6 +295,44 @@ WHERE (in_base AND NOT deleted)
 """
 
 
+def q_cdc_tx_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-aligned epoch assignment (`sources/transactions.py`):
+    pack source transactions into ~target-size epochs in commit order
+    without ever splitting one. The engine runs the distributed two-pass
+    prefix sum (range partition → partition sums → offsets); the DuckDB
+    twin uses a plain global window cumsum — same math, different
+    execution, equal epochs."""
+    from data_pipeline_spark.sources.transactions import align_epochs
+
+    ch = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("event_id") / 20).cast("bigint").alias("tx_id"),
+        F.col("event_id").cast("bigint").alias("lsn"),
+    )
+    out = align_epochs(ch, target_events=500, num_partitions=8)
+    return out.groupBy("epoch").agg(
+        F.countDistinct("tx_id").alias("n_tx"),
+        F.count("*").alias("n_events"),
+        F.max("lsn").alias("hi_commit"),
+    )
+
+
+_SQL_TX_ALIGN = """
+WITH tx AS (
+  SELECT event_id // 20 AS tx_id, count(*) AS n, max(event_id) AS commit_lsn
+  FROM events GROUP BY 1
+), ordered AS (
+  SELECT tx_id, n, commit_lsn,
+         sum(n) OVER (ORDER BY commit_lsn, tx_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS start
+  FROM tx
+)
+SELECT CAST(floor(start / 500) AS int) AS epoch,
+       count(*) AS n_tx, sum(n) AS n_events, max(commit_lsn) AS hi_commit
+FROM ordered GROUP BY 1
+"""
+
+
 def q_merge_into_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic declarative MERGE (Delta/Iceberg `MERGE INTO` surface,
     `lake/merge.py::MergeBuilder`): all four clause families — matched
@@ -2058,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_patch_apply": q_cdc_patch_apply,
+        "cdc_tx_align": q_cdc_tx_align,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2130,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "cdc_patch_apply": _SQL_PATCH_APPLY,
+        "cdc_tx_align": _SQL_TX_ALIGN,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,
