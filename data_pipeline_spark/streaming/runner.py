@@ -127,6 +127,32 @@ def stage_changes(spark: SparkSession, df: DataFrame, table: LakeTable) -> DataF
     return staged
 
 
+VALID_OPS = ("insert", "update", "delete")
+
+
+def split_poison(
+    df: DataFrame, key_col: str, op_col: str = "op", lsn_col: str = "lsn"
+) -> tuple[DataFrame, DataFrame]:
+    """Split an epoch into (good, poison): poison rows have a null key, a
+    null lsn, or an unknown op — any of which would silently corrupt the
+    merge (a null-key LWW group, an un-orderable event, an op the merge
+    can't classify). Returns poison with a ``_reason`` column; both frames
+    are filters over the same scan (no extra shuffle)."""
+    null_key = F.col(key_col).isNull()
+    null_lsn = F.col(lsn_col).isNull()
+    bad_op = ~F.coalesce(F.col(op_col).isin(*VALID_OPS), F.lit(False))
+    bad = null_key | null_lsn | bad_op
+    reason = (
+        F.when(null_key, F.lit("null_key"))
+        .when(null_lsn, F.lit("null_lsn"))
+        .otherwise(F.lit("unknown_op"))
+    )
+    return (
+        df.where(~F.coalesce(bad, F.lit(True))),
+        df.where(F.coalesce(bad, F.lit(True))).withColumn("_reason", reason),
+    )
+
+
 class ReplayRunner:
     def __init__(
         self,
@@ -138,6 +164,7 @@ class ReplayRunner:
         merge_mode: str = "cow",
         compact_every: int | None = None,
         branch: str | None = None,
+        quarantine_dir: str | None = None,
     ):
         """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
         stay cheap); "mor" appends winner deltas per epoch — O(epoch)
@@ -146,7 +173,15 @@ class ReplayRunner:
 
         ``branch`` stages every epoch commit on a WAP branch (created if
         absent): main's readers see nothing until the caller audits
-        ``table.read(ref=branch)`` and ``table.fast_forward(branch)``."""
+        ``table.read(ref=branch)`` and ``table.fast_forward(branch)``.
+
+        ``quarantine_dir`` opts into per-epoch dead-lettering: rows that
+        would corrupt the merge (null key, null lsn, unknown op) are
+        written to ``quarantine_dir/epoch=N`` with a ``_reason`` column
+        and counted in the epoch metrics instead of entering the table —
+        at 10^10 events a poison row must be isolated with provenance,
+        never applied and never fatal. Default (None) preserves the raw
+        pass-through behavior."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
@@ -155,6 +190,7 @@ class ReplayRunner:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.branch = branch
+        self.quarantine_dir = quarantine_dir
         if branch is not None and branch not in table.meta.get("branches", {}):
             table.create_branch(branch)
         self._applied_since_compact = 0
@@ -195,6 +231,20 @@ class ReplayRunner:
             self._seen_version = max_v
         self._maybe_evolve(df, epoch, max_v=max_v)
 
+        n_quarantined = 0
+        if self.quarantine_dir is not None:
+            good, poison = split_poison(df, self.table.key_col)
+            qdir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
+            # Count rides the write job (no extra pass over the epoch).
+            from pyspark.sql import Observation
+
+            qobs = Observation()
+            poison.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(qdir)
+            n_quarantined = qobs.get["n"]
+            df = good
+
         staged = stage_changes(self.spark, df, self.table)
 
         # Lineage: the exact files read for this epoch (per-partition offsets
@@ -234,6 +284,7 @@ class ReplayRunner:
             "skipped": False,
             "input_files": input_files,
             "input_bytes": input_bytes,
+            "quarantined": int(n_quarantined),
             "duration_sec": round(time.monotonic() - t0, 3),
             "table_version": self.table.meta["version"],
             **merge_metrics,
