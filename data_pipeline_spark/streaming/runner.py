@@ -338,3 +338,57 @@ def make_table_for_log(
         spark, path, registry.table_schema(schema_version), key_col=key_col,
         n_buckets=n_buckets,
     )
+
+
+def bootstrap_from_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    table: LakeTable,
+    checkpoints: CheckpointStore,
+    epoch: int = 0,
+) -> dict:
+    """Debezium initial-snapshot bootstrap: apply a consistent source
+    snapshot as ONE exactly-once epoch commit, after which the WAL tail
+    replays as epochs > ``epoch``.
+
+    Rows missing an ``op`` column are treated as inserts (the wire
+    equivalent: Debezium snapshot events carry op 'r', which
+    ``sources.debezium.parse_debezium`` already maps to insert). Each row
+    should carry its true per-row ``(warc_ts, lsn)``: the merge's GLOBAL
+    LWW then makes at-least-once redelivery WITHIN the tail harmless, and
+    redelivered pre-snapshot events lose to the snapshot image of any
+    live key. Tombstones are the one thing to get right, because LWW
+    orders by EVENT time first and the tail arrives in ARRIVAL order:
+
+    - Lake-to-lake bootstrap (exact under arbitrary out-of-order event
+      time): include each deleted key's winning delete event as an
+      ``op='delete'`` row — the merge persists it as a tombstone, so a
+      later-arriving event with an older ``warc_ts`` still loses. This is
+      the Cassandra gc_grace argument: drop tombstones only past the
+      late-event horizon.
+    - Wire snapshot (Debezium-style, no tombstones available): correct
+      under the standard contract — the tail starts at the consistent
+      point AND pre-snapshot-deleted keys see no post-snapshot events
+      with pre-delete event times. Late events can otherwise resurrect a
+      key whose delete history exists only in the discarded prefix.
+
+    Re-running the bootstrap hits the epoch ledger and skips
+    (exactly-once).
+    """
+    df = snapshot
+    if "op" not in df.columns:
+        df = df.withColumn("op", F.lit("insert"))
+    if checkpoints.is_done(epoch):
+        return {"epoch": epoch, "skipped": True, "reason": "checkpointed"}
+    t0 = time.monotonic()
+    staged = stage_changes(spark, df, table)
+    merge_metrics = table.merge(staged, epoch=epoch)
+    record = {
+        "skipped": False,
+        "bootstrap": True,
+        "duration_sec": round(time.monotonic() - t0, 3),
+        "table_version": table.meta["version"],
+        **merge_metrics,
+    }
+    checkpoints.record(epoch, record)
+    return {"epoch": epoch, **record}

@@ -111,3 +111,57 @@ def test_aligned_log_replays_with_tx_atomic_commits(spark, tmp_path):
     }
     assert tx_committed and tx_pending
     assert not (tx_committed & tx_pending)  # no half-applied transaction
+
+
+def test_bootstrap_then_tail_with_overlap(spark, tmp_path):
+    """Initial-snapshot flow: snapshot (winners INCLUDING delete
+    tombstones — warc_ts is out-of-order vs lsn, so tombstones are what
+    keeps post-cut events with pre-delete event times from resurrecting
+    deleted keys) applied as epoch 0, tail replays epochs 1+ from the
+    consistent point; at-least-once redelivery WITHIN the tail changes
+    nothing (global LWW); re-running the bootstrap skips via the
+    ledger."""
+    from data_pipeline_spark.plans.registry import SchemaRegistry
+    from data_pipeline_spark.sources import changelog
+    from data_pipeline_spark.sources.datagen import gen_changes
+    from data_pipeline_spark.streaming.checkpoint import CheckpointStore
+    from data_pipeline_spark.streaming.runner import (
+        ReplayRunner,
+        bootstrap_from_snapshot,
+        make_table_for_log,
+    )
+
+    ch = gen_changes(spark, 600, events_per_epoch=200, seed=17)
+    cut = 300  # consistent point: snapshot = LWW state of lsn < cut
+    from data_pipeline_spark.operators.dedup import lww_dedup
+
+    pre = ch.where(F.col("lsn") < cut).drop("epoch")
+    snapshot = lww_dedup(pre, key_cols=("url",), order_cols=("warc_ts", "lsn"))
+    assert snapshot.where("op = 'delete'").count() > 0  # tombstones in play
+    # tail from the consistent point; epoch 2 redelivers a slice of epoch
+    # 1 (at-least-once within the tail)
+    tail = ch.where(F.col("lsn") >= cut).withColumn("epoch", F.lit(1))
+    redelivered = ch.where(
+        (F.col("lsn") >= cut) & (F.col("lsn") % 7 == 0)
+    ).withColumn("epoch", F.lit(2))
+    log_dir = str(tmp_path / "tail_log")
+    changelog.write_log(tail.unionByName(redelivered), log_dir)
+
+    reg = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t"), reg, n_buckets=4)
+    cp = CheckpointStore(str(tmp_path / "cp"))
+    rec = bootstrap_from_snapshot(spark, snapshot, table, cp, epoch=0)
+    assert rec["bootstrap"] and not rec["skipped"]
+    assert bootstrap_from_snapshot(spark, snapshot, table, cp, epoch=0)["skipped"]
+    ReplayRunner(spark, log_dir, table, cp, reg).run()
+
+    # truth: full-log replay from genesis
+    full_dir = str(tmp_path / "full_log")
+    changelog.write_log(ch, full_dir)
+    t2 = make_table_for_log(spark, str(tmp_path / "t2"), reg, n_buckets=4)
+    ReplayRunner(spark, full_dir, t2, CheckpointStore(str(tmp_path / "cp2")), reg).run()
+
+    cols = sorted(t2.read().columns)
+    got = sorted(str(tuple(r)) for r in table.read().select(*cols).collect())
+    want = sorted(str(tuple(r)) for r in t2.read().select(*cols).collect())
+    assert got == want
