@@ -1,0 +1,91 @@
+"""spark-submit entrypoint: Debezium wire envelopes → the typed epoch log.
+
+Closes the shippable chain: a directory (or stream landing zone) of
+Debezium JSON-lines becomes the engine's epoch-partitioned change log,
+which ``jobs/replay_job.py`` then applies to the lake table:
+
+    spark-submit --py-files dist/data_pipeline_spark.zip jobs/ingest_job.py \
+        --wire-dir s3://.../debezium-landing --log-dir s3://.../changelog \
+        --row-ddl "url string, warc_ts timestamp, html binary, lang string" \
+        [--epoch-size 1000000 | --tx-col tx_id --epoch-size 1000000] \
+        [--quarantine-dir .../dlq]
+
+Epoch assignment: without ``--tx-col``, events are packed into
+~epoch-size epochs by lsn order (floor(rank/epoch_size) via the same
+two-pass distributed prefix sum); with it, transaction-aligned
+(``sources.transactions.align_epochs`` — no source tx ever straddles a
+commit). Corrupt envelopes dead-letter with the raw line, never kill the
+ingest.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wire-dir", required=True,
+                    help="directory of Debezium JSON-lines files")
+    ap.add_argument("--log-dir", required=True,
+                    help="output epoch-partitioned change log")
+    ap.add_argument("--row-ddl", required=True,
+                    help="payload row DDL, e.g. 'url string, warc_ts "
+                         "timestamp, html binary, lang string'")
+    ap.add_argument("--epoch-size", type=int, default=1_000_000)
+    ap.add_argument("--tx-col", default=None,
+                    help="payload column carrying the source transaction id; "
+                         "epochs then never split a transaction")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="write unparseable envelopes here (raw line + "
+                         "nothing else applied)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.sources.changelog import write_log
+    from data_pipeline_spark.sources.debezium import parse_debezium
+    from data_pipeline_spark.sources.transactions import align_epochs
+
+    spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    wire = spark.read.text(args.wire_dir).withColumnRenamed("value", "value")
+    parsed = parse_debezium(
+        wire, args.row_ddl, keep_corrupt=args.quarantine_dir is not None
+    )
+    n_bad = 0
+    if args.quarantine_dir is not None:
+        bad = parsed.where(F.col("_corrupt").isNotNull()).select(
+            F.col("_corrupt").alias("raw")
+        )
+        bad.write.mode("overwrite").parquet(args.quarantine_dir)
+        n_bad = spark.read.parquet(args.quarantine_dir).count()
+        parsed = parsed.where(F.col("_corrupt").isNull()).drop("_corrupt")
+
+    if args.tx_col:
+        with_epochs = align_epochs(
+            parsed, tx_col=args.tx_col, target_events=args.epoch_size
+        )
+    else:
+        # lsn-ordered packing = tx alignment with every event its own tx
+        with_epochs = align_epochs(
+            parsed.withColumn("__tx", F.col("lsn")),
+            tx_col="__tx",
+            target_events=args.epoch_size,
+        ).drop("__tx")
+
+    write_log(with_epochs.drop("source_ts"), args.log_dir)
+    n = spark.read.parquet(args.log_dir).count()
+    epochs = (
+        spark.read.parquet(args.log_dir).select("epoch").distinct().count()
+    )
+    print(json.dumps({"events": n, "epochs": epochs, "quarantined": n_bad}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--audit-max-delete-frac", type=float, default=None,
                     help="audit: at most this fraction of branch winners "
                          "may be delete tombstones (mass-delete guard)")
+    ap.add_argument("--quarantine-dir", default=None,
+                    help="dead-letter poison rows (null key/lsn, unknown "
+                         "op) here per epoch instead of applying them")
     args = ap.parse_args()
     if args.audit_publish and not args.branch:
         ap.error("--audit-publish requires --branch")
@@ -80,7 +83,7 @@ def main() -> None:
         runner = ReplayRunner(
             spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir),
             registry, merge_mode=args.mode, compact_every=args.compact_every,
-            branch=args.branch,
+            branch=args.branch, quarantine_dir=args.quarantine_dir,
         )
         results = runner.run(max_epochs=args.max_epochs)
     applied = [r for r in results if not r.get("skipped")]
@@ -88,6 +91,7 @@ def main() -> None:
         "epochs_seen": len(results),
         "epochs_applied": len(applied),
         "rows_merged": sum(r.get("staged_rows", 0) for r in applied),
+        "rows_quarantined": sum(r.get("quarantined", 0) for r in applied),
         "table_version": table.meta["version"],
     }
     if args.audit_publish:

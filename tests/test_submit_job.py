@@ -65,12 +65,14 @@ def test_spark_submit_batch_and_streaming(submit_env, tmp_path):
         {
             "zip": zip_path, "log": log_dir,
             "table": str(work / "t_batch"), "cp": str(work / "cp_batch"),
-            "extra": ["--mode", "mor", "--compact-every", "2"],
+            "extra": ["--mode", "mor", "--compact-every", "2",
+                      "--quarantine-dir", str(work / "dlq")],
         },
         cwd=str(tmp_path),
     )
     assert res["epochs_applied"] == 3
     assert res["rows_merged"] > 0
+    assert res["rows_quarantined"] == 0  # clean log; flag exercised end-to-end
 
     res2 = _submit(
         {
@@ -347,3 +349,79 @@ spark.stop()
     )
     assert res["rows"] == 10 and res["ops"] == ["upsert"]
     assert len(res["sids"]) == 2
+
+
+def test_spark_submit_debezium_ingest_then_replay(submit_env, tmp_path, spark):
+    """Wire-to-lake chain as shipped jobs: Debezium JSON-lines →
+    ingest_job (parse + epoch packing + DLQ) → replay_job → lake state
+    equal to replaying the typed log directly."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.sources.datagen import gen_changes
+    from data_pipeline_spark.sources.debezium import to_debezium
+
+    work, log_dir, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    ch = gen_changes(spark, 3000, events_per_epoch=1000, seed=21)
+    wire = to_debezium(
+        ch,
+        payload_cols=["url", "warc_ts", "html", "lang", "schema_version"],
+        op_col="op", lsn_col="lsn", ts_col="warc_ts",
+    )
+    wire_dir = str(work / "wire")
+    junk = spark.createDataFrame([("not json at all",)], "value string")
+    wire.unionByName(junk).coalesce(4).write.mode("overwrite").text(wire_dir)
+
+    def submit(script, extra):
+        out = subprocess.run(
+            [
+                spark_submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", script), *extra,
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    ing = submit("ingest_job.py", [
+        "--wire-dir", wire_dir, "--log-dir", str(work / "wire_log"),
+        "--row-ddl",
+        "url string, warc_ts timestamp, html binary, lang string,"
+        " schema_version int",
+        "--epoch-size", "1000",
+        "--quarantine-dir", str(work / "wire_dlq"),
+    ])
+    assert ing["events"] == 3000 and ing["quarantined"] == 1
+    assert ing["epochs"] == 3
+
+    rep = submit("replay_job.py", [
+        "--log-dir", str(work / "wire_log"),
+        "--table-dir", str(work / "t_wire"),
+        "--checkpoint-dir", str(work / "cp_wire"), "--mode", "mor",
+    ])
+    assert rep["epochs_applied"] == 3 and rep["rows_merged"] > 0
+
+    # truth: replay the typed log directly (fixture already wrote it)
+    rep2 = submit("replay_job.py", [
+        "--log-dir", log_dir,
+        "--table-dir", str(work / "t_direct"),
+        "--checkpoint-dir", str(work / "cp_direct"), "--mode", "mor",
+    ])
+    assert rep2["epochs_applied"] == 3
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    a = LakeTable.load(spark, str(work / "t_wire")).read()
+    b = LakeTable.load(spark, str(work / "t_direct")).read()
+    cols = sorted(b.columns)
+    assert sorted(str(tuple(r)) for r in a.select(*cols).collect()) == sorted(
+        str(tuple(r)) for r in b.select(*cols).collect()
+    )
