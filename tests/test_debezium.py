@@ -119,3 +119,47 @@ def test_no_python_in_row_path(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_roundtrip_adversarial_payload_content(spark):
+    """JSON-escaping gauntlet: quotes, backslashes, newlines, tabs, unicode
+    (CJK/emoji/RTL), control chars, HTML with entities, long strings — all
+    must survive envelope → parse byte-identically (url AND html bytes)."""
+    nasty = [
+        'plain',
+        'quote " inside',
+        "back\\slash and \\\" escaped",
+        "new\nline and \t tab and \r cr",
+        "unicode: 汉字 и кириллица و عربى",
+        "emoji 🎉🚀 and zero-width​ chars",
+        "control \x01\x02\x1f chars",
+        '<html lang="en"><body>R&amp;D &lt;tags&gt; \'quotes\'</body></html>',
+        "{}[]:, json-ish punctuation",
+        "x" * 5000,
+        "",  # empty string (stays a string, not null)
+    ]
+    rows = [
+        (
+            "insert" if i % 3 else "delete",
+            f"https://adv.example/{i}?q=\"{i}\"&x=\\{i}",
+            i,
+            s.encode("utf-8"),
+            s,
+        )
+        for i, s in enumerate(nasty)
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, url string, lsn bigint, html binary, text string"
+    ).withColumn("warc_ts", F.timestamp_millis(F.col("lsn") * 1000 + 123))
+    wire = to_debezium(
+        df, payload_cols=["url", "warc_ts", "html", "text"],
+        op_col="op", lsn_col="lsn", ts_col="warc_ts",
+    )
+    back = parse_debezium(
+        wire, "url string, warc_ts timestamp, html binary, text string"
+    )
+    orig = [tuple(r) for r in df.select(
+        "op", "url", "warc_ts", "html", "text", "lsn").orderBy("lsn").collect()]
+    rt = [tuple(r) for r in back.select(
+        "op", "url", "warc_ts", "html", "text", "lsn").orderBy("lsn").collect()]
+    assert orig == rt
