@@ -56,6 +56,7 @@ class ChangeLogTailer:
         registry: SchemaRegistry | None = None,
         merge_mode: str = "mor",
         max_files_per_trigger: int | None = None,
+        quarantine_dir: str | None = None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -64,12 +65,30 @@ class ChangeLogTailer:
         self.registry = registry
         self.merge_mode = merge_mode
         self.max_files_per_trigger = max_files_per_trigger
+        self.quarantine_dir = quarantine_dir
         self.batch_metrics: list[dict] = []
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # In-flight schema evolution, same rule as the batch path (a batch
         # has no epoch dir for footer stats, so this one uses the agg path).
         maybe_evolve(self.table, self.registry, batch_df)
+        n_quarantined = 0
+        if self.quarantine_dir is not None:
+            # Same dead-letter convention as the batch runner; keyed by
+            # batch id, overwrite => idempotent across batch re-execution.
+            from .runner import split_poison
+
+            good, poison = split_poison(batch_df, self.table.key_col)
+            from pyspark.sql import Observation
+
+            import pyspark.sql.functions as F
+
+            qobs = Observation()
+            poison.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.quarantine_dir, f"batch={batch_id}"))
+            n_quarantined = int(qobs.get["n"])
+            batch_df = good
         staged = stage_changes(self.spark, batch_df, self.table)
         metrics = self.table.merge(
             staged,
@@ -77,7 +96,9 @@ class ChangeLogTailer:
             mode=self.merge_mode,
             extra_summary={"engine.stream-batch": batch_id},
         )
-        self.batch_metrics.append({"batch_id": batch_id, **metrics})
+        self.batch_metrics.append(
+            {"batch_id": batch_id, "quarantined": n_quarantined, **metrics}
+        )
 
     def _source(self) -> DataFrame:
         # Schema from a one-time static read: streaming parquet sources

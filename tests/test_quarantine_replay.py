@@ -100,3 +100,29 @@ def test_default_replay_unchanged_and_metrics_zero(spark, tmp_path):
     assert all(r["quarantined"] == 0 for r in results if not r["skipped"])
     assert not os.path.exists(str(tmp_path / "dlq"))
     assert table.read().count() > 0
+
+
+def test_streaming_tailer_quarantine_parity(spark, tmp_path):
+    """The streaming path dead-letters the same poison the batch path does,
+    keyed by batch id; final table equals the clean-log batch replay."""
+    from data_pipeline_spark.streaming.tailer import ChangeLogTailer
+
+    log_dir, clean_dir = _poisoned_log(spark, tmp_path)
+    reg = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t_s"), reg, n_buckets=4)
+    tailer = ChangeLogTailer(
+        spark, log_dir, table, str(tmp_path / "scp"), registry=reg,
+        quarantine_dir=str(tmp_path / "sdlq"),
+    )
+    metrics = tailer.run_available()
+    assert sum(m["quarantined"] for m in metrics) == 3
+
+    tc, _ = _replay(spark, tmp_path, clean_dir, "sc")
+    cols = sorted(tc.read().columns)
+    a = sorted(str(tuple(r)) for r in table.read().select(*cols).collect())
+    b = sorted(str(tuple(r)) for r in tc.read().select(*cols).collect())
+    assert a == b
+    dlq = spark.read.parquet(str(tmp_path / "sdlq"))
+    assert dlq.count() == 3 and set(
+        r["_reason"] for r in dlq.collect()
+    ) == {"null_key", "null_lsn", "unknown_op"}
