@@ -163,3 +163,34 @@ def test_roundtrip_adversarial_payload_content(spark):
     rt = [tuple(r) for r in back.select(
         "op", "url", "warc_ts", "html", "text", "lsn").orderBy("lsn").collect()]
     assert orig == rt
+
+
+def test_wire_schema_evolution_old_envelopes_widen_with_nulls(spark):
+    """Schema drift over the wire: envelopes written before a payload
+    column existed parse under the WIDENED row DDL with nulls in the new
+    column (from_json's missing-field semantics), so one parse handles a
+    mixed-version stream — the registry's schema_version column rides the
+    payload and drives table evolution downstream as usual."""
+    ch_v1 = gen_changes(spark, 60, events_per_epoch=30, seed=41)
+    wire_v1 = to_debezium(  # fetch_status NOT serialized: pre-evolution wire
+        ch_v1, payload_cols=PAYLOAD, op_col="op", lsn_col="lsn", ts_col="warc_ts"
+    )
+    ch_v2 = gen_changes(
+        spark, 60, events_per_epoch=30, seed=42, evolve_at_epoch=0
+    ).withColumn("lsn", F.col("lsn") + 1000)  # disjoint lsn space vs v1
+    wire_v2 = to_debezium(
+        ch_v2, payload_cols=PAYLOAD + ["fetch_status"],
+        op_col="op", lsn_col="lsn", ts_col="warc_ts",
+    )
+    widened = ROW_DDL + ", fetch_status int"
+    mixed = wire_v1.unionByName(wire_v2)
+    out = parse_debezium(mixed, widened)
+    assert out.count() == 120
+    # old envelopes: new column null; new envelopes: populated for non-deletes
+    joined_old = out.join(ch_v1.select("lsn"), "lsn", "left_semi")
+    assert joined_old.where("fetch_status IS NOT NULL").count() == 0
+    joined_new = out.join(ch_v2.select("lsn"), "lsn", "left_semi")
+    assert joined_new.where("fetch_status IS NOT NULL").count() > 0
+    # narrow parse of a wide envelope also works (column pruning, not error)
+    narrow = parse_debezium(wire_v2, ROW_DDL)
+    assert narrow.count() == 60 and "fetch_status" not in narrow.columns
