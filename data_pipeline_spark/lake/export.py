@@ -116,13 +116,36 @@ def export_changes_wire(
     if from_snap == to_snap:
         return {"from": from_snap, "to": to_snap, "rows": -1, "dir": None}
 
+    # Sweep stale partial exports: a crash between the data write and the
+    # cursor write leaves a directory whose interval end exceeds the
+    # cursor; on retry after MORE commits landed, the new interval has a
+    # different name and the stale dir would double-deliver (from, old_to]
+    # to tree-reading consumers. Anything past the cursor is uncommitted
+    # by definition — remove it before exporting.
+    if os.path.isdir(out_dir):
+        for fn in os.listdir(out_dir):
+            if fn.startswith("commits=") and "-" in fn:
+                try:
+                    dir_to = int(fn.split("-")[-1])
+                except ValueError:
+                    continue
+                if from_snap is None or dir_to > from_snap:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(out_dir, fn), ignore_errors=True)
+
     feed = table.change_feed(from_snap, to_snap)
     wire = changes_to_envelopes(
         feed, table.key_col, payload_cols, lsn_col=lsn_col, ts_col=ts_col
     )
     dest = os.path.join(out_dir, f"commits={from_snap or 0}-{to_snap}")
-    wire.write.mode("overwrite").text(dest)
-    n = table.spark.read.text(dest).count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    wire.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).text(dest)
+    n = int(obs.get["n"])
     tmp = f"{cursor_path}.tmp.{uuid.uuid4().hex}"
     os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
     with open(tmp, "w", encoding="utf-8") as f:

@@ -79,8 +79,16 @@ def decode_bmp(content: bytes) -> list[float]:
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"compressed/{bpp}-bpp BMP not supported")
     height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("BMP header declares non-positive dimensions")
     nbytes = bpp // 8
     row_stride = (width * nbytes + 3) & ~3  # rows pad to 4-byte boundary
+    if pix_off + height * row_stride > len(content):
+        # Truncated payload: header promises more pixels than exist. A
+        # ValueError keeps the corrupt-media contract (callers map decode
+        # errors to the undecoded feature row) instead of an IndexError
+        # killing the task.
+        raise ValueError("truncated BMP: pixel data shorter than header claims")
     tot = [0, 0, 0]
     npix = max(width * height, 1)
     for y in range(height):
@@ -159,8 +167,9 @@ def decode_wav(content: bytes) -> list[float]:
             w.getnframes(),
         )
         raw = w.readframes(nframes)
-    if sw == 1:  # unsigned 8-bit
-        samples = array.array("b", bytes(b - 128 for b in raw))
+    if sw == 1:  # unsigned 8-bit: shift the midpoint to 0 (signed).
+        # array('b') accepts negative ints directly; bytes() would not.
+        samples = array.array("b", [b - 128 for b in raw])
         full = 128.0
     elif sw == 2:  # signed 16-bit little-endian
         samples = array.array("h")

@@ -76,19 +76,33 @@ def compact_log(
         .drop("epoch")
     )
     winners = lww_dedup(prefix_df, key_cols=(key_col,), order_cols=order_cols)
-    dropped = 0
-    if drop_tombstones:
-        n_before = winners.count()
-        winners = winners.where(F.col(op_col) != delete_op)
-        dropped = n_before - winners.count()
 
     os.makedirs(out_dir, exist_ok=True)
-    changelog.write_log(
-        winners.withColumn("epoch", F.lit(int(upto_epoch))), out_dir
+    # Idempotent re-run: the folded epoch is this operator's output, and
+    # write_log appends — a partial previous attempt must not double the
+    # winners. The suffix copies below already guard on existence.
+    shutil.rmtree(os.path.join(out_dir, f"epoch={int(upto_epoch)}"),
+                  ignore_errors=True)
+    # Winner/tombstone counts ride the write job as an observation (the
+    # fold over a 10^10-event prefix is the heaviest stage here — no
+    # extra aggregations over it).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = winners.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(op_col) == delete_op, 1)).alias("tombs"),
     )
-    n_winners = spark.read.parquet(
-        os.path.join(out_dir, f"epoch={upto_epoch}")
-    ).count()
+    out_df = (
+        observed.where(F.col(op_col) != delete_op) if drop_tombstones else observed
+    )
+    changelog.write_log(
+        out_df.withColumn("epoch", F.lit(int(upto_epoch))), out_dir
+    )
+    m = obs.get
+    dropped = int(m["tombs"]) if drop_tombstones else 0
+    n_winners = int(m["n"]) - dropped
 
     for e in suffix:
         src = os.path.join(log_dir, f"epoch={e}")

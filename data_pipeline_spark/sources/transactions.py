@@ -52,6 +52,19 @@ def align_epochs(
     tx = changes.groupBy(tx_col).agg(
         F.count("*").alias("_n"), F.max(lsn_col).alias("_commit_lsn")
     )
+    # NULL tx/commit keys would silently vanish at the final inner equi-join
+    # (NULL never equals NULL) — unquarantined data loss. Fail loudly; the
+    # caller quarantines null-key events BEFORE alignment (split_poison /
+    # ingest_job's DLQ). Checked on the folded per-tx frame, so the probe is
+    # O(#transactions), not O(events).
+    bad = tx.where(
+        F.col(tx_col).isNull() | F.col("_commit_lsn").isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"align_epochs: {bad} transaction group(s) with NULL {tx_col}/"
+            f"{lsn_col} — quarantine null-key events before alignment"
+        )
 
     # Distributed prefix sum over transactions in commit order.
     ranged = tx.repartitionByRange(

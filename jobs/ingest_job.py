@@ -43,9 +43,10 @@ def main() -> None:
                          "nothing else applied)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from pyspark.sql import Observation, SparkSession
     import pyspark.sql.functions as F
 
+    from data_pipeline_spark.sources import changelog
     from data_pipeline_spark.sources.changelog import write_log
     from data_pipeline_spark.sources.debezium import parse_debezium
     from data_pipeline_spark.sources.transactions import align_epochs
@@ -53,18 +54,29 @@ def main() -> None:
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
-    wire = spark.read.text(args.wire_dir).withColumnRenamed("value", "value")
+    wire = spark.read.text(args.wire_dir)
     parsed = parse_debezium(
         wire, args.row_ddl, keep_corrupt=args.quarantine_dir is not None
     )
     n_bad = 0
     if args.quarantine_dir is not None:
-        bad = parsed.where(F.col("_corrupt").isNotNull()).select(
-            F.col("_corrupt").alias("raw")
+        # Poison = unparseable/unknown-op envelopes AND parseable events
+        # with no lsn (align_epochs refuses NULL keys — they would silently
+        # vanish at its join otherwise). Count rides the write.
+        bad_pred = F.col("_corrupt").isNotNull() | F.col("lsn").isNull()
+        bad = parsed.where(bad_pred).select(
+            F.col("_corrupt").alias("raw"), "op", "lsn",
+            F.when(F.col("_corrupt").isNotNull(), F.lit("corrupt_envelope"))
+            .otherwise(F.lit("null_lsn")).alias("_reason"),
         )
-        bad.write.mode("overwrite").parquet(args.quarantine_dir)
-        n_bad = spark.read.parquet(args.quarantine_dir).count()
-        parsed = parsed.where(F.col("_corrupt").isNull()).drop("_corrupt")
+        qobs = Observation()
+        bad.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(args.quarantine_dir)
+        n_bad = int(qobs.get["n"])
+        parsed = parsed.where(~bad_pred).drop("_corrupt")
+    # without a DLQ, a null-lsn event makes align_epochs fail loudly below —
+    # never a silent drop.
 
     if args.tx_col:
         with_epochs = align_epochs(
@@ -78,12 +90,29 @@ def main() -> None:
             target_events=args.epoch_size,
         ).drop("__tx")
 
-    write_log(with_epochs.drop("source_ts"), args.log_dir)
-    n = spark.read.parquet(args.log_dir).count()
-    epochs = (
-        spark.read.parquet(args.log_dir).select("epoch").distinct().count()
+    # Re-runs append AFTER the existing epochs: reusing epoch numbers would
+    # interleave new events into directories a checkpointed replay already
+    # marked done — the exactly-once ledger would skip them forever.
+    existing = changelog.list_epochs(spark, args.log_dir)
+    base = (max(existing) + 1) if existing else 0
+    if base:
+        with_epochs = with_epochs.withColumn(
+            "epoch", (F.col("epoch") + F.lit(base)).cast("int")
+        )
+    wobs = Observation()
+    write_log(
+        with_epochs.drop("source_ts").observe(
+            wobs, F.count(F.lit(1)).alias("n")
+        ),
+        args.log_dir,
     )
-    print(json.dumps({"events": n, "epochs": epochs, "quarantined": n_bad}))
+    n = int(wobs.get["n"])
+    new_epochs = [e for e in changelog.list_epochs(spark, args.log_dir)
+                  if e not in set(existing)]
+    print(json.dumps({
+        "events": n, "epochs": len(new_epochs), "first_epoch": base,
+        "quarantined": n_bad,
+    }))
     spark.stop()
 
 

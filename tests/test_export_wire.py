@@ -95,3 +95,19 @@ def test_wire_replica_converges_to_source(spark, tmp_path):
     a = sorted(str(tuple(r)) for r in table.read().select(*cols).collect())
     b = sorted(str(tuple(r)) for r in replica.read().select(*cols).collect())
     assert a == b
+
+
+def test_stale_partial_export_swept_on_retry(spark, tmp_path):
+    """Crash between data write and cursor write, then MORE commits land:
+    the retry exports a wider interval under a new name — the stale dir
+    must be removed or tree-readers double-consume the overlap."""
+    table, runner = _replayed_table(spark, tmp_path, "c", 400, max_epochs=1)
+    out_dir = str(tmp_path / "wire_c")
+    res1 = export_changes_wire(table, out_dir, PAYLOAD)
+    # simulate the crash: roll the cursor back (data dir stays)
+    os.remove(os.path.join(out_dir, "_cursor.json"))
+    runner.run()  # more commits land before the retry
+    res2 = export_changes_wire(table, out_dir, PAYLOAD)
+    dirs = [d for d in os.listdir(out_dir) if d.startswith("commits=")]
+    assert dirs == [os.path.basename(res2["dir"])]  # stale res1 dir swept
+    assert res1["dir"] != res2["dir"]

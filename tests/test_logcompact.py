@@ -105,3 +105,15 @@ def test_checkpoint_ledger_skips_compacted_epoch(spark, tmp_path):
     df = table.read()
     got = _nullsafe_sort(tuple(r) for r in df.select(*sorted(df.columns)).collect())
     assert got == want
+
+
+def test_compact_rerun_is_idempotent(spark, tmp_path):
+    """A partial/failed compaction re-run must not double the folded epoch
+    (write_log appends; the folded dir is swept first)."""
+    log_dir = _gen_log(spark, tmp_path)
+    out_dir = str(tmp_path / "compacted")
+    s1 = compact_log(spark, log_dir, out_dir, upto_epoch=2)
+    s2 = compact_log(spark, log_dir, out_dir, upto_epoch=2)
+    assert s1["winners"] == s2["winners"]
+    n = spark.read.parquet(out_dir).where(F.col("epoch") == 2).count()
+    assert n == s1["winners"]

@@ -147,3 +147,40 @@ def test_sample_frames(media):
     # media 1: 200 bytes → 3 frames → idx 0, 2; short/empty media → none
     assert sorted(r["frame_idx"] for r in by_media[1]) == [0, 2]
     assert 3 not in by_media and 4 not in by_media
+
+
+def test_decode_wav_8bit_negative_half_cycle():
+    """8-bit PCM stores unsigned bytes; samples below the 128 midpoint are
+    the negative half-cycle — the shift to signed must accept them
+    (regression: bytes() rejected the negative ints)."""
+    import io
+    import wave as wave_mod
+
+    from data_pipeline_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    w = wave_mod.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)
+    w.setframerate(8000)
+    w.writeframes(bytes([0, 64, 128, 192, 255]))
+    w.close()
+    feats = decode_wav(buf.getvalue())
+    assert feats[0] == 1.0 and 0.9 < feats[5] <= 1.0  # peak = -128/128
+
+
+def test_decode_bmp_truncated_raises_valueerror():
+    """A BMP whose header promises more pixels than the payload holds must
+    fail with ValueError (the corrupt-media contract), not IndexError."""
+    import struct
+
+    import pytest as _pytest
+
+    from data_pipeline_spark.operators.multimodal import decode_bmp
+
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 100, 100, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(hdr + b"\x00" * 8)

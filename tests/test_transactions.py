@@ -165,3 +165,20 @@ def test_bootstrap_then_tail_with_overlap(spark, tmp_path):
     got = sorted(str(tuple(r)) for r in table.read().select(*cols).collect())
     want = sorted(str(tuple(r)) for r in t2.read().select(*cols).collect())
     assert got == want
+
+
+def test_align_epochs_refuses_null_keys(spark):
+    """NULL tx/lsn keys would silently vanish at the routing join —
+    align_epochs must fail loudly instead (callers quarantine first)."""
+    import pytest as _pytest
+
+    ch = spark.createDataFrame(
+        [(1, 1), (None, 2), (2, 3)], "tx_id bigint, lsn bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        align_epochs(ch, target_events=10, num_partitions=2)
+    ch2 = spark.createDataFrame(
+        [(1, 1), (2, None)], "tx_id bigint, lsn bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        align_epochs(ch2, target_events=10, num_partitions=2)
