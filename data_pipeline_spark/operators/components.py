@@ -95,13 +95,26 @@ def connected_components(
         # truncates lineage so every round optimizes a constant-size plan.
         # (Executor loss recomputes from the checkpoint; for multi-hour
         # jobs set spark.checkpoint.dir and swap in .checkpoint().)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        chk = e.agg(
-            F.count("*").alias("n"),
-            # decimal accumulator: a long sum of 64-bit hashes overflows
-            # (ANSI mode makes that an error, not a wrap)
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
+        #
+        # The convergence digest rides the checkpoint job as a
+        # CollectMetrics observation (eager localCheckpoint goes through
+        # withAction, which delivers observed metrics) — one job per round
+        # instead of checkpoint + separate aggregate.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a long sum of 64-bit hashes overflows
+                # (ANSI mode makes that an error, not a wrap)
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        chk = obs.get
         if prev_sum == (chk["n"], chk["s"]):
             break
         prev_sum = (chk["n"], chk["s"])
