@@ -415,6 +415,209 @@ WHERE NOT (t_key IS NOT NULL AND s_key IS NOT NULL AND order_cnt > 24)
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC history + observability (round 3): SCD2 derivation, point-in-time
+# lookup, sequence-gap / redelivery audit, hot-key skew evidence, freshness
+# (operators/scd.py, operators/flowstats.py)
+# ---------------------------------------------------------------------------
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version intervals from the change log: one keyed shuffle
+    (lag-change-detect → filter to version starts → lead close), no
+    self-join; consecutive no-op updates collapse into the open interval."""
+    from data_pipeline_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        tracked_cols=("event_type",),
+    )
+
+
+_SQL_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(1) OVER w AS prev_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), starts AS (
+  SELECT user_id, event_id, ts, event_type FROM ordered
+  WHERE prev_flag IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       (lead(1) OVER w2 IS NULL) AS is_current
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history (asof composition —
+    single-shuffle union+window, no range-join explosion): every 17th
+    event asks 'what was this user's tracked type when I happened?'."""
+    from data_pipeline_spark.operators.scd import scd2_history, scd2_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        tracked_cols=("event_type",),
+    ).withColumnRenamed("event_type", "type_at_ts")
+    probes = ev.where(F.col("event_id") % 17 == 0).select(
+        "user_id", "event_id", "ts"
+    )
+    return scd2_lookup(
+        hist, probes, key_cols=("user_id",), probe_ts="ts",
+        value_cols=("type_at_ts",),
+    )
+
+
+_SQL_SCD2_LOOKUP = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(1) OVER w AS prev_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), hist AS (
+  SELECT user_id, ts AS valid_from, event_type AS type_at_ts FROM ordered
+  WHERE prev_flag IS NULL OR prev_type IS DISTINCT FROM event_type
+), probes AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_id % 17 = 0
+)
+SELECT p.user_id, p.event_id, p.ts, h.type_at_ts
+FROM probes p ASOF LEFT JOIN hist h
+  ON p.user_id = h.user_id AND p.ts >= h.valid_from
+"""
+
+
+def _sequenced_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → a partitioned, sequenced wire stream with KNOWN defects:
+    4 stream partitions, dense per-partition seq = event_id div 4; every
+    13th event dropped (isolated holes) plus an 8-wide burst hole per 100
+    (multi-seq gaps) — the shapes a real binlog tail shows after loss."""
+    ev = _t(spark, sf_dir, "events")
+    kept = ev.where(
+        (F.col("event_id") % 13 != 0) & ~(F.col("event_id") % 100).between(40, 47)
+    )
+    return kept.select(
+        (F.col("event_id") % 4).alias("part"),
+        F.expr("CAST(event_id DIV 4 AS BIGINT)").alias("seq"),
+        "event_id",
+    )
+
+
+_SQL_SEQ_STREAM = """
+  SELECT event_id % 4 AS part, event_id // 4 AS seq, event_id
+  FROM events
+  WHERE event_id % 13 <> 0 AND NOT (event_id % 100 BETWEEN 40 AND 47)
+"""
+
+
+def q_cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-partition sequence-gap intervals (diagnostic window path):
+    every hole in the wire stream as (part, gap_from, gap_to, n_missing)."""
+    from data_pipeline_spark.operators.flowstats import sequence_gap_intervals
+
+    return sequence_gap_intervals(
+        _sequenced_stream(spark, sf_dir), ("part",), "seq"
+    )
+
+
+_SQL_GAP_AUDIT = f"""
+WITH stream AS ({_SQL_SEQ_STREAM}),
+lagged AS (
+  SELECT part, seq, lag(seq) OVER (PARTITION BY part ORDER BY seq) AS prev
+  FROM stream
+)
+SELECT part, prev + 1 AS gap_from, seq - 1 AS gap_to, seq - prev - 1 AS n_missing
+FROM lagged WHERE prev IS NOT NULL AND seq - prev > 1
+"""
+
+
+def q_cdc_seq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path contiguity summary — ONE map-side-combinable hash agg per
+    stream partition (no sort/window): rows, distinct, bounds, holes,
+    duplicates. Redelivered events (every 97th, re-appended) must show up
+    as duplicates; the dropped ranges as missing."""
+    from data_pipeline_spark.operators.flowstats import sequence_audit
+
+    stream = _sequenced_stream(spark, sf_dir)
+    redelivered = stream.where(F.col("event_id") % 97 == 0)
+    return sequence_audit(
+        stream.unionByName(redelivered), ("part",), "seq"
+    )
+
+
+_SQL_SEQ_AUDIT = f"""
+WITH base AS ({_SQL_SEQ_STREAM}),
+stream AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM base WHERE event_id % 97 = 0
+)
+SELECT part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT seq) AS BIGINT) AS n_distinct,
+       min(seq) AS min_seq,
+       max(seq) AS max_seq,
+       CAST(max(seq) - min(seq) + 1 - count(DISTINCT seq) AS BIGINT) AS n_missing,
+       CAST(count(*) - count(DISTINCT seq) AS BIGINT) AS n_duplicates
+FROM stream GROUP BY part
+"""
+
+
+def q_cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew evidence: top-100 keys by change count with share of
+    the whole stream — hash agg + broadcast total + TakeOrderedAndProject
+    (no global sort); feeds the salted-write path."""
+    from data_pipeline_spark.operators.flowstats import hot_keys
+
+    ev = _t(spark, sf_dir, "events")
+    return hot_keys(ev, ("user_id",), top_k=100)
+
+
+_SQL_HOT_KEYS = """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes FROM events GROUP BY 1
+), total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events)
+SELECT user_id, n_changes, round(n_changes / t, 6) AS share
+FROM counts, total
+ORDER BY n_changes DESC, user_id
+LIMIT 100
+"""
+
+
+def q_cdc_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type freshness vs the stream high-water mark (1-row aggregate
+    broadcast back, never a global window); exact integer microsecond lag
+    so the oracle hash is float-free."""
+    from data_pipeline_spark.operators.flowstats import freshness_report
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_report(ev, ("event_type",), "ts").select(
+        "event_type", "n_events", "latest_ts", "staleness_us"
+    )
+
+
+_SQL_FRESHNESS = """
+WITH per_group AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         max(ts) AS latest_ts
+  FROM events GROUP BY 1
+), hwm AS (SELECT max(ts) AS h FROM events)
+SELECT event_type, n_events, latest_ts,
+       CAST(epoch_us(h) - epoch_us(latest_ts) AS BIGINT) AS staleness_us
+FROM per_group, hwm
+"""
+
+
 def _event_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → synthetic CDC change log: op by event_type, key=user_id."""
     ev = _t(spark, sf_dir, "events")
@@ -2097,6 +2300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_tx_align": q_cdc_tx_align,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_scd2_lookup": q_cdc_scd2_lookup,
+        "cdc_gap_audit": q_cdc_gap_audit,
+        "cdc_seq_audit": q_cdc_seq_audit,
+        "cdc_hot_keys": q_cdc_hot_keys,
+        "cdc_freshness": q_cdc_freshness,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2170,6 +2379,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "cdc_patch_apply": _SQL_PATCH_APPLY,
         "cdc_tx_align": _SQL_TX_ALIGN,
+        "cdc_scd2_history": _SQL_SCD2_HISTORY,
+        "cdc_scd2_lookup": _SQL_SCD2_LOOKUP,
+        "cdc_gap_audit": _SQL_GAP_AUDIT,
+        "cdc_seq_audit": _SQL_SEQ_AUDIT,
+        "cdc_hot_keys": _SQL_HOT_KEYS,
+        "cdc_freshness": _SQL_FRESHNESS,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -1,0 +1,181 @@
+"""CDC stream observability: sequence-gap audit, redelivery detection,
+churn / hot-key statistics, freshness report.
+
+A 10^10-event tail is only trustworthy if the engine can PROVE it saw a
+contiguous, once-each stream — and can point at the keys and partitions
+that will melt a shuffle before they do. These operators are the audit
+side of the ingest path: they consume the same typed change frame the
+replay runner does and emit small per-partition / per-key reports.
+
+Reference analog: the pipeline prints ad-hoc row counts after each run
+(/root/reference/src/bin/test_full_pipeline.rs:61-96); the engine promotes
+that to first-class relational audits with exact semantics.
+
+Scale posture, per operator:
+
+- :func:`sequence_audit` — the SCALE PATH. One map-side-combinable hash
+  aggregation per stream partition: n_rows, distinct seqs, min/max, and
+  the missing/duplicate counts derived from them. O(1) output per
+  partition, no sort, no window — safe when a single stream partition
+  holds billions of events.
+- :func:`sequence_gap_intervals` — the DIAGNOSTIC twin: exact (from, to)
+  gap spans via one keyed window (lag). A window partition sorts all of a
+  stream partition's rows, so run it scoped (one partition / one epoch
+  range) after :func:`sequence_audit` says *where* to look.
+- :func:`redelivery_audit` — duplicate event identities (at-least-once
+  redelivery made visible): one hash agg on the identity columns,
+  keeping only count > 1 groups.
+- :func:`hot_keys` — per-key change counts with share-of-total; the
+  evidence that feeds the salted-write path (lake/table.py skew handling)
+  and AQE skew-join expectations. Hash agg + global top-k
+  (TakeOrderedAndProject — no full sort).
+- :func:`freshness_report` — per-group max event time and staleness vs
+  the stream's high-water mark; the high-water mark is a 1-row aggregate
+  broadcast back, never a global window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def sequence_audit(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """Per-partition contiguity summary — one hash aggregation.
+
+    For each stream partition: ``n_rows``, ``n_distinct`` (distinct seq
+    values), ``min_seq``, ``max_seq``, ``n_missing`` (holes in
+    [min_seq, max_seq]), ``n_duplicates`` (rows beyond first per seq).
+    A clean exactly-once, in-order feed has ``n_missing = n_duplicates =
+    0``. Dense-rank semantics assume the source assigns consecutive
+    integers per partition (Debezium/binlog position within a partition).
+    """
+    partition_cols = list(partition_cols)
+    s = F.col(seq_col).cast("long")
+    return (
+        df.groupBy(*partition_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct(s).cast("long").alias("n_distinct"),
+            F.min(s).alias("min_seq"),
+            F.max(s).alias("max_seq"),
+        )
+        .select(
+            *partition_cols,
+            "n_rows",
+            "n_distinct",
+            "min_seq",
+            "max_seq",
+            (F.col("max_seq") - F.col("min_seq") + 1 - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_missing"),
+            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_duplicates"),
+        )
+    )
+
+
+def sequence_gap_intervals(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """Exact gap spans per partition: one row per hole, ``(gap_from,
+    gap_to, n_missing)`` inclusive. Diagnostic path — one keyed window
+    (sorts each partition's seqs); scope the input to the partitions /
+    epoch ranges :func:`sequence_audit` flagged.
+    """
+    partition_cols = list(partition_cols)
+    w = Window.partitionBy(*partition_cols).orderBy("_seq")
+    return (
+        df.select(*partition_cols, F.col(seq_col).cast("long").alias("_seq"))
+        .withColumn("_prev", F.lag("_seq").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_seq") - F.col("_prev") > 1))
+        .select(
+            *partition_cols,
+            (F.col("_prev") + 1).alias("gap_from"),
+            (F.col("_seq") - 1).alias("gap_to"),
+            (F.col("_seq") - F.col("_prev") - 1).alias("n_missing"),
+        )
+    )
+
+
+def redelivery_audit(
+    df: DataFrame,
+    identity_cols: Sequence[str],
+) -> DataFrame:
+    """Event identities delivered more than once: ``identity_cols +
+    (n_deliveries)``, count > 1 only. At-least-once transports redeliver;
+    the merge path is idempotent to it (LWW + epoch ledger) — this
+    operator *measures* it so an upstream regression is visible.
+    """
+    identity_cols = list(identity_cols)
+    return (
+        df.groupBy(*identity_cols)
+        .agg(F.count("*").cast("long").alias("n_deliveries"))
+        .where(F.col("n_deliveries") > 1)
+    )
+
+
+def hot_keys(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k keys by change count with their share of the whole stream —
+    the skew evidence the salted bucketed write consumes.
+
+    One hash agg (map-side combined: a hot key collapses per task before
+    the shuffle), a 1-row total broadcast back, and an ordered-limit
+    (TakeOrderedAndProject) — no global sort.
+    """
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols).agg(F.count("*").cast("long").alias("n_changes"))
+    total = df.groupBy().agg(F.count("*").cast("long").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_changes",
+            F.round(F.col("n_changes") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_changes").desc(), *[F.col(c) for c in key_cols])
+        .limit(top_k)
+    )
+
+
+def freshness_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Per-group freshness vs the stream high-water mark: ``group_cols +
+    (n_events, latest_ts, staleness_us, staleness_s)`` — how far each
+    group's newest event lags ``max(ts)`` over the whole stream.
+    ``staleness_us`` is the exact integer microsecond lag (hash-stable for
+    oracles); ``staleness_s`` the float convenience view. The high-water
+    mark is a 1-row aggregate joined by broadcast — never a global window.
+    """
+    group_cols = list(group_cols)
+    per_group = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(ts_col).alias("latest_ts"),
+    )
+    hwm = df.groupBy().agg(F.max(ts_col).alias("_hwm"))
+    # cast: parquet TIMESTAMP_NTZ → TIMESTAMP for unix_micros (asof._micros
+    # convention)
+    lag_us = F.unix_micros(F.col("_hwm").cast("timestamp")) - F.unix_micros(
+        F.col("latest_ts").cast("timestamp")
+    )
+    return per_group.crossJoin(F.broadcast(hwm)).select(
+        *group_cols,
+        "n_events",
+        "latest_ts",
+        lag_us.cast("long").alias("staleness_us"),
+        (lag_us / F.lit(1_000_000.0)).alias("staleness_s"),
+    )

@@ -1,0 +1,97 @@
+"""CDC stream observability (operators/flowstats.py): sequence audit,
+gap intervals, redelivery, hot keys, freshness."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.flowstats import (
+    freshness_report,
+    hot_keys,
+    redelivery_audit,
+    sequence_audit,
+    sequence_gap_intervals,
+)
+
+
+def _stream(spark):
+    # partition p0: seqs 1,2,3,7,8,8,20  → gaps (4-6), (9-19); one dup (8)
+    # partition p1: seqs 5,6             → clean
+    rows = [("p0", s) for s in (1, 2, 3, 7, 8, 8, 20)] + [("p1", 5), ("p1", 6)]
+    return spark.createDataFrame(rows, "part string, seq long")
+
+
+def test_sequence_audit_summary(spark):
+    got = {r.part: r for r in sequence_audit(_stream(spark), ("part",), "seq").collect()}
+    p0 = got["p0"]
+    assert (p0.n_rows, p0.n_distinct, p0.min_seq, p0.max_seq) == (7, 6, 1, 20)
+    assert p0.n_missing == 14  # 4,5,6,9..19
+    assert p0.n_duplicates == 1
+    p1 = got["p1"]
+    assert (p1.n_missing, p1.n_duplicates) == (0, 0)
+
+
+def test_sequence_audit_is_one_hash_agg(spark):
+    plan = sequence_audit(_stream(spark), ("part",), "seq")._jdf.queryExecution()
+    tree = plan.executedPlan().toString()
+    assert "Window" not in tree and "Sort" not in tree.replace("SortAggregate", "")
+    # count_distinct plans as two keyed hash-agg phases (dedupe on
+    # (part, seq), then roll up per part) — both map-side combinable; the
+    # pin is "no window, no sort, bounded exchanges", not exchange count 1.
+    assert tree.count("Exchange hashpartitioning") <= 2
+
+
+def test_gap_intervals_exact_spans(spark):
+    got = sorted(
+        (r.part, r.gap_from, r.gap_to, r.n_missing)
+        for r in sequence_gap_intervals(_stream(spark), ("part",), "seq").collect()
+    )
+    assert got == [("p0", 4, 6, 3), ("p0", 9, 19, 11)]
+
+
+def test_gap_intervals_ignore_duplicates(spark):
+    # duplicated seq (lag diff 0) must not emit a gap row
+    df = _stream(spark).where("part = 'p0' and seq <= 8")
+    got = [
+        (r.gap_from, r.gap_to)
+        for r in sequence_gap_intervals(df, ("part",), "seq").collect()
+    ]
+    assert got == [(4, 6)]
+
+
+def test_redelivery_audit(spark):
+    got = redelivery_audit(_stream(spark), ("part", "seq")).collect()
+    assert [(r.part, r.seq, r.n_deliveries) for r in got] == [("p0", 8, 2)]
+
+
+def test_hot_keys_counts_share_and_order(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 3 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [(r.k, r.n_changes, r.share) for r in hot_keys(df, ("k",), top_k=3).collect()]
+    # ties (b, c) break by key ascending; shares are n/12 rounded to 6dp
+    assert got == [
+        ("a", 5, round(5 / 12, 6)),
+        ("b", 3, round(3 / 12, 6)),
+        ("c", 3, round(3 / 12, 6)),
+    ]
+
+
+def test_hot_keys_no_global_sort(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    tree = hot_keys(df, ("k",), 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_freshness_report(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("x", t0),
+        ("x", t0 + dt.timedelta(seconds=30)),
+        ("y", t0 + dt.timedelta(seconds=90)),  # the high-water mark
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.g: r for r in freshness_report(df, ("g",), "ts").collect()}
+    assert got["y"].staleness_us == 0 and got["y"].n_events == 1
+    assert got["x"].staleness_us == 60_000_000
+    assert abs(got["x"].staleness_s - 60.0) < 1e-9
+    assert got["x"].latest_ts == t0 + dt.timedelta(seconds=30)
