@@ -30,6 +30,13 @@ HEADLINE = [
     "cdc_key_diff",
     "merge_into_generic",
     "cdc_net_changes",
+    # Round-3 families (wire adapter, sparse patches, tx epochs, SCD2,
+    # stream observability) — tracked so a regression there is visible.
+    "cdc_debezium_roundtrip",
+    "cdc_patch_apply",
+    "cdc_tx_align",
+    "cdc_scd2_history",
+    "cdc_seq_audit",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",

@@ -1,0 +1,148 @@
+"""Key-scoped table repair: re-derive the correct state for the keys a bad
+epoch range touched, stage it on a WAP branch, audit, publish.
+
+The operational scenario every long-lived CDC pipeline hits: epochs
+[a..b] were applied while a transform was broken (wrong extractor
+version, bad normalization constant), so the table is wrong for exactly
+the keys those epochs touched. Replaying the whole log from genesis is
+O(log) downtime; dropping the table loses exactly-once lineage. This
+module repairs in O(affected keys):
+
+1. affected = DISTINCT keys of the bad epochs (partition-pruned log scan
+   — only ``epoch=a..b`` directories are read);
+2. their full event history is re-read from ALL *applied* epochs (a
+   left-semi join keyed by url — never a wide join) and pushed through
+   the SAME staging pipeline the replay runner uses
+   (:func:`streaming.runner.stage_changes` — LWW winners, then the
+   current/fixed extractor on winners only), plus an optional caller
+   ``fix`` hook;
+3. winners are merged onto a WAP branch in **cow** mode. Correctness
+   hinges on a merge detail: the winner order struct is ``(warc_ts,
+   lsn, __src)`` with staged ``__src=1``, so a corrected payload with
+   the SAME (warc_ts, lsn) as the stored bad row still replaces it —
+   repairs are not "newer", they are "righter". (mor append would leave
+   a stored-vs-staged tie to scan-time resolution; cow is forced.)
+4. audit checks run against the branch; all pass → ``fast_forward``
+   publishes atomically, any fail → the branch is kept for forensics.
+
+Scale posture: the bad-epoch scan is partition-pruned, the history scan
+is one semi-join (broadcastable when the affected key set is small), the
+merge is the standard bucket-pruned cow commit — cost O(affected keys ∩
+touched buckets), never O(table) or O(log). Repair commits are
+idempotent under their own epoch-ledger id space (``REPAIR_EPOCH_BASE +
+repair_id``), disjoint from log epochs by construction.
+
+Reference analog: none — the reference re-runs the whole scrape when a
+parser bug ships (fetch-everything-again, /root/reference/README.md
+pipeline description); targeted repair is part of the engine's CDC
+extension surface.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..lake.audit import Check, CheckResult, audit
+from ..lake.table import LakeTable
+from ..sources import changelog
+from .checkpoint import CheckpointStore
+from .runner import stage_changes
+
+# Log epochs are small integers (directory ordinals); repair ids live far
+# above so the shared exactly-once ledger can never collide the two spaces.
+REPAIR_EPOCH_BASE = 1 << 40
+
+
+def repair_keys(
+    spark: SparkSession,
+    log_dir: str,
+    table: LakeTable,
+    checkpoints: CheckpointStore,
+    bad_epochs: Sequence[int],
+    repair_id: int = 0,
+    branch: str | None = None,
+    fix: Callable[[DataFrame], DataFrame] | None = None,
+    checks: Sequence[Check] = (),
+    publish: bool = True,
+) -> dict:
+    """Repair the keys touched by ``bad_epochs`` and (optionally) publish.
+
+    ``fix``: optional transform applied to the affected keys' raw event
+    history before staging (e.g. patch a mis-normalized column); the
+    HTML→text re-extraction with the current extractor happens in staging
+    regardless.
+
+    ``checks``: :mod:`lake.audit` checks run against the branch before
+    publish. ``publish=False`` stages + audits but leaves the branch for
+    manual inspection (``table.read(ref=branch)``).
+
+    Returns a metrics dict: affected keys, staged rows, audit results,
+    published flag, snapshot id. Raises ``ValueError`` when a bad epoch
+    was never applied (repairing it would fast-apply future data).
+
+    ``branch`` defaults to ``repair-<repair_id>`` — one branch per repair
+    attempt; a branch kept by a failed audit is reused (still rooted at
+    main — :meth:`LakeTable.fast_forward`'s ancestry check guards a
+    diverged one).
+    """
+    if branch is None:
+        branch = f"repair-{int(repair_id)}"
+    bad_epochs = sorted(set(int(e) for e in bad_epochs))
+    all_epochs = changelog.list_epochs(spark, log_dir)
+    applied = [e for e in all_epochs if checkpoints.is_done(e)]
+    not_applied = [e for e in bad_epochs if e not in applied]
+    if not_applied:
+        raise ValueError(
+            f"bad_epochs {not_applied} are not applied yet — repair covers "
+            "committed state only; let the replay runner apply them first"
+        )
+
+    # epoch is a partition column (isin filters prune directories);
+    # mergeSchema: the log may span schema-evolution versions and the
+    # affected keys' history needs every column ever present.
+    log = spark.read.option("mergeSchema", "true").parquet(log_dir)
+    key = table.key_col
+    bad_slice = log.where(F.col("epoch").isin(bad_epochs))
+    affected = bad_slice.select(key).where(F.col(key).isNotNull()).distinct()
+
+    history = (
+        log.where(F.col("epoch").isin(applied))
+        .join(affected, key, "left_semi")
+        .drop("epoch")
+    )
+    if fix is not None:
+        history = fix(history)
+
+    staged = stage_changes(spark, history, table)
+
+    if branch not in table.meta.get("branches", {}):
+        table.create_branch(branch)
+    merge_metrics = table.merge(
+        staged,
+        epoch=REPAIR_EPOCH_BASE + int(repair_id),
+        mode="cow",  # staged wins (ts, lsn) ties — required, see module doc
+        branch=branch,
+        extra_summary={"engine.repair-epochs": ",".join(map(str, bad_epochs))},
+    )
+
+    results: list[CheckResult] = audit(table, branch, list(checks))
+    ok = all(r.ok for r in results)
+    published = False
+    if publish and ok and not merge_metrics.get("skipped"):
+        table.fast_forward(branch)
+        published = True
+
+    return {
+        "bad_epochs": bad_epochs,
+        "n_affected_keys": affected.count(),
+        "repair_epoch": REPAIR_EPOCH_BASE + int(repair_id),
+        "audit": [(r.name, r.ok, r.detail) for r in results],
+        "audit_ok": ok,
+        "published": published,
+        **{k: v for k, v in merge_metrics.items() if k != "skipped"},
+        "skipped": bool(merge_metrics.get("skipped")),
+    }
