@@ -425,3 +425,65 @@ def test_spark_submit_debezium_ingest_then_replay(submit_env, tmp_path, spark):
     assert sorted(str(tuple(r)) for r in a.select(*cols).collect()) == sorted(
         str(tuple(r)) for r in b.select(*cols).collect()
     )
+
+
+def test_spark_submit_repair_job(submit_env, tmp_path, spark):
+    """X58 ships the same way: replay a log whose epoch 1 carried a broken
+    transform, then repair_job with the corrected log heals exactly those
+    keys, audited and published — zip-only import, one JSON metrics line."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.sources import changelog
+
+    work, log_dir, zip_path = submit_env
+    bad_log = str(work / "bad_log_repair")
+    log = spark.read.parquet(log_dir)
+    changelog.write_log(
+        log.withColumn(
+            "lang",
+            F.when(
+                (F.col("epoch") == 1) & F.col("lang").isNotNull(), F.lit("zz")
+            ).otherwise(F.col("lang")),
+        ),
+        bad_log,
+        mode="overwrite",
+    )
+    table_dir = str(work / "t_repair")
+    cp_dir = str(work / "cp_repair")
+    res = _submit(
+        {"zip": zip_path, "log": bad_log, "table": table_dir, "cp": cp_dir},
+        cwd=str(tmp_path),
+    )
+    assert res["epochs_applied"] == 3
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    assert LakeTable.load(spark, table_dir).read().where("lang = 'zz'").count() > 0
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "repair_job.py"),
+            "--log-dir", log_dir,  # the corrected source of truth
+            "--table-dir", table_dir,
+            "--checkpoint-dir", cp_dir,
+            "--bad-epochs", "1",
+            "--repair-id", "1",
+            "--audit-no-shrink", "0.0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["published"] and metrics["audit_ok"]
+    assert metrics["n_affected_keys"] > 0
+    healed = LakeTable.load(spark, table_dir).read()
+    assert healed.where("lang = 'zz'").count() == 0
