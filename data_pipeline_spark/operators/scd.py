@@ -45,6 +45,7 @@ def scd2_history(
     order_cols: Sequence[str],
     tracked_cols: Sequence[str],
     valid_from_col: str | None = None,
+    carry_order: bool = False,
 ) -> DataFrame:
     """Collapse a change log into SCD2 version intervals.
 
@@ -64,6 +65,14 @@ def scd2_history(
     Returns one row per version: ``key_cols + tracked_cols + (valid_from,
     valid_to, version, is_current)``. ``valid_to`` is exclusive and null on
     the current version; ``version`` numbers from 1 in event order.
+
+    ``carry_order=True`` additionally emits, for :func:`scd2_apply_batch`:
+    ``start_<c>`` for every order column beyond the first (the start
+    event's tie-break values — keep the per-key total order stable across
+    incremental rebuilds) and ``seen_<c>`` for every order column (the
+    key's event high-water mark — the max order tuple over ALL events of
+    the key, including collapsed no-ops, which the version rows otherwise
+    forget; it is what lets the incremental fold detect late events).
     """
     key_cols = list(key_cols)
     order_cols = list(order_cols)
@@ -71,6 +80,13 @@ def scd2_history(
     ts = valid_from_col or order_cols[0]
 
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    if carry_order:
+        # Per-key max order tuple over the FULL event input — computed
+        # before collapse, same partitioning (no extra shuffle).
+        w_all = Window.partitionBy(*key_cols)
+        df = df.withColumn(
+            "_seen", F.max(F.struct(*[F.col(c) for c in order_cols])).over(w_all)
+        )
     first_row = F.lag(F.lit(1)).over(w).isNull()
     changed = F.lit(False)
     for c in tracked_cols:
@@ -86,9 +102,123 @@ def scd2_history(
         .withColumn("version", F.row_number().over(w).cast("long"))
         .withColumn("is_current", F.lead(F.lit(1)).over(w).isNull())
     )
+    carry = []
+    if carry_order:
+        carry = [F.col(c).alias(f"start_{c}") for c in order_cols[1:]] + [
+            F.col("_seen")[c].alias(f"seen_{c}") for c in order_cols
+        ]
     return out.select(
-        *key_cols, *tracked_cols, "valid_from", "valid_to", "version", "is_current"
+        *key_cols, *tracked_cols, "valid_from", "valid_to", "version",
+        "is_current", *carry,
     )
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    full_events: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold one batch of change events into an
+    existing history (built with ``carry_order=True``) — O(batch + affected
+    keys' history), never O(table).
+
+    Only the batch's keys are touched; unaffected keys' rows pass through
+    untouched (one semi/anti join pair over the same scan). Affected keys
+    split by the stored high-water mark (``seen_<c>``):
+
+    - **In-order keys** (every batch event strictly after the key's
+      high-water, and brand-new keys): version STARTS are projected back
+      to events and re-derived together with the batch. This is EXACT:
+      the new events' change-detection compares against the last seen
+      event, whose tracked values equal the current version start's by
+      construction — interior collapsed events can't matter because
+      nothing lands among them.
+    - **Late keys** (some batch event at or before the high-water):
+      rebuilding from starts is NOT exact — collapse drops no-op events,
+      and a late event landing between a dropped no-op and its
+      predecessor changes whether that no-op is a change (information the
+      history no longer has). These keys are rebuilt from
+      ``full_events`` (the retained event stream — in this engine the
+      changelog IS retained), semi-joined to just the late keys. Without
+      ``full_events`` a late batch raises rather than silently writing a
+      wrong history.
+
+    The fold is idempotent under redelivery and, given ``full_events``,
+    any batch split in any order converges to the full-stream history
+    (pinned by property test).
+    """
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    tracked_cols = list(tracked_cols)
+    ts, tiebreaks = order_cols[0], order_cols[1:]
+
+    def order_struct(prefix: str = ""):
+        return F.struct(*[F.col(f"{prefix}{c}") for c in order_cols])
+
+    # Every join below streams the BIG frame (history / full_events — which
+    # are union-shaped after a prior fold) against a BROADCAST key set.
+    # Broadcast is both the scale-correct plan (batch key sets are the small
+    # side by construction) and deliberately avoids sort-merge joins on a
+    # Union input, whose claimed output partitioning Spark can trust into a
+    # runtime "Can't zip RDDs with unequal numbers of partitions" failure.
+    affected = F.broadcast(
+        batch.groupBy(*key_cols).agg(F.min(order_struct()).alias("_bmin"))
+    )
+    seen = history.where("is_current").select(
+        *key_cols, order_struct("seen_").alias("_seen")
+    )
+    # inner join (history keys ∩ batch keys): keys new to the history can't
+    # be late; build side = the broadcast batch key set.
+    late_keys = F.broadcast(
+        seen.join(affected, key_cols)
+        .where(F.col("_bmin") <= F.col("_seen"))
+        .select(*key_cols)
+    )
+    inorder_keys = F.broadcast(
+        affected.join(late_keys, key_cols, "left_anti").select(*key_cols)
+    )
+
+    untouched = history.join(
+        affected.select(*key_cols), key_cols, "left_anti"
+    )
+
+    h_events = history.join(inorder_keys, key_cols, "left_semi").select(
+        *key_cols,
+        *tracked_cols,
+        F.col("valid_from").alias(ts),
+        *[F.col(f"start_{c}").alias(c) for c in tiebreaks],
+    )
+    e_cols = [*key_cols, *tracked_cols, ts, *tiebreaks]
+    e_inorder = batch.join(inorder_keys, key_cols, "left_semi").select(*e_cols)
+    rebuilt = scd2_history(
+        h_events.unionByName(e_inorder), key_cols, order_cols, tracked_cols,
+        carry_order=True,
+    )
+
+    n_late = late_keys.count()  # metadata-scale job; 0 on the hot path
+    if n_late:
+        if full_events is None:
+            raise ValueError(
+                f"{n_late} key(s) have late events (at or before their "
+                "stored high-water mark); pass full_events (the retained "
+                "event stream) to rebuild them exactly"
+            )
+        l_events = full_events.join(late_keys, key_cols, "left_semi").select(
+            *e_cols
+        )
+        l_batch = batch.join(late_keys, key_cols, "left_semi").select(*e_cols)
+        rebuilt_late = scd2_history(
+            # union the batch too: exact duplicates collapse as no-ops, so
+            # it is safe whether or not the log already carries the batch
+            l_events.unionByName(l_batch),
+            key_cols, order_cols, tracked_cols, carry_order=True,
+        )
+        rebuilt = rebuilt.unionByName(rebuilt_late)
+
+    return untouched.unionByName(rebuilt)
 
 
 def scd2_lookup(

@@ -5,7 +5,7 @@ import datetime as dt
 import pyspark.sql.functions as F
 
 from data_pipeline_spark.operators.dedup import lww_dedup
-from data_pipeline_spark.operators.scd import scd2_history, scd2_lookup
+from data_pipeline_spark.operators.scd import scd2_apply_batch, scd2_history, scd2_lookup
 
 
 def _ts(s: int) -> dt.datetime:
@@ -129,3 +129,145 @@ def test_scd2_lookup_matches_interval_semantics(spark):
         for r in scd2_lookup(hist, probes, ("key",), "at", ("val_at",)).collect()
     }
     assert got == {1: "x", 2: "x", 3: "y", 4: "x", 5: None, 6: None}
+
+
+# --- incremental maintenance (scd2_apply_batch) ---
+
+
+def _hist_rows(h):
+    return sorted(
+        (r.key, r.version, r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in h.collect()
+    )
+
+
+def test_apply_batch_appends_new_versions(spark):
+    events = _log(spark)
+    first = events.where("ts < timestamp'2024-01-01 00:00:15'")
+    rest = events.where("ts >= timestamp'2024-01-01 00:00:15'")
+    h0 = scd2_history(first, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    h1 = scd2_apply_batch(h0, rest, ("key",), ("ts", "lsn"), ("val",))
+    full = scd2_history(events, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    assert _hist_rows(h1) == _hist_rows(full)
+
+
+def test_apply_batch_late_event_splits_interval(spark):
+    # history: x@0 .. y@20; late z@10 must split x's interval into x@[0,10), z@[10,20)
+    base = spark.createDataFrame(
+        [("k", _ts(0), 1, "x"), ("k", _ts(20), 2, "y")],
+        "key string, ts timestamp, lsn long, val string",
+    )
+    late = spark.createDataFrame(
+        [("k", _ts(10), 3, "z")], "key string, ts timestamp, lsn long, val string"
+    )
+    h0 = scd2_history(base, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    h1 = scd2_apply_batch(
+        h0, late, ("key",), ("ts", "lsn"), ("val",), full_events=base
+    )
+    got = sorted((r.version, r.val, r.valid_from, r.valid_to) for r in h1.collect())
+    assert got == [
+        (1, "x", _ts(0), _ts(10)),
+        (2, "z", _ts(10), _ts(20)),
+        (3, "y", _ts(20), None),
+    ]
+
+
+def test_apply_batch_idempotent_under_redelivery(spark):
+    events = _log(spark)
+    h0 = scd2_history(events, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    # redeliver the whole stream (starts AND collapsed no-ops) — all keys
+    # are "late" by the high-water test, so the retained log is required;
+    # the rebuild must be a no-change
+    h1 = scd2_apply_batch(
+        h0, events, ("key",), ("ts", "lsn"), ("val",), full_events=events
+    )
+    assert _hist_rows(h1) == _hist_rows(h0)
+
+
+def test_apply_batch_fold_order_invariance(spark):
+    """Any partition of the stream into batches, folded in any order,
+    equals the full-stream history (late events exercise the per-key
+    rebuild path)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for lsn in range(300):
+        key = f"k{rng.randrange(12)}"
+        rows.append((key, _ts(rng.randrange(10_000)), lsn, rng.choice("abcd")))
+    events = spark.createDataFrame(
+        rows, "key string, ts timestamp, lsn long, val string"
+    )
+    full = scd2_history(events, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+
+    batch_of = [rng.randrange(4) for _ in range(300)]
+    batches = [
+        spark.createDataFrame(
+            [r for r, b in zip(rows, batch_of) if b == i],
+            "key string, ts timestamp, lsn long, val string",
+        )
+        for i in range(4)
+    ]
+    order = [2, 0, 3, 1]  # arbitrary fold order → plenty of late events
+    h = scd2_history(
+        batches[order[0]], ("key",), ("ts", "lsn"), ("val",), carry_order=True
+    )
+    applied = batches[order[0]]
+    for i in order[1:]:
+        # full_events = the event stream retained so far (the changelog up
+        # to and including this batch) — what a real deployment has
+        applied = applied.unionByName(batches[i])
+        h = scd2_apply_batch(
+            h, batches[i], ("key",), ("ts", "lsn"), ("val",), full_events=applied
+        ).localCheckpoint()  # materialize per epoch, as a real maintainer does
+    assert _hist_rows(h) == _hist_rows(full)
+
+
+def test_apply_batch_late_without_log_raises(spark):
+    base = spark.createDataFrame(
+        [("k", _ts(0), 1, "x"), ("k", _ts(20), 2, "y")],
+        "key string, ts timestamp, lsn long, val string",
+    )
+    late = spark.createDataFrame(
+        [("k", _ts(10), 3, "z")], "key string, ts timestamp, lsn long, val string"
+    )
+    h0 = scd2_history(base, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="late"):
+        scd2_apply_batch(h0, late, ("key",), ("ts", "lsn"), ("val",))
+
+
+def test_apply_batch_inorder_needs_no_log_even_with_collapsed_highwater(spark):
+    """A key whose high-water is a COLLAPSED event (x@10) with new events
+    strictly after it must fold exactly from starts alone — the case that
+    makes the seen_* columns necessary (start-only high-water would
+    mis-classify a batch at t15 as in-order... and t15 > 10 IS in-order;
+    the dangerous case is t5..t10, covered by the raise test)."""
+    base = spark.createDataFrame(
+        [("k", _ts(0), 1, "x"), ("k", _ts(10), 2, "x")],  # x@10 collapses
+        "key string, ts timestamp, lsn long, val string",
+    )
+    nxt = spark.createDataFrame(
+        [("k", _ts(15), 3, "y")], "key string, ts timestamp, lsn long, val string"
+    )
+    h0 = scd2_history(base, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    assert h0.count() == 1  # collapsed
+    h1 = scd2_apply_batch(h0, nxt, ("key",), ("ts", "lsn"), ("val",))
+    full = scd2_history(
+        base.unionByName(nxt), ("key",), ("ts", "lsn"), ("val",), carry_order=True
+    )
+    assert _hist_rows(h1) == _hist_rows(full)
+    # and a batch INSIDE the collapsed span is correctly flagged late
+    mid = spark.createDataFrame(
+        [("k", _ts(5), 9, "z")], "key string, ts timestamp, lsn long, val string"
+    )
+    h2 = scd2_apply_batch(
+        h1, mid, ("key",), ("ts", "lsn"), ("val",),
+        full_events=base.unionByName(nxt),
+    )
+    full2 = scd2_history(
+        base.unionByName(nxt).unionByName(mid),
+        ("key",), ("ts", "lsn"), ("val",), carry_order=True,
+    )
+    assert _hist_rows(h2) == _hist_rows(full2)
