@@ -1,0 +1,156 @@
+"""Maintained SCD2 history store over the epoch-partitioned changelog.
+
+:mod:`operators.scd` gives the DataFrame-level algebra (full derivation +
+exact incremental fold); this module makes it a durable, resumable derived
+table: one small parquet relation holding the version history, advanced
+epoch-by-epoch off the same change log the replay runner consumes.
+
+Per epoch cost is O(batch + affected keys) — the fold touches only the
+batch's keys; late keys (events at or before a key's stored high-water
+mark) rebuild from the retained log slice, which is exactly why the store
+keeps the log as its source of truth instead of trusting arrival order.
+
+Durability follows the engine's derived-state convention
+(:class:`lake.incremental.IncrementalRollup`): data written to a tmp dir,
+renamed in, then the meta pointer (carrying the epoch cursor) fsync-swapped
+— the cursor advances in the same atomic commit as the data, so a crash at
+any point leaves the previous state intact and a re-run of
+:meth:`refresh` is idempotent (exactly-once per epoch).
+
+Deletes: pass ``op`` (or a derived flag) among ``tracked_cols`` to make
+delete events open tombstone versions that close the preceding interval —
+the SCD2-standard way to keep deletions queryable as history rather than
+erased (the latest-state view stays with the lake table; this store is the
+history view).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scd import scd2_apply_batch, scd2_history
+from ..sources import changelog
+from .table import _atomic_write
+
+
+class Scd2Store:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        state_dir: str,
+        key_cols: Sequence[str],
+        order_cols: Sequence[str],
+        tracked_cols: Sequence[str],
+    ):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.state_dir = state_dir
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.tracked_cols = list(tracked_cols)
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state I/O (IncrementalRollup conventions) -------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_dir, "meta.json")
+
+    def _meta(self) -> dict | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as fh:
+            return json.load(fh)
+
+    @property
+    def cursor(self) -> int | None:
+        """Highest applied epoch (epochs apply in order, contiguously)."""
+        m = self._meta()
+        return m["epoch"] if m else None
+
+    def read(self) -> DataFrame:
+        """The current history (scd2_history output schema with carried
+        order columns); empty-schema error if never refreshed."""
+        m = self._meta()
+        if m is None:
+            raise ValueError(f"no SCD2 state at {self.state_dir} — run refresh()")
+        return self.spark.read.parquet(os.path.join(self.state_dir, m["data"]))
+
+    def _commit(self, df: DataFrame, epoch: int, version: int) -> None:
+        cur = self._meta()
+        live = cur["data"] if cur else None
+        for fn in os.listdir(self.state_dir):
+            if fn.startswith(".tmp-") or (fn.startswith("state-v") and fn != live):
+                shutil.rmtree(os.path.join(self.state_dir, fn), ignore_errors=True)
+        name = f"state-v{version}"
+        tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".tmp-")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        os.rename(os.path.join(tmp, "data"), os.path.join(self.state_dir, name))
+        _atomic_write(
+            self._meta_path,
+            json.dumps({
+                "epoch": epoch,
+                "version": version,
+                "data": name,
+                "committed_at": time.time(),
+            }),
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        if live and live != name:
+            shutil.rmtree(os.path.join(self.state_dir, live), ignore_errors=True)
+
+    # -- maintenance -------------------------------------------------------
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.key_cols, *self.tracked_cols, *self.order_cols)
+
+    def refresh(self) -> dict:
+        """Apply every unapplied epoch in order, one atomic commit each
+        (resumable mid-stream). Returns ``{"applied": [...], "versions":
+        n_rows_of_final_state}``."""
+        done = self.cursor
+        epochs = [
+            e
+            for e in changelog.list_epochs(self.spark, self.log_dir)
+            if done is None or e > done
+        ]
+        applied = []
+        m = self._meta()
+        version = m["version"] if m else 0
+        for e in epochs:
+            batch = self._project(
+                changelog.read_epoch(self.spark, self.log_dir, e)
+            )
+            if self._meta() is None:
+                h = scd2_history(
+                    batch, self.key_cols, self.order_cols, self.tracked_cols,
+                    carry_order=True,
+                )
+            else:
+                # retained log slice up to and including this epoch — only
+                # evaluated when the fold actually finds late keys
+                retained = self._project(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(self.log_dir)
+                    .where(F.col("epoch") <= e)
+                )
+                h = scd2_apply_batch(
+                    self.read(), batch, self.key_cols, self.order_cols,
+                    self.tracked_cols, full_events=retained,
+                )
+            version += 1
+            self._commit(h, epoch=e, version=version)
+            applied.append(e)
+        return {
+            "applied": applied,
+            "versions": self.read().count() if self._meta() else 0,
+        }
