@@ -165,6 +165,7 @@ class ReplayRunner:
         compact_every: int | None = None,
         branch: str | None = None,
         quarantine_dir: str | None = None,
+        audit_sequence: bool = False,
     ):
         """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
         stay cheap); "mor" appends winner deltas per epoch — O(epoch)
@@ -181,7 +182,21 @@ class ReplayRunner:
         and counted in the epoch metrics instead of entering the table —
         at 10^10 events a poison row must be isolated with provenance,
         never applied and never fatal. Default (None) preserves the raw
-        pass-through behavior."""
+        pass-through behavior.
+
+        ``audit_sequence`` records per-epoch lsn-continuity evidence in the
+        checkpoint metrics at ZERO extra Spark jobs (the stats ride the
+        merge job as a CollectMetrics observation): ``lsn_min``/``lsn_max``,
+        ``seq_missing_est`` (holes inside the epoch's lsn range — exact when
+        the source assigns unique lsns; redelivered duplicates make it an
+        underestimate, which the LWW merge absorbs anyway) and
+        ``seq_gap_from_prev`` (lsns lost BETWEEN epochs — the silent-data-
+        loss signal a 10^10-event tail must surface). Resume re-seeds the
+        previous high-water from the last applied epoch's record. Detection
+        only (metrics, not failure): dropping events is the transport's
+        bug to page on, not a reason to wedge the pipeline; the detailed
+        hole listing is :func:`operators.flowstats.sequence_gap_intervals`
+        scoped to the flagged epochs."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
@@ -191,6 +206,10 @@ class ReplayRunner:
         self.compact_every = compact_every
         self.branch = branch
         self.quarantine_dir = quarantine_dir
+        self.audit_sequence = audit_sequence
+        # lazy: re-seeded from the last applied epoch's record on resume
+        self._prev_lsn_max: int | None = None
+        self._prev_seeded = False
         if branch is not None and branch not in table.meta.get("branches", {}):
             table.create_branch(branch)
         self._applied_since_compact = 0
@@ -245,6 +264,24 @@ class ReplayRunner:
             n_quarantined = qobs.get["n"]
             df = good
 
+        sobs = None
+        if self.audit_sequence:
+            if not self._prev_seeded:
+                last = self.checkpoints.last_epoch()
+                rec = self.checkpoints.get(last) if last is not None else None
+                if rec and rec.get("lsn_max") is not None:
+                    self._prev_lsn_max = int(rec["lsn_max"])
+                self._prev_seeded = True
+            from pyspark.sql import Observation
+
+            sobs = Observation()
+            df = df.observe(
+                sobs,
+                F.min(F.col("lsn").cast("long")).alias("lsn_min"),
+                F.max(F.col("lsn").cast("long")).alias("lsn_max"),
+                F.count(F.col("lsn")).alias("lsn_n"),
+            )
+
         staged = stage_changes(self.spark, df, self.table)
 
         # Lineage: the exact files read for this epoch (per-partition offsets
@@ -280,11 +317,34 @@ class ReplayRunner:
                 if dirty or self.table.has_legacy_files():
                     self.table.compact(buckets=dirty)
                 self._applied_since_compact = 0
+        seq_fields: dict = {}
+        if sobs is not None and not merge_metrics.get("skipped"):
+            got = sobs.get
+            lsn_min, lsn_max, lsn_n = got["lsn_min"], got["lsn_max"], got["lsn_n"]
+            if lsn_min is not None:
+                missing = max(0, int(lsn_max) - int(lsn_min) + 1 - int(lsn_n))
+                gap = (
+                    int(lsn_min) - self._prev_lsn_max - 1
+                    if self._prev_lsn_max is not None
+                    else None
+                )
+                seq_fields = {
+                    "lsn_min": int(lsn_min),
+                    "lsn_max": int(lsn_max),
+                    "seq_missing_est": missing,
+                    "seq_gap_from_prev": gap,
+                }
+                self._prev_lsn_max = (
+                    max(self._prev_lsn_max, int(lsn_max))
+                    if self._prev_lsn_max is not None
+                    else int(lsn_max)
+                )
         record = {
             "skipped": False,
             "input_files": input_files,
             "input_bytes": input_bytes,
             "quarantined": int(n_quarantined),
+            **seq_fields,
             "duration_sec": round(time.monotonic() - t0, 3),
             "table_version": self.table.meta["version"],
             **merge_metrics,

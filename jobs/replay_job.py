@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--quarantine-dir", default=None,
                     help="dead-letter poison rows (null key/lsn, unknown "
                          "op) here per epoch instead of applying them")
+    ap.add_argument("--audit-sequence", action="store_true",
+                    help="record per-epoch lsn continuity (holes, cross-"
+                         "epoch gaps) in the checkpoint metrics — rides "
+                         "the merge job, no extra pass")
     args = ap.parse_args()
     if args.audit_publish and not args.branch:
         ap.error("--audit-publish requires --branch")
@@ -84,6 +88,7 @@ def main() -> None:
             spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir),
             registry, merge_mode=args.mode, compact_every=args.compact_every,
             branch=args.branch, quarantine_dir=args.quarantine_dir,
+            audit_sequence=args.audit_sequence,
         )
         results = runner.run(max_epochs=args.max_epochs)
     applied = [r for r in results if not r.get("skipped")]
