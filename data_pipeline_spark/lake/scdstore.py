@@ -36,7 +36,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.scd import scd2_apply_batch, scd2_history
+from ..operators.scd import scd2_apply_batch, scd2_history, scd2_prune
 from ..sources import changelog
 from .table import _atomic_write
 
@@ -85,6 +85,13 @@ class Scd2Store:
             raise ValueError(f"no SCD2 state at {self.state_dir} — run refresh()")
         return self.spark.read.parquet(os.path.join(self.state_dir, m["data"]))
 
+    @property
+    def retention_cutoff(self) -> str | None:
+        """Persisted retention cutoff (ISO timestamp string) — versions
+        ended at or before it are pruned at every commit."""
+        m = self._meta()
+        return m.get("retention_cutoff") if m else None
+
     def _commit(self, df: DataFrame, epoch: int, version: int) -> None:
         cur = self._meta()
         live = cur["data"] if cur else None
@@ -101,12 +108,30 @@ class Scd2Store:
                 "epoch": epoch,
                 "version": version,
                 "data": name,
+                "retention_cutoff": cur.get("retention_cutoff") if cur else None,
                 "committed_at": time.time(),
             }),
         )
         shutil.rmtree(tmp, ignore_errors=True)
         if live and live != name:
             shutil.rmtree(os.path.join(self.state_dir, live), ignore_errors=True)
+
+    def prune(self, cutoff) -> int:
+        """Apply history retention now and persist the cutoff so every
+        subsequent :meth:`refresh` commit re-enforces it (a late-key
+        rebuild regenerates log-retained history; the standing cutoff
+        re-prunes it). Returns rows remaining. ``cutoff``: timestamp (or
+        ISO string) compared against the exclusive ``valid_to``."""
+        m = self._meta()
+        if m is None:
+            raise ValueError(f"no SCD2 state at {self.state_dir} — run refresh()")
+        cutoff_s = cutoff.isoformat() if hasattr(cutoff, "isoformat") else str(cutoff)
+        pruned = scd2_prune(self.read(), F.to_timestamp(F.lit(cutoff_s)))
+        self._commit(pruned, epoch=m["epoch"], version=m["version"] + 1)
+        meta = self._meta()
+        meta["retention_cutoff"] = cutoff_s
+        _atomic_write(self._meta_path, json.dumps(meta))
+        return self.read().count()
 
     # -- maintenance -------------------------------------------------------
 
@@ -147,6 +172,9 @@ class Scd2Store:
                     self.read(), batch, self.key_cols, self.order_cols,
                     self.tracked_cols, full_events=retained,
                 )
+            cutoff = self.retention_cutoff
+            if cutoff is not None:
+                h = scd2_prune(h, F.to_timestamp(F.lit(cutoff)))
             version += 1
             self._commit(h, epoch=e, version=version)
             applied.append(e)

@@ -221,6 +221,26 @@ def scd2_apply_batch(
     return untouched.unionByName(rebuilt)
 
 
+def scd2_prune(history: DataFrame, cutoff, valid_to_col: str = "valid_to") -> DataFrame:
+    """History retention: drop versions whose interval ended at or before
+    ``cutoff`` — exactly the rows no point-in-time query at t >= cutoff can
+    ever return (``valid_to`` is exclusive, so a version ending exactly AT
+    the cutoff is already superseded there). The version covering the
+    cutoff and everything after survive, so :func:`scd2_lookup` results are
+    byte-identical for all probes at or after the cutoff (pinned in tests);
+    original version numbers are kept for auditability (a pruned key's
+    numbering starts above 1).
+
+    Incremental-maintenance caveat: align the cutoff with changelog
+    retention/compaction (sources/logcompact.py) — a late event older than
+    the cutoff triggers a rebuild from the retained log, which regenerates
+    whatever history the log still carries.
+    """
+    return history.where(
+        F.col(valid_to_col).isNull() | (F.col(valid_to_col) > F.lit(cutoff))
+    )
+
+
 def scd2_lookup(
     history: DataFrame,
     probes: DataFrame,

@@ -271,3 +271,29 @@ def test_apply_batch_inorder_needs_no_log_even_with_collapsed_highwater(spark):
         ("key",), ("ts", "lsn"), ("val",), carry_order=True,
     )
     assert _hist_rows(h2) == _hist_rows(full2)
+
+
+def test_scd2_prune_preserves_lookups_at_or_after_cutoff(spark):
+    from data_pipeline_spark.operators.scd import scd2_prune
+
+    hist = scd2_history(
+        _log(spark), ("key",), ("ts", "lsn"), ("val",)
+    ).withColumnRenamed("val", "val_at")
+    cutoff = _ts(20)
+    pruned = scd2_prune(hist, cutoff)
+    # key a: v1 [0,20) ends exactly AT the cutoff → droppable; v2, v3 stay
+    got = sorted((r.key, r.version) for r in pruned.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 1)]
+    probes = spark.createDataFrame(
+        [("a", _ts(20), 1), ("a", _ts(25), 2), ("a", _ts(99), 3), ("b", _ts(99), 4)],
+        "key string, at timestamp, pid long",
+    )
+    full_res = {
+        r.pid: r.val_at
+        for r in scd2_lookup(hist, probes, ("key",), "at", ("val_at",)).collect()
+    }
+    pruned_res = {
+        r.pid: r.val_at
+        for r in scd2_lookup(pruned, probes, ("key",), "at", ("val_at",)).collect()
+    }
+    assert full_res == pruned_res

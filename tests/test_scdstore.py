@@ -101,3 +101,34 @@ def test_crash_between_data_and_meta_recovers(spark, log_dir, tmp_path):
     res = store.refresh()
     assert res["applied"] == [3]
     assert store.cursor == 3
+
+
+def test_prune_persists_and_reapplies(spark, log_dir, tmp_path):
+    store = Scd2Store(spark, log_dir, str(tmp_path / "state"), **ARGS)
+    store.refresh()
+    before = store.read().count()
+    # median closed-interval end as the cutoff → a real subset is pruned
+    cutoff = store.read().where("valid_to is not null").agg(
+        F.expr("percentile(cast(valid_to as double), 0.5)")
+    ).first()[0]
+    import datetime as dt
+
+    cutoff_ts = dt.datetime.fromtimestamp(cutoff)
+    remaining = store.prune(cutoff_ts)
+    assert 0 < remaining < before
+    assert store.read().where(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.lit(cutoff_ts))
+    ).count() == 0
+    assert store.retention_cutoff is not None
+    # new epoch arrives: refresh must keep enforcing the standing cutoff
+    extra = (
+        gen_changes(spark, 1000, events_per_epoch=1000, seed=41)
+        .withColumn("epoch", F.col("epoch") + 3)
+        .withColumn("lsn", F.col("lsn") + 77_000)
+    )
+    changelog.write_log(extra, log_dir)
+    store.refresh()
+    assert store.cursor == 3
+    assert store.read().where(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.lit(cutoff_ts))
+    ).count() == 0
