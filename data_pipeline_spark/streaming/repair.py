@@ -146,3 +146,67 @@ def repair_keys(
         **{k: v for k, v in merge_metrics.items() if k != "skipped"},
         "skipped": bool(merge_metrics.get("skipped")),
     }
+
+
+def requeue_quarantine(
+    spark: SparkSession,
+    quarantine_dir: str,
+    log_dir: str,
+    as_epoch: int,
+    key_col: str = "url",
+    fix: Callable[[DataFrame], DataFrame] | None = None,
+    source_epochs: Sequence[int] | None = None,
+) -> dict:
+    """Close the dead-letter loop: quarantined rows, once fixable, re-enter
+    the change log as a NEW epoch and flow through the normal replay path
+    (exactly-once, LWW, schema evolution) like any other arrival.
+
+    1. read ``quarantine_dir`` (``epoch=N`` partitions; ``source_epochs``
+       narrows which DLQ epochs to requeue);
+    2. drop the ``_reason`` provenance column and apply the caller's
+       ``fix`` (e.g. map a late-registered op alias, backfill a null lsn
+       from a sibling field);
+    3. REVALIDATE with the exact gate that quarantined them
+       (:func:`streaming.runner.split_poison`) — rows the fix did not heal
+       raise with per-reason counts rather than being silently re-poisoned
+       or re-admitted;
+    4. append as ``epoch=as_epoch`` (must be a fresh epoch id — colliding
+       with an applied epoch would be silently skipped by the ledger, and
+       merging files into a pending epoch would corrupt its lineage).
+
+    The next :meth:`ReplayRunner.run` applies the requeued epoch normally;
+    event-time LWW makes the outcome identical to the rows having arrived
+    on time (batching-invariance).
+    """
+    from .runner import split_poison
+
+    from ..sources import changelog
+
+    existing = set(changelog.list_epochs(spark, log_dir))
+    if as_epoch in existing:
+        raise ValueError(
+            f"as_epoch {as_epoch} already exists in the log — requeue needs "
+            f"a fresh epoch id (max existing: {max(existing)})"
+        )
+    dlq = spark.read.option("mergeSchema", "true").parquet(quarantine_dir)
+    if source_epochs is not None:
+        dlq = dlq.where(F.col("epoch").isin([int(e) for e in source_epochs]))
+    rows = dlq.drop("_reason", "epoch")
+    if fix is not None:
+        rows = fix(rows)
+    good, still_poison = split_poison(rows, key_col)
+    n_bad = still_poison.count()
+    if n_bad:
+        reasons = {
+            r["_reason"]: r["n"]
+            for r in still_poison.groupBy("_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        raise ValueError(
+            f"{n_bad} quarantined row(s) still poison after fix: {reasons}"
+        )
+    out = good.withColumn("epoch", F.lit(int(as_epoch)))
+    n = out.count()
+    changelog.write_log(out, log_dir)
+    return {"requeued": n, "as_epoch": int(as_epoch)}
