@@ -135,13 +135,42 @@ class Scd2Store:
 
     # -- maintenance -------------------------------------------------------
 
+    def _merged_log_schema(self):
+        if getattr(self, "_log_schema", None) is None:
+            self._log_schema = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.log_dir)
+                .schema
+            )
+        return self._log_schema
+
     def _project(self, df: DataFrame) -> DataFrame:
-        return df.select(*self.key_cols, *self.tracked_cols, *self.order_cols)
+        """Project to (keys, tracked, order), null-filling columns a given
+        epoch predates (schema evolution: a tracked column added mid-log
+        must read as null in older epochs, typed from the merged log
+        schema so parquet writes and unions stay typed)."""
+        cols = [*self.key_cols, *self.tracked_cols, *self.order_cols]
+        have = set(df.columns)
+        missing = [c for c in cols if c not in have]
+        if not missing:
+            return df.select(*cols)
+        types = {f.name: f.dataType for f in self._merged_log_schema().fields}
+        unknown = [c for c in missing if c not in types]
+        if unknown:
+            raise ValueError(
+                f"column(s) {unknown} exist in no epoch of {self.log_dir}"
+            )
+        exprs = [
+            (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(c)
+            for c in cols
+        ]
+        return df.select(*exprs)
 
     def refresh(self) -> dict:
         """Apply every unapplied epoch in order, one atomic commit each
         (resumable mid-stream). Returns ``{"applied": [...], "versions":
         n_rows_of_final_state}``."""
+        self._log_schema = None  # new epochs may have widened the schema
         done = self.cursor
         epochs = [
             e

@@ -132,3 +132,33 @@ def test_prune_persists_and_reapplies(spark, log_dir, tmp_path):
     assert store.read().where(
         F.col("valid_to").isNotNull() & (F.col("valid_to") <= F.lit(cutoff_ts))
     ).count() == 0
+
+
+def test_tracked_column_added_mid_log(spark, tmp_path):
+    """Schema evolution: a tracked column that first appears in epoch 1
+    reads as typed nulls in epoch 0 — early versions carry null, its first
+    real value opens a version."""
+    log = str(tmp_path / "log")
+    e0 = spark.createDataFrame(
+        [("insert", "u1", 1, "2024-01-01 00:00:00", "en")],
+        "op string, url string, lsn long, warc_ts string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn("epoch", F.lit(0))
+    e1 = spark.createDataFrame(
+        [("update", "u1", 2, "2024-01-01 00:01:00", "en", "news")],
+        "op string, url string, lsn long, warc_ts string, lang string,"
+        " category string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn("epoch", F.lit(1))
+    changelog.write_log(e0, log)
+    changelog.write_log(e1, log)
+    store = Scd2Store(
+        spark, log, str(tmp_path / "state"),
+        key_cols=("url",), order_cols=("warc_ts", "lsn"),
+        tracked_cols=("lang", "category"),
+    )
+    res = store.refresh()
+    assert res["applied"] == [0, 1]
+    got = sorted(
+        (r.version, r.lang, r.category, r.is_current)
+        for r in store.read().collect()
+    )
+    assert got == [(1, "en", None, False), (2, "en", "news", True)]
