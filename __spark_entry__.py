@@ -182,6 +182,99 @@ WHERE p.price <> c.price OR p.st <> c.st
 """
 
 
+def q_cdc_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (`lake/incremental_join.py`): the
+    materialized orders⋈customer view advanced from its previous state by
+    the delta algebra ONLY — touched fact keys from `snapshot_diff`, the
+    affected-join-key set K (pre- and post-image custkeys of changed
+    orders, plus changed customers), one restricted left join sized
+    O(delta), untouched rows spliced through verbatim. The DuckDB twin
+    joins the post-snapshots directly, so parity proves incremental ==
+    full recompute under fact updates, join-key churn, fact/dim inserts,
+    and dim deletes. At the stateful layer (`IncrementalJoinView`) the
+    same algebra runs over bucket-pruned LakeTable image reads with the
+    view stored in its own LakeTable (atomic commits, exactly-once
+    cursor pairs) — pytest `test_incremental_join.py`."""
+    from data_pipeline_spark.lake.diff import snapshot_diff
+    from data_pipeline_spark.lake.incremental_join import (
+        join_view_refresh,
+        touched_join_keys,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    a_old = o.where(F.col("o_orderkey") % 7 != 0)
+    a_new = (
+        o.where(F.col("o_orderkey") % 5 != 0)
+        .withColumn(
+            "price",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.round(F.col("price") + 10, 2)
+            ).otherwise(F.col("price")),
+        )
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, (F.col("o_custkey") % 500) + 1
+            ).otherwise(F.col("o_custkey")),
+        )
+    )
+    b_old = c.where(F.col("c_custkey") % 6 != 0)
+    b_new = c.where(F.col("c_custkey") % 4 != 0).withColumn(
+        "acctbal",
+        F.when(
+            F.col("c_custkey") % 9 == 0, F.round(F.col("acctbal") + 5, 2)
+        ).otherwise(F.col("acctbal")),
+    )
+    old_view = a_old.join(
+        b_old, a_old["o_custkey"] == b_old["c_custkey"], "left"
+    ).select("o_orderkey", "o_custkey", "price", "c_custkey", "c_name", "acctbal")
+
+    touched_a = snapshot_diff(a_old, a_new, "o_orderkey").select(
+        "o_orderkey"
+    ).distinct()
+    touched_b = snapshot_diff(b_old, b_new, "c_custkey").select(
+        "c_custkey"
+    ).distinct()
+    a_pre = a_old.join(touched_a, "o_orderkey", "left_semi")
+    a_post = a_new.join(touched_a, "o_orderkey", "left_semi")
+    K = touched_join_keys(
+        a_pre.select("o_custkey"), a_post.select("o_custkey"), touched_b,
+        "o_custkey", "c_custkey",
+    )
+    b_post_k = b_new.join(
+        K.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    )
+    new_view = join_view_refresh(
+        old_view, touched_a, a_post, b_post_k, K,
+        a_key="o_orderkey", join_key_a="o_custkey", join_key_b="c_custkey",
+    )
+    return new_view.where(F.col("c_custkey").isNotNull())
+
+
+_SQL_JOIN_INCREMENTAL = """
+WITH a_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN (o_custkey % 500) + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN round(round(o_totalprice, 2) + 10, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+), b_new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 9 = 0 THEN round(round(c_acctbal, 2) + 5, 2)
+              ELSE round(c_acctbal, 2) END AS acctbal
+  FROM customer WHERE c_custkey % 4 <> 0
+)
+SELECT a.o_orderkey, a.o_custkey, a.price, b.c_custkey, b.c_name, b.acctbal
+FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey
+"""
+
+
 def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-format adapter (`sources/debezium.py`): events → Debezium JSON
     envelopes (`to_debezium`) → parsed typed change frame
@@ -2297,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         # --- new this round ---
+        "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_tx_align": q_cdc_tx_align,
@@ -2376,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
+        "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "cdc_patch_apply": _SQL_PATCH_APPLY,
         "cdc_tx_align": _SQL_TX_ALIGN,
