@@ -275,6 +275,102 @@ FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey
 """
 
 
+def q_cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBLog watermark chunked-snapshot reconciliation
+    (`sources/chunked_snapshot.py`, arXiv:2010.12597): a lock-free
+    snapshot taken in 10 chunks at UNKNOWN read points inside each chunk's
+    (lw, hw] watermark window, interleaved with a live update/delete
+    stream. The kill rule discards chunk rows whose key saw an in-window
+    event; survivors are stamped at lw; LWW over survivors ∪ log must
+    equal the ground-truth final state — which the DuckDB twin computes
+    directly from the event schedule with NO snapshot anywhere, so parity
+    proves the watermark algebra corrects for the unknown read points.
+    Chunk read point is simulated mid-window (lw+5); update lsns are odd,
+    delete lsns even, so no (key, lsn) ties exist."""
+    from data_pipeline_spark.sources.chunked_snapshot import reconcile_chunks
+
+    k = F.col("o_orderkey")
+    base = _t(spark, sf_dir, "orders").select(
+        k.alias("k"), F.col("o_custkey").alias("ck"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    kk = F.col("k")
+    lsn_u = (2 * ((kk * 7) % 50) + 1).cast("long")   # odd, 1..99
+    lsn_d = (2 * ((kk * 3) % 50) + 2).cast("long")   # even, 2..100
+    updates = base.where(kk % 4 == 0).select(
+        "k", "ck", F.round(F.col("price") + 5, 2).alias("price"), "st",
+        F.lit("upsert").alias("op"), lsn_u.alias("lsn"),
+    )
+    deletes = base.where(kk % 10 == 0).select(
+        "k", "ck", F.lit(None).cast("double").alias("price"), "st",
+        F.lit("delete").alias("op"), lsn_d.alias("lsn"),
+    )
+    log = updates.unionByName(deletes)
+
+    # chunk c = k % 10, window (10c, 10c+10], read point mid = 10c+5:
+    # the chunk row reflects exactly the events with lsn <= mid.
+    c = (kk % 10).cast("long")
+    mid = 10 * c + 5
+    chunks = (
+        base.withColumn("lw_lsn", (10 * c))
+        .withColumn("hw_lsn", (10 * c + 10))
+        # delete already visible at the read point -> row absent from chunk
+        .where(~((kk % 10 == 0) & (lsn_d <= mid)))
+        # update already visible at the read point -> reflected in the row
+        .withColumn(
+            "price",
+            F.when(
+                (kk % 4 == 0) & (lsn_u <= mid), F.round(F.col("price") + 5, 2)
+            ).otherwise(F.col("price")),
+        )
+    )
+    survivors = reconcile_chunks(chunks, log, key_col="k")
+    replayed = survivors.unionByName(
+        log.select(*survivors.columns)
+    )
+    final = (
+        replayed.groupBy("k")
+        .agg(
+            F.max_by(
+                F.struct("ck", "price", "st", "op"), F.col("lsn")
+            ).alias("w")
+        )
+        .where(F.col("w.op") != "delete")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("w.ck").alias("o_custkey"),
+            F.col("w.price").alias("price"),
+            F.col("w.st").alias("o_orderstatus"),
+        )
+    )
+    return final
+
+
+_SQL_CHUNKED_SNAPSHOT = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, round(o_totalprice, 2) AS price,
+         o_orderstatus AS st
+  FROM orders
+), ev AS (
+  SELECT k, ck, round(price + 5, 2) AS price, st,
+         'upsert' AS op, 2 * ((k * 7) % 50) + 1 AS lsn
+  FROM base WHERE k % 4 = 0
+  UNION ALL
+  SELECT k, ck, NULL, st, 'delete', 2 * ((k * 3) % 50) + 2
+  FROM base WHERE k % 10 = 0
+), winner AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT k AS o_orderkey, ck AS o_custkey, price, st AS o_orderstatus
+FROM winner WHERE rn = 1 AND op <> 'delete'
+UNION ALL
+SELECT k, ck, price, st FROM base
+WHERE k NOT IN (SELECT k FROM ev)
+"""
+
+
 def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-format adapter (`sources/debezium.py`): events → Debezium JSON
     envelopes (`to_debezium`) → parsed typed change frame
@@ -2391,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # --- new this round ---
         "cdc_join_incremental": q_cdc_join_incremental,
+        "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_tx_align": q_cdc_tx_align,
@@ -2471,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
+        "cdc_chunked_snapshot": _SQL_CHUNKED_SNAPSHOT,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "cdc_patch_apply": _SQL_PATCH_APPLY,
         "cdc_tx_align": _SQL_TX_ALIGN,
