@@ -230,16 +230,26 @@ def q_cdc_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 9 == 0, F.round(F.col("acctbal") + 5, 2)
         ).otherwise(F.col("acctbal")),
     )
+    # Materialize the "previously committed" state once — in production it
+    # IS materialized (the view's own LakeTable files); recomputing the
+    # old join per downstream reference would misrepresent the refresh
+    # cost the operator actually has.
     old_view = a_old.join(
         b_old, a_old["o_custkey"] == b_old["c_custkey"], "left"
-    ).select("o_orderkey", "o_custkey", "price", "c_custkey", "c_name", "acctbal")
+    ).select(
+        "o_orderkey", "o_custkey", "price", "c_custkey", "c_name", "acctbal"
+    ).localCheckpoint(eager=True)
 
+    # The touched-key sets are each referenced 2-3 times downstream (semi
+    # joins + the keep-leg anti join); eager checkpoints stop the
+    # full-outer diff joins from re-executing per use — the same posture
+    # the stateful IncrementalJoinView takes on its change-feed reads.
     touched_a = snapshot_diff(a_old, a_new, "o_orderkey").select(
         "o_orderkey"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     touched_b = snapshot_diff(b_old, b_new, "c_custkey").select(
         "c_custkey"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     a_pre = a_old.join(touched_a, "o_orderkey", "left_semi")
     a_post = a_new.join(touched_a, "o_orderkey", "left_semi")
     K = touched_join_keys(

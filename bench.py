@@ -33,6 +33,8 @@ HEADLINE = [
     # Round-3 families (wire adapter, sparse patches, tx epochs, SCD2,
     # stream observability) — tracked so a regression there is visible.
     "cdc_debezium_roundtrip",
+    "cdc_join_incremental",
+    "cdc_chunked_snapshot",
     "cdc_patch_apply",
     "cdc_tx_align",
     "cdc_scd2_history",

@@ -215,6 +215,42 @@ def test_multi_epoch_churn_converges(spark, tables, ivj):
         assert _got(ivj) == _expected(fact, dim), f"diverged at epoch {e}"
 
 
+def test_streaming_join_view(spark, tables, ivj, tmp_path):
+    """Rate-clock streaming maintenance: base-table commits from 'another
+    process' appear in the view without manual refresh calls."""
+    from data_pipeline_spark.lake.incremental_join import StreamingJoinView
+
+    fact, dim = tables
+    _seed2(spark, fact, dim)
+    stream = StreamingJoinView(ivj)
+    q = stream.start(str(tmp_path / "cp_stream"), interval="1 second")
+
+    def _await(cond, timeout=60.0):
+        import time as _time
+
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if cond():
+                return
+            _time.sleep(0.5)
+        raise AssertionError("condition not reached within timeout")
+
+    try:
+        _await(lambda: ivj.cursors() is not None)
+        fact.merge(
+            _rows(spark, FACT_SCHEMA, "url", [
+                ("insert", "u77", 100, "c2", 77.0, 100),
+            ]),
+            epoch=1, mode="mor",
+        )
+        _await(lambda: ivj.cursors() is not None
+               and any(t[0] == "u77" for t in _got(ivj)))
+    finally:
+        q.stop()
+    assert _got(ivj) == _expected(fact, dim)
+    assert any(r["mode"] != "noop" for r in stream.results)
+
+
 def test_pure_refresh_algebra(spark):
     """join_view_refresh on plain frames equals a direct recompute."""
     a_old = spark.createDataFrame(
