@@ -148,6 +148,146 @@ def repair_keys(
     }
 
 
+RECONCILE_EPOCH_BASE = 1 << 41
+
+
+def reconcile_snapshot(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    table: LakeTable,
+    reconcile_id: int = 0,
+    branch: str | None = None,
+    checks: Sequence[Check] = (),
+    publish: bool = True,
+    lsn_col: str = "lsn",
+) -> dict:
+    """Heal a replica against an authoritative source snapshot.
+
+    The consistency question every CDC operator eventually asks: "does my
+    replica actually equal the source right now — and if not, fix it
+    without a re-bootstrap." Given a full source snapshot (every logical
+    column of the table, one row per live key), this computes the exact
+    row-level divergence (:func:`lake.diff.snapshot_diff` — one full-outer
+    join) and commits ONE corrective epoch:
+
+    - keys the source lacks → staged deletes, stamped at the stored row's
+      own ``(ts, lsn)`` — the cow merge's staged-wins-ties rule persists
+      the tombstone ("righter, not newer", the `repair_keys` argument);
+    - diverged rows → upserts carrying the snapshot's values, stamped at
+      ``greatest(stored_ts, snapshot_ts)`` / ``greatest(stored_lsn,
+      snapshot_lsn)`` so a spurious future-dated replica event cannot
+      out-LWW its own correction (the per-key event-time high-water is
+      preserved, never rewound);
+    - missing keys → inserts at the snapshot's own stamps.
+
+    Cost: O(table ∩ snapshot) for the diff — this is a FULL consistency
+    sweep by definition; run it bucket-scoped (pre-filter both sides) for
+    targeted checks. Corrections merge in the usual bucket-pruned cow
+    path, cost O(diverged keys ∩ buckets). Idempotent under
+    ``RECONCILE_EPOCH_BASE + reconcile_id`` (disjoint from log and repair
+    epoch spaces); a second run with a fresh id over a healed table stages
+    zero corrections. Audits + WAP branch as in :func:`repair_keys`.
+    """
+    from ..lake.diff import snapshot_diff
+
+    if branch is None:
+        branch = f"reconcile-{int(reconcile_id)}"
+    key = table.key_col
+    ts_col = table.meta["order_col"]
+    logical = [f.name for f in table.schema.fields]
+    missing_cols = [c for c in logical if c not in snapshot.columns]
+    if missing_cols:
+        raise ValueError(
+            f"snapshot must carry every logical column of the table; "
+            f"missing {missing_cols} — a partial snapshot would null-out "
+            "columns it does not know about"
+        )
+
+    live = table.read(with_system=True).where(
+        ~F.coalesce(F.col("__deleted"), F.lit(False))
+    )
+    stored = live.select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__stored_ts"),
+        F.col("__lsn").alias("__stored_lsn"),
+    )
+    value_cols = [c for c in logical if c != key]
+    # Compare PAYLOAD only: the stamp columns (order/lsn) are excluded
+    # because corrections deliberately keep the per-key high-water stamp —
+    # including them would re-flag every healed row on the next sweep.
+    cmp_cols = [c for c in value_cols if c not in (ts_col, lsn_col)]
+    diff = snapshot_diff(
+        live.select(key, *cmp_cols), snapshot.select(key, *cmp_cols), key
+    ).where(F.col("_change_type") != "update_preimage")
+
+    snap = snapshot.select(
+        F.col(key).alias("__sk"),
+        *[F.col(c).alias(f"__s_{c}") for c in value_cols],
+    )
+    has_lsn = lsn_col in snapshot.columns and lsn_col in value_cols
+    snap_lsn = (
+        F.col(f"__s_{lsn_col}").cast("long") if has_lsn
+        else F.lit(None).cast("long")
+    )
+    corr = (
+        diff.select(key, "_change_type")
+        .join(stored, diff[key] == stored["__k"], "left")
+        .join(snap, diff[key] == snap["__sk"], "left")
+        .select(
+            key,
+            *[
+                F.col(f"__s_{c}").alias(c)
+                for c in value_cols if c not in (ts_col, lsn_col)
+            ],
+            F.when(
+                F.col("_change_type") == "delete", F.col("__stored_ts")
+            ).otherwise(
+                F.greatest(
+                    F.col(f"__s_{ts_col}"),
+                    F.coalesce("__stored_ts", F.col(f"__s_{ts_col}")),
+                )
+            ).alias(ts_col),
+            F.when(
+                F.col("_change_type") == "delete", F.col("__stored_lsn")
+            ).otherwise(
+                F.greatest(
+                    F.coalesce(snap_lsn, F.lit(0)),
+                    F.coalesce("__stored_lsn", F.lit(0)),
+                )
+            ).alias(lsn_col),
+            F.when(F.col("_change_type") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+    )
+
+    if branch not in table.meta.get("branches", {}):
+        table.create_branch(branch)
+    merge_metrics = table.merge(
+        corr,
+        epoch=RECONCILE_EPOCH_BASE + int(reconcile_id),
+        ts_col=ts_col,
+        lsn_col=lsn_col,
+        mode="cow",  # staged wins (ts, lsn) ties — deletes depend on it
+        branch=branch,
+        extra_summary={"engine.reconcile-id": str(int(reconcile_id))},
+    )
+    results: list[CheckResult] = audit(table, branch, list(checks))
+    ok = all(r.ok for r in results)
+    published = False
+    if publish and ok and not merge_metrics.get("skipped"):
+        table.fast_forward(branch)
+        published = True
+    return {
+        "reconcile_epoch": RECONCILE_EPOCH_BASE + int(reconcile_id),
+        "audit": [(r.name, r.ok, r.detail) for r in results],
+        "audit_ok": ok,
+        "published": published,
+        **{k: v for k, v in merge_metrics.items() if k != "skipped"},
+        "skipped": bool(merge_metrics.get("skipped")),
+    }
+
+
 def requeue_quarantine(
     spark: SparkSession,
     quarantine_dir: str,

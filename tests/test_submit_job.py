@@ -487,3 +487,58 @@ def test_spark_submit_repair_job(submit_env, tmp_path, spark):
     assert metrics["n_affected_keys"] > 0
     healed = LakeTable.load(spark, table_dir).read()
     assert healed.where("lang = 'zz'").count() == 0
+
+
+def test_spark_submit_reconcile_snapshot(submit_env, tmp_path, spark):
+    """X64 ships through the same job: replay a log, drift the replica by
+    hand-writing an authoritative snapshot that disagrees, then
+    repair_job --reconcile-snapshot heals the table to the snapshot."""
+    import pyspark.sql.functions as F
+
+    work, log_dir, zip_path = submit_env
+    table_dir = str(work / "t_reconcile")
+    cp_dir = str(work / "cp_reconcile")
+    res = _submit(
+        {"zip": zip_path, "log": log_dir, "table": table_dir, "cp": cp_dir},
+        cwd=str(tmp_path),
+    )
+    assert res["epochs_applied"] == 3
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, table_dir)
+    # authoritative snapshot: current state with one key's lang rewritten
+    # and one key dropped (source deleted it; replica missed the event)
+    cur = table.read()
+    some = [r["url"] for r in cur.select("url").limit(2).collect()]
+    snap = cur.where(F.col("url") != some[1]).withColumn(
+        "lang",
+        F.when(F.col("url") == some[0], F.lit("xx")).otherwise(F.col("lang")),
+    )
+    snap_path = str(work / "source_snapshot")
+    snap.write.mode("overwrite").parquet(snap_path)
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "repair_job.py"),
+            "--table-dir", table_dir,
+            "--reconcile-snapshot", snap_path,
+            "--repair-id", "7",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    metrics = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["published"] and metrics["audit_ok"]
+    healed = LakeTable.load(spark, table_dir).read()
+    assert healed.where(F.col("url") == some[0]).select("lang").collect()[0][0] == "xx"
+    assert healed.where(F.col("url") == some[1]).count() == 0
