@@ -261,6 +261,17 @@ class IncrementalJoinView:
 
     # -- reads -------------------------------------------------------------
 
+    @property
+    def table(self) -> LakeTable:
+        """The view's backing LakeTable — a first-class table: time travel,
+        change feed, compaction, and (star schemas) serving as the FACT of
+        another IncrementalJoinView. Chained views compose because
+        `read_changes` over the view's cow commits over-approximates the
+        logical delta (a superset of touched keys recomputes to the same
+        rows). The `_view_ver` system column is part of its schema;
+        downstream consumers should exclude it from their dim_cols."""
+        return self._view_table()
+
     def read(self, inner: bool = False) -> DataFrame:
         """The maintained view. ``inner=True`` filters to matched rows
         (dimension join key non-null) — the inner-join projection."""
