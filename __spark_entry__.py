@@ -381,6 +381,56 @@ WHERE k NOT IN (SELECT k FROM ev)
 """
 
 
+def q_cdc_offset_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped transport bridge (`sources/partitioned.py`): events
+    spread over 8 partitions (key-hash on user_id, per-partition offsets
+    by delivery order) packed into offset-vector epochs — a pure narrow
+    map (epoch = (offset - start[p] - 1) // target), with the committed
+    start vector dropping redelivered offsets. Returns the per-(epoch,
+    partition) extents a consumer group would commit; the DuckDB twin
+    reproduces the formula from row_number alone."""
+    from data_pipeline_spark.sources.partitioned import pack_offset_epochs
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id",
+        (F.col("user_id") % 8).alias("partition"),
+    )
+    w = Window.partitionBy("partition").orderBy("ts", "event_id")
+    stream = ev.withColumn("offset", F.row_number().over(w).cast("long"))
+    packed = pack_offset_epochs(
+        stream, {0: 100, 1: 50}, target=1000
+    )
+    return (
+        packed.groupBy("epoch", "partition")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+        )
+    )
+
+
+_SQL_OFFSET_EPOCHS = """
+WITH stream AS (
+  SELECT user_id % 8 AS partition,
+         CAST(row_number() OVER (PARTITION BY user_id % 8
+                                 ORDER BY ts, event_id) AS BIGINT) AS "offset"
+  FROM events
+), packed AS (
+  SELECT partition, "offset",
+         CAST(floor(("offset" - CASE partition WHEN 0 THEN 100
+                                               WHEN 1 THEN 50
+                                               ELSE 0 END - 1) / 1000.0)
+              AS BIGINT) AS epoch
+  FROM stream
+  WHERE "offset" > CASE partition WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 0 END
+)
+SELECT epoch, partition, count(*) AS n, min("offset") AS lo, max("offset") AS hi
+FROM packed GROUP BY epoch, partition
+"""
+
+
 def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire-format adapter (`sources/debezium.py`): events → Debezium JSON
     envelopes (`to_debezium`) → parsed typed change frame
@@ -2498,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
+        "cdc_offset_epochs": q_cdc_offset_epochs,
         "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
         "cdc_patch_apply": q_cdc_patch_apply,
         "cdc_tx_align": q_cdc_tx_align,
@@ -2579,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
         "cdc_chunked_snapshot": _SQL_CHUNKED_SNAPSHOT,
+        "cdc_offset_epochs": _SQL_OFFSET_EPOCHS,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
         "cdc_patch_apply": _SQL_PATCH_APPLY,
         "cdc_tx_align": _SQL_TX_ALIGN,
