@@ -152,6 +152,15 @@ def ingest_partitioned(
 
     Epoch numbering continues from the ledger's last committed epoch.
     Returns {epochs, rows, vectors}.
+
+    Crash window (log written, ledger not yet recorded): the re-run packs
+    the same rows to the SAME epoch ids (the pack is a pure function of
+    the committed vector) and appends them again — the epoch dir then
+    holds byte-identical duplicate rows, which the downstream merge's
+    per-key LWW collapses to the same winners, and the merge's own epoch
+    ledger still applies the epoch once. Exactly-once of the FINAL state
+    therefore survives the window without coordination; a crash mid-ledger
+    (some epochs recorded) resumes precisely after the recorded vector.
     """
     start = ledger.start_vector()
     committed = ledger.committed_epochs()

@@ -141,3 +141,28 @@ def test_ledger_conflicting_epoch_raises(tmp_path):
     ledger.record(0, {0: 5})  # same vector: idempotent
     with pytest.raises(ValueError, match="different offset vector"):
         ledger.record(0, {0: 7})
+
+
+def test_crash_between_log_write_and_ledger_is_idempotent(spark, tmp_path):
+    """Log written, ledger lost (the documented crash window): re-running
+    the same delivery appends byte-identical duplicates to the same epoch
+    dirs — the downstream merge's LWW collapses them and the final state
+    is exact."""
+    rows = [(0, o, "upsert", f"u{o % 4}", float(o)) for o in range(1, 9)]
+    ledger_path = str(tmp_path / "ledger.json")
+    log = str(tmp_path / "log")
+    ingest_partitioned(
+        spark, _delivery(spark, rows), log, OffsetVectorLedger(ledger_path),
+        target=4,
+    )
+    # crash: the ledger file never made it to disk
+    import os
+    os.remove(ledger_path)
+    res = ingest_partitioned(
+        spark, _delivery(spark, rows), log, OffsetVectorLedger(ledger_path),
+        target=4,
+    )
+    assert res["epochs"] == [0, 1]  # same ids re-derived
+    t = _replay(spark, log, str(tmp_path / "c"))
+    got = {r["url"]: r["val"] for r in t.read().select("url", "val").collect()}
+    assert got == {"u1": 5.0, "u2": 6.0, "u3": 7.0, "u0": 8.0}
