@@ -74,6 +74,7 @@ def parse_debezium(
     row_ddl: str,
     value_col: str = "value",
     keep_corrupt: bool = False,
+    extra_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Debezium JSON envelopes → the engine's typed change frame.
 
@@ -86,19 +87,24 @@ def parse_debezium(
     ``keep_corrupt`` — then they surface with op NULL and the raw envelope
     in ``_corrupt`` (the P16 quarantine convention, parse.py): at 10^10
     events a poison message must quarantine, never kill the tail.
+
+    ``extra_cols``: transport-side columns of ``df`` (e.g. Kafka's
+    ``partition``/``offset``) selected through unchanged — the envelope
+    value doesn't carry them, the consumer does.
     """
     parsed = F.from_json(F.col(value_col), envelope_schema(row_ddl), _JSON_OPTS)
     p = parsed["payload"]
     op = _map_expr(_DBZ_TO_ENGINE, p["op"])
     row = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
     out = df.select(
+        *extra_cols,
         op.alias("op"),
         row.alias("_row"),
         p["source"]["lsn"].alias("lsn"),
         F.timestamp_millis(p["source"]["ts_ms"]).alias("source_ts"),
         F.when(op.isNull(), F.col(value_col)).alias("_corrupt"),
     )
-    cols = ["op", "_row.*", "lsn", "source_ts"]
+    cols = [*extra_cols, "op", "_row.*", "lsn", "source_ts"]
     if keep_corrupt:
         return out.select(*cols, "_corrupt")
     return out.where(F.col("_corrupt").isNull()).select(*cols)

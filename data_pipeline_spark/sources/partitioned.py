@@ -141,6 +141,7 @@ def ingest_partitioned(
     target: int,
     partition_col: str = "partition",
     offset_col: str = "offset",
+    consumed: DataFrame | None = None,
 ) -> dict:
     """Pack a partitioned delivery into changelog epochs, exactly-once.
 
@@ -149,6 +150,12 @@ def ingest_partitioned(
     continue contiguously from the committed vector — a jump means the
     transport lost data between the last commit and now, and silently
     shipping it would fabricate an order that never existed.
+
+    ``consumed``: optional (partition, offset) rows that were consumed
+    from the transport but must NOT ship (poison messages routed to a
+    DLQ — the Kafka consumer's "commit past the bad record" semantics).
+    They participate in the contiguity check and advance the committed
+    vector, but never reach the log.
 
     Epoch numbering continues from the ledger's last committed epoch.
     Returns {epochs, rows, vectors}.
@@ -169,19 +176,32 @@ def ingest_partitioned(
     packed = pack_offset_epochs(
         df, start, target, partition_col, offset_col, epoch_base
     )
+    coords = packed.select("epoch", partition_col, offset_col).withColumn(
+        "__shipped", F.lit(1)
+    )
+    if consumed is not None:
+        coords = coords.unionByName(
+            pack_offset_epochs(
+                consumed.select(partition_col, offset_col),
+                start, target, partition_col, offset_col, epoch_base,
+            ).select("epoch", partition_col, offset_col).withColumn(
+                "__shipped", F.lit(0)
+            )
+        )
     # per (epoch, partition) extent — the commit vectors + the gap check
     # in ONE metadata-scale aggregate (O(P · epochs-in-batch) rows)
     ext = (
-        packed.groupBy("epoch", partition_col)
+        coords.groupBy("epoch", partition_col)
         .agg(
             F.min(offset_col).alias("lo"),
             F.max(offset_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
+            F.sum("__shipped").alias("n_shipped"),
         )
         .collect()
     )
     if not ext:
-        return {"epochs": [], "rows": 0, "vectors": {}}
+        return {"epochs": [], "rows": 0, "consumed": 0, "vectors": {}}
     per_part: dict[int, list] = {}
     for r in ext:
         per_part.setdefault(int(r[partition_col]), []).append(r)
@@ -210,6 +230,7 @@ def ingest_partitioned(
         ledger.record(e, running)
     return {
         "epochs": epochs,
-        "rows": sum(int(r["n"]) for r in ext),
+        "rows": sum(int(r["n_shipped"]) for r in ext),
+        "consumed": sum(int(r["n"]) - int(r["n_shipped"]) for r in ext),
         "vectors": vectors,
     }

@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--quarantine-dir", default=None,
                     help="write unparseable envelopes here (raw line + "
                          "nothing else applied)")
+    ap.add_argument("--offset-ledger", default=None, metavar="JSON",
+                    help="Kafka-shaped mode (X65): --wire-dir is a parquet "
+                         "landing of (partition, offset, value) rows; pack "
+                         "offset-vector epochs via this durable ledger "
+                         "(epoch-size = offsets per partition per epoch); "
+                         "lsn = offset")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, SparkSession
@@ -53,6 +59,57 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    if args.offset_ledger is not None:
+        from data_pipeline_spark.sources.partitioned import (
+            OffsetVectorLedger,
+            ingest_partitioned,
+        )
+
+        kafka = spark.read.parquet(args.wire_dir)
+        parsed = parse_debezium(
+            kafka, args.row_ddl,
+            keep_corrupt=args.quarantine_dir is not None,
+            extra_cols=["partition", "offset"],
+        )
+        n_bad = 0
+        holes = None
+        if args.quarantine_dir is not None:
+            bad_pred = F.col("_corrupt").isNotNull()
+            bad = parsed.where(bad_pred).select(
+                "partition", "offset",
+                F.col("_corrupt").alias("raw"),
+                F.lit("corrupt_envelope").alias("_reason"),
+            )
+            qobs = Observation()
+            bad.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(args.quarantine_dir)
+            n_bad = int(qobs.get["n"])
+            parsed = parsed.where(~bad_pred).drop("_corrupt")
+            # quarantined offsets are CONSUMED from the transport but not
+            # shipped: the vector commits past them (Kafka's poison-message
+            # semantics) while the DLQ records which offsets they were.
+            holes = spark.read.parquet(args.quarantine_dir).select(
+                "partition", "offset"
+            )
+        events = parsed.withColumn(
+            "lsn", F.col("offset")
+        ).drop("source_ts")
+        res = ingest_partitioned(
+            spark, events, args.log_dir,
+            OffsetVectorLedger(args.offset_ledger),
+            target=args.epoch_size,
+            consumed=holes,
+        )
+        print(json.dumps({
+            "events": res["rows"], "epochs": len(res["epochs"]),
+            "first_epoch": res["epochs"][0] if res["epochs"] else None,
+            "quarantined": n_bad,
+            "vectors": {str(k): v for k, v in res["vectors"].items()},
+        }))
+        spark.stop()
+        return
 
     wire = spark.read.text(args.wire_dir)
     parsed = parse_debezium(

@@ -194,3 +194,37 @@ def test_wire_schema_evolution_old_envelopes_widen_with_nulls(spark):
     # narrow parse of a wide envelope also works (column pruning, not error)
     narrow = parse_debezium(wire_v2, ROW_DDL)
     assert narrow.count() == 60 and "fetch_status" not in narrow.columns
+
+
+def test_transport_cols_pass_through(spark):
+    """extra_cols: the consumer's transport coordinates (Kafka partition/
+    offset) ride through the parse unchanged — the envelope value doesn't
+    carry them, and corrupt envelopes keep theirs so the DLQ can name the
+    exact offsets it swallowed."""
+    _, wire = _wire(spark, 40)
+    from pyspark.sql.window import Window
+
+    kafka = wire.withColumn(
+        "partition", (F.crc32("value") % 2).cast("long")
+    ).withColumn(
+        "offset",
+        F.row_number().over(
+            Window.partitionBy("partition").orderBy("value")
+        ).cast("long"),
+    )
+    junk = spark.createDataFrame(
+        [(9, 99, "not json")], "partition long, offset long, value string"
+    )
+    out = parse_debezium(
+        kafka.unionByName(junk), ROW_DDL, keep_corrupt=True,
+        extra_cols=["partition", "offset"],
+    )
+    assert out.columns[:2] == ["partition", "offset"]
+    assert out.count() == 41
+    bad = out.where("_corrupt IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert (bad[0]["partition"], bad[0]["offset"]) == (9, 99)
+    # transport coords are exactly the input's, envelope columns intact
+    good = out.where("_corrupt IS NULL")
+    assert good.where("url IS NULL").count() == 0
+    assert good.select("partition", "offset").distinct().count() == 40

@@ -166,3 +166,138 @@ def test_crash_between_log_write_and_ledger_is_idempotent(spark, tmp_path):
     t = _replay(spark, log, str(tmp_path / "c"))
     got = {r["url"]: r["val"] for r in t.read().select("url", "val").collect()}
     assert got == {"u1": 5.0, "u2": 6.0, "u3": 7.0, "u0": 8.0}
+
+
+def test_consumed_holes_advance_vector_without_shipping(spark, tmp_path):
+    """Poison offsets consumed-but-not-shipped (Kafka's commit-past-the-
+    bad-record semantics): they satisfy the contiguity check and advance
+    the committed vector, but never reach the log."""
+    ledger = OffsetVectorLedger(str(tmp_path / "ledger.json"))
+    log = str(tmp_path / "log")
+    good = [(0, o, "upsert", f"u{o}", float(o)) for o in (1, 2, 4, 5, 7, 8)]
+    holes = spark.createDataFrame(
+        [(0, 3), (0, 6)], "partition long, offset long"
+    )
+    res = ingest_partitioned(
+        spark, _delivery(spark, good), log, ledger, target=4, consumed=holes
+    )
+    assert res["rows"] == 6 and res["consumed"] == 2
+    assert ledger.start_vector() == {0: 8}
+    t = _replay(spark, log, str(tmp_path / "a"))
+    urls = {r["url"] for r in t.read().select("url").collect()}
+    assert urls == {"u1", "u2", "u4", "u5", "u7", "u8"}
+    # the next delivery continues from 9 — the holes are behind the vector
+    res2 = ingest_partitioned(
+        spark, _delivery(spark, [(0, 9, "upsert", "u9", 9.0)]),
+        log, ledger, target=4,
+    )
+    assert res2["rows"] == 1 and ledger.start_vector() == {0: 9}
+
+
+def test_consumed_only_batch_still_commits_vector(spark, tmp_path):
+    """A delivery that is ALL poison still commits its epoch's vector —
+    otherwise the consumer re-reads the poisoned prefix forever."""
+    ledger = OffsetVectorLedger(str(tmp_path / "ledger.json"))
+    log = str(tmp_path / "log")
+    holes = spark.createDataFrame(
+        [(0, 1), (0, 2)], "partition long, offset long"
+    )
+    res = ingest_partitioned(
+        spark, _delivery(spark, []), log, ledger, target=4, consumed=holes
+    )
+    assert res["rows"] == 0 and res["consumed"] == 2
+    assert res["epochs"] == [0] and ledger.start_vector() == {0: 2}
+    res2 = ingest_partitioned(
+        spark, _delivery(spark, [(0, 3, "upsert", "u3", 3.0)]),
+        log, ledger, target=4,
+    )
+    assert res2["rows"] == 1 and res2["epochs"] == [1]
+    assert ledger.start_vector() == {0: 3}
+
+
+def test_consumed_does_not_mask_real_gap(spark, tmp_path):
+    """A DLQ'd offset explains ITS hole only — an offset missing from both
+    the delivery and the consumed set is still transport loss and refuses
+    to ship."""
+    ledger = OffsetVectorLedger(str(tmp_path / "ledger.json"))
+    log = str(tmp_path / "log")
+    holes = spark.createDataFrame([(0, 3)], "partition long, offset long")
+    with pytest.raises(ValueError, match="not contiguous"):
+        ingest_partitioned(
+            spark,
+            _delivery(spark, [(0, 1, "upsert", "u1", 1.0),
+                              (0, 2, "upsert", "u2", 1.0),
+                              (0, 5, "upsert", "u5", 1.0)]),  # 4 missing
+            log, ledger, target=10, consumed=holes,
+        )
+
+
+def test_ingest_job_offset_ledger_mode(spark, tmp_path, monkeypatch, capsys):
+    """jobs/ingest_job.py --offset-ledger: a Kafka-shaped parquet landing
+    of (partition, offset, value-envelope) rows becomes offset-vector
+    epochs; a poison envelope DLQs as a consumed hole that the vector
+    commits past; the re-run ships nothing (in-process; the spark-submit
+    surface is covered by test_submit_job)."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import ingest_job
+    from pyspark.sql import SparkSession
+
+    def env(k, v, lsn):
+        return _json.dumps({"payload": {
+            "before": None,
+            "after": {"url": k, "warc_ts": "2024-01-01T00:00:00.000000Z",
+                      "val": v},
+            "source": {"lsn": lsn, "ts_ms": 1704067200000},
+            "op": "c", "ts_ms": 1704067200000,
+        }})
+
+    keys = [f"k{i}" for i in range(6)]
+    part = {k: i % 2 for i, k in enumerate(keys)}
+    rows, offsets, final = [], {0: 0, 1: 0}, {}
+    for rnd in range(3):
+        for k in keys:
+            p = part[k]
+            offsets[p] += 1
+            v = float(rnd * 10 + int(k[1]))
+            rows.append((p, offsets[p], env(k, v, offsets[p])))
+            final[k] = v
+    offsets[0] += 1
+    rows.append((0, offsets[0], "certainly not an envelope"))  # poison tail
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(
+        rows, "partition long, offset long, value string"
+    ).coalesce(2).write.parquet(landing)
+
+    argv = [
+        "ingest_job.py",
+        "--wire-dir", landing,
+        "--log-dir", str(tmp_path / "log"),
+        "--row-ddl", "url string, warc_ts timestamp, val double",
+        "--epoch-size", "4",
+        "--offset-ledger", str(tmp_path / "ledger.json"),
+        "--quarantine-dir", str(tmp_path / "dlq"),
+    ]
+    monkeypatch.setattr("sys.argv", argv)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    ingest_job.main()
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["events"] == 18 and out["quarantined"] == 1
+    # final vector covers the poison offset too
+    last = out["vectors"][max(out["vectors"], key=int)]
+    assert last == {"0": offsets[0], "1": offsets[1]}
+    dlq = spark.read.parquet(str(tmp_path / "dlq")).collect()
+    assert len(dlq) == 1 and dlq[0]["offset"] == offsets[0]
+    assert dlq[0]["raw"] == "certainly not an envelope"
+
+    t = _replay(spark, str(tmp_path / "log"), str(tmp_path / "a"))
+    got = {r["url"]: r["val"] for r in t.read().select("url", "val").collect()}
+    assert got == final
+
+    # exactly-once: the same landing re-ingested ships nothing
+    ingest_job.main()
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["events"] == 0 and out2["epochs"] == 0
