@@ -867,6 +867,68 @@ FROM per_group, hwm
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round trip as a contract (sources/warc.py): documents become a
+    deterministic Common-Crawl-style ``.warc.gz`` segment (per-record gzip
+    members, HTTP response blocks), then the full parser recovers every
+    record and its payload digest. The oracle recomputes the invariants —
+    byte length and sha256 of the payload — directly in SQL, so any drift
+    anywhere in the encode → compress → split → HTTP-strip → digest chain
+    hash-mismatches. Arrow-batched mapInPandas, partition-preserving: at
+    100 TB this is one narrow map over segment-sized batches, no shuffle."""
+    import pandas as pd
+
+    from data_pipeline_spark.sources.warc import iter_records, segment_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = ["doc_id", "url", "http_status", "content_len", "payload_sha256"]
+
+    def roundtrip(batches):
+        from datetime import datetime as _dt
+
+        for pdf in batches:
+            pages = [
+                (
+                    f"https://example.com/doc/{int(d)}",
+                    _dt.utcfromtimestamp(1_700_000_000 + int(d) % 86_400),
+                    str(t).encode("utf-8"),
+                )
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            rows = [
+                {
+                    "doc_id": int(r["url"].rsplit("/", 1)[-1]),
+                    "url": r["url"],
+                    "http_status": r["http_status"],
+                    "content_len": len(bytes(r["html"])),
+                    "payload_sha256": r["payload_digest"],
+                }
+                for r in iter_records(segment_bytes(pages), "mem.warc.gz")
+            ]
+            out = pd.DataFrame(rows, columns=cols)
+            if not len(out):
+                out = out.astype(
+                    {"doc_id": "int64", "http_status": "int32", "content_len": "int64"}
+                )
+            yield out
+
+    return docs.mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, url string, http_status int, "
+        "content_len bigint, payload_sha256 string",
+    )
+
+
+_SQL_WARC_INGEST = """
+SELECT doc_id,
+       'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       200 AS http_status,
+       CAST(strlen(text) AS BIGINT) AS content_len,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
 def _event_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → synthetic CDC change log: op by event_type, key=user_id."""
     ev = _t(spark, sf_dir, "events")
@@ -2558,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_seq_audit": q_cdc_seq_audit,
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_freshness": q_cdc_freshness,
+        "warc_ingest": q_warc_ingest,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2640,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_seq_audit": _SQL_SEQ_AUDIT,
         "cdc_hot_keys": _SQL_HOT_KEYS,
         "cdc_freshness": _SQL_FRESHNESS,
+        "warc_ingest": _SQL_WARC_INGEST,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -1,0 +1,356 @@
+"""WARC (ISO 28500) segment writer / distributed reader — the container
+format Common-Crawl-style crawls actually ship in.
+
+The reference pipeline fetches pages over HTTP and lands JSON snapshots
+(/root/reference/src/storage/minio_client.rs:121-143); at web scale the
+bootstrap corpus instead arrives as ``.warc.gz`` segment files (one gzip
+member per record, members concatenated — the Common Crawl layout, public
+spec ISO 28500 / IIPC warc-specifications). This module closes that loop:
+
+* ``segment_bytes`` / ``write_segment`` — a **deterministic** WARC writer
+  (record ids derived from url+timestamp, no uuid randomness) used for
+  fixtures, tests, and as an export/interchange sink.
+* ``read_warc`` — a distributed reader: ``spark.read.format("binaryFile")``
+  gives one row per segment file, then an Arrow-batched ``mapInPandas``
+  splits each segment into records (no per-row Python — the same plumbing
+  contract as ``operators/multimodal.py``). Crawl segments are sized ~1 GiB
+  precisely so "one file = one task" parallelizes: 100 TB ≈ 100k segments ≈
+  100k independent map tasks, zero shuffle.
+* ``build_cdx`` — a CDX-style index (url, ts, digest, file, offset, length),
+  the Common-Crawl random-access path: point-lookups hit ``fetch_record``
+  (seek + read one gzip member) instead of rescanning segments.
+* ``warc_to_change_events`` — bridge into the engine's change log
+  (``sources/changelog.py``): a crawl segment becomes an epoch of url-keyed
+  insert events (lsn = capture micros, so LWW replay keeps the newest
+  capture per url), feeding the standard tail → dedup → MERGE path.
+
+Digests are ``sha256:<hex>`` over the payload body (Common Crawl uses
+``sha1:<base32>``; sha256-hex is kept here so the digest is reproducible in
+both Spark SQL (``sha2``) and the DuckDB oracle (``sha256``) for the
+``warc_ingest`` correctness contract).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_VERSION = b"WARC/1.0"
+CRLF = b"\r\n"
+
+#: Schema produced by :func:`read_warc` / :func:`parse_segment_df`.
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("warc_offset", T.LongType()),
+        T.StructField("warc_length", T.LongType()),
+        T.StructField("record_type", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _warc_date(ts: datetime) -> bytes:
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("ascii")
+
+
+def record_bytes(
+    url: str,
+    ts: datetime,
+    payload: bytes,
+    record_type: str = "response",
+    http_wrap: bool = True,
+    http_status: int = 200,
+) -> bytes:
+    """One uncompressed WARC record. ``http_wrap`` stores the payload as an
+    HTTP response block (status line + headers + body), the shape of real
+    crawl ``response`` records; the WARC payload digest covers the *body*.
+    """
+    digest = hashlib.sha256(payload).hexdigest()
+    if http_wrap:
+        http_headers = (
+            b"HTTP/1.1 %d OK" % http_status
+            + CRLF
+            + b"Content-Type: text/html; charset=utf-8"
+            + CRLF
+            + b"Content-Length: %d" % len(payload)
+            + CRLF
+            + CRLF
+        )
+        block = http_headers + payload
+        content_type = b"application/http; msgtype=response"
+    else:
+        block = payload
+        content_type = b"application/octet-stream"
+    # Deterministic record id (no uuid4): sha256 of url + capture time.
+    rid = hashlib.sha256(url.encode("utf-8") + b"\x00" + _warc_date(ts)).hexdigest()
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: " + record_type.encode("ascii"),
+        b"WARC-Record-ID: <urn:sha256:" + rid.encode("ascii") + b">",
+        b"WARC-Date: " + _warc_date(ts),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"WARC-Payload-Digest: sha256:" + digest.encode("ascii"),
+        b"Content-Type: " + content_type,
+        b"Content-Length: %d" % len(block),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
+
+
+def segment_bytes(
+    records: Iterable[tuple[str, datetime, bytes]], compress: bool = True
+) -> bytes:
+    """A whole segment: records concatenated; with ``compress`` each record
+    is its own gzip member (the Common Crawl ``.warc.gz`` layout — members
+    are independently decompressible, which is what makes offset-addressed
+    point reads and record-level splitting possible at all)."""
+    out = []
+    for url, ts, payload in records:
+        raw = record_bytes(url, ts, payload)
+        if compress:
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            # mtime is part of the gzip header; zlib's wbits+16 path writes
+            # mtime=0, keeping segment bytes fully deterministic.
+            raw = co.compress(raw) + co.flush()
+        out.append(raw)
+    return b"".join(out)
+
+
+def write_segment(
+    path: str, records: Iterable[tuple[str, datetime, bytes]], compress: bool = True
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(segment_bytes(records, compress=compress))
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _iter_members(content: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, raw_bytes) per gzip member; a plain
+    (uncompressed) segment yields itself as one pseudo-member."""
+    if content[:2] != b"\x1f\x8b":
+        yield 0, len(content), content
+        return
+    offset = 0
+    n = len(content)
+    while offset < n:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        raw = d.decompress(content[offset:])
+        raw += d.flush()
+        consumed = (n - offset) - len(d.unused_data)
+        if consumed <= 0:  # trailing garbage; stop rather than spin
+            return
+        yield offset, consumed, raw
+        offset += consumed
+
+
+def _parse_raw_records(raw: bytes) -> Iterator[tuple[int, int, dict]]:
+    """(start, length, fields) for each WARC record inside ``raw``
+    (a decompressed member may legally hold several records)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if raw[pos : pos + 5] != b"WARC/":
+            break
+        hdr_end = raw.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[pos:hdr_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        clen = int(headers.get("content-length", "0"))
+        block_start = hdr_end + 4
+        block = raw[block_start : block_start + clen]
+        end = block_start + clen
+        # consume the record separator (two CRLFs)
+        while raw[end : end + 2] == CRLF:
+            end += 2
+        yield pos, end - pos, {"headers": headers, "block": block}
+        pos = end
+
+
+def _strip_http(block: bytes, content_type: str) -> tuple[int | None, bytes]:
+    """For ``application/http`` blocks: (status, body). Others pass through."""
+    if "application/http" not in content_type:
+        return None, block
+    sep = block.find(CRLF + CRLF)
+    if sep < 0 or not block[:5] == b"HTTP/":
+        return None, block
+    status_line = block[: block.find(CRLF)].split(b" ")
+    status = int(status_line[1]) if len(status_line) > 1 else None
+    return status, block[sep + 4 :]
+
+
+def iter_records(content: bytes, warc_file: str) -> Iterator[dict]:
+    """Parse one segment's bytes into record dicts matching
+    :data:`WARC_RECORD_SCHEMA`. Offsets/lengths address the *stored* bytes
+    (the gzip member for ``.warc.gz``), i.e. exactly what a CDX row needs
+    for a later ranged fetch."""
+    for m_off, m_len, raw in _iter_members(content):
+        for r_start, r_len, rec in _parse_raw_records(raw):
+            h = rec["headers"]
+            status, body = _strip_http(rec["block"], h.get("content-type", ""))
+            ts_raw = h.get("warc-date", "1970-01-01T00:00:00Z")
+            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+            if m_off == 0 and m_len == len(content) and content[:2] != b"\x1f\x8b":
+                off, length = r_start, r_len  # plain segment: record-addressed
+            else:
+                off, length = m_off, m_len  # gzip: member-addressed
+            yield {
+                "warc_file": warc_file,
+                "warc_offset": off,
+                "warc_length": length,
+                "record_type": h.get("warc-type", ""),
+                "url": h.get("warc-target-uri"),
+                "warc_ts": ts,
+                "http_status": status,
+                "payload_digest": h.get("warc-payload-digest", "").removeprefix(
+                    "sha256:"
+                ),
+                "html": body,
+            }
+
+
+# ---------------------------------------------------------------------------
+# distributed read
+# ---------------------------------------------------------------------------
+
+_PD_COLS = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
+
+def _records_frame(rows: list[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows, columns=_PD_COLS)
+    if not len(pdf):
+        pdf = pdf.astype(
+            {"warc_offset": "int64", "warc_length": "int64", "http_status": "Int64"}
+        )
+    else:
+        pdf["http_status"] = pdf["http_status"].astype("Int64")
+    return pdf
+
+
+def parse_segment_df(binary_df: DataFrame) -> DataFrame:
+    """Split (path, content) rows into WARC records. Arrow-batched
+    ``mapInPandas``; partition-preserving (no shuffle) — each task parses
+    the segments it was handed."""
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path).rsplit("/", 1)[-1]
+                rows.extend(iter_records(bytes(content), fname))
+            yield _records_frame(rows)
+
+    return binary_df.select("path", "content").mapInPandas(
+        split, schema=WARC_RECORD_SCHEMA
+    )
+
+
+def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Distributed WARC read: one binaryFile row per segment → record rows.
+
+    ``binaryFile`` never splits a file, so parallelism = segment count — the
+    reason crawls shard into ~1 GiB segments. At 100 TB that is ~100k
+    embarrassingly-parallel tasks with no shuffle anywhere."""
+    bin_df = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+    return parse_segment_df(bin_df)
+
+
+# ---------------------------------------------------------------------------
+# CDX index + point fetch
+# ---------------------------------------------------------------------------
+
+
+def build_cdx(records: DataFrame) -> DataFrame:
+    """CDX-style index rows from parsed records: everything needed to fetch
+    one record later without rescanning segments. Sorted by (url, warc_ts)
+    on write → parquet min/max stats make url point-lookups prune files."""
+    return records.select(
+        "url",
+        "warc_ts",
+        "payload_digest",
+        "warc_file",
+        "warc_offset",
+        "warc_length",
+        "http_status",
+    ).sortWithinPartitions("url", "warc_ts")
+
+
+def write_cdx(records: DataFrame, cdx_dir: str, mode: str = "append") -> None:
+    build_cdx(records).repartition(max(records.sparkSession.sparkContext.defaultParallelism // 4, 1), "url").sortWithinPartitions("url", "warc_ts").write.mode(
+        mode
+    ).parquet(cdx_dir)
+
+
+def fetch_record(segment_path: str, offset: int, length: int) -> dict:
+    """Ranged point read: seek + read exactly one stored record (one gzip
+    member for ``.warc.gz``). This is the CDX random-access path — O(record)
+    I/O regardless of segment or corpus size. Works against any store with
+    ranged reads (local file here; S3 GET Range on a cluster)."""
+    with open(segment_path, "rb") as fh:
+        fh.seek(offset)
+        chunk = fh.read(length)
+    recs = list(iter_records(chunk, os.path.basename(segment_path)))
+    if not recs:
+        raise ValueError(f"no WARC record at {segment_path}:{offset}+{length}")
+    rec = recs[0]
+    rec["warc_offset"] = offset
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# change-log bridge
+# ---------------------------------------------------------------------------
+
+
+def warc_to_change_events(
+    records: DataFrame, epoch: int, lang: str = "en", schema_version: int = 1
+) -> DataFrame:
+    """Crawl records → change-log insert events (``CHANGE_COLUMNS`` shape,
+    sources/changelog.py). lsn = capture-time micros, so LWW replay
+    (``operators/dedup.py``) deterministically keeps the newest capture per
+    url — re-crawls of the same page become updates, exactly the semantics
+    of the engine's binlog tail."""
+    return (
+        records.where(F.col("record_type") == "response")
+        .where(F.col("url").isNotNull())
+        .select(
+            F.lit("I").alias("op"),
+            F.col("url"),
+            F.unix_micros(F.col("warc_ts")).alias("lsn"),
+            F.col("warc_ts"),
+            F.col("html"),
+            F.lit(lang).alias("lang"),
+            F.lit(schema_version).alias("schema_version"),
+            F.lit(epoch).alias("epoch"),
+        )
+    )

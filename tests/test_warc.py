@@ -1,0 +1,162 @@
+"""WARC segment writer / distributed reader / CDX point-fetch / changelog
+bridge (sources/warc.py). The payload tier is Common-Crawl-style web pages,
+and CC ships as per-record-gzipped ``.warc.gz`` segments plus a CDX index —
+these tests pin the full loop: deterministic write → binaryFile+mapInPandas
+parse → digest verify → CDX offset fetch (byte-identical) → change-log
+bootstrap replayed into the lake via the standard runner."""
+
+import hashlib
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.sources import changelog, warc
+from data_pipeline_spark.sources.warc import (
+    build_cdx,
+    fetch_record,
+    iter_records,
+    read_warc,
+    record_bytes,
+    segment_bytes,
+    warc_to_change_events,
+    write_segment,
+)
+
+
+def _pages(n, start=0, ts_base=1700000000):
+    out = []
+    for i in range(start, start + n):
+        url = f"https://example.org/page/{i % 7}"
+        ts = datetime.utcfromtimestamp(ts_base + i * 60)
+        body = (f"<html><title>p{i}</title><body>word{i} " * 3 + "</body></html>").encode()
+        out.append((url, ts, body))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pure-python writer/parser round trip
+# ---------------------------------------------------------------------------
+
+
+def test_writer_deterministic():
+    pages = _pages(5)
+    assert segment_bytes(pages) == segment_bytes(pages)
+    assert segment_bytes(pages, compress=False) == segment_bytes(pages, compress=False)
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_bytes(compress):
+    pages = _pages(6)
+    seg = segment_bytes(pages, compress=compress)
+    recs = list(iter_records(seg, "seg-0.warc"))
+    assert len(recs) == 6
+    for (url, ts, body), rec in zip(pages, recs):
+        assert rec["url"] == url
+        assert rec["warc_ts"] == ts
+        assert rec["record_type"] == "response"
+        assert rec["http_status"] == 200
+        assert bytes(rec["html"]) == body
+        assert rec["payload_digest"] == hashlib.sha256(body).hexdigest()
+
+
+def test_http_wrap_optional():
+    raw = record_bytes("https://x/", datetime(2024, 1, 1), b"\x00\x01bin", http_wrap=False)
+    rec = next(iter_records(raw, "f"))
+    assert rec["http_status"] is None
+    assert bytes(rec["html"]) == b"\x00\x01bin"
+
+
+def test_plain_segment_offsets_are_record_addressed():
+    pages = _pages(4)
+    seg = segment_bytes(pages, compress=False)
+    recs = list(iter_records(seg, "f"))
+    # each record's (offset, length) slice must itself re-parse to the record
+    for (url, _, body), rec in zip(pages, recs):
+        sl = seg[rec["warc_offset"] : rec["warc_offset"] + rec["warc_length"]]
+        again = next(iter_records(sl, "f"))
+        assert again["url"] == url and bytes(again["html"]) == body
+
+
+# ---------------------------------------------------------------------------
+# distributed read + CDX
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcseg")
+    write_segment(str(d / "crawl-00000.warc.gz"), _pages(8, start=0))
+    write_segment(str(d / "crawl-00001.warc.gz"), _pages(8, start=8))
+    write_segment(str(d / "crawl-00002.warc"), _pages(4, start=16), compress=False)
+    return d
+
+
+def test_read_warc_distributed(spark, warc_dir):
+    df = read_warc(spark, str(warc_dir))
+    rows = df.orderBy("warc_file", "warc_offset").collect()
+    assert len(rows) == 20
+    # digest integrity across the Arrow boundary: recompute sha256 over the
+    # stored bytes and compare to the parsed WARC-Payload-Digest header
+    ok = df.select(
+        (F.sha2(F.col("html"), 256) == F.col("payload_digest")).alias("ok")
+    ).agg(F.min("ok").alias("all_ok")).collect()[0]["all_ok"]
+    assert ok is True
+    # files parsed independently — three segments, no cross-file bleed
+    assert df.select("warc_file").distinct().count() == 3
+
+
+def test_cdx_point_fetch_byte_identical(spark, warc_dir):
+    df = read_warc(spark, str(warc_dir))
+    cdx = build_cdx(df).collect()
+    assert len(cdx) == 20
+    originals = {  # url+ts -> body from a full scan
+        (r["url"], r["warc_ts"]): bytes(r["html"]) for r in df.collect()
+    }
+    for row in cdx:
+        rec = fetch_record(
+            str(warc_dir / row["warc_file"]), row["warc_offset"], row["warc_length"]
+        )
+        assert bytes(rec["html"]) == originals[(row["url"], row["warc_ts"])]
+        assert rec["payload_digest"] == row["payload_digest"]
+
+
+def test_read_warc_empty_dir(spark, tmp_path):
+    (tmp_path / "empty.warc").write_bytes(b"")
+    df = read_warc(spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in warc.WARC_RECORD_SCHEMA.fields
+    ]
+
+
+# ---------------------------------------------------------------------------
+# change-log bootstrap: WARC → epochs → replay → lake
+# ---------------------------------------------------------------------------
+
+
+def test_warc_bootstrap_replays_into_lake(spark, warc_dir, tmp_path):
+    from data_pipeline_spark.plans.registry import SchemaRegistry
+    from data_pipeline_spark.streaming.checkpoint import CheckpointStore
+    from data_pipeline_spark.streaming.runner import ReplayRunner, make_table_for_log
+
+    log_dir = str(tmp_path / "log")
+    recs = read_warc(spark, str(warc_dir))
+    changelog.write_log(warc_to_change_events(recs, epoch=0), log_dir)
+
+    registry = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t"), registry, n_buckets=4)
+    runner = ReplayRunner(
+        spark, log_dir, table, CheckpointStore(str(tmp_path / "cp")), registry
+    )
+    runner.run()
+
+    # LWW oracle: newest capture per url wins (urls repeat mod 7 with
+    # strictly increasing timestamps, so the winner is the max-ts capture)
+    winners = {}
+    for r in recs.collect():
+        cur = winners.get(r["url"])
+        if cur is None or r["warc_ts"] > cur["warc_ts"]:
+            winners[r["url"]] = r
+    got = {r["url"]: r["warc_ts"] for r in table.read().select("url", "warc_ts").collect()}
+    assert got == {u: r["warc_ts"] for u, r in winners.items()}
