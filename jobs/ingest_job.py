@@ -10,6 +10,12 @@ which ``jobs/replay_job.py`` then applies to the lake table:
         [--epoch-size 1000000 | --tx-col tx_id --epoch-size 1000000] \
         [--quarantine-dir .../dlq]
 
+Bootstrap mode: ``--warc-dir`` ingests Common-Crawl-style ``.warc[.gz]``
+segments instead of a wire landing — records parse distributed (one task
+per segment), optionally emit the CDX index sidecar (``--cdx-dir``), and
+become url-keyed insert events (lsn = capture micros) so a later wire tail
+LWW-supersedes the bootstrap exactly like any other epoch.
+
 Epoch assignment: without ``--tx-col``, events are packed into
 ~epoch-size epochs by lsn order (floor(rank/epoch_size) via the same
 two-pass distributed prefix sum); with it, transaction-aligned
@@ -27,11 +33,20 @@ import sys
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--wire-dir", required=True,
+    ap.add_argument("--wire-dir", default=None,
                     help="directory of Debezium JSON-lines files")
+    ap.add_argument("--warc-dir", default=None,
+                    help="bootstrap mode (X66): directory of .warc[.gz] "
+                         "crawl segments; records become url-keyed insert "
+                         "events (lsn = capture micros) packed into epochs")
+    ap.add_argument("--cdx-dir", default=None,
+                    help="with --warc-dir: also write the CDX index "
+                         "(url, ts, digest, file, offset, length) here")
+    ap.add_argument("--lang", default="en",
+                    help="with --warc-dir: lang stamped on bootstrap events")
     ap.add_argument("--log-dir", required=True,
                     help="output epoch-partitioned change log")
-    ap.add_argument("--row-ddl", required=True,
+    ap.add_argument("--row-ddl", default=None,
                     help="payload row DDL, e.g. 'url string, warc_ts "
                          "timestamp, html binary, lang string'")
     ap.add_argument("--epoch-size", type=int, default=1_000_000)
@@ -57,8 +72,55 @@ def main() -> None:
     from data_pipeline_spark.sources.debezium import parse_debezium
     from data_pipeline_spark.sources.transactions import align_epochs
 
+    if (args.wire_dir is None) == (args.warc_dir is None):
+        ap.error("exactly one of --wire-dir / --warc-dir is required")
+    if args.wire_dir is not None and args.row_ddl is None:
+        ap.error("--row-ddl is required with --wire-dir")
+
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    if args.warc_dir is not None:
+        from data_pipeline_spark.sources.warc import (
+            read_warc,
+            warc_to_change_events,
+            write_cdx,
+        )
+
+        recs = read_warc(spark, args.warc_dir)
+        if args.cdx_dir is not None:
+            # one extra narrow pass over the already-parsed records; at
+            # scale you'd persist recs, but segments re-parse cheaply and
+            # a persist of html bytes would evict far more useful blocks
+            write_cdx(recs, args.cdx_dir)
+        events = warc_to_change_events(recs, epoch=0, lang=args.lang).drop(
+            "epoch"
+        )
+        with_epochs = align_epochs(
+            events.withColumn("__tx", F.col("lsn")),
+            tx_col="__tx",
+            target_events=args.epoch_size,
+        ).drop("__tx")
+        existing = changelog.list_epochs(spark, args.log_dir)
+        base = (max(existing) + 1) if existing else 0
+        if base:
+            with_epochs = with_epochs.withColumn(
+                "epoch", (F.col("epoch") + F.lit(base)).cast("int")
+            )
+        wobs = Observation()
+        write_log(
+            with_epochs.observe(wobs, F.count(F.lit(1)).alias("n")),
+            args.log_dir,
+        )
+        n = int(wobs.get["n"])
+        new_epochs = [e for e in changelog.list_epochs(spark, args.log_dir)
+                      if e not in set(existing)]
+        print(json.dumps({
+            "events": n, "epochs": len(new_epochs), "first_epoch": base,
+            "cdx": args.cdx_dir,
+        }))
+        spark.stop()
+        return
 
     if args.offset_ledger is not None:
         from data_pipeline_spark.sources.partitioned import (

@@ -542,3 +542,85 @@ def test_spark_submit_reconcile_snapshot(submit_env, tmp_path, spark):
     healed = LakeTable.load(spark, table_dir).read()
     assert healed.where(F.col("url") == some[0]).select("lang").collect()[0][0] == "xx"
     assert healed.where(F.col("url") == some[1]).count() == 0
+
+
+def test_spark_submit_warc_bootstrap_then_replay(submit_env, tmp_path, spark):
+    """Crawl-to-lake chain as shipped jobs (X66): .warc.gz segments →
+    ingest_job --warc-dir (parse + CDX sidecar + epoch packing) →
+    replay_job → lake holds the newest capture per url; the CDX index
+    point-fetches the exact stored bytes of a lake row's winning capture."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.sources.warc import fetch_record, write_segment
+
+    work, _, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    warc_dir = work / "warcseg"
+    pages = [
+        (
+            f"https://crawl.example/p/{i % 6}",
+            datetime.utcfromtimestamp(1_700_000_000 + i * 3600),
+            f"<html><body>capture {i}</body></html>".encode(),
+        )
+        for i in range(24)
+    ]
+    write_segment(str(warc_dir / "seg-0.warc.gz"), pages[:12])
+    write_segment(str(warc_dir / "seg-1.warc.gz"), pages[12:])
+
+    def submit(script, extra):
+        out = subprocess.run(
+            [
+                spark_submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", script), *extra,
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    ing = submit("ingest_job.py", [
+        "--warc-dir", str(warc_dir), "--log-dir", str(work / "warc_log"),
+        "--cdx-dir", str(work / "cdx"), "--epoch-size", "10",
+    ])
+    assert ing["events"] == 24 and ing["epochs"] == 3
+
+    rep = submit("replay_job.py", [
+        "--log-dir", str(work / "warc_log"),
+        "--table-dir", str(work / "t_warc"),
+        "--checkpoint-dir", str(work / "cp_warc"),
+    ])
+    assert rep["epochs_applied"] == 3
+
+    table = LakeTable.load(spark, str(work / "t_warc")).read()
+    got = {r["url"]: r["warc_ts"] for r in table.select("url", "warc_ts").collect()}
+    expect = {}
+    for url, ts, _ in pages:
+        if url not in expect or ts > expect[url]:
+            expect[url] = ts
+    assert got == expect
+
+    # CDX point read of one winning capture: byte-identical to the source
+    url0 = "https://crawl.example/p/0"
+    cdx = spark.read.parquet(str(work / "cdx"))
+    row = (
+        cdx.where(F.col("url") == url0)
+        .orderBy(F.col("warc_ts").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    rec = fetch_record(
+        str(warc_dir / row["warc_file"]), row["warc_offset"], row["warc_length"]
+    )
+    want_body = [b for u, t, b in pages if u == url0 and t == expect[url0]][0]
+    assert bytes(rec["html"]) == want_body
