@@ -1880,6 +1880,39 @@ FROM urlq
 """
 
 
+def q_url_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT keys (reversed-host CDX sort form, functions/weburl.py::_surt)
+    over the same synthesized messy URLs as `url_canonicalize`, plus the
+    per-domain adjacency the key exists for: rank of each url inside its
+    registered domain under SURT order."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH_SPARK).alias("url")
+    )
+    w = Window.partitionBy("domain").orderBy("surt", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            WU.surt_key("url").alias("surt"),
+            WU.registered_domain("url").alias("domain"),
+        )
+        .withColumn("domain_rank", F.row_number().over(w))
+    )
+
+
+_SQL_URL_SURT = f"""
+WITH urlq AS (SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents),
+keyed AS (
+  SELECT doc_id, {WU.sql_surt_key('url')} AS surt,
+         {WU.sql_registered_domain('url')} AS domain
+  FROM urlq
+)
+SELECT doc_id, surt, domain,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY surt, doc_id)
+            AS INTEGER) AS domain_rank
+FROM keyed
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2621,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": q_cdc_hot_keys,
         "cdc_freshness": q_cdc_freshness,
         "warc_ingest": q_warc_ingest,
+        "url_surt": q_url_surt,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2704,6 +2738,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hot_keys": _SQL_HOT_KEYS,
         "cdc_freshness": _SQL_FRESHNESS,
         "warc_ingest": _SQL_WARC_INGEST,
+        "url_surt": _SQL_URL_SURT,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

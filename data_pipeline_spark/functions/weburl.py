@@ -164,6 +164,39 @@ def _canonical(col: str, duck: bool) -> str:
     )
 
 
+def _rev_host(col: str, duck: bool) -> str:
+    h = _host(col, duck)
+    if duck:
+        return f"array_to_string(list_reverse(string_split({h}, '.')), ',')"
+    return f"array_join(reverse(split({h}, '[.]')), ',')"
+
+
+def _surt(col: str, duck: bool) -> str:
+    """SURT (Sort-friendly URI Reordering Transform), the key format of
+    Common Crawl / web-archive CDX indexes (public IIPC spec): host labels
+    reversed and comma-joined, then ')' + path + sorted query — so every
+    page of a domain (and of its subdomains) sorts ADJACENT. As a CDX /
+    lake sort key this turns per-domain scans into contiguous parquet
+    ranges that min/max stats prune; the url-hash bucketing stays the
+    shuffle key, SURT is the within-file clustering."""
+    scheme, port = _scheme(col, duck), _port(col, duck)
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    q = _query(col, duck)
+    built = (
+        f"concat({_rev_host(col, duck)}, "
+        f"CASE WHEN {keep_port} THEN concat(':', {port}) ELSE '' END, "
+        f"')', {_path(col, duck)}, "
+        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END)"
+    )
+    return (
+        f"CASE WHEN {scheme} IN ('http', 'https') THEN {built} "
+        f"ELSE trim({col}) END"
+    )
+
+
 def _mask(col: str, duck: bool) -> str:
     out = col
     for _, regex, token in PII_PATTERNS:
@@ -199,6 +232,12 @@ def registered_domain(col: str) -> Column:
     return F.expr(f"CASE WHEN {d} = '' THEN {h} ELSE {d} END")
 
 
+def surt_key(col: str) -> Column:
+    """SURT sort key of an http(s) URL (see ``_surt``); non-http(s) inputs
+    pass through trimmed, mirroring ``canonical_url``."""
+    return F.expr(_surt(col, duck=False))
+
+
 def mask_pii(col: str) -> Column:
     """Text with emails → <EMAIL>, IPv4 → <IP>, phones → <PHONE>."""
     return F.expr(_mask(col, duck=False))
@@ -228,6 +267,10 @@ def sql_registered_domain(col: str) -> str:
     h = _host(col, duck=True)
     d = _rex(h, DOMAIN_RE, 1, duck=True)
     return f"CASE WHEN {d} = '' THEN {h} ELSE {d} END"
+
+
+def sql_surt_key(col: str) -> str:
+    return _surt(col, duck=True)
 
 
 def sql_mask_pii(col: str) -> str:

@@ -292,9 +292,14 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
 
 def build_cdx(records: DataFrame) -> DataFrame:
     """CDX-style index rows from parsed records: everything needed to fetch
-    one record later without rescanning segments. Sorted by (url, warc_ts)
-    on write → parquet min/max stats make url point-lookups prune files."""
+    one record later without rescanning segments. Keyed by SURT (the real
+    CDX key format — reversed host labels), so every page of a domain and
+    its subdomains sorts adjacent: per-domain scans become contiguous
+    parquet ranges that min/max file stats prune."""
+    from data_pipeline_spark.functions.weburl import surt_key
+
     return records.select(
+        surt_key("url").alias("surt"),
         "url",
         "warc_ts",
         "payload_digest",
@@ -302,13 +307,16 @@ def build_cdx(records: DataFrame) -> DataFrame:
         "warc_offset",
         "warc_length",
         "http_status",
-    ).sortWithinPartitions("url", "warc_ts")
+    ).sortWithinPartitions("surt", "warc_ts")
 
 
 def write_cdx(records: DataFrame, cdx_dir: str, mode: str = "append") -> None:
-    build_cdx(records).repartition(max(records.sparkSession.sparkContext.defaultParallelism // 4, 1), "url").sortWithinPartitions("url", "warc_ts").write.mode(
-        mode
-    ).parquet(cdx_dir)
+    """Range-partition by SURT then sort within partitions — a total SURT
+    order across output files, the layout real CDX shards use."""
+    n_out = max(records.sparkSession.sparkContext.defaultParallelism // 4, 1)
+    build_cdx(records).repartitionByRange(n_out, "surt", "warc_ts").sortWithinPartitions(
+        "surt", "warc_ts"
+    ).write.mode(mode).parquet(cdx_dir)
 
 
 def fetch_record(segment_path: str, offset: int, length: int) -> dict:

@@ -131,3 +131,36 @@ def test_all_native(udf_):
         W.canonical_url("url"), W.mask_pii("url")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_surt_semantics(udf_):
+    rows = {r["id"]: r["surt"] for r in udf_.select(
+        "id", W.surt_key("url").alias("surt")).collect()}
+    # host reversed comma-joined, default port dropped, query sorted/cleaned
+    assert rows[0] == "com,example)/Catalog/Item-5?a=1&b=2"
+    # non-default port kept after the reversed host
+    assert rows[1] == "com,site7:8080)/a/b?y=8&z=9"
+    assert rows[2] == "com,example)/"
+    # non-http(s) and non-urls pass through trimmed
+    assert rows[3] == "ftp://weird.example.org/file"
+    assert rows[6] == "not a url at all"
+    # subdomains of one registered domain share a key PREFIX (adjacency)
+    assert rows[5].startswith("uk,co,example,")
+
+
+def test_surt_duckdb_twin(udf_):
+    got = {r["id"]: r["surt"] for r in udf_.select(
+        "id", W.surt_key("url").alias("surt")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?,?)", URLS)
+    oracle = dict(con.execute(
+        f"SELECT id, {W.sql_surt_key('url')} FROM u").fetchall())
+    assert got == oracle
+
+
+def test_surt_native(udf_):
+    plan = udf_.select(
+        W.surt_key("url")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
