@@ -80,12 +80,15 @@ def record_bytes(
     record_type: str = "response",
     http_wrap: bool = True,
     http_status: int = 200,
+    digest: str | None = None,
 ) -> bytes:
     """One uncompressed WARC record. ``http_wrap`` stores the payload as an
     HTTP response block (status line + headers + body), the shape of real
     crawl ``response`` records; the WARC payload digest covers the *body*.
-    """
-    digest = hashlib.sha256(payload).hexdigest()
+    ``digest`` overrides the computed one — revisit records carry the
+    ORIGINAL capture's digest over an empty block."""
+    if digest is None:
+        digest = hashlib.sha256(payload).hexdigest()
     if http_wrap:
         http_headers = (
             b"HTTP/1.1 %d OK" % http_status
@@ -117,15 +120,34 @@ def record_bytes(
 
 
 def segment_bytes(
-    records: Iterable[tuple[str, datetime, bytes]], compress: bool = True
+    records: Iterable[tuple[str, datetime, bytes]],
+    compress: bool = True,
+    dedup_digests: dict[str, str] | None = None,
 ) -> bytes:
     """A whole segment: records concatenated; with ``compress`` each record
     is its own gzip member (the Common Crawl ``.warc.gz`` layout — members
     are independently decompressible, which is what makes offset-addressed
-    point reads and record-level splitting possible at all)."""
+    point reads and record-level splitting possible at all).
+
+    Pass ``dedup_digests`` (digest → original url, shared/mutated across
+    calls) to enable crawl-time dedup: a payload whose sha256 was already
+    written becomes a payload-less ``revisit`` record carrying the same
+    WARC-Payload-Digest (the Heritrix/IA identical-payload-digest profile);
+    :func:`resolve_revisits` recovers bodies later via a digest equi-join."""
     out = []
     for url, ts, payload in records:
-        raw = record_bytes(url, ts, payload)
+        if dedup_digests is not None:
+            digest = hashlib.sha256(payload).hexdigest()
+            if digest in dedup_digests:
+                raw = record_bytes(
+                    url, ts, b"", record_type="revisit",
+                    http_wrap=False, digest=digest,
+                )
+            else:
+                dedup_digests[digest] = url
+                raw = record_bytes(url, ts, payload)
+        else:
+            raw = record_bytes(url, ts, payload)
         if compress:
             co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
             # mtime is part of the gzip header; zlib's wbits+16 path writes
@@ -333,6 +355,33 @@ def fetch_record(segment_path: str, offset: int, length: int) -> dict:
     rec = recs[0]
     rec["warc_offset"] = offset
     return rec
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Fill revisit records' bodies from their originals: a digest
+    equi-join against the distinct (digest → body) map of response records
+    — never all-pairs, and AQE broadcast-converts the map side when small.
+    Output keeps every response row unchanged and adds resolved revisits
+    with ``revisit = true``; revisits whose original is absent from this
+    corpus slice stay body-less (html null) rather than silently dropping.
+    """
+    responses = records.where(F.col("record_type") == "response").withColumn(
+        "revisit", F.lit(False)
+    )
+    revisits = records.where(F.col("record_type") == "revisit")
+    # one body per digest: originals are byte-identical by construction
+    bodies = (
+        responses.groupBy("payload_digest")
+        .agg(F.first("html").alias("__orig_html"))
+    )
+    resolved = (
+        revisits.join(bodies, "payload_digest", "left")
+        .withColumn("html", F.col("__orig_html"))
+        .drop("__orig_html")
+        .withColumn("record_type", F.lit("response"))
+        .withColumn("revisit", F.lit(True))
+    )
+    return responses.unionByName(resolved.select(*responses.columns))
 
 
 # ---------------------------------------------------------------------------

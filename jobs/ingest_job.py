@@ -44,6 +44,10 @@ def main() -> None:
                          "(url, ts, digest, file, offset, length) here")
     ap.add_argument("--lang", default="en",
                     help="with --warc-dir: lang stamped on bootstrap events")
+    ap.add_argument("--resolve-revisits", action="store_true",
+                    help="with --warc-dir: fill payload-less revisit "
+                         "records (crawl-time dedup) from their originals "
+                         "via a digest equi-join before bridging")
     ap.add_argument("--log-dir", required=True,
                     help="output epoch-partitioned change log")
     ap.add_argument("--row-ddl", default=None,
@@ -88,6 +92,10 @@ def main() -> None:
         )
 
         recs = read_warc(spark, args.warc_dir)
+        if args.resolve_revisits:
+            from data_pipeline_spark.sources.warc import resolve_revisits
+
+            recs = resolve_revisits(recs)
         if args.cdx_dir is not None:
             # one extra narrow pass over the already-parsed records; at
             # scale you'd persist recs, but segments re-parse cheaply and

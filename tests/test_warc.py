@@ -160,3 +160,65 @@ def test_warc_bootstrap_replays_into_lake(spark, warc_dir, tmp_path):
             winners[r["url"]] = r
     got = {r["url"]: r["warc_ts"] for r in table.read().select("url", "warc_ts").collect()}
     assert got == {u: r["warc_ts"] for u, r in winners.items()}
+
+
+# ---------------------------------------------------------------------------
+# revisit records (crawl-time dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_revisit_records_roundtrip(spark, tmp_path):
+    from data_pipeline_spark.sources.warc import resolve_revisits
+
+    body_a, body_b = b"<html>A</html>", b"<html>B</html>"
+    pages = [
+        ("https://x.org/a", datetime.utcfromtimestamp(1_700_000_000), body_a),
+        ("https://x.org/b", datetime.utcfromtimestamp(1_700_000_060), body_b),
+        # same payload re-crawled at a new url and a later re-crawl of /a
+        ("https://x.org/mirror-a", datetime.utcfromtimestamp(1_700_000_120), body_a),
+        ("https://x.org/a", datetime.utcfromtimestamp(1_700_000_180), body_a),
+    ]
+    seen = {}
+    write_segment(str(tmp_path / "s.warc.gz"), pages, compress=True)
+    # rewrite with dedup: 2 responses + 2 revisits
+    seg = segment_bytes(pages, dedup_digests=seen)
+    (tmp_path / "d.warc.gz").write_bytes(seg)
+    recs = list(iter_records(seg, "d.warc.gz"))
+    assert [r["record_type"] for r in recs] == ["response", "response", "revisit", "revisit"]
+    assert bytes(recs[2]["html"]) == b""  # no payload stored
+    assert recs[2]["payload_digest"] == hashlib.sha256(body_a).hexdigest()
+    # deduped segment is strictly smaller
+    assert len(seg) < len(segment_bytes(pages))
+
+    df = read_warc(spark, str(tmp_path), glob="d.warc.gz")
+    resolved = resolve_revisits(df)
+    rows = {(r["url"], r["warc_ts"]): r for r in resolved.collect()}
+    assert len(rows) == 4
+    assert bytes(rows[("https://x.org/mirror-a", pages[2][1])]["html"]) == body_a
+    assert rows[("https://x.org/mirror-a", pages[2][1])]["revisit"] is True
+    assert bytes(rows[("https://x.org/a", pages[3][1])]["html"]) == body_a
+    assert rows[("https://x.org/b", pages[1][1])]["revisit"] is False
+
+
+def test_revisit_missing_original_kept_bodyless(spark, tmp_path):
+    """A revisit whose original is outside this corpus slice must surface
+    (html null), never silently drop."""
+    from data_pipeline_spark.sources.warc import record_bytes, resolve_revisits
+
+    rev = record_bytes(
+        "https://x.org/orphan", datetime(2024, 1, 1), b"",
+        record_type="revisit", http_wrap=False, digest="deadbeef" * 8,
+    )
+    (tmp_path / "r.warc").write_bytes(rev)
+    out = resolve_revisits(read_warc(spark, str(tmp_path))).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "https://x.org/orphan" and out[0]["html"] is None
+
+
+def test_revisit_dedup_state_spans_segments(tmp_path):
+    seen = {}
+    seg1 = segment_bytes(_pages(3), dedup_digests=seen)
+    # second segment repeats segment 1's payloads: all revisits
+    seg2 = segment_bytes(_pages(3), dedup_digests=seen)
+    assert all(r["record_type"] == "revisit" for r in iter_records(seg2, "s2"))
+    assert len(list(iter_records(seg1, "s1"))) == 3
