@@ -39,6 +39,9 @@ HEADLINE = [
     "cdc_tx_align",
     "cdc_scd2_history",
     "cdc_seq_audit",
+    # WARC/crawl family (X66)
+    "warc_ingest",
+    "url_surt",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",

@@ -375,3 +375,65 @@ class LakeMergeBuilder(MergeBuilder):
             "touched_buckets": touched,
             "new_files": len(new_files),
         }
+
+
+def filter_unchanged(
+    table,
+    staged: DataFrame,
+    compare_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+    observation=None,
+) -> DataFrame:
+    """No-op-update suppression: drop staged non-delete rows whose
+    ``compare_cols`` are (null-safely) byte-equal to the stored row.
+
+    At 10^10 change events over web pages, MOST re-crawls carry an
+    unchanged payload; applying them anyway is pure write amplification —
+    cow re-rewrites the bucket for nothing, mor appends a redundant
+    version per event that compaction must later collapse. This pre-merge
+    filter costs one bucket-pruned read of the CURRENT state (O(epoch ∩
+    buckets), the same bound as a cow merge) joined once against the
+    staged frame on the key.
+
+    Semantics caveat (documented, inherent to no-op suppression in any
+    engine): a suppressed event does not advance the stored row's
+    ``(ts, lsn)``. If a LATER out-of-order event with a ts between the
+    stored and the suppressed one arrives afterwards, it now wins, where
+    full replay would have kept the (content-identical) suppressed event.
+    Content never regresses to a third value — only the winning timestamp
+    can differ — so this is safe when per-key events arrive in ts order
+    (a crawl tail) and acceptable wherever Debezium's own no-op skipping
+    is. Deletes always pass through.
+
+    Pass an ``Observation`` to count suppressions on the merge job itself
+    (read it only after the merge ran — a skipped epoch never executes
+    this plan). Returns the filtered frame with staged columns unchanged.
+    """
+    key = table.key_col
+    # Metadata-scale collect (≤ n_buckets values) to prune the target read,
+    # same policy as the merge path's touched-bucket observation.
+    touched = [
+        r["b"]
+        for r in staged.select(table._bucket_expr().alias("b")).distinct().collect()
+    ]
+    t_cols = [f"__t_{c}" for c in compare_cols]
+    cur = table.read(buckets=touched).select(
+        F.col(key).alias("__t_key"),
+        F.lit(True).alias("__t_present"),
+        *[F.col(c).alias(tc) for c, tc in zip(compare_cols, t_cols)],
+    )
+    same = F.col("__t_present").isNotNull()
+    for c, tc in zip(compare_cols, t_cols):
+        same = same & F.col(c).eqNullSafe(F.col(tc))
+    unchanged = F.coalesce(
+        same & (F.col(op_col) != F.lit(delete_op)), F.lit(False)
+    )
+    out = staged.join(cur, F.col(key) == F.col("__t_key"), "left")
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.sum(F.when(unchanged, 1).otherwise(0)).alias("suppressed"),
+            F.count(F.lit(1)).alias("staged_total"),
+        )
+    return out.where(~unchanged).drop("__t_key", "__t_present", *t_cols)

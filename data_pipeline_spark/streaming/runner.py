@@ -166,6 +166,7 @@ class ReplayRunner:
         branch: str | None = None,
         quarantine_dir: str | None = None,
         audit_sequence: bool = False,
+        skip_unchanged_cols: list[str] | None = None,
     ):
         """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
         stay cheap); "mor" appends winner deltas per epoch — O(epoch)
@@ -196,7 +197,14 @@ class ReplayRunner:
         only (metrics, not failure): dropping events is the transport's
         bug to page on, not a reason to wedge the pipeline; the detailed
         hole listing is :func:`operators.flowstats.sequence_gap_intervals`
-        scoped to the flagged epochs."""
+        scoped to the flagged epochs.
+
+        ``skip_unchanged_cols`` opts into no-op-update suppression
+        (:func:`lake.merge.filter_unchanged`): staged non-delete rows whose
+        listed columns null-safely equal the stored row are dropped before
+        the merge, and the per-epoch metrics gain ``suppressed_unchanged``.
+        The big write-amplification lever for re-crawl-heavy tails — see
+        filter_unchanged's docstring for the (ts, lsn)-advancement caveat."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
@@ -207,6 +215,7 @@ class ReplayRunner:
         self.branch = branch
         self.quarantine_dir = quarantine_dir
         self.audit_sequence = audit_sequence
+        self.skip_unchanged_cols = skip_unchanged_cols
         # lazy: re-seeded from the last applied epoch's record on resume
         self._prev_lsn_max: int | None = None
         self._prev_seeded = False
@@ -284,6 +293,18 @@ class ReplayRunner:
 
         staged = stage_changes(self.spark, df, self.table)
 
+        sup_obs = None
+        if self.skip_unchanged_cols:
+            from pyspark.sql import Observation
+
+            from data_pipeline_spark.lake.merge import filter_unchanged
+
+            sup_obs = Observation()
+            staged = filter_unchanged(
+                self.table, staged, self.skip_unchanged_cols,
+                observation=sup_obs,
+            )
+
         # Lineage: the exact files read for this epoch (per-partition offsets
         # of a file-based log).
         epoch_dir = os.path.join(self.log_dir, f"epoch={epoch}")
@@ -339,11 +360,19 @@ class ReplayRunner:
                     if self._prev_lsn_max is not None
                     else int(lsn_max)
                 )
+        sup_fields: dict = {}
+        if sup_obs is not None and not merge_metrics.get("skipped"):
+            got = sup_obs.get
+            sup_fields = {
+                "suppressed_unchanged": int(got["suppressed"] or 0),
+                "staged_before_suppress": int(got["staged_total"]),
+            }
         record = {
             "skipped": False,
             "input_files": input_files,
             "input_bytes": input_bytes,
             "quarantined": int(n_quarantined),
+            **sup_fields,
             **seq_fields,
             "duration_sec": round(time.monotonic() - t0, 3),
             "table_version": self.table.meta["version"],

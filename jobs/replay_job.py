@@ -50,6 +50,11 @@ def main() -> None:
     ap.add_argument("--quarantine-dir", default=None,
                     help="dead-letter poison rows (null key/lsn, unknown "
                          "op) here per epoch instead of applying them")
+    ap.add_argument("--skip-unchanged", default=None, metavar="COL[,COL]",
+                    help="suppress no-op updates: drop staged non-delete "
+                         "rows whose listed columns equal the stored row "
+                         "(re-crawl write-amplification cut; metrics gain "
+                         "suppressed_unchanged)")
     ap.add_argument("--audit-sequence", action="store_true",
                     help="record per-epoch lsn continuity (holes, cross-"
                          "epoch gaps) in the checkpoint metrics — rides "
@@ -89,6 +94,9 @@ def main() -> None:
             registry, merge_mode=args.mode, compact_every=args.compact_every,
             branch=args.branch, quarantine_dir=args.quarantine_dir,
             audit_sequence=args.audit_sequence,
+            skip_unchanged_cols=(
+                args.skip_unchanged.split(",") if args.skip_unchanged else None
+            ),
         )
         results = runner.run(max_epochs=args.max_epochs)
     applied = [r for r in results if not r.get("skipped")]
@@ -97,6 +105,7 @@ def main() -> None:
         "epochs_applied": len(applied),
         "rows_merged": sum(r.get("staged_rows", 0) for r in applied),
         "rows_quarantined": sum(r.get("quarantined", 0) for r in applied),
+        "rows_suppressed": sum(r.get("suppressed_unchanged", 0) for r in applied),
         "table_version": table.meta["version"],
     }
     if args.audit_publish:
