@@ -1913,6 +1913,87 @@ FROM keyed
 """
 
 
+def q_recrawl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.py): synthesize a
+    3-capture history per document (payload digest changes at capture 1
+    for even doc_ids, again at capture 2 for doc_ids % 3 == 0), then
+    estimate per-url change period and due score. One window lag + one
+    hash agg + a broadcast 1-row high-water — scale-safe at 10^10
+    captures. Floats rounded 6dp both sides (repo float discipline)."""
+    from data_pipeline_spark.operators.recrawl import recrawl_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    caps = d.select(
+        "doc_id", "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
+    )
+    ver = (
+        F.when((F.col("c") >= 1) & (F.col("doc_id") % 2 == 0), 1).otherwise(0)
+        + F.when((F.col("c") >= 2) & (F.col("doc_id") % 3 == 0), 1).otherwise(0)
+    )
+    caps = caps.select(
+        F.concat(
+            F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.col("doc_id") % 97) * 60
+            + F.col("c") * 86_400
+        ).alias("warc_ts"),
+        F.md5(
+            F.concat(F.col("text"), F.lit("#"), ver.cast("string"))
+        ).alias("payload_digest"),
+    )
+    s = recrawl_stats(caps)
+    return s.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        F.round("span_s", 6).alias("span_s"),
+        F.round("change_period_s", 6).alias("change_period_s"),
+        F.round("staleness_s", 6).alias("staleness_s"),
+        F.round("due_score", 6).alias("due_score"),
+    )
+
+
+_SQL_RECRAWL = """
+WITH caps AS (
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         to_timestamp(1700000000 + (doc_id % 97) * 60 + c.c * 86400) AS warc_ts,
+         md5(text || '#' || CAST(
+           (CASE WHEN c.c >= 1 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN c.c >= 2 AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+           AS VARCHAR)) AS payload_digest
+  FROM documents, (VALUES (0),(1),(2)) AS c(c)
+),
+flagged AS (
+  SELECT url, payload_digest, warc_ts,
+         CASE WHEN lag(payload_digest) OVER w IS NULL THEN FALSE
+              ELSE lag(payload_digest) OVER w <> payload_digest END AS changed
+  FROM caps
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, payload_digest)
+),
+per_key AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
+  FROM flagged GROUP BY 1
+),
+hw AS (SELECT max(last_ts) AS h FROM per_key)
+SELECT url, n_captures, n_changes,
+  round((epoch_us(last_ts) - epoch_us(first_ts)) / 1e6, 6) AS span_s,
+  round(CASE WHEN n_changes > 0
+        THEN (epoch_us(last_ts) - epoch_us(first_ts)) / 1e6 / n_changes END,
+        6) AS change_period_s,
+  round((epoch_us(h) - epoch_us(last_ts)) / 1e6, 6) AS staleness_s,
+  round(coalesce((epoch_us(h) - epoch_us(last_ts)) / 1e6
+        / (CASE WHEN n_changes > 0
+           THEN (epoch_us(last_ts) - epoch_us(first_ts)) / 1e6 / n_changes END),
+        0.0), 6) AS due_score
+FROM per_key, hw
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2655,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_freshness": q_cdc_freshness,
         "warc_ingest": q_warc_ingest,
         "url_surt": q_url_surt,
+        "recrawl_stats": q_recrawl_stats,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2739,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_freshness": _SQL_FRESHNESS,
         "warc_ingest": _SQL_WARC_INGEST,
         "url_surt": _SQL_URL_SURT,
+        "recrawl_stats": _SQL_RECRAWL,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -1,0 +1,121 @@
+"""Adaptive recrawl scheduling from capture history.
+
+A CDC-over-crawls engine controls its own source: which urls to fetch next.
+The standard policy (public literature: Cho & Garcia-Molina "Estimating
+Frequency of Change", plus every production crawler's revisit scheduler) is
+to estimate each page's change rate from its OWN capture history — how many
+of its past captures actually changed the payload digest — and crawl pages
+whose expected number of missed changes since the last capture is highest.
+
+Everything is two keyed passes, both scale-safe at 10^10 captures:
+
+1. one window ``lag(digest)`` per url (a single keyed shuffle) marks which
+   captures changed the payload;
+2. one hash aggregation per url folds (n_captures, n_changes, first/last
+   ts) — map-side combinable, hot urls collapse before the shuffle;
+3. the corpus high-water mark is a 1-row aggregate broadcast back (never a
+   global window).
+
+``due_score = staleness / estimated change period`` ≈ expected missed
+changes; rank by it and take the crawl budget. Pages with no observed
+change get a null period and score 0 — they fall to the back of the queue
+rather than being refetched on a guess (tune with ``default_period_s``).
+
+Input is exactly what the engine already has: the CDX index
+(sources/warc.py::build_cdx — url, warc_ts, payload_digest) or the lake
+table's change feed. No reference-repo counterpart (the reference crawls
+on a fixed cadence, src/configs/*.toml politeness only); this is the
+round-3 web-scale extension of that fetch planning.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def capture_change_flags(
+    captures: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    digest: str = "payload_digest",
+) -> DataFrame:
+    """Per capture: did the payload change vs the PREVIOUS capture of the
+    same url? First capture counts as unchanged (it created the page; it
+    tells us nothing about change *rate*). Ties on ts break by digest so
+    the flag is deterministic under duplicate timestamps."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(digest))
+    prev = F.lag(F.col(digest)).over(w)
+    return captures.withColumn(
+        "changed",
+        F.when(prev.isNull(), F.lit(False)).otherwise(prev != F.col(digest)),
+    )
+
+
+def recrawl_stats(
+    captures: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    digest: str = "payload_digest",
+) -> DataFrame:
+    """Per-url change-rate estimate + due score (see module docstring).
+
+    Columns: key, n_captures, n_changes, first_ts, last_ts, span_s,
+    change_period_s (null until a change was ever observed), staleness_s
+    (vs the corpus high-water capture time), due_score (expected missed
+    changes; 0.0 when no change was ever observed)."""
+    flagged = capture_change_flags(captures, key, ts, digest)
+    per_key = flagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum(F.col("changed").cast("long")).alias("n_changes"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    )
+    hw = per_key.agg(F.max("last_ts").alias("__hw"))
+    span = F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts"))
+    period = F.when(
+        F.col("n_changes") > 0,
+        (span / F.lit(1_000_000) / F.col("n_changes")),
+    )
+    staleness = (
+        F.unix_micros(F.col("__hw")) - F.unix_micros(F.col("last_ts"))
+    ) / F.lit(1_000_000)
+    return (
+        per_key.crossJoin(F.broadcast(hw))
+        .withColumn("span_s", (span / F.lit(1_000_000)).cast("double"))
+        .withColumn("change_period_s", period.cast("double"))
+        .withColumn("staleness_s", staleness.cast("double"))
+        .withColumn(
+            "due_score",
+            F.coalesce(
+                staleness / F.col("change_period_s"), F.lit(0.0)
+            ).cast("double"),
+        )
+        .drop("__hw")
+    )
+
+
+def recrawl_schedule(
+    captures: DataFrame,
+    budget: int,
+    key: str = "url",
+    ts: str = "warc_ts",
+    digest: str = "payload_digest",
+    default_period_s: float | None = None,
+) -> DataFrame:
+    """Top-``budget`` urls to fetch next, most-overdue first.
+
+    ``default_period_s`` assigns never-observed-changing pages a synthetic
+    change period so cold pages still rotate through the crawl budget
+    (otherwise they never re-fetch on their own evidence). The sort is a
+    TakeOrderedAndProject at the limit — no global sort materializes."""
+    stats = recrawl_stats(captures, key, ts, digest)
+    if default_period_s is not None:
+        stats = stats.withColumn(
+            "due_score",
+            F.when(
+                F.col("change_period_s").isNull(),
+                F.col("staleness_s") / F.lit(float(default_period_s)),
+            ).otherwise(F.col("due_score")),
+        )
+    return stats.orderBy(F.col("due_score").desc(), F.col(key)).limit(budget)

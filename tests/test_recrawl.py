@@ -1,0 +1,80 @@
+"""Adaptive recrawl scheduling (operators/recrawl.py): change-rate
+estimation from capture history and budgeted schedule semantics."""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_spark.operators.recrawl import (
+    capture_change_flags,
+    recrawl_schedule,
+    recrawl_stats,
+)
+
+H = 3600
+
+
+def _caps(spark):
+    t = lambda s: datetime.utcfromtimestamp(1_700_000_000 + s)  # noqa: E731
+    rows = [
+        # fast-changing page: every capture differs, captured hourly,
+        # last seen 10h before the high-water mark
+        ("u_fast", t(0), "d1"), ("u_fast", t(H), "d2"), ("u_fast", t(2 * H), "d3"),
+        # slow page: one change across 12h, fresh at high-water
+        ("u_slow", t(0), "e1"), ("u_slow", t(6 * H), "e1"), ("u_slow", t(12 * H), "e2"),
+        # static page: never changed
+        ("u_static", t(0), "s1"), ("u_static", t(6 * H), "s1"),
+        # single capture: nothing known
+        ("u_single", t(12 * H), "x1"),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, payload_digest string")
+
+
+def test_change_flags(spark):
+    flags = {
+        (r["url"], r["warc_ts"]): r["changed"]
+        for r in capture_change_flags(_caps(spark)).collect()
+    }
+    t = lambda s: datetime.utcfromtimestamp(1_700_000_000 + s)  # noqa: E731
+    assert flags[("u_fast", t(0))] is False  # first capture never counts
+    assert flags[("u_fast", t(H))] is True
+    assert flags[("u_slow", t(6 * H))] is False
+    assert flags[("u_slow", t(12 * H))] is True
+    assert flags[("u_static", t(6 * H))] is False
+
+
+def test_stats_semantics(spark):
+    s = {r["url"]: r for r in recrawl_stats(_caps(spark)).collect()}
+    assert s["u_fast"]["n_captures"] == 3 and s["u_fast"]["n_changes"] == 2
+    assert s["u_fast"]["change_period_s"] == pytest.approx(H)  # 2h span / 2
+    assert s["u_fast"]["staleness_s"] == pytest.approx(10 * H)
+    assert s["u_fast"]["due_score"] == pytest.approx(10.0)  # 10 missed changes
+    assert s["u_slow"]["change_period_s"] == pytest.approx(12 * H)
+    assert s["u_slow"]["due_score"] == pytest.approx(0.0)  # fresh
+    assert s["u_static"]["change_period_s"] is None
+    assert s["u_static"]["due_score"] == 0.0
+    assert s["u_single"]["span_s"] == 0.0 and s["u_single"]["due_score"] == 0.0
+
+
+def test_schedule_budget_and_order(spark):
+    top = recrawl_schedule(_caps(spark), budget=2).collect()
+    assert [r["url"] for r in top][0] == "u_fast"
+    assert len(top) == 2
+
+
+def test_default_period_rotates_cold_pages(spark):
+    # without a default, never-changed pages score 0; with one, their
+    # staleness starts counting against the synthetic period
+    top = recrawl_schedule(_caps(spark), budget=4, default_period_s=float(3 * H))
+    s = {r["url"]: r["due_score"] for r in top.collect()}
+    assert s["u_static"] == pytest.approx((12 * H - 6 * H) / (3 * H))
+    assert s["u_single"] == pytest.approx(0.0)  # captured at the high-water
+
+
+def test_schedule_is_take_ordered(spark):
+    plan = (
+        recrawl_schedule(_caps(spark), budget=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
