@@ -1994,6 +1994,58 @@ FROM per_key, hw
 """
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph edge extraction (operators/webgraph.py): documents become
+    synthetic pages with two planted absolute links (one double-quoted,
+    one single-quoted) plus a relative link on every 5th page that MUST be
+    skipped; extract_links recovers exactly the absolute hrefs via one
+    native regexp_extract_all + explode (scan-speed, no Python, no
+    shuffle). Oracle runs the SAME regex text under DuckDB/RE2."""
+    from data_pipeline_spark.operators.webgraph import extract_links
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.substring("text", 1, 40), F.lit("</p>"),
+        F.lit('<a href="https://example.com/doc/'),
+        ((F.col("doc_id") * 7 + 1) % 500).cast("string"),
+        F.lit('">x</a>'),
+        F.lit("<a href='https://mirror.example.org/d/"),
+        ((F.col("doc_id") * 13 + 2) % 500).cast("string"),
+        F.lit("'>y</a>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit('<a href="/relative/skip">r</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    return extract_links(pages, "url", "html")
+
+
+def _sql_link_extract() -> str:
+    from data_pipeline_spark.functions.quality import _dq
+    from data_pipeline_spark.operators.webgraph import HREF_RE
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><p>' || substr(text, 1, 40) || '</p>'
+         || '<a href="https://example.com/doc/'
+         || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) || '">x</a>'
+         || '<a href=''https://mirror.example.org/d/'
+         || CAST((doc_id * 13 + 2) % 500 AS VARCHAR) || '''>y</a>'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '<a href="/relative/skip">r</a>' ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+)
+SELECT url AS src_url, unnest(regexp_extract_all(html, {_dq(HREF_RE)}, 1)) AS href
+FROM pages
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2737,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "url_surt": q_url_surt,
         "recrawl_stats": q_recrawl_stats,
+        "link_extract": q_link_extract,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2822,6 +2875,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "url_surt": _SQL_URL_SURT,
         "recrawl_stats": _SQL_RECRAWL,
+        "link_extract": _sql_link_extract(),
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -39,9 +39,10 @@ HEADLINE = [
     "cdc_tx_align",
     "cdc_scd2_history",
     "cdc_seq_audit",
-    # WARC/crawl family (X66)
+    # WARC/crawl family (X66/X68)
     "warc_ingest",
     "url_surt",
+    "recrawl_stats",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",

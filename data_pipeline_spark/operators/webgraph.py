@@ -1,0 +1,153 @@
+"""Web-graph operators over the crawled corpus: link extraction → host
+graph → PageRank.
+
+A crawl-CDC engine that already estimates per-url change rates
+(operators/recrawl.py) also wants per-host IMPORTANCE — the other half of
+every production crawl scheduler's priority (public literature: the
+original PageRank paper + every open crawler's frontier scoring). These
+operators build the graph from the corpus the engine already stores:
+
+- :func:`extract_links` — outgoing absolute http(s) hrefs per page, one
+  native ``regexp_extract_all`` + ``explode``: scan-speed, zero Python,
+  zero shuffle.
+- :func:`host_graph` — collapse page edges to weighted host→host edges:
+  one hash aggregation (map-side combinable; hot hosts collapse before
+  the shuffle).
+- :func:`pagerank` — power iteration as keyed joins: contributions =
+  ranks ⋈ edges (one shuffle per round, AQE-broadcast when ranks are
+  small), dangling mass redistributed exactly, eager ``localCheckpoint``
+  per round to cut the growing lineage (same discipline as
+  operators/components.py, which this mirrors at 10^10-edge posture).
+
+The reference has no graph surface (single-site crawler); this is the
+round-3 web-scale extension. The link regex is shared verbatim with the
+DuckDB oracle for the `link_extract` contract.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: href capture: absolute http(s) URLs in single or double quotes. Kept
+#: lookaround-free so the SAME pattern text runs under Java regex (Spark)
+#: and RE2 (DuckDB) — the repo-wide dual-dialect regex policy
+#: (functions/weburl.py).
+HREF_RE = r"""href=["'](https?://[^"'<>\s]+)["']"""
+
+
+def extract_links(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href) per outgoing absolute link. Relative links are
+    skipped by design at this layer (resolving them needs the base url —
+    compose with ``canonical_url`` downstream if needed). Pages with no
+    links produce no rows (explode, not explode_outer)."""
+    html_str = F.col(html_col)
+    if dict(df.dtypes)[html_col] == "binary":
+        html_str = html_str.cast("string")
+    return df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(HREF_RE), 1)
+        ).alias("href"),
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Weighted host→host edges from page links (self-loops dropped: they
+    carry no ranking signal and at web scale same-host links dominate raw
+    counts by orders of magnitude)."""
+    from data_pipeline_spark.functions.weburl import url_host
+
+    e = links.select(
+        url_host("src_url").alias("src"),
+        url_host("href").alias("dst"),
+    ).where((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank by power iteration; returns (node, rank), ranks
+    summing to 1.0 (dangling mass redistributed uniformly each round, so
+    the distribution stays a distribution — rank is comparable across
+    corpus snapshots).
+
+    Scale posture: nodes/out-weights are computed once; each round is ONE
+    ranks⋈edges equi-join + one hash agg, with an eager localCheckpoint
+    truncating the plan (iteration-proof lineage). The dangling-mass
+    scalar is a 1-row aggregate (driver collect of one double — metadata
+    scale, same policy as components' convergence digest)."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # per-edge share of the source's rank; precomputed once
+    share = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    ).localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(share, ranks["node"] == share["src"], "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        # dangling nodes (no outgoing edges) leak their rank: measure the
+        # leak exactly as 1 - mass_sent and hand it back uniformly
+        sent = (
+            ranks.join(out_w, ranks["node"] == out_w["src"], "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        dangling = 1.0 - sent
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def host_rank(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """End-to-end: pages → links → host graph → (host, rank). The crawl
+    scheduler joins this against recrawl_stats on host to weight due_score
+    by importance."""
+    return pagerank(
+        host_graph(extract_links(pages, url_col, html_col)),
+        iterations=iterations,
+        damping=damping,
+        weight="n_links",
+    ).withColumnRenamed("node", "host")

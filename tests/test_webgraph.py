@@ -1,0 +1,120 @@
+"""Web-graph operators (operators/webgraph.py): link extraction semantics,
+host-graph collapse, PageRank vs a NumPy power-iteration oracle."""
+
+import numpy as np
+import pytest
+
+from data_pipeline_spark.operators.webgraph import (
+    extract_links,
+    host_graph,
+    host_rank,
+    pagerank,
+)
+
+HTML = (
+    '<html><a href="https://a.com/x">1</a>'
+    "<a href='https://b.com/y?q=1'>2</a>"
+    '<a href="/relative">skip</a>'
+    '<a href="ftp://files.com/z">skip</a>'
+    '<A HREF="https://caps.com/">skip-case</A>'  # regex is case-sensitive lhs
+    '<a href="http://a.com/x2">4</a></html>'
+)
+
+
+def test_extract_links_semantics(spark):
+    df = spark.createDataFrame(
+        [("https://src.com/p", HTML), ("https://src.com/empty", "<p>none</p>")],
+        "url string, html string",
+    )
+    rows = extract_links(df).collect()
+    hrefs = sorted(r["href"] for r in rows)
+    assert hrefs == [
+        "http://a.com/x2", "https://a.com/x", "https://b.com/y?q=1",
+    ]
+    assert all(r["src_url"] == "https://src.com/p" for r in rows)
+
+
+def test_extract_links_binary_html(spark):
+    df = spark.createDataFrame(
+        [("https://s/", HTML.encode("utf-8"))], "url string, html binary"
+    )
+    assert extract_links(df).count() == 3
+
+
+def test_extract_links_native_plan(spark):
+    df = spark.createDataFrame([("u", HTML)], "url string, html string")
+    plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_graph_collapses_and_drops_self_loops(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),
+            ("https://a.com/3", "https://a.com/other"),  # self-loop: dropped
+            ("https://www.a.com/4", "https://b.com:443/z"),  # host-normalized
+        ],
+        "src_url string, href string",
+    )
+    got = {(r["src"], r["dst"]): r["n_links"] for r in host_graph(links).collect()}
+    assert got == {("a.com", "b.com"): 3}
+
+
+def _np_pagerank(nodes, edges, iters, d=0.85):
+    """Independent oracle: same algorithm, dense NumPy."""
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out_w = np.zeros(n)
+    for s, t, w in edges:
+        out_w[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t, w in edges:
+            contrib[idx[t]] += r[idx[s]] * w / out_w[idx[s]]
+        sent = sum(r[idx[s]] for s in {e[0] for e in edges})
+        base = (1 - d) / n + d * (1.0 - sent) / n
+        r = base + d * contrib
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy_oracle(spark):
+    edges = [
+        ("a", "b", 1.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("c", "e", 1.0),  # e is dangling
+    ]
+    nodes = ["a", "b", "c", "e"]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=8, weight="w").collect()
+    }
+    want = _np_pagerank(nodes, edges, iters=8)
+    assert set(got) == set(want)
+    for u in nodes:
+        assert got[u] == pytest.approx(want[u], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=2).count() == 0
+
+
+def test_host_rank_end_to_end(spark):
+    # hub.com links everywhere; everyone links back to popular.com
+    def page(u, *targets):
+        return (u, "".join(f'<a href="{t}">l</a>' for t in targets))
+
+    pages = spark.createDataFrame(
+        [
+            page("https://hub.com/1", "https://popular.com/a", "https://b.com/x"),
+            page("https://b.com/x", "https://popular.com/b"),
+            page("https://popular.com/a", "https://hub.com/1"),
+        ],
+        "url string, html string",
+    )
+    ranks = {r["host"]: r["rank"] for r in host_rank(pages, iterations=12).collect()}
+    assert max(ranks, key=ranks.get) == "popular.com"
+    assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
