@@ -1,0 +1,116 @@
+"""spark-submit entrypoint: next crawl plan from the engine's own evidence.
+
+Closes the CDC loop as a shippable job: the CDX index (what was captured
+when, and whether it changed — sources/warc.py::build_cdx) drives per-url
+change-rate estimates (operators/recrawl.py), optionally weighted by host
+importance PageRank'd from the stored pages' link graph
+(operators/webgraph.py), and emits the budgeted fetch plan the next crawl
+round should execute:
+
+    spark-submit --py-files dist/data_pipeline_spark.zip jobs/crawl_plan_job.py \
+        --cdx-dir CDX --budget 100000 --out PLAN \
+        [--default-period-s 604800] \
+        [--table-dir LAKE --rank-weight 1.0] [--pagerank-iters 8]
+
+Priority = due_score (expected missed changes) × (normalized host rank)
+^ rank-weight, where host rank is normalized to mean 1 so rank-weight 0
+(or no --table-dir) degrades exactly to pure change-rate scheduling. The
+plan lands as parquet sorted by priority with the evidence columns kept
+(due_score, change_period_s, staleness_s, host, host_rank) so the fetch
+layer can re-cut the budget without recomputing.
+
+Scale: stats are one window + one hash agg over the CDX (itself a narrow
+derivative of the crawl); PageRank is per-round one join + one agg over
+HOST-level edges (orders of magnitude smaller than the page graph); the
+final cut is a TakeOrderedAndProject at the budget.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cdx-dir", required=True,
+                    help="CDX parquet (url, warc_ts, payload_digest, ...)")
+    ap.add_argument("--out", required=True, help="output plan parquet")
+    ap.add_argument("--budget", type=int, required=True,
+                    help="max urls in the plan")
+    ap.add_argument("--default-period-s", type=float, default=None,
+                    help="synthetic change period for never-changed pages "
+                         "(cold-page rotation); default: they score 0")
+    ap.add_argument("--table-dir", default=None,
+                    help="lake table with (url, html): weight priorities "
+                         "by link-graph host PageRank")
+    ap.add_argument("--rank-weight", type=float, default=1.0,
+                    help="exponent on the normalized host rank (0 = ignore)")
+    ap.add_argument("--pagerank-iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation, SparkSession
+
+    from data_pipeline_spark.functions.weburl import url_host
+    from data_pipeline_spark.operators.recrawl import recrawl_stats
+
+    spark = SparkSession.builder.appName("crawl-plan").getOrCreate()
+
+    cdx = spark.read.parquet(args.cdx_dir)
+    stats = recrawl_stats(cdx)
+    if args.default_period_s is not None:
+        stats = stats.withColumn(
+            "due_score",
+            F.when(
+                F.col("change_period_s").isNull(),
+                F.col("staleness_s") / F.lit(args.default_period_s),
+            ).otherwise(F.col("due_score")),
+        )
+    stats = stats.withColumn("host", url_host("url"))
+
+    ranked_hosts = 0
+    if args.table_dir is not None and args.rank_weight != 0.0:
+        from data_pipeline_spark.lake.table import LakeTable
+        from data_pipeline_spark.operators.webgraph import host_rank
+
+        pages = LakeTable.load(spark, args.table_dir).read().select("url", "html")
+        ranks = host_rank(pages, iterations=args.pagerank_iters)
+        ranked_hosts = ranks.count()
+        # normalize to mean 1 (ranks sum to 1 over n hosts) so the weight
+        # is a pure shape parameter, not a scale change
+        ranks = ranks.select(
+            "host",
+            (F.col("rank") * F.lit(float(ranked_hosts))).alias("host_rank"),
+        )
+        stats = stats.join(F.broadcast(ranks) if ranked_hosts < 1_000_000
+                           else ranks, "host", "left")
+        stats = stats.withColumn(
+            "priority",
+            F.col("due_score")
+            * F.pow(F.coalesce(F.col("host_rank"), F.lit(1.0)),
+                    F.lit(args.rank_weight)),
+        )
+    else:
+        stats = stats.withColumn("host_rank", F.lit(None).cast("double"))
+        stats = stats.withColumn("priority", F.col("due_score"))
+
+    plan = stats.orderBy(F.col("priority").desc(), F.col("url")).limit(args.budget)
+    obs = Observation()
+    plan.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("due_score").alias("expected_missed_changes"),
+    ).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "planned_urls": int(obs.get["n"]),
+        "expected_missed_changes": round(float(obs.get["expected_missed_changes"] or 0.0), 3),
+        "ranked_hosts": ranked_hosts,
+        "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -624,3 +624,97 @@ def test_spark_submit_warc_bootstrap_then_replay(submit_env, tmp_path, spark):
     )
     want_body = [b for u, t, b in pages if u == url0 and t == expect[url0]][0]
     assert bytes(rec["html"]) == want_body
+
+
+def test_spark_submit_crawl_loop_plan(submit_env, tmp_path, spark):
+    """Capstone crawl loop (X66-X69) as shipped jobs: two crawl rounds of
+    .warc.gz segments → ingest_job --warc-dir (+CDX) ×2 → replay_job →
+    crawl_plan_job. Pages whose payload CHANGED between rounds must lead
+    the next plan, most-stale first; never-changed pages trail at 0."""
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.sources.warc import write_segment
+
+    work, _, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    T0 = 1_700_000_000
+    DAY = 86_400
+
+    def body(i, version):
+        return (
+            f'<html><a href="https://popular.com/home">hub</a>'
+            f'<a href="https://h{(i + 1) % 2}.com/p{(i + 2) % 6}">x</a>'
+            f"<p>content {i} v{version}</p></html>"
+        ).encode()
+
+    def url(i):
+        return f"https://h{i % 2}.com/p{i}"
+
+    r1 = [(url(i), datetime.utcfromtimestamp(T0 + i * 60), body(i, 1))
+          for i in range(6)]
+    changed = {0, 2, 4}
+    r2 = [
+        (url(i), datetime.utcfromtimestamp(T0 + DAY + i * 3600),
+         body(i, 2 if i in changed else 1))
+        for i in range(6)
+    ]
+    write_segment(str(work / "round1" / "seg.warc.gz"), r1)
+    write_segment(str(work / "round2" / "seg.warc.gz"), r2)
+
+    def submit(script, extra):
+        out = subprocess.run(
+            [
+                spark_submit, "--master", "local[4]",
+                "--conf", "spark.sql.shuffle.partitions=4",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", zip_path,
+                os.path.join(REPO, "jobs", script), *extra,
+            ],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    for rnd in ("round1", "round2"):
+        ing = submit("ingest_job.py", [
+            "--warc-dir", str(work / rnd), "--log-dir", str(work / "loop_log"),
+            "--cdx-dir", str(work / "loop_cdx"), "--epoch-size", "6",
+        ])
+        assert ing["events"] == 6
+
+    rep = submit("replay_job.py", [
+        "--log-dir", str(work / "loop_log"),
+        "--table-dir", str(work / "loop_table"),
+        "--checkpoint-dir", str(work / "loop_cp"),
+    ])
+    assert rep["epochs_applied"] == 2
+
+    plan_meta = submit("crawl_plan_job.py", [
+        "--cdx-dir", str(work / "loop_cdx"),
+        "--table-dir", str(work / "loop_table"),
+        "--out", str(work / "plan"),
+        "--budget", "4", "--rank-weight", "1.0",
+    ])
+    assert plan_meta["planned_urls"] == 4
+    assert plan_meta["ranked_hosts"] >= 2
+
+    plan = (
+        spark.read.parquet(str(work / "plan"))
+        .orderBy(F.col("priority").desc(), "url")
+        .collect()
+    )
+    # the three changed pages lead, most-stale (earliest recapture) first
+    assert [r["url"] for r in plan[:3]] == [url(0), url(2), url(4)]
+    assert all(r["priority"] > 0 for r in plan[:3])
+    # never-changed pages carry zero priority without a default period
+    assert plan[3]["priority"] == 0.0
+    # evidence columns survive into the plan for budget re-cuts
+    assert plan[0]["change_period_s"] is not None
+    assert plan[0]["host_rank"] is not None
