@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps across the DuckDB oracle boundary.
         .config("spark.sql.session.timeZone", "UTC")
+        # Web bytes are dirty: decode() malformed input substitutes U+FFFD
+        # instead of failing the scan (functions/charset.py UTF-16 paths;
+        # the UTF-8 path is conf-free via make_valid_utf8).
+        .config("spark.sql.legacy.codingErrorAction", "true")
         # INT96 (Spark's legacy default) carries NO parquet min/max stats,
         # which silently disables the lake's per-file timestamp range
         # pruning (stats_cols) AND row-group skipping on event time.
