@@ -119,3 +119,22 @@ def recrawl_schedule(
             ).otherwise(F.col("due_score")),
         )
     return stats.orderBy(F.col("due_score").desc(), F.col(key)).limit(budget)
+
+
+def attach_validators(
+    stats: DataFrame,
+    cdx: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+) -> DataFrame:
+    """Join each url's LATEST capture's HTTP validators (ETag /
+    Last-Modified, captured by the WARC parser) onto its recrawl stats, so
+    the fetch layer can issue conditional GETs (If-None-Match /
+    If-Modified-Since) — a 304 costs headers, not the payload. One
+    ``max_by`` hash aggregation over the CDX (map-side combinable), one
+    key equi-join; columns are null when the server never sent them."""
+    latest = cdx.groupBy(key).agg(
+        F.max_by("http_etag", F.col(ts)).alias("etag"),
+        F.max_by("http_last_modified", F.col(ts)).alias("last_modified"),
+    )
+    return stats.join(latest, key, "left")

@@ -56,6 +56,9 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_etag", T.StringType()),
+        T.StructField("http_last_modified", T.StringType()),
+        T.StructField("http_content_type", T.StringType()),
         T.StructField("payload_digest", T.StringType()),
         T.StructField("html", T.BinaryType()),
     ]
@@ -81,6 +84,7 @@ def record_bytes(
     http_wrap: bool = True,
     http_status: int = 200,
     digest: str | None = None,
+    http_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One uncompressed WARC record. ``http_wrap`` stores the payload as an
     HTTP response block (status line + headers + body), the shape of real
@@ -90,16 +94,21 @@ def record_bytes(
     if digest is None:
         digest = hashlib.sha256(payload).hexdigest()
     if http_wrap:
-        http_headers = (
+        extra = b"".join(
+            f"{k}: {v}".encode("latin-1") + CRLF
+            for k, v in (http_headers or {}).items()
+        )
+        head = (
             b"HTTP/1.1 %d OK" % http_status
             + CRLF
             + b"Content-Type: text/html; charset=utf-8"
             + CRLF
+            + extra
             + b"Content-Length: %d" % len(payload)
             + CRLF
             + CRLF
         )
-        block = http_headers + payload
+        block = head + payload
         content_type = b"application/http; msgtype=response"
     else:
         block = payload
@@ -217,16 +226,28 @@ def _parse_raw_records(raw: bytes) -> Iterator[tuple[int, int, dict]]:
         pos = end
 
 
-def _strip_http(block: bytes, content_type: str) -> tuple[int | None, bytes]:
-    """For ``application/http`` blocks: (status, body). Others pass through."""
+def _strip_http(
+    block: bytes, content_type: str
+) -> tuple[int | None, dict[str, str], bytes]:
+    """For ``application/http`` blocks: (status, headers, body). Others
+    pass through with empty headers. Header names lowercase; the ones the
+    crawl loop needs (etag, last-modified, content-type) surface as record
+    columns — conditional-GET validators for the next fetch round."""
     if "application/http" not in content_type:
-        return None, block
+        return None, {}, block
     sep = block.find(CRLF + CRLF)
     if sep < 0 or not block[:5] == b"HTTP/":
-        return None, block
-    status_line = block[: block.find(CRLF)].split(b" ")
+        return None, {}, block
+    lines = block[:sep].split(CRLF)
+    status_line = lines[0].split(b" ")
     status = int(status_line[1]) if len(status_line) > 1 else None
-    return status, block[sep + 4 :]
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+            "latin-1", "replace"
+        )
+    return status, headers, block[sep + 4 :]
 
 
 def iter_records(content: bytes, warc_file: str) -> Iterator[dict]:
@@ -237,7 +258,7 @@ def iter_records(content: bytes, warc_file: str) -> Iterator[dict]:
     for m_off, m_len, raw in _iter_members(content):
         for r_start, r_len, rec in _parse_raw_records(raw):
             h = rec["headers"]
-            status, body = _strip_http(rec["block"], h.get("content-type", ""))
+            status, hh, body = _strip_http(rec["block"], h.get("content-type", ""))
             ts_raw = h.get("warc-date", "1970-01-01T00:00:00Z")
             ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
             if m_off == 0 and m_len == len(content) and content[:2] != b"\x1f\x8b":
@@ -252,6 +273,9 @@ def iter_records(content: bytes, warc_file: str) -> Iterator[dict]:
                 "url": h.get("warc-target-uri"),
                 "warc_ts": ts,
                 "http_status": status,
+                "http_etag": hh.get("etag"),
+                "http_last_modified": hh.get("last-modified"),
+                "http_content_type": hh.get("content-type"),
                 "payload_digest": h.get("warc-payload-digest", "").removeprefix(
                     "sha256:"
                 ),
@@ -329,6 +353,8 @@ def build_cdx(records: DataFrame) -> DataFrame:
         "warc_offset",
         "warc_length",
         "http_status",
+        "http_etag",
+        "http_last_modified",
     ).sortWithinPartitions("surt", "warc_ts")
 
 

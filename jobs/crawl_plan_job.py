@@ -54,12 +54,20 @@ def main() -> None:
     from pyspark.sql import Observation, SparkSession
 
     from data_pipeline_spark.functions.weburl import url_host
-    from data_pipeline_spark.operators.recrawl import recrawl_stats
+    from data_pipeline_spark.operators.recrawl import (
+        attach_validators,
+        recrawl_stats,
+    )
 
     spark = SparkSession.builder.appName("crawl-plan").getOrCreate()
 
     cdx = spark.read.parquet(args.cdx_dir)
     stats = recrawl_stats(cdx)
+    if "http_etag" in cdx.columns:
+        # conditional-GET validators of the latest capture ride the plan:
+        # a fetcher sends If-None-Match / If-Modified-Since and a 304
+        # costs headers, not payload
+        stats = attach_validators(stats, cdx)
     if args.default_period_s is not None:
         stats = stats.withColumn(
             "due_score",

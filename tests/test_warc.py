@@ -222,3 +222,37 @@ def test_revisit_dedup_state_spans_segments(tmp_path):
     seg2 = segment_bytes(_pages(3), dedup_digests=seen)
     assert all(r["record_type"] == "revisit" for r in iter_records(seg2, "s2"))
     assert len(list(iter_records(seg1, "s1"))) == 3
+
+
+def test_http_validator_headers_roundtrip(spark, tmp_path):
+    """ETag/Last-Modified/Content-Type from the HTTP block surface as
+    record columns and ride the CDX — the conditional-GET validators."""
+    raw = record_bytes(
+        "https://v.org/p", datetime(2024, 3, 1), b"<html>v</html>",
+        http_headers={"ETag": '"abc123"', "Last-Modified": "Sat, 01 Mar 2024 00:00:00 GMT"},
+    )
+    rec = next(iter_records(raw, "f"))
+    assert rec["http_etag"] == '"abc123"'
+    assert rec["http_last_modified"] == "Sat, 01 Mar 2024 00:00:00 GMT"
+    assert rec["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(rec["html"]) == b"<html>v</html>"  # body unaffected
+
+    (tmp_path / "v.warc").write_bytes(raw)
+    cdx = build_cdx(read_warc(spark, str(tmp_path))).collect()
+    assert cdx[0]["http_etag"] == '"abc123"'
+
+
+def test_validators_attach_to_stats(spark, tmp_path):
+    from data_pipeline_spark.operators.recrawl import attach_validators, recrawl_stats
+
+    seg = b"".join(
+        record_bytes(
+            "https://v.org/p", datetime(2024, 3, d), f"<p>{d}</p>".encode(),
+            http_headers={"ETag": f'"v{d}"'},
+        )
+        for d in (1, 2)
+    )
+    (tmp_path / "s.warc").write_bytes(seg)
+    cdx = build_cdx(read_warc(spark, str(tmp_path)))
+    out = attach_validators(recrawl_stats(cdx), cdx).collect()
+    assert len(out) == 1 and out[0]["etag"] == '"v2"'  # latest capture wins
