@@ -2046,6 +2046,70 @@ FROM pages
 """
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sources/sitemap.py): each document becomes a
+    2-entry sitemap file (second entry lastmod-only — nulls must surface,
+    not fail), parsed with one native regexp_extract_all + explode. The
+    oracle runs the SAME entry/field regexes under DuckDB/RE2."""
+    from data_pipeline_spark.sources.sitemap import parse_sitemap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    xml = F.concat(
+        F.lit("<urlset>\n  <url>\n    <loc>https://example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc>\n    <lastmod>2024-03-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>\n    <changefreq>"),
+        F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("</changefreq>\n    <priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority>\n  </url>\n  <url><loc>https://m.example.org/alt/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-04-01</lastmod></url>\n</urlset>"),
+    )
+    return parse_sitemap(d.select("doc_id", xml.alias("xml")))
+
+
+def _sql_sitemap_parse() -> str:
+    from data_pipeline_spark.functions.quality import _dq
+    from data_pipeline_spark.sources.sitemap import (
+        CHANGEFREQ_RE,
+        LASTMOD_RE,
+        LOC_RE,
+        PRIORITY_RE,
+        URL_ENTRY_RE,
+    )
+
+    return f"""
+WITH files AS (
+  SELECT doc_id,
+    '<urlset>' || chr(10) || '  <url>' || chr(10)
+    || '    <loc>https://example.com/doc/' || CAST(doc_id AS VARCHAR) || '</loc>' || chr(10)
+    || '    <lastmod>2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>' || chr(10)
+    || '    <changefreq>' || (['daily','weekly','monthly'])[doc_id % 3 + 1] || '</changefreq>' || chr(10)
+    || '    <priority>0.' || CAST(doc_id % 10 AS VARCHAR) || '</priority>' || chr(10)
+    || '  </url>' || chr(10)
+    || '  <url><loc>https://m.example.org/alt/' || CAST(doc_id AS VARCHAR)
+    || '</loc><lastmod>2024-04-01</lastmod></url>' || chr(10) || '</urlset>' AS xml
+  FROM documents
+),
+entries AS (
+  SELECT doc_id, unnest(regexp_extract_all(xml, {_dq(URL_ENTRY_RE)}, 1)) AS e
+  FROM files
+)
+SELECT doc_id,
+  nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '') AS loc,
+  nullif(regexp_extract(e, {_dq(LASTMOD_RE)}, 1), '') AS lastmod,
+  nullif(regexp_extract(e, {_dq(CHANGEFREQ_RE)}, 1), '') AS changefreq,
+  CAST(nullif(regexp_extract(e, {_dq(PRIORITY_RE)}, 1), '') AS DOUBLE) AS priority
+FROM entries
+WHERE nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '') IS NOT NULL
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2790,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt": q_url_surt,
         "recrawl_stats": q_recrawl_stats,
         "link_extract": q_link_extract,
+        "sitemap_parse": q_sitemap_parse,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2876,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "url_surt": _SQL_URL_SURT,
         "recrawl_stats": _SQL_RECRAWL,
         "link_extract": _sql_link_extract(),
+        "sitemap_parse": _sql_sitemap_parse(),
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--default-period-s", type=float, default=None,
                     help="synthetic change period for never-changed pages "
                          "(cold-page rotation); default: they score 0")
+    ap.add_argument("--sitemap-dir", default=None,
+                    help="directory of fetched sitemap.xml files: entries "
+                         "whose <lastmod> post-dates our last capture (or "
+                         "whose url we never captured) are server-asserted "
+                         "changes and jump the statistical queue")
     ap.add_argument("--table-dir", default=None,
                     help="lake table with (url, html): weight priorities "
                          "by link-graph host PageRank")
@@ -76,6 +81,16 @@ def main() -> None:
                 F.col("staleness_s") / F.lit(args.default_period_s),
             ).otherwise(F.col("due_score")),
         )
+    if args.sitemap_dir is not None:
+        from data_pipeline_spark.sources.sitemap import parse_sitemap, sitemap_due
+
+        xml = (
+            spark.read.option("wholetext", "true").text(args.sitemap_dir)
+            .withColumnRenamed("value", "xml")
+        )
+        stats = sitemap_due(stats, parse_sitemap(xml))
+    else:
+        stats = stats.withColumn("server_modified", F.lit(False))
     stats = stats.withColumn("host", url_host("url"))
 
     ranked_hosts = 0
@@ -104,16 +119,22 @@ def main() -> None:
         stats = stats.withColumn("host_rank", F.lit(None).cast("double"))
         stats = stats.withColumn("priority", F.col("due_score"))
 
-    plan = stats.orderBy(F.col("priority").desc(), F.col("url")).limit(args.budget)
+    # server-asserted changes jump the statistical queue: the origin said
+    # the page changed; due_score ranks only the rest
+    plan = stats.orderBy(
+        F.col("server_modified").desc(), F.col("priority").desc(), F.col("url")
+    ).limit(args.budget)
     obs = Observation()
     plan.observe(
         obs,
         F.count(F.lit(1)).alias("n"),
         F.sum("due_score").alias("expected_missed_changes"),
+        F.sum(F.col("server_modified").cast("long")).alias("asserted"),
     ).write.mode("overwrite").parquet(args.out)
     print(json.dumps({
         "planned_urls": int(obs.get["n"]),
         "expected_missed_changes": round(float(obs.get["expected_missed_changes"] or 0.0), 3),
+        "server_asserted": int(obs.get["asserted"] or 0),
         "ranked_hosts": ranked_hosts,
         "out": args.out,
     }))
