@@ -1,0 +1,220 @@
+"""robots.txt parsing and URL permission checks (RFC 9309 / REP).
+
+The crawl loop's missing legality layer: before the planner's urls go to
+the fetch layer, each must clear its host's robots rules, and the fetcher
+needs the host's crawl-delay. The reference repo hardcodes per-source
+politeness (configs/*.toml delays); real web-scale crawling reads it from
+the origin.
+
+Everything is distributed-native (no per-row Python):
+
+- :func:`parse_robots` — one ``posexplode(split(txt, '\\n'))`` per file,
+  comment stripping, line classification, and user-agent GROUP assignment
+  as a running count over a per-host window (consecutive ``User-agent:``
+  lines share the group per the RFC). Group selection follows the RFC:
+  groups naming our agent (longest product-token match simplified to
+  case-insensitive substring) win; otherwise ``*`` groups apply; no group
+  → everything allowed.
+- :func:`rule_regex_expr` — compiles a rule path to an anchored regex IN
+  EXPRESSIONS (escape metacharacters, ``*`` → ``.*``, trailing ``$`` →
+  end anchor), so rule matching is one ``rlike`` inside codegen.
+- :func:`check_allowed` — urls ⋈ their host's rules (rules-per-host is
+  small; the join is host-keyed and AQE handles hot hosts), then ONE
+  ``max_by`` hash agg picks the longest matching rule, allow winning
+  length ties (Google semantics). Unmatched urls are allowed.
+
+Scale: robots files are tiny and per-host; rules frames broadcast in
+practice. The url-side cost is one shuffle on host + one agg — O(urls).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _lines(df: DataFrame, host_col: str, txt_col: str) -> DataFrame:
+    """(host, pos, line) with comments stripped and blanks kept (blank
+    lines do NOT end groups in RFC 9309 — only a new UA line starts one)."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("line"),
+    )
+
+
+def _field(line: Column, name: str) -> Column:
+    """Value of a ``Name: value`` line (case-insensitive name), else null."""
+    v = F.regexp_extract(line, rf"(?i)^{name}\s*:\s*(.*)$", 1)
+    matched = F.lower(line).rlike(rf"(?i)^{name}\s*:")
+    return F.when(matched, F.trim(v))
+
+
+def parse_robots(
+    df: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Effective rule set per host for ``agent``:
+    (host, rule, path, rule_len, crawl_delay).
+
+    ``rule`` ∈ {allow, disallow}; an empty Disallow ("allow all") yields
+    no row, matching its semantics. ``crawl_delay`` is the group's value
+    repeated on each row (null if unset)."""
+    lines = _lines(df, host_col, txt_col)
+    ua = _field(F.col("line"), "user-agent")
+    classified = lines.select(
+        "host",
+        "pos",
+        ua.alias("ua"),
+        _field(F.col("line"), "allow").alias("allow_path"),
+        _field(F.col("line"), "disallow").alias("disallow_path"),
+        _field(F.col("line"), "crawl-delay").alias("delay"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    # a UA line STARTS a new group unless the previous line was also UA
+    prev_is_ua = F.lag(F.col("ua").isNotNull(), 1, False).over(w)
+    starts = F.col("ua").isNotNull() & ~prev_is_ua
+    grouped = classified.withColumn(
+        "grp", F.sum(starts.cast("int")).over(w)
+    ).where(F.col("grp") > 0)
+
+    agents = grouped.where(F.col("ua").isNotNull()).groupBy("host", "grp").agg(
+        F.collect_set(F.lower("ua")).alias("uas")
+    )
+    me = F.lit(agent.lower())
+    agents = agents.select(
+        "host",
+        "grp",
+        F.array_contains("uas", "*").alias("has_star"),
+        (
+            F.exists("uas", lambda u: (me != "*") & me.contains(u) & (u != "*"))
+        ).alias("has_me"),
+    )
+    # RFC: if ANY group names our agent, star groups do not apply
+    host_has_me = agents.groupBy("host").agg(
+        F.max(F.col("has_me").cast("int")).alias("host_has_me")
+    )
+    chosen = (
+        agents.join(host_has_me, "host")
+        .where(
+            F.when(F.col("host_has_me") == 1, F.col("has_me"))
+            .otherwise(F.col("has_star"))
+        )
+        .select("host", "grp")
+    )
+
+    body = grouped.join(chosen, ["host", "grp"])
+    delay = body.where(F.col("delay").isNotNull()).groupBy("host").agg(
+        F.min(F.col("delay").cast("double")).alias("crawl_delay")
+    )
+    rules = body.select(
+        "host",
+        "grp",
+        F.when(F.col("allow_path").isNotNull(), F.lit("allow"))
+        .when(F.col("disallow_path").isNotNull(), F.lit("disallow"))
+        .alias("rule"),
+        F.coalesce("allow_path", "disallow_path").alias("path"),
+    ).where(F.col("rule").isNotNull() & (F.col("path") != ""))
+    return (
+        rules.select(
+            "host", "rule", "path", F.length("path").alias("rule_len")
+        )
+        .distinct()
+        .join(delay, "host", "left")
+    )
+
+
+def sitemaps_of(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap) — Sitemap lines are global (outside groups); feeds
+    sources/sitemap.py's fetch level."""
+    lines = _lines(df, host_col, txt_col)
+    sm = _field(F.col("line"), "sitemap")
+    return lines.select("host", sm.alias("sitemap")).where(
+        F.col("sitemap").isNotNull() & (F.col("sitemap") != "")
+    )
+
+
+def rule_regex_expr(path: Column) -> Column:
+    """Rule path → anchored Java/RE2 regex, entirely in expressions:
+    escape regex metacharacters, ``*`` → ``.*``, and a trailing ``$``
+    becomes the end anchor. Prefix semantics otherwise (no trailing
+    ``.*`` needed — rlike is unanchored at the end)."""
+    ends_anchor = path.endswith("$")
+    body = F.when(
+        ends_anchor, path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
+    escaped = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]\\|])", r"\\$1"
+    )
+    wildcarded = F.regexp_replace(escaped, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wildcarded, F.when(ends_anchor, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def check_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Urls + (allowed boolean, matched_rule path or null, crawl_delay).
+
+    Longest matching rule decides; allow wins exact length ties; no
+    matching rule (or no rules for the host) → allowed. One host-keyed
+    join + one max_by agg."""
+    from data_pipeline_spark.functions.weburl import url_host
+
+    u = urls.withColumn("__host", url_host(url_col)).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1), F.lit("")),
+            F.lit("/"),
+        ),
+    )
+    r = rules.select(
+        F.col("host").alias("__host"),
+        "rule",
+        F.col("path").alias("rule_path"),
+        "rule_len",
+        "crawl_delay",
+        rule_regex_expr(F.col("path")).alias("__re"),
+    )
+    joined = u.join(r, "__host", "left")
+    # rlike with a column-valued pattern: SQL form (the DataFrame method
+    # wants a literal pattern)
+    joined = joined.withColumn(
+        "__matched",
+        F.when(F.col("__re").isNotNull(), F.expr("rlike(__path, __re)")).otherwise(False),
+    )
+    best = joined.groupBy(*urls.columns).agg(
+        F.max_by(
+            F.struct(
+                F.col("rule").alias("rule"), F.col("rule_path").alias("p")
+            ),
+            F.when(
+                F.col("__matched"),
+                F.struct(
+                    F.col("rule_len").alias("l"),
+                    # allow outranks disallow at equal length
+                    (F.col("rule") == "allow").cast("int").alias("a"),
+                ),
+            ),
+        ).alias("__best"),
+        F.max(F.when(F.col("__matched"), F.col("rule_len"))).alias("__any"),
+        F.min("crawl_delay").alias("crawl_delay"),
+    )
+    return best.select(
+        *urls.columns,
+        F.when(F.col("__any").isNull(), F.lit(True))
+        .otherwise(F.col("__best.rule") == "allow")
+        .alias("allowed"),
+        F.when(F.col("__any").isNotNull(), F.col("__best.p")).alias("matched_rule"),
+        "crawl_delay",
+    )

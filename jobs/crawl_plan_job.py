@@ -47,6 +47,12 @@ def main() -> None:
                          "whose <lastmod> post-dates our last capture (or "
                          "whose url we never captured) are server-asserted "
                          "changes and jump the statistical queue")
+    ap.add_argument("--robots-dir", default=None,
+                    help="parquet of (host, robots_txt): disallowed urls "
+                         "are dropped BEFORE the budget cut and the plan "
+                         "carries each host's crawl-delay")
+    ap.add_argument("--agent", default="*",
+                    help="with --robots-dir: our user-agent product token")
     ap.add_argument("--table-dir", default=None,
                     help="lake table with (url, html): weight priorities "
                          "by link-graph host PageRank")
@@ -119,6 +125,20 @@ def main() -> None:
         stats = stats.withColumn("host_rank", F.lit(None).cast("double"))
         stats = stats.withColumn("priority", F.col("due_score"))
 
+    n_disallowed = 0
+    if args.robots_dir is not None:
+        from data_pipeline_spark.sources.robots import check_allowed, parse_robots
+
+        rules = parse_robots(
+            spark.read.parquet(args.robots_dir), agent=args.agent
+        )
+        checked = check_allowed(stats, rules)
+        robs = Observation()
+        checked = checked.observe(
+            robs, F.sum((~F.col("allowed")).cast("long")).alias("blocked")
+        )
+        stats = checked.where(F.col("allowed")).drop("allowed", "matched_rule")
+
     # server-asserted changes jump the statistical queue: the origin said
     # the page changed; due_score ranks only the rest
     plan = stats.orderBy(
@@ -131,10 +151,13 @@ def main() -> None:
         F.sum("due_score").alias("expected_missed_changes"),
         F.sum(F.col("server_modified").cast("long")).alias("asserted"),
     ).write.mode("overwrite").parquet(args.out)
+    if args.robots_dir is not None:
+        n_disallowed = int(robs.get["blocked"] or 0)
     print(json.dumps({
         "planned_urls": int(obs.get["n"]),
         "expected_missed_changes": round(float(obs.get["expected_missed_changes"] or 0.0), 3),
         "server_asserted": int(obs.get["asserted"] or 0),
+        "robots_disallowed": n_disallowed,
         "ranked_hosts": ranked_hosts,
         "out": args.out,
     }))

@@ -1,0 +1,174 @@
+"""robots.txt parsing + URL permission checks (sources/robots.py):
+group selection, wildcard/anchor rule compilation, longest-match
+precedence, crawl-delay and sitemap discovery."""
+
+import pytest
+
+from data_pipeline_spark.sources.robots import (
+    check_allowed,
+    parse_robots,
+    sitemaps_of,
+)
+
+ROBOTS_A = """# comments everywhere
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /private/
+Allow: /private/ok.html
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /tmp/*.bak$
+Disallow: /admin
+Allow: /admin/public   # comment after value
+Sitemap: https://a.com/sitemap.xml
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow:
+Sitemap: https://b.com/map1.xml
+Sitemap: https://b.com/map2.xml
+"""
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark):
+    return spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+
+
+def test_group_selection_named_agent(spark, robots_df):
+    rules = parse_robots(robots_df, agent="GoodBot/1.2")
+    got = {(r["host"], r["rule"], r["path"]) for r in rules.collect()}
+    # only the named group applies — star rules are ignored per RFC
+    assert got == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/ok.html"),
+    }
+    delays = {r["host"]: r["crawl_delay"] for r in rules.collect()}
+    assert delays["a.com"] == pytest.approx(2.5)
+
+
+def test_group_selection_star(spark, robots_df):
+    rules = parse_robots(robots_df, agent="UnknownBot")
+    got = {(r["host"], r["rule"], r["path"]) for r in rules.collect()}
+    # empty Disallow (b.com) yields no rule rows — allow-all
+    assert got == {
+        ("a.com", "disallow", "/tmp/*.bak$"),
+        ("a.com", "disallow", "/admin"),
+        ("a.com", "allow", "/admin/public"),
+    }
+
+
+def test_sitemap_discovery(spark, robots_df):
+    got = {(r["host"], r["sitemap"]) for r in sitemaps_of(robots_df).collect()}
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("b.com", "https://b.com/map1.xml"),
+        ("b.com", "https://b.com/map2.xml"),
+    }
+
+
+def test_check_allowed_semantics(spark, robots_df):
+    rules = parse_robots(robots_df, agent="UnknownBot")
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/",),                       # no rule → allowed
+            ("https://a.com/admin",),                  # disallow /admin
+            ("https://a.com/admin/secret",),           # prefix disallow
+            ("https://a.com/admin/public/page",),      # longer allow wins
+            ("https://a.com/tmp/x.bak",),              # wildcard + $ anchor
+            ("https://a.com/tmp/x.bak.txt",),          # $ anchor must NOT hit
+            ("https://b.com/anything",),               # allow-all host
+            ("https://c.com/no-robots",),              # unknown host → allowed
+        ],
+        "url string",
+    )
+    got = {r["url"]: r for r in check_allowed(urls, rules).collect()}
+    assert got["https://a.com/"]["allowed"] is True
+    assert got["https://a.com/admin"]["allowed"] is False
+    assert got["https://a.com/admin/secret"]["allowed"] is False
+    assert got["https://a.com/admin/public/page"]["allowed"] is True
+    assert got["https://a.com/tmp/x.bak"]["allowed"] is False
+    assert got["https://a.com/tmp/x.bak.txt"]["allowed"] is True
+    assert got["https://b.com/anything"]["allowed"] is True
+    assert got["https://c.com/no-robots"]["allowed"] is True
+    assert got["https://a.com/admin"]["matched_rule"] == "/admin"
+    assert got["https://c.com/no-robots"]["matched_rule"] is None
+
+
+def test_allow_wins_length_tie(spark):
+    df = spark.createDataFrame(
+        [("t.com", "User-agent: *\nDisallow: /x/\nAllow: /x/\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(df)
+    urls = spark.createDataFrame([("https://t.com/x/page",)], "url string")
+    assert check_allowed(urls, rules).collect()[0]["allowed"] is True
+
+
+def test_query_string_is_matched(spark):
+    """RFC: rules match the path INCLUDING the query."""
+    df = spark.createDataFrame(
+        [("q.com", "User-agent: *\nDisallow: /*?session=\n")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(df)
+    urls = spark.createDataFrame(
+        [("https://q.com/page?session=1",), ("https://q.com/page",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in check_allowed(urls, rules).collect()}
+    assert got["https://q.com/page?session=1"] is False
+    assert got["https://q.com/page"] is True
+
+
+def test_crawl_plan_job_with_robots(spark, tmp_path, monkeypatch):
+    """In-process jobs/crawl_plan_job.py --robots-dir: disallowed urls
+    never consume budget; the plan carries crawl-delay."""
+    import importlib.util
+    import sys
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    rows = []
+    for path in ("open", "blocked/a", "blocked/b"):
+        for i, d in enumerate((1, 2)):
+            rows.append((f"https://r.com/{path}", datetime(2024, 3, d), f"{path}{i}"))
+    rows.append(("https://r.com/open", datetime(2024, 3, 3), "open1"))
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload_digest string"
+    ).write.parquet(str(tmp_path / "cdx"))
+    spark.createDataFrame(
+        [("r.com", "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 1.5\n")],
+        "host string, robots_txt string",
+    ).write.parquet(str(tmp_path / "robots"))
+
+    argv = [
+        "crawl_plan_job.py", "--cdx-dir", str(tmp_path / "cdx"),
+        "--robots-dir", str(tmp_path / "robots"), "--agent", "GoodBot",
+        "--out", str(tmp_path / "plan"), "--budget", "10",
+        "--default-period-s", "86400",
+    ]
+    spec = importlib.util.spec_from_file_location(
+        "cpj2", __file__.rsplit("/tests/", 1)[0] + "/jobs/crawl_plan_job.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = sys.argv
+    sys.argv = argv
+    try:
+        m.main()
+    finally:
+        sys.argv = old
+
+    plan = spark.read.parquet(str(tmp_path / "plan")).collect()
+    urls = {r["url"] for r in plan}
+    assert urls == {"https://r.com/open"}
+    assert plan[0]["crawl_delay"] == 1.5
