@@ -2110,6 +2110,52 @@ WHERE nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '') IS NOT NULL
 """
 
 
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-asserted dedup (operators/webgraph.py::canonical_collapse):
+    every 3rd document declares a rel=canonical pointing at the doc_id
+    rounded down to a multiple of 3 (attribute order alternates to cover
+    both regex forms); pages collapse onto the declared canonical or
+    themselves. Oracle re-derives group membership in plain SQL."""
+    from data_pipeline_spark.operators.webgraph import canonical_collapse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    target = F.concat(
+        F.lit("https://example.com/doc/"),
+        ((F.col("doc_id") / 3).cast("int") * 3).cast("string"),
+    )
+    link = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("")
+    ).when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="'), target, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit("<link href='"), target, F.lit("' rel='canonical'>")),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("<html><head>"), link,
+                 F.lit("</head><body>x</body></html>")).alias("html"),
+    )
+    return canonical_collapse(pages)
+
+
+_SQL_CANONICAL = """
+WITH pages AS (
+  SELECT doc_id,
+         'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE 'https://example.com/doc/'
+                   || CAST((doc_id // 3) * 3 AS VARCHAR) END AS canon
+  FROM documents
+)
+SELECT url, canon AS canonical_url,
+       coalesce(canon, url) AS group_key,
+       (canon IS NULL OR canon = url) AS is_canonical
+FROM pages
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2855,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_stats": q_recrawl_stats,
         "link_extract": q_link_extract,
         "sitemap_parse": q_sitemap_parse,
+        "canonical_collapse": q_canonical_collapse,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2942,6 +2989,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_stats": _SQL_RECRAWL,
         "link_extract": _sql_link_extract(),
         "sitemap_parse": _sql_sitemap_parse(),
+        "canonical_collapse": _SQL_CANONICAL,
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,

@@ -151,3 +151,42 @@ def host_rank(
         damping=damping,
         weight="n_links",
     ).withColumnRenamed("node", "host")
+
+
+#: rel=canonical link tag, both attribute orders; same pattern text under
+#: Java regex and RE2 (no lookarounds), per the repo dual-dialect policy.
+CANONICAL_REL_FIRST_RE = (
+    r"""<link[^>]*rel=["']?canonical["']?[^>]*href=["']([^"'<>\s]+)["']"""
+)
+CANONICAL_HREF_FIRST_RE = (
+    r"""<link[^>]*href=["']([^"'<>\s]+)["'][^>]*rel=["']?canonical["']?"""
+)
+
+
+def extract_canonical(html) -> "Column":
+    """The page's declared canonical url (rel=canonical link tag, either
+    attribute order), or null. One native coalesce of two regexp_extracts."""
+    c = html if not isinstance(html, str) else F.col(html)
+    c = c.cast("string")
+    first = F.regexp_extract(c, CANONICAL_REL_FIRST_RE, 1)
+    second = F.regexp_extract(c, CANONICAL_HREF_FIRST_RE, 1)
+    return F.coalesce(
+        F.when(first != "", first), F.when(second != "", second)
+    )
+
+
+def canonical_collapse(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Crawl-side duplicate collapse: every page keyed by its declared
+    canonical (or itself) — the dedup group the ORIGIN asserts, zero
+    similarity computation. Emits (url, canonical_url nullable,
+    group_key, is_canonical); downstream dedup treats group_key exactly
+    like a fingerprint key (one hash agg collapses each group)."""
+    canon = extract_canonical(F.col(html_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        canon.alias("canonical_url"),
+        F.coalesce(canon, F.col(url_col)).alias("group_key"),
+        (canon.isNull() | (canon == F.col(url_col))).alias("is_canonical"),
+    )

@@ -118,3 +118,35 @@ def test_host_rank_end_to_end(spark):
     ranks = {r["host"]: r["rank"] for r in host_rank(pages, iterations=12).collect()}
     assert max(ranks, key=ranks.get) == "popular.com"
     assert sum(ranks.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_extract_canonical_both_attribute_orders(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<head><link rel="canonical" href="https://c.com/a"></head>'),
+            ("u2", "<head><link href='https://c.com/b' rel='canonical'></head>"),
+            ("u3", '<head><link rel="stylesheet" href="https://c.com/x.css"></head>'),
+            ("u4", "<p>no links</p>"),
+        ],
+        "url string, html string",
+    )
+    from data_pipeline_spark.operators.webgraph import canonical_collapse
+
+    got = {r["url"]: r for r in canonical_collapse(pages).collect()}
+    assert got["u1"]["canonical_url"] == "https://c.com/a"
+    assert got["u2"]["canonical_url"] == "https://c.com/b"
+    assert got["u3"]["canonical_url"] is None  # stylesheet is not canonical
+    assert got["u4"]["group_key"] == "u4" and got["u4"]["is_canonical"] is True
+    assert got["u1"]["group_key"] == "https://c.com/a"
+    assert got["u1"]["is_canonical"] is False
+
+
+def test_canonical_self_declaration(spark):
+    pages = spark.createDataFrame(
+        [("https://c.com/a", '<link rel="canonical" href="https://c.com/a">')],
+        "url string, html string",
+    )
+    from data_pipeline_spark.operators.webgraph import canonical_collapse
+
+    r = canonical_collapse(pages).collect()[0]
+    assert r["is_canonical"] is True and r["group_key"] == "https://c.com/a"
