@@ -138,3 +138,34 @@ def attach_validators(
         F.max_by("http_last_modified", F.col(ts)).alias("last_modified"),
     )
     return stats.join(latest, key, "left")
+
+
+def schedule_fetches(
+    plan: DataFrame,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    priority_col: str = "priority",
+    key: str = "url",
+) -> DataFrame:
+    """Politeness scheduling: turn a crawl plan into per-host fetch queues.
+
+    Within each host, urls are slotted in priority order and offset by the
+    host's crawl-delay (robots.txt Crawl-delay when present, else
+    ``default_delay_s``) — ``scheduled_offset_s`` is when the fetch may
+    start relative to the round's t0. Across hosts everything runs in
+    parallel (offsets restart per host). The frame is repartitioned by
+    host so ONE task owns a host's queue — politeness enforcement is then
+    task-local (no cross-executor coordination), which is the only layout
+    that holds at 10^5 hosts × 10^3 executors. One keyed window, one
+    shuffle."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc_nulls_last(), F.col(key)
+    )
+    delay = F.coalesce(F.col(delay_col).cast("double"), F.lit(float(default_delay_s)))
+    slotted = plan.withColumn("fetch_slot", F.row_number().over(w) - 1).withColumn(
+        "scheduled_offset_s", F.col("fetch_slot") * delay
+    )
+    return slotted.repartition(F.col(host_col)).sortWithinPartitions(
+        host_col, "fetch_slot"
+    )

@@ -59,6 +59,12 @@ def main() -> None:
     ap.add_argument("--rank-weight", type=float, default=1.0,
                     help="exponent on the normalized host rank (0 = ignore)")
     ap.add_argument("--pagerank-iters", type=int, default=8)
+    ap.add_argument("--schedule", action="store_true",
+                    help="add per-host fetch slots: scheduled_offset_s "
+                         "spaces each host's queue by its crawl-delay "
+                         "(robots value when present, else "
+                         "--default-delay-s); hosts run in parallel")
+    ap.add_argument("--default-delay-s", type=float, default=1.0)
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -144,6 +150,12 @@ def main() -> None:
     plan = stats.orderBy(
         F.col("server_modified").desc(), F.col("priority").desc(), F.col("url")
     ).limit(args.budget)
+    if args.schedule:
+        from data_pipeline_spark.operators.recrawl import schedule_fetches
+
+        if "crawl_delay" not in plan.columns:
+            plan = plan.withColumn("crawl_delay", F.lit(None).cast("double"))
+        plan = schedule_fetches(plan, default_delay_s=args.default_delay_s)
     obs = Observation()
     plan.observe(
         obs,

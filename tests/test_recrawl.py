@@ -78,3 +78,26 @@ def test_schedule_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_schedule_fetches_politeness(spark):
+    plan = spark.createDataFrame(
+        [
+            ("https://a.com/1", "a.com", 5.0, 2.0),
+            ("https://a.com/2", "a.com", 9.0, 2.0),
+            ("https://a.com/3", "a.com", 1.0, 2.0),
+            ("https://b.com/1", "b.com", 4.0, None),  # no robots delay
+            ("https://b.com/2", "b.com", None, None),  # null priority last
+        ],
+        "url string, host string, priority double, crawl_delay double",
+    )
+    from data_pipeline_spark.operators.recrawl import schedule_fetches
+
+    got = {r["url"]: r for r in schedule_fetches(plan, default_delay_s=1.5).collect()}
+    # a.com: priority order 2 > 1 > 3, spaced by its 2s crawl-delay
+    assert got["https://a.com/2"]["fetch_slot"] == 0
+    assert got["https://a.com/1"]["scheduled_offset_s"] == 2.0
+    assert got["https://a.com/3"]["scheduled_offset_s"] == 4.0
+    # b.com runs in parallel from slot 0 with the default delay
+    assert got["https://b.com/1"]["fetch_slot"] == 0
+    assert got["https://b.com/2"]["scheduled_offset_s"] == 1.5

@@ -154,7 +154,7 @@ def test_crawl_plan_job_with_robots(spark, tmp_path, monkeypatch):
         "crawl_plan_job.py", "--cdx-dir", str(tmp_path / "cdx"),
         "--robots-dir", str(tmp_path / "robots"), "--agent", "GoodBot",
         "--out", str(tmp_path / "plan"), "--budget", "10",
-        "--default-period-s", "86400",
+        "--default-period-s", "86400", "--schedule",
     ]
     spec = importlib.util.spec_from_file_location(
         "cpj2", __file__.rsplit("/tests/", 1)[0] + "/jobs/crawl_plan_job.py"
@@ -172,3 +172,5 @@ def test_crawl_plan_job_with_robots(spark, tmp_path, monkeypatch):
     urls = {r["url"] for r in plan}
     assert urls == {"https://r.com/open"}
     assert plan[0]["crawl_delay"] == 1.5
+    # --schedule: the single allowed url heads its host queue at t0
+    assert plan[0]["fetch_slot"] == 0 and plan[0]["scheduled_offset_s"] == 0.0
