@@ -39,10 +39,13 @@ HEADLINE = [
     "cdc_tx_align",
     "cdc_scd2_history",
     "cdc_seq_audit",
-    # WARC/crawl family (X66/X68)
+    # WARC/crawl family (X66/X68/X69/X71)
     "warc_ingest",
     "url_surt",
     "recrawl_stats",
+    "link_extract",
+    "sitemap_parse",
+    "canonical_collapse",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",

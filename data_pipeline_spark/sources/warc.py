@@ -132,6 +132,8 @@ def segment_bytes(
     records: Iterable[tuple[str, datetime, bytes]],
     compress: bool = True,
     dedup_digests: dict[str, str] | None = None,
+    record_type: str = "response",
+    http_wrap: bool | None = None,
 ) -> bytes:
     """A whole segment: records concatenated; with ``compress`` each record
     is its own gzip member (the Common Crawl ``.warc.gz`` layout — members
@@ -143,6 +145,7 @@ def segment_bytes(
     written becomes a payload-less ``revisit`` record carrying the same
     WARC-Payload-Digest (the Heritrix/IA identical-payload-digest profile);
     :func:`resolve_revisits` recovers bodies later via a digest equi-join."""
+    wrap = http_wrap if http_wrap is not None else (record_type == "response")
     out = []
     for url, ts, payload in records:
         if dedup_digests is not None:
@@ -154,9 +157,13 @@ def segment_bytes(
                 )
             else:
                 dedup_digests[digest] = url
-                raw = record_bytes(url, ts, payload)
+                raw = record_bytes(
+                    url, ts, payload, record_type=record_type, http_wrap=wrap
+                )
         else:
-            raw = record_bytes(url, ts, payload)
+            raw = record_bytes(
+                url, ts, payload, record_type=record_type, http_wrap=wrap
+            )
         if compress:
             co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
             # mtime is part of the gzip header; zlib's wbits+16 path writes
@@ -436,4 +443,66 @@ def warc_to_change_events(
             F.lit(schema_version).alias("schema_version"),
             F.lit(epoch).alias("epoch"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET derivative (extracted-text segments)
+# ---------------------------------------------------------------------------
+
+
+def write_wet(
+    records: DataFrame,
+    out_dir: str,
+    text_fn=None,
+    compress: bool = True,
+) -> DataFrame:
+    """WET export: raw captures → segments of ``conversion`` records whose
+    payload is the EXTRACTED TEXT — Common Crawl's text derivative,
+    regenerated from the engine's own captures with the engine's own
+    byte-exact extractor (``functions/extract.py::extract_text`` by
+    default; WHATWG charset handling composes via
+    ``functions/charset.py`` upstream when the corpus isn't UTF-8).
+
+    Each partition writes ONE segment file named by its partition id
+    (deterministic for a deterministic partitioning) — repartition first
+    to choose segment sizing. Returns the manifest (warc_file, n_records,
+    n_bytes) as a DataFrame; the write happens inside the same
+    Arrow-batched pass, no second job."""
+    import pandas as pd
+
+    if text_fn is None:
+        from data_pipeline_spark.functions.extract import extract_text as text_fn
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def emit(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        recs: list[tuple[str, datetime, bytes]] = []
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                text = text_fn(bytes(html).decode("utf-8", "replace"))
+                recs.append(
+                    (str(url), ts.to_pydatetime(), text.encode("utf-8"))
+                )
+        if not recs:
+            yield pd.DataFrame(
+                {"warc_file": pd.Series(dtype="str"),
+                 "n_records": pd.Series(dtype="int64"),
+                 "n_bytes": pd.Series(dtype="int64")}
+            )
+            return
+        pid = TaskContext.get().partitionId()
+        seg = segment_bytes(recs, compress=compress, record_type="conversion")
+        fname = f"wet-{pid:05d}{ext}"
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(seg)
+        yield pd.DataFrame(
+            [{"warc_file": fname, "n_records": len(recs), "n_bytes": len(seg)}]
+        )
+
+    return records.select("url", "warc_ts", "html").mapInPandas(
+        emit, schema="warc_file string, n_records long, n_bytes long"
     )

@@ -256,3 +256,40 @@ def test_validators_attach_to_stats(spark, tmp_path):
     cdx = build_cdx(read_warc(spark, str(tmp_path)))
     out = attach_validators(recrawl_stats(cdx), cdx).collect()
     assert len(out) == 1 and out[0]["etag"] == '"v2"'  # latest capture wins
+
+
+# ---------------------------------------------------------------------------
+# WET derivative export
+# ---------------------------------------------------------------------------
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    from data_pipeline_spark.functions.extract import extract_text
+    from data_pipeline_spark.sources.warc import write_wet
+
+    pages = _pages(10)
+    write_segment(str(tmp_path / "raw" / "s.warc.gz"), pages)
+    raw = read_warc(spark, str(tmp_path / "raw")).repartition(2)
+    manifest = write_wet(raw, str(tmp_path / "wet")).collect()
+    assert sum(r["n_records"] for r in manifest) == 10
+    assert 1 <= len(manifest) <= 2  # one segment per non-empty partition
+
+    wet = read_warc(spark, str(tmp_path / "wet"))
+    rows = {(r["url"], r["warc_ts"]): r for r in wet.collect()}
+    assert len(rows) == 10
+    for url, ts, body in pages:
+        rec = rows[(url, ts)]
+        assert rec["record_type"] == "conversion"
+        assert rec["http_status"] is None  # no HTTP wrap on conversions
+        # payload is exactly the engine's extracted text
+        assert bytes(rec["html"]).decode("utf-8") == extract_text(body.decode("utf-8"))
+
+
+def test_write_wet_empty(spark, tmp_path):
+    from data_pipeline_spark.sources.warc import write_wet
+
+    (tmp_path / "raw").mkdir()
+    (tmp_path / "raw" / "e.warc").write_bytes(b"")
+    empty = read_warc(spark, str(tmp_path / "raw"))
+    manifest = write_wet(empty, str(tmp_path / "wet")).collect()
+    assert sum(r["n_records"] for r in manifest) == 0
