@@ -83,8 +83,8 @@ def pagerank(
     Scale posture: nodes/out-weights are computed once; each round is ONE
     ranks⋈edges equi-join + one hash agg, with an eager localCheckpoint
     truncating the plan (iteration-proof lineage). The dangling-mass
-    scalar is a 1-row aggregate (driver collect of one double — metadata
-    scale, same policy as components' convergence digest)."""
+    correction is a lazy broadcast 1-row aggregate fused into the same
+    action — one Spark job per iteration total, no driver round trips."""
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -112,21 +112,24 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
         )
-        # dangling nodes (no outgoing edges) leak their rank: measure the
-        # leak exactly as 1 - mass_sent and hand it back uniformly
-        sent = (
-            ranks.join(out_w, ranks["node"] == out_w["src"], "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # dangling nodes (no outgoing edges) leak their rank. The mass that
+        # WAS sent equals sum(contrib) exactly (each source's shares sum to
+        # 1), so the leak is recoverable from contribs itself — as a lazy
+        # broadcast 1-row aggregate, NOT a per-iteration driver collect:
+        # the whole round is one action (the eager localCheckpoint below).
+        sent = contribs.agg(
+            F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("__sent")
         )
-        dangling = 1.0 - sent
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * (F.lit(1.0) - F.col("__sent")) / F.lit(n)
+        )
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(sent))
             .select(
                 "node",
-                (F.lit(base)
+                (base
                  + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                  ).alias("rank"),
             )
@@ -190,3 +193,19 @@ def canonical_collapse(
         F.coalesce(canon, F.col(url_col)).alias("group_key"),
         (canon.isNull() | (canon == F.col(url_col))).alias("is_canonical"),
     )
+
+
+def discover_frontier(links: DataFrame, known_urls: DataFrame) -> DataFrame:
+    """Frontier expansion with a seen-filter: outlink targets we have
+    never captured, deduplicated and canonicalized — the discovery feed
+    for the crawl planner (urls with no history score via
+    ``default_period_s`` / sitemap assertion, not statistics). One
+    distinct + one anti-join on url, both key-partitioned; ``known_urls``
+    is typically the CDX url column."""
+    from data_pipeline_spark.functions.weburl import canonical_url
+
+    targets = links.select(
+        canonical_url("href").alias("url")
+    ).where(F.col("url").rlike("^https?://")).distinct()
+    known = known_urls.select(canonical_url(known_urls.columns[0]).alias("url"))
+    return targets.join(known, "url", "left_anti")

@@ -150,3 +150,22 @@ def test_canonical_self_declaration(spark):
 
     r = canonical_collapse(pages).collect()[0]
     assert r["is_canonical"] is True and r["group_key"] == "https://c.com/a"
+
+
+def test_discover_frontier(spark):
+    from data_pipeline_spark.operators.webgraph import discover_frontier
+
+    links = spark.createDataFrame(
+        [
+            ("https://s/1", "https://a.com/new"),
+            ("https://s/2", "https://a.com/new"),            # dedup
+            ("https://s/3", "https://a.com/known?utm_source=x"),  # canon → known
+            ("https://s/4", "https://b.com/other"),
+        ],
+        "src_url string, href string",
+    )
+    known = spark.createDataFrame(
+        [("https://a.com/known",)], "url string"
+    )
+    got = sorted(r["url"] for r in discover_frontier(links, known).collect())
+    assert got == ["https://a.com/new", "https://b.com/other"]
