@@ -2156,6 +2156,57 @@ FROM pages
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (functions/boilerplate.py): each document is
+    wrapped in chrome — nav + footer link rows, a script, a comment —
+    around its real text; block-density scoring must recover exactly the
+    text and drop every chrome block. Same regex/threshold constants
+    generate the DuckDB twin, so this is full cross-engine parity of the
+    justext-style heuristic. All native expressions (one per row)."""
+    from data_pipeline_spark.functions.boilerplate import (
+        content_ratio,
+        main_content,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><script>track();</script></head><body>"
+              '<nav><a href="/">Home</a> <a href="/a">A</a> '
+              '<a href="/b">B</a></nav><p>'),
+        F.substring("text", 1, 400),
+        F.lit('</p><!-- junk --><footer><a href="/t">T</a> '
+              '<a href="/p">P</a></footer></body></html>'),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        main_content("html").alias("content"),
+        F.round(content_ratio("html"), 6).alias("content_ratio"),
+    )
+
+
+def _sql_main_content() -> str:
+    from data_pipeline_spark.functions.boilerplate import (
+        sql_content_ratio,
+        sql_main_content,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><script>track();</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">A</a> <a href="/b">B</a></nav><p>'
+    || substr(text, 1, 400)
+    || '</p><!-- junk --><footer><a href="/t">T</a> <a href="/p">P</a></footer></body></html>'
+    AS html
+  FROM documents
+)
+SELECT doc_id, {sql_main_content('html')} AS content,
+       round({sql_content_ratio('html')}, 6) AS content_ratio
+FROM pages
+"""
+
+
 _PII_SYNTH_SPARK = (
     "concat(substring(text, 1, 40), ' contact user', CAST(doc_id AS string), "
     "'@example.com or +92300', lpad(CAST(doc_id AS string), 7, '0'), "
@@ -2902,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "sitemap_parse": q_sitemap_parse,
         "canonical_collapse": q_canonical_collapse,
+        "main_content": q_main_content,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -2990,6 +3042,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": _sql_link_extract(),
         "sitemap_parse": _sql_sitemap_parse(),
         "canonical_collapse": _SQL_CANONICAL,
+        "main_content": _sql_main_content(),
         "q1_pricing_summary": _SQL_Q1,
         "q3_top_revenue": _SQL_Q3,
         "top_event_types": _SQL_TOP_EVENT_TYPES,
