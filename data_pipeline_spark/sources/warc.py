@@ -506,3 +506,28 @@ def write_wet(
     return records.select("url", "warc_ts", "html").mapInPandas(
         emit, schema="warc_file string, n_records long, n_bytes long"
     )
+
+
+def to_wat(records: DataFrame) -> DataFrame:
+    """WAT derivative: per-record METADATA rows — capture envelope, HTTP
+    headers, payload digest, and the page's outgoing links — mirroring
+    Common Crawl's WAT files but as a typed DataFrame (write with
+    ``df.write.json(...)`` for the JSON-lines layout WAT consumers
+    expect; parquet for engine-internal use). One narrow map plus the
+    link extraction expression — no shuffle, no Python."""
+    from data_pipeline_spark.operators.webgraph import HREF_RE
+
+    return records.select(
+        "url",
+        "warc_ts",
+        "record_type",
+        "http_status",
+        "http_content_type",
+        "http_etag",
+        "http_last_modified",
+        "payload_digest",
+        F.length(F.col("html")).alias("payload_length"),
+        F.regexp_extract_all(
+            F.col("html").cast("string"), F.lit(HREF_RE), 1
+        ).alias("links"),
+    )

@@ -293,3 +293,24 @@ def test_write_wet_empty(spark, tmp_path):
     empty = read_warc(spark, str(tmp_path / "raw"))
     manifest = write_wet(empty, str(tmp_path / "wet")).collect()
     assert sum(r["n_records"] for r in manifest) == 0
+
+
+def test_to_wat_metadata(spark, tmp_path):
+    from data_pipeline_spark.sources.warc import to_wat
+
+    body = (b'<html><a href="https://x.org/next">n</a>'
+            b'<a href="https://y.org/other">o</a></html>')
+    raw = record_bytes(
+        "https://x.org/p", datetime(2024, 5, 1), body,
+        http_headers={"ETag": '"w1"'},
+    )
+    (tmp_path / "s.warc").write_bytes(raw)
+    wat = to_wat(read_warc(spark, str(tmp_path)))
+    r = wat.collect()[0]
+    assert r["url"] == "https://x.org/p" and r["http_etag"] == '"w1"'
+    assert r["payload_length"] == len(body)
+    assert list(r["links"]) == ["https://x.org/next", "https://y.org/other"]
+    # JSON-lines export is the plain distributed writer
+    wat.write.json(str(tmp_path / "wat"))
+    back = spark.read.json(str(tmp_path / "wat"))
+    assert back.count() == 1 and back.collect()[0]["payload_digest"] == r["payload_digest"]
