@@ -46,6 +46,7 @@ HEADLINE = [
     "link_extract",
     "sitemap_parse",
     "canonical_collapse",
+    "main_content",
     "q1_pricing_summary",
     "q3_top_revenue",
     "events_running_total",

@@ -314,3 +314,44 @@ def test_to_wat_metadata(spark, tmp_path):
     wat.write.json(str(tmp_path / "wat"))
     back = spark.read.json(str(tmp_path / "wat"))
     assert back.count() == 1 and back.collect()[0]["payload_digest"] == r["payload_digest"]
+
+
+def test_derive_job_all_three(spark, tmp_path, monkeypatch):
+    """In-process jobs/derive_job.py: one pass over raw segments emits the
+    CDX/WAT/WET triple, with revisits resolved into the derivatives."""
+    import importlib.util
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    seen = {}
+    write_segment(str(tmp_path / "raw" / "s0.warc.gz"), _pages(6), compress=True)
+    (tmp_path / "raw" / "s1.warc.gz").write_bytes(
+        segment_bytes(_pages(6, start=6), dedup_digests=seen)
+    )
+    argv = [
+        "derive_job.py", "--warc-dir", str(tmp_path / "raw"),
+        "--cdx-dir", str(tmp_path / "cdx"), "--wat-dir", str(tmp_path / "wat"),
+        "--wet-dir", str(tmp_path / "wet"), "--resolve-revisits",
+        "--wet-partitions", "2",
+    ]
+    spec = importlib.util.spec_from_file_location(
+        "dj", __file__.rsplit("/tests/", 1)[0] + "/jobs/derive_job.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = sys.argv
+    sys.argv = argv
+    try:
+        m.main()
+    finally:
+        sys.argv = old
+
+    assert spark.read.parquet(str(tmp_path / "cdx")).count() == 12
+    wat = spark.read.json(str(tmp_path / "wat"))
+    assert wat.count() == 12 and "links" in wat.columns
+    wet = read_warc(spark, str(tmp_path / "wet"))
+    assert wet.count() == 12  # revisits resolved → every capture has text
+    assert wet.select("record_type").distinct().collect()[0][0] == "conversion"
