@@ -162,10 +162,36 @@ def schedule_fetches(
     w = Window.partitionBy(host_col).orderBy(
         F.col(priority_col).desc_nulls_last(), F.col(key)
     )
-    delay = F.coalesce(F.col(delay_col).cast("double"), F.lit(float(default_delay_s)))
+    delay = (
+        F.coalesce(F.col(delay_col).cast("double"), F.lit(float(default_delay_s)))
+        if delay_col in plan.columns
+        else F.lit(float(default_delay_s))
+    )
     slotted = plan.withColumn("fetch_slot", F.row_number().over(w) - 1).withColumn(
         "scheduled_offset_s", F.col("fetch_slot") * delay
     )
     return slotted.repartition(F.col(host_col)).sortWithinPartitions(
         host_col, "fetch_slot"
+    )
+
+
+def cap_per_host(
+    plan: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    key: str = "url",
+) -> DataFrame:
+    """Fairness cap: at most ``max_per_host`` urls per host, keeping each
+    host's highest-priority pages. Without it one mega-host's backlog can
+    consume the whole global budget (the crawl-scheduling equivalent of
+    key skew). One keyed window — same shuffle the politeness slotting
+    already pays."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc_nulls_last(), F.col(key)
+    )
+    return (
+        plan.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_per_host)
+        .drop("__rn")
     )

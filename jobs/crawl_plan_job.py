@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--rank-weight", type=float, default=1.0,
                     help="exponent on the normalized host rank (0 = ignore)")
     ap.add_argument("--pagerank-iters", type=int, default=8)
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="fairness cap: at most N urls per host (keeps "
+                         "each host's highest-priority pages) BEFORE the "
+                         "global budget cut — one mega-host's backlog "
+                         "cannot consume the whole budget")
     ap.add_argument("--schedule", action="store_true",
                     help="add per-host fetch slots: scheduled_offset_s "
                          "spaces each host's queue by its crawl-delay "
@@ -144,6 +149,11 @@ def main() -> None:
             robs, F.sum((~F.col("allowed")).cast("long")).alias("blocked")
         )
         stats = checked.where(F.col("allowed")).drop("allowed", "matched_rule")
+
+    if args.max_per_host is not None:
+        from data_pipeline_spark.operators.recrawl import cap_per_host
+
+        stats = cap_per_host(stats, args.max_per_host)
 
     # server-asserted changes jump the statistical queue: the origin said
     # the page changed; due_score ranks only the rest

@@ -101,3 +101,21 @@ def test_schedule_fetches_politeness(spark):
     # b.com runs in parallel from slot 0 with the default delay
     assert got["https://b.com/1"]["fetch_slot"] == 0
     assert got["https://b.com/2"]["scheduled_offset_s"] == 1.5
+
+
+def test_cap_per_host(spark):
+    from data_pipeline_spark.operators.recrawl import cap_per_host
+
+    plan = spark.createDataFrame(
+        [(f"https://big.com/{i}", "big.com", float(i)) for i in range(10)]
+        + [("https://small.com/1", "small.com", 0.5)],
+        "url string, host string, priority double",
+    )
+    got = cap_per_host(plan, 3).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["url"])
+    assert len(by_host["big.com"]) == 3
+    # the kept three are the highest-priority pages
+    assert set(by_host["big.com"]) == {f"https://big.com/{i}" for i in (9, 8, 7)}
+    assert by_host["small.com"] == ["https://small.com/1"]
