@@ -136,6 +136,55 @@ def normalize_field_name(name: str) -> str:
     return name.lower().replace("_", "").replace("-", "").replace(" ", "")
 
 
+COMPAT_MODES = {
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+}
+
+#: safe reader-side widenings (Avro schema-resolution promotions mapped to
+#: Spark simpleString type names): (writer, reader)
+_SAFE_PROMOTIONS = {
+    ("int", "bigint"),
+    ("int", "float"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+class CompatibilityError(ValueError):
+    """A schema registration violating the registry's compatibility mode."""
+
+
+def _can_read(reader: StructType, writer: StructType) -> list[str]:
+    """Why ``reader`` cannot read data written with ``writer`` (Avro
+    resolution simplified to StructTypes); empty list = it can."""
+    issues: list[str] = []
+    wf = {f.name: f for f in writer.fields}
+    for f in reader.fields:
+        w = wf.get(f.name)
+        if w is None:
+            if not f.nullable:
+                issues.append(
+                    f"required field '{f.name}' absent from writer schema"
+                )
+            continue
+        rt, wt = f.dataType.simpleString(), w.dataType.simpleString()
+        if rt != wt and (wt, rt) not in _SAFE_PROMOTIONS:
+            issues.append(f"field '{f.name}': cannot read {wt} as {rt}")
+        if not f.nullable and w.nullable:
+            issues.append(
+                f"field '{f.name}': reader requires non-null, writer may write null"
+            )
+    return issues
+
+
 class SchemaRegistry:
     """Versioned schemas + classification rules, JSON round-trippable."""
 
@@ -144,12 +193,19 @@ class SchemaRegistry:
         table_schemas: dict[int, StructType] | None = None,
         field_mappings: dict[str, str] | None = None,
         source_specs: dict[str, dict] | None = None,
+        compatibility: str = "NONE",
     ):
         self.table_schemas = dict(table_schemas or DEFAULT_TABLE_SCHEMAS)
         self.field_mappings = dict(field_mappings or DEFAULT_FIELD_MAPPINGS)
         self.source_specs = {
             k: dict(v) for k, v in (source_specs or DEFAULT_SOURCE_SPECS).items()
         }
+        if compatibility not in COMPAT_MODES:
+            raise ValueError(
+                f"unknown compatibility mode {compatibility!r}; "
+                f"one of {sorted(COMPAT_MODES)}"
+            )
+        self.compatibility = compatibility
 
     # -- persistence ---------------------------------------------------------
 
@@ -161,6 +217,7 @@ class SchemaRegistry:
                 },
                 "field_mappings": self.field_mappings,
                 "source_specs": self.source_specs,
+                "compatibility": self.compatibility,
             },
             indent=1,
         )
@@ -174,6 +231,7 @@ class SchemaRegistry:
             },
             field_mappings=doc["field_mappings"],
             source_specs=doc.get("source_specs"),
+            compatibility=doc.get("compatibility", "NONE"),
         )
 
     # -- per-source extraction specs -----------------------------------------
@@ -223,7 +281,60 @@ class SchemaRegistry:
         return self.table_schemas[version]
 
     def register_version(self, version: int, schema: StructType) -> None:
+        """Register a new table schema version, enforcing the registry's
+        compatibility mode (Confluent-registry semantics over Spark
+        StructTypes): violations raise :class:`CompatibilityError` and the
+        registry is left unchanged — an incompatible producer deploy is
+        stopped at registration time, never at replay time."""
+        violations = self.check_compatibility(schema, version=version)
+        if violations:
+            raise CompatibilityError(
+                f"schema v{version} violates {self.compatibility}: "
+                + "; ".join(violations)
+            )
         self.table_schemas[version] = schema
+
+    # -- compatibility (Confluent modes over StructTypes) ---------------------
+
+    def check_compatibility(
+        self, schema: StructType, version: int | None = None
+    ) -> list[str]:
+        """Violation list (empty = compatible) of ``schema`` against the
+        registry under ``self.compatibility``:
+
+        - BACKWARD: the NEW schema can read data written with the latest
+          registered schema (consumers upgrade first);
+        - FORWARD: the latest registered schema can read data written with
+          the NEW one (producers upgrade first);
+        - FULL: both; ``*_TRANSITIVE``: against EVERY registered version,
+          not just the latest; NONE: always compatible.
+
+        "X can read Y" uses Avro resolution simplified to StructTypes:
+        a reader field missing from the writer must be nullable (reads as
+        null); a shared field's type must match or be a safe widening
+        (int→long/double, long→double, float→double, int→float,
+        date→timestamp)."""
+        mode = self.compatibility
+        candidates = [
+            v for v in self.table_schemas if version is None or v != version
+        ]
+        if mode == "NONE" or not candidates:
+            return []
+        prior = (
+            sorted(candidates)
+            if mode.endswith("_TRANSITIVE")
+            else [max(candidates)]
+        )
+        out: list[str] = []
+        for v in prior:
+            if version is not None and v == version:
+                continue
+            old = self.table_schemas[v]
+            if mode.startswith("BACKWARD") or mode.startswith("FULL"):
+                out += [f"[backward vs v{v}] {m}" for m in _can_read(schema, old)]
+            if mode.startswith("FORWARD") or mode.startswith("FULL"):
+                out += [f"[forward vs v{v}] {m}" for m in _can_read(old, schema)]
+        return out
 
     def diff(self, old_version: int, new_version: int) -> dict:
         """added / dropped / retyped columns between two versions — the plan
