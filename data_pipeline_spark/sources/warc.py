@@ -423,13 +423,29 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
 
 
 def warc_to_change_events(
-    records: DataFrame, epoch: int, lang: str = "en", schema_version: int = 1
+    records: DataFrame,
+    epoch: int,
+    lang: str = "en",
+    schema_version: int = 1,
+    normalize_charset: bool = False,
 ) -> DataFrame:
     """Crawl records → change-log insert events (``CHANGE_COLUMNS`` shape,
     sources/changelog.py). lsn = capture-time micros, so LWW replay
     (``operators/dedup.py``) deterministically keeps the newest capture per
     url — re-crawls of the same page become updates, exactly the semantics
-    of the engine's binlog tail."""
+    of the engine's binlog tail.
+
+    ``normalize_charset`` re-encodes page bytes to UTF-8 through the
+    WHATWG sniffing decoder (``functions/charset.py``) — BOMs, declared
+    legacy charsets and malformed sequences all land as clean UTF-8, the
+    byte contract the downstream extractor assumes. Leave off when the
+    transport already normalized (the default crawl fixtures are UTF-8 —
+    the lake then preserves original bytes exactly)."""
+    html = F.col("html")
+    if normalize_charset:
+        from data_pipeline_spark.functions.charset import decode_html
+
+        html = F.encode(decode_html(F.col("html")), "UTF-8")
     return (
         records.where(F.col("record_type") == "response")
         .where(F.col("url").isNotNull())
@@ -438,7 +454,7 @@ def warc_to_change_events(
             F.col("url"),
             F.unix_micros(F.col("warc_ts")).alias("lsn"),
             F.col("warc_ts"),
-            F.col("html"),
+            html.alias("html"),
             F.lit(lang).alias("lang"),
             F.lit(schema_version).alias("schema_version"),
             F.lit(epoch).alias("epoch"),

@@ -48,6 +48,10 @@ def main() -> None:
                     help="with --warc-dir: fill payload-less revisit "
                          "records (crawl-time dedup) from their originals "
                          "via a digest equi-join before bridging")
+    ap.add_argument("--normalize-charset", action="store_true",
+                    help="with --warc-dir: sniff each page's charset "
+                         "(BOM/meta declaration) and re-encode to UTF-8 "
+                         "before landing in the change log")
     ap.add_argument("--log-dir", required=True,
                     help="output epoch-partitioned change log")
     ap.add_argument("--row-ddl", default=None,
@@ -101,9 +105,10 @@ def main() -> None:
             # scale you'd persist recs, but segments re-parse cheaply and
             # a persist of html bytes would evict far more useful blocks
             write_cdx(recs, args.cdx_dir)
-        events = warc_to_change_events(recs, epoch=0, lang=args.lang).drop(
-            "epoch"
-        )
+        events = warc_to_change_events(
+            recs, epoch=0, lang=args.lang,
+            normalize_charset=args.normalize_charset,
+        ).drop("epoch")
         with_epochs = align_epochs(
             events.withColumn("__tx", F.col("lsn")),
             tx_col="__tx",

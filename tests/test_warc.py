@@ -355,3 +355,26 @@ def test_derive_job_all_three(spark, tmp_path, monkeypatch):
     wet = read_warc(spark, str(tmp_path / "wet"))
     assert wet.count() == 12  # revisits resolved → every capture has text
     assert wet.select("record_type").distinct().collect()[0][0] == "conversion"
+
+
+def test_change_events_charset_normalization(spark, tmp_path):
+    """normalize_charset: legacy-charset pages land in the change log as
+    clean UTF-8 bytes with identical visible text."""
+    latin = '<html><meta charset="iso-8859-1"><p>café niño</p></html>'
+    utf = "<html><p>already utf-8 ß</p></html>"
+    write_segment(
+        str(tmp_path / "s.warc.gz"),
+        [
+            ("https://x.org/latin", datetime(2024, 1, 1), latin.encode("iso-8859-1")),
+            ("https://x.org/utf", datetime(2024, 1, 1), utf.encode("utf-8")),
+        ],
+    )
+    recs = read_warc(spark, str(tmp_path))
+    ev = {r["url"]: bytes(r["html"]) for r in warc_to_change_events(
+        recs, epoch=0, normalize_charset=True).collect()}
+    assert ev["https://x.org/latin"] == latin.encode("utf-8")  # re-encoded
+    assert ev["https://x.org/utf"] == utf.encode("utf-8")      # unchanged
+    # without the flag, original bytes are preserved exactly
+    raw = {r["url"]: bytes(r["html"]) for r in warc_to_change_events(
+        recs, epoch=0).collect()}
+    assert raw["https://x.org/latin"] == latin.encode("iso-8859-1")
