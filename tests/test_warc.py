@@ -378,3 +378,28 @@ def test_change_events_charset_normalization(spark, tmp_path):
     raw = {r["url"]: bytes(r["html"]) for r in warc_to_change_events(
         recs, epoch=0).collect()}
     assert raw["https://x.org/latin"] == latin.encode("iso-8859-1")
+
+
+# ---------------------------------------------------------------------------
+# registered "warc" format (Python DataSource)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_format_matches_function_path(spark, warc_dir):
+    from data_pipeline_spark.sources.warc_source import register_warc_source
+
+    register_warc_source(spark)
+    via_format = spark.read.format("warc").load(str(warc_dir))
+    via_fn = read_warc(spark, str(warc_dir))
+    assert via_format.schema == via_fn.schema
+    key = lambda r: (r["warc_file"], r["warc_offset"])  # noqa: E731
+    a = sorted((tuple(r) for r in via_format.collect()), key=lambda t: (t[0], t[1]))
+    b = sorted((tuple(r) for r in via_fn.collect()), key=lambda t: (t[0], t[1]))
+    assert a == b
+    # SQL surface: the format IS the contract
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW crawl USING warc OPTIONS (path '{warc_dir}')"
+    )
+    assert spark.sql(
+        "SELECT count(*) FROM crawl WHERE record_type = 'response'"
+    ).collect()[0][0] == 20
