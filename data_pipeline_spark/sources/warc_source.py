@@ -26,7 +26,12 @@ import os
 import sys
 from fnmatch import fnmatch
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "warc"
@@ -66,8 +71,56 @@ class _WarcReader(DataSourceReader):
             yield tuple(rec[c] for c in cols)
 
 
+class _WarcStreamReader(DataSourceStreamReader):
+    """Streaming tail of a segment landing zone: the offset is the
+    lexicographic filename high-water mark, a micro-batch is the files
+    that arrived past it, and each file reads as its own partition on the
+    EXECUTORS (full ``DataSourceStreamReader``, not the driver-side simple
+    form — segments are ~1 GiB, feed-scale they are not).
+
+    Contract: segment names must be lexicographically increasing as they
+    land (``crawl-000123.warc.gz`` — what crawlers emit); a file sorting
+    below the high-water is never picked up. Landing must be atomic
+    (write-then-rename), the same rule every file-based stream source has.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream requires .option('path', dir)")
+        self.glob = options.get("glob", "*.warc*")
+
+    def _names(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(f for f in os.listdir(self.path) if fnmatch(f, self.glob))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._names()
+        return {"last": names[-1] if names else ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [
+            _SegmentPartition(os.path.join(self.path, f))
+            for f in self._names()
+            if lo < f <= hi
+        ]
+
+    def read(self, partition: _SegmentPartition):
+        return _WarcReader({"path": partition.path}).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("warc").load(dir)`` / ``.option("glob", ...)``."""
+    """``spark.read.format("warc").load(dir)`` / ``.option("glob", ...)``;
+    ``spark.readStream.format("warc")`` tails the directory (see
+    :class:`_WarcStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -80,6 +133,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _WarcReader:
         return _WarcReader(self.options)
+
+    def streamReader(self, schema: StructType) -> _WarcStreamReader:
+        return _WarcStreamReader(self.options)
 
 
 def register_warc_source(spark) -> None:
