@@ -74,3 +74,46 @@ def test_warc_stream_tail_resolves_revisits(spark, tmp_path):
     rows = {r["url"]: r["text"] for r in table.read().select("url", "text").collect()}
     assert set(rows) == {"https://t.org/a", "https://t.org/b"}
     assert rows["https://t.org/b"] == rows["https://t.org/a"]  # body recovered
+
+
+def test_crawl_tail_job_inprocess(spark, tmp_path, monkeypatch):
+    """jobs/crawl_tail_job.py end-to-end: drain, land more, drain again."""
+    import importlib.util
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    land = tmp_path / "landing"
+    write_segment(str(land / "seg-000.warc.gz"), _pages(4, 0))
+
+    spec = importlib.util.spec_from_file_location(
+        "ctj", __file__.rsplit("/tests/", 1)[0] + "/jobs/crawl_tail_job.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    def run():
+        old = sys.argv
+        sys.argv = [
+            "crawl_tail_job.py", "--warc-dir", str(land),
+            "--table-dir", str(tmp_path / "t"),
+            "--checkpoint-dir", str(tmp_path / "cp"), "--n-buckets", "4",
+        ]
+        try:
+            m.main()
+        finally:
+            sys.argv = old
+
+    run()
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t.read().count() == 4
+
+    write_segment(str(land / "seg-001.warc.gz"), _pages(4, 4, base_min=30))
+    run()
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    got = {r["url"]: r["warc_ts"].minute for r in t.read().select("url", "warc_ts").collect()}
+    assert got["https://t.org/p/0"] == 34  # re-crawl won
