@@ -34,7 +34,19 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+# MODULE-LEVEL from-imports, deliberately: this module is pickled BY VALUE
+# into Spark's data-source worker (which cannot `import data_pipeline_spark.…`
+# — no --py-files inheritance), and by-value pickling carries these globals
+# as serialized objects. A runtime `import` inside any method — including
+# __init__, which ALSO runs in the worker — would die with
+# ModuleNotFoundError under spark-submit.
+from data_pipeline_spark.sources.warc import (  # noqa: E402
+    WARC_RECORD_SCHEMA as _SCHEMA,
+    iter_records as _iter_records,
+)
+
 FORMAT_NAME = "warc"
+_COLS = [f.name for f in _SCHEMA.fields]
 
 
 class _SegmentPartition(InputPartition):
@@ -61,14 +73,11 @@ class _WarcReader(DataSourceReader):
         return [_SegmentPartition(f) for f in files]
 
     def read(self, partition: _SegmentPartition):
-        from data_pipeline_spark.sources.warc import WARC_RECORD_SCHEMA, iter_records
-
-        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
         with open(partition.path, "rb") as fh:
             content = fh.read()
         fname = os.path.basename(partition.path)
-        for rec in iter_records(content, fname):
-            yield tuple(rec[c] for c in cols)
+        for rec in _iter_records(content, fname):
+            yield tuple(rec[c] for c in _COLS)
 
 
 class _WarcStreamReader(DataSourceStreamReader):
@@ -127,9 +136,7 @@ class WarcDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
-        from data_pipeline_spark.sources.warc import WARC_RECORD_SCHEMA
-
-        return WARC_RECORD_SCHEMA
+        return _SCHEMA
 
     def reader(self, schema: StructType) -> _WarcReader:
         return _WarcReader(self.options)

@@ -718,3 +718,54 @@ def test_spark_submit_crawl_loop_plan(submit_env, tmp_path, spark):
     # evidence columns survive into the plan for budget re-cuts
     assert plan[0]["change_period_s"] is not None
     assert plan[0]["host_rank"] is not None
+
+
+def test_spark_submit_crawl_tail_job(submit_env, tmp_path, spark):
+    """Live crawl tail via real spark-submit + zip: the registered warc
+    STREAM source must survive Spark's data-source python worker (which
+    does not inherit --py-files — the by-value pickling contract of
+    sources/warc_source.py)."""
+    from datetime import datetime
+
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.sources.warc import write_segment
+
+    work, _, zip_path = submit_env
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    land = work / "tail_landing"
+    pages = [
+        (f"https://tail.example/p/{i % 3}",
+         datetime(2024, 7, 1, 0, i),
+         f"<html>tail {i}</html>".encode())
+        for i in range(6)
+    ]
+    write_segment(str(land / "seg-000.warc.gz"), pages)
+
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            os.path.join(REPO, "jobs", "crawl_tail_job.py"),
+            "--warc-dir", str(land),
+            "--table-dir", str(work / "tail_table"),
+            "--checkpoint-dir", str(work / "tail_cp"),
+            "--n-buckets", "4",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    metrics = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert metrics["batches_applied"] >= 1 and metrics["rows_merged"] == 3
+
+    table = LakeTable.load(spark, str(work / "tail_table")).read()
+    got = {r["url"]: r["warc_ts"].minute for r in table.select("url", "warc_ts").collect()}
+    assert got == {"https://tail.example/p/0": 3,
+                   "https://tail.example/p/1": 4,
+                   "https://tail.example/p/2": 5}
