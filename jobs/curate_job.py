@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument("--pack-shards", type=int, default=64,
                     help="independent packing shards (bounds the per-shard "
                          "sort; pack ids are (shard, pack))")
+    ap.add_argument("--main-content", action="store_true",
+                    help="re-derive text from the html column via block-"
+                         "density boilerplate removal (X73) before any "
+                         "curation stage — nav/footer chrome never reaches "
+                         "the quality gates or the dedup signatures")
     ap.add_argument("--dedup-index-epoch", type=int, default=None,
                     help="exactly-once ledger id for the index commit")
     args = ap.parse_args()
@@ -94,6 +99,17 @@ def main() -> None:
         df = LakeTable.load(spark, args.input).read()
     else:
         df = spark.read.parquet(args.input)
+
+    if args.main_content:
+        if "html" not in df.columns:
+            ap.error("--main-content requires an html column in the input")
+        import pyspark.sql.functions as F
+
+        from data_pipeline_spark.functions.boilerplate import main_content
+
+        df = df.withColumn(
+            "__html_str", F.col("html").cast("string")
+        ).withColumn("text", main_content("__html_str")).drop("__html_str")
 
     cfg = CurateConfig(
         lsn_col="lsn" if "lsn" in df.columns else None,

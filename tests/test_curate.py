@@ -287,3 +287,44 @@ def test_curate_job_pack_output(spark, tmp_path, monkeypatch, capsys):
         F.sum("pack_tokens").alias("s"), F.first("doc_tokens").alias("n")
     ).collect()
     assert len(agg) == 5 and all(r["s"] == r["n"] for r in agg)
+
+
+def test_curate_job_main_content(spark, tmp_path, monkeypatch, capsys):
+    """--main-content: text is re-derived from html by block-density
+    boilerplate removal before curation — chrome never reaches the gates."""
+    import json as _json
+
+    from jobs import curate_job
+
+    body = ("This is an ordinary paragraph of english text that is long "
+            "enough to pass the word count rule with the usual stopwords "
+            "in it as well and then some unique words ")
+    rows = []
+    for i in range(5):
+        html = (
+            '<html><nav><a href="/">Home</a> <a href="/a">A</a> '
+            '<a href="/b">B</a></nav><p>'
+            + body + f"tail{i} " * 20
+            + '</p><footer><a href="/t">T</a> <a href="/p">P</a></footer></html>'
+        ).encode()
+        rows.append((f"https://mc.com/{i}", i, i, bytearray(html), "stale text", "en"))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts long, lsn long, html binary, text string, lang string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    monkeypatch.setattr("sys.argv", [
+        "curate_job.py", "--input", src, "--output", out_dir,
+        "--no-minhash", "--main-content",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    curate_job.main()
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["output_rows"] == 5
+    out = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in out.collect()]
+    assert all(t.startswith("This is an ordinary paragraph") for t in texts)
+    assert all("Home" not in t and "stale text" not in t for t in texts)
