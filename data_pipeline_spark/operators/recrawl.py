@@ -95,6 +95,20 @@ def recrawl_stats(
     )
 
 
+def apply_default_period(stats: DataFrame, default_period_s: float) -> DataFrame:
+    """Cold-page rotation: pages with no observed change score against a
+    synthetic change period instead of 0, so they re-fetch on policy. One
+    shared implementation for :func:`recrawl_schedule` and
+    jobs/crawl_plan_job.py."""
+    return stats.withColumn(
+        "due_score",
+        F.when(
+            F.col("change_period_s").isNull(),
+            F.col("staleness_s") / F.lit(float(default_period_s)),
+        ).otherwise(F.col("due_score")),
+    )
+
+
 def recrawl_schedule(
     captures: DataFrame,
     budget: int,
@@ -111,13 +125,7 @@ def recrawl_schedule(
     TakeOrderedAndProject at the limit — no global sort materializes."""
     stats = recrawl_stats(captures, key, ts, digest)
     if default_period_s is not None:
-        stats = stats.withColumn(
-            "due_score",
-            F.when(
-                F.col("change_period_s").isNull(),
-                F.col("staleness_s") / F.lit(float(default_period_s)),
-            ).otherwise(F.col("due_score")),
-        )
+        stats = apply_default_period(stats, default_period_s)
     return stats.orderBy(F.col("due_score").desc(), F.col(key)).limit(budget)
 
 

@@ -29,11 +29,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-#: href capture: absolute http(s) URLs in single or double quotes. Kept
+#: href capture: absolute http(s) URLs in single or double quotes,
+#: case-insensitive (legacy corpora use <A HREF=...>). Kept
 #: lookaround-free so the SAME pattern text runs under Java regex (Spark)
 #: and RE2 (DuckDB) — the repo-wide dual-dialect regex policy
 #: (functions/weburl.py).
-HREF_RE = r"""href=["'](https?://[^"'<>\s]+)["']"""
+HREF_RE = r"""(?i)href=["'](https?://[^"'<>\s]+)["']"""
 
 
 def extract_links(
@@ -156,13 +157,14 @@ def host_rank(
     ).withColumnRenamed("node", "host")
 
 
-#: rel=canonical link tag, both attribute orders; same pattern text under
-#: Java regex and RE2 (no lookarounds), per the repo dual-dialect policy.
+#: rel=canonical link tag, both attribute orders, case-insensitive; same
+#: pattern text under Java regex and RE2 (no lookarounds), per the repo
+#: dual-dialect policy.
 CANONICAL_REL_FIRST_RE = (
-    r"""<link[^>]*rel=["']?canonical["']?[^>]*href=["']([^"'<>\s]+)["']"""
+    r"""(?i)<link[^>]*rel=["']?canonical["']?[^>]*href=["']([^"'<>\s]+)["']"""
 )
 CANONICAL_HREF_FIRST_RE = (
-    r"""<link[^>]*href=["']([^"'<>\s]+)["'][^>]*rel=["']?canonical["']?"""
+    r"""(?i)<link[^>]*href=["']([^"'<>\s]+)["'][^>]*rel=["']?canonical["']?"""
 )
 
 

@@ -65,7 +65,11 @@ def parse_robots(
     ``rule`` ∈ {allow, disallow}; an empty Disallow ("allow all") yields
     no row, matching its semantics. ``crawl_delay`` is the group's value
     repeated on each row (null if unset)."""
-    lines = _lines(df, host_col, txt_col)
+    # Drop blank lines BEFORE group assignment: RFC 9309's ABNF allows
+    # emptyline anywhere inside a group (including between consecutive
+    # User-agent lines), so grouping must look at the non-blank sequence —
+    # 'UA: A\n\nUA: B\nDisallow: /x' is ONE group covering both agents.
+    lines = _lines(df, host_col, txt_col).where(F.col("line") != "")
     ua = _field(F.col("line"), "user-agent")
     classified = lines.select(
         "host",
@@ -120,12 +124,16 @@ def parse_robots(
         .alias("rule"),
         F.coalesce("allow_path", "disallow_path").alias("path"),
     ).where(F.col("rule").isNotNull() & (F.col("path") != ""))
+    # FULL join with the delay frame: a chosen group with a crawl-delay
+    # but no path rules (delay-only, or the allow-all empty Disallow)
+    # must still surface its host — otherwise check_allowed hands the
+    # fetcher the default spacing instead of the origin's demand.
     return (
         rules.select(
             "host", "rule", "path", F.length("path").alias("rule_len")
         )
         .distinct()
-        .join(delay, "host", "left")
+        .join(delay, "host", "full")
     )
 
 

@@ -52,6 +52,7 @@ WARC_RECORD_SCHEMA = T.StructType(
         T.StructField("warc_file", T.StringType()),
         T.StructField("warc_offset", T.LongType()),
         T.StructField("warc_length", T.LongType()),
+        T.StructField("warc_rec", T.IntegerType()),
         T.StructField("record_type", T.StringType()),
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
@@ -219,10 +220,15 @@ def _parse_raw_records(raw: bytes) -> Iterator[tuple[int, int, dict]]:
         headers: dict[str, str] = {}
         for line in raw[pos:hdr_end].split(CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("ascii")] = v.strip().decode(
+            headers[k.strip().lower().decode("latin-1", "replace")] = v.strip().decode(
                 "utf-8", "replace"
             )
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            # unframeable record: without a length the rest of this slice
+            # can't be delimited — stop here rather than mis-frame it
+            break
         block_start = hdr_end + 4
         block = raw[block_start : block_start + clen]
         end = block_start + clen
@@ -257,25 +263,40 @@ def _strip_http(
     return status, headers, block[sep + 4 :]
 
 
+def _warc_ts(ts_raw: str) -> datetime:
+    """Lenient WARC-Date: WARC 1.1 allows fractional seconds (warcio,
+    browsertrix, wget2 emit them); anything unparseable becomes the epoch
+    rather than killing a whole 1 GiB segment's parse task — visible in
+    the data, never fatal."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return datetime.strptime(ts_raw, fmt)
+        except ValueError:
+            continue
+    return datetime(1970, 1, 1)
+
+
 def iter_records(content: bytes, warc_file: str) -> Iterator[dict]:
     """Parse one segment's bytes into record dicts matching
     :data:`WARC_RECORD_SCHEMA`. Offsets/lengths address the *stored* bytes
     (the gzip member for ``.warc.gz``), i.e. exactly what a CDX row needs
-    for a later ranged fetch."""
+    for a later ranged fetch. ``warc_rec`` is the record's index WITHIN
+    that stored slice: a member gzipped with several records (whole-file
+    gzip happens in the wild) still point-fetches the right record."""
     for m_off, m_len, raw in _iter_members(content):
-        for r_start, r_len, rec in _parse_raw_records(raw):
+        for rec_idx, (r_start, r_len, rec) in enumerate(_parse_raw_records(raw)):
             h = rec["headers"]
             status, hh, body = _strip_http(rec["block"], h.get("content-type", ""))
-            ts_raw = h.get("warc-date", "1970-01-01T00:00:00Z")
-            ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+            ts = _warc_ts(h.get("warc-date", "1970-01-01T00:00:00Z"))
             if m_off == 0 and m_len == len(content) and content[:2] != b"\x1f\x8b":
-                off, length = r_start, r_len  # plain segment: record-addressed
+                off, length, idx = r_start, r_len, 0  # plain: record-addressed
             else:
-                off, length = m_off, m_len  # gzip: member-addressed
+                off, length, idx = m_off, m_len, rec_idx  # gzip: member-addressed
             yield {
                 "warc_file": warc_file,
                 "warc_offset": off,
                 "warc_length": length,
+                "warc_rec": idx,
                 "record_type": h.get("warc-type", ""),
                 "url": h.get("warc-target-uri"),
                 "warc_ts": ts,
@@ -301,7 +322,8 @@ def _records_frame(rows: list[dict]) -> pd.DataFrame:
     pdf = pd.DataFrame(rows, columns=_PD_COLS)
     if not len(pdf):
         pdf = pdf.astype(
-            {"warc_offset": "int64", "warc_length": "int64", "http_status": "Int64"}
+            {"warc_offset": "int64", "warc_length": "int64",
+             "warc_rec": "int32", "http_status": "Int64"}
         )
     else:
         pdf["http_status"] = pdf["http_status"].astype("Int64")
@@ -359,6 +381,7 @@ def build_cdx(records: DataFrame) -> DataFrame:
         "warc_file",
         "warc_offset",
         "warc_length",
+        "warc_rec",
         "http_status",
         "http_etag",
         "http_last_modified",
@@ -374,20 +397,28 @@ def write_cdx(records: DataFrame, cdx_dir: str, mode: str = "append") -> None:
     ).write.mode(mode).parquet(cdx_dir)
 
 
-def fetch_record(segment_path: str, offset: int, length: int) -> dict:
-    """Ranged point read: seek + read exactly one stored record (one gzip
-    member for ``.warc.gz``). This is the CDX random-access path — O(record)
-    I/O regardless of segment or corpus size. Works against any store with
-    ranged reads (local file here; S3 GET Range on a cluster)."""
+def fetch_record(
+    segment_path: str, offset: int, length: int, rec: int = 0
+) -> dict:
+    """Ranged point read: seek + read one stored slice (one gzip member
+    for ``.warc.gz``) and return its ``rec``-th record — a member holding
+    several records (whole-file gzip) is still addressable via the CDX's
+    ``warc_rec`` column. O(record slice) I/O regardless of segment or
+    corpus size; works against any store with ranged reads (local file
+    here; S3 GET Range on a cluster)."""
     with open(segment_path, "rb") as fh:
         fh.seek(offset)
         chunk = fh.read(length)
     recs = list(iter_records(chunk, os.path.basename(segment_path)))
-    if not recs:
-        raise ValueError(f"no WARC record at {segment_path}:{offset}+{length}")
-    rec = recs[0]
-    rec["warc_offset"] = offset
-    return rec
+    if rec >= len(recs):
+        raise ValueError(
+            f"no WARC record #{rec} at {segment_path}:{offset}+{length} "
+            f"({len(recs)} in slice)"
+        )
+    out = recs[rec]
+    out["warc_offset"] = offset
+    out["warc_rec"] = rec
+    return out
 
 
 def resolve_revisits(records: DataFrame) -> DataFrame:

@@ -77,6 +77,7 @@ def main() -> None:
 
     from data_pipeline_spark.functions.weburl import url_host
     from data_pipeline_spark.operators.recrawl import (
+        apply_default_period,
         attach_validators,
         recrawl_stats,
     )
@@ -91,13 +92,7 @@ def main() -> None:
         # costs headers, not payload
         stats = attach_validators(stats, cdx)
     if args.default_period_s is not None:
-        stats = stats.withColumn(
-            "due_score",
-            F.when(
-                F.col("change_period_s").isNull(),
-                F.col("staleness_s") / F.lit(args.default_period_s),
-            ).otherwise(F.col("due_score")),
-        )
+        stats = apply_default_period(stats, args.default_period_s)
     if args.sitemap_dir is not None:
         from data_pipeline_spark.sources.sitemap import parse_sitemap, sitemap_due
 

@@ -44,6 +44,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("crawl-tail").getOrCreate()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # --normalize-charset decodes dirty web bytes: replacement, not failure
+    # (functions/charset.py UTF-16 branches need this; see session.py)
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
 
     registry = SchemaRegistry()
     table = make_table_for_log(
@@ -57,7 +60,9 @@ def main() -> None:
     if args.continuous:
         q = tailer.start()
         if args.timeout_sec:
-            q.awaitTermination(args.timeout_sec * 1000)
+            # PySpark's awaitTermination takes SECONDS (it converts to ms
+            # itself — pyspark/sql/streaming/query.py)
+            q.awaitTermination(args.timeout_sec)
             q.stop()
         else:
             q.awaitTermination()

@@ -61,7 +61,10 @@ def main() -> None:
         return resolve_revisits(r) if args.resolve_revisits else r
 
     if args.cdx_dir:
-        write_cdx(recs(), args.cdx_dir)
+        # overwrite like the WAT/WET sinks: a rerun after partial failure
+        # must not double the index (ingest_job's CDX stays append — it
+        # accumulates across bootstrap rounds by design)
+        write_cdx(recs(), args.cdx_dir, mode="overwrite")
         out["cdx"] = args.cdx_dir
     if args.wat_dir:
         to_wat(recs()).write.mode("overwrite").json(args.wat_dir)

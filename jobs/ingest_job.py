@@ -87,6 +87,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("cdc-ingest").getOrCreate()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # --normalize-charset decodes dirty web bytes: replacement, not failure
+    # (functions/charset.py UTF-16 branches need this; see session.py)
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
 
     if args.warc_dir is not None:
         from data_pipeline_spark.sources.warc import (

@@ -95,7 +95,8 @@ def main() -> None:
             branch=args.branch, quarantine_dir=args.quarantine_dir,
             audit_sequence=args.audit_sequence,
             skip_unchanged_cols=(
-                args.skip_unchanged.split(",") if args.skip_unchanged else None
+                [c.strip() for c in args.skip_unchanged.split(",") if c.strip()]
+                if args.skip_unchanged else None
             ),
         )
         results = runner.run(max_epochs=args.max_epochs)

@@ -174,3 +174,38 @@ def test_crawl_plan_job_with_robots(spark, tmp_path, monkeypatch):
     assert plan[0]["crawl_delay"] == 1.5
     # --schedule: the single allowed url heads its host queue at t0
     assert plan[0]["fetch_slot"] == 0 and plan[0]["scheduled_offset_s"] == 0.0
+
+
+def test_blank_line_between_ua_lines_shares_group(spark):
+    """RFC 9309 ABNF: emptyline is legal inside a group — a blank line
+    between two User-agent lines must NOT split them."""
+    df = spark.createDataFrame(
+        [("g.com", "User-agent: A\n\nUser-agent: B\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    rules_a = parse_robots(df, agent="A")
+    assert {(r["rule"], r["path"]) for r in rules_a.collect()} == {
+        ("disallow", "/private/")
+    }
+
+
+def test_delay_only_group_keeps_crawl_delay(spark):
+    """A chosen group with Crawl-delay but no path rules (or the allow-all
+    empty Disallow) must still surface its host's delay."""
+    df = spark.createDataFrame(
+        [
+            ("d.com", "User-agent: *\nCrawl-delay: 10\n"),
+            ("e.com", "User-agent: *\nDisallow:\nCrawl-delay: 7\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(df)
+    delays = {r["host"]: r["crawl_delay"] for r in rules.collect()}
+    assert delays == {"d.com": 10.0, "e.com": 7.0}
+    urls = spark.createDataFrame(
+        [("https://d.com/x",), ("https://e.com/y",)], "url string"
+    )
+    got = {r["url"]: r for r in check_allowed(urls, rules).collect()}
+    assert got["https://d.com/x"]["allowed"] is True
+    assert got["https://d.com/x"]["crawl_delay"] == 10.0
+    assert got["https://e.com/y"]["crawl_delay"] == 7.0

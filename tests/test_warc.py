@@ -403,3 +403,49 @@ def test_warc_format_matches_function_path(spark, warc_dir):
     assert spark.sql(
         "SELECT count(*) FROM crawl WHERE record_type = 'response'"
     ).collect()[0][0] == 20
+
+
+# ---------------------------------------------------------------------------
+# review fixes: whole-file gzip, lenient dates, malformed headers
+# ---------------------------------------------------------------------------
+
+
+def test_whole_file_gzip_member_point_fetch(spark, tmp_path):
+    """A .warc.gz gzipped as ONE stream (not per-record members) is common
+    in the wild: every record shares the member (offset,length) but carries
+    its warc_rec index, and fetch_record(rec=...) returns the RIGHT one."""
+    import zlib
+
+    pages = _pages(5)
+    raw = segment_bytes(pages, compress=False)
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    (tmp_path / "whole.warc.gz").write_bytes(co.compress(raw) + co.flush())
+
+    df = read_warc(spark, str(tmp_path))
+    rows = df.orderBy("warc_rec").collect()
+    assert [r["warc_rec"] for r in rows] == [0, 1, 2, 3, 4]
+    assert len({(r["warc_offset"], r["warc_length"]) for r in rows}) == 1
+    for (url, _, body), r in zip(pages, rows):
+        got = fetch_record(
+            str(tmp_path / "whole.warc.gz"),
+            r["warc_offset"], r["warc_length"], rec=r["warc_rec"],
+        )
+        assert got["url"] == url and bytes(got["html"]) == body
+
+
+def test_lenient_warc_dates_and_headers(spark, tmp_path):
+    """Fractional-second WARC-Date (WARC 1.1 / warcio output) parses; a
+    garbage date becomes the epoch instead of killing the segment task."""
+    good = record_bytes("https://x/a", datetime(2024, 1, 1), b"<p>a</p>")
+    frac = good.replace(
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"WARC-Date: 2024-01-01T00:00:00.123456Z",
+    )
+    junk = record_bytes("https://x/b", datetime(2024, 1, 2), b"<p>b</p>").replace(
+        b"WARC-Date: 2024-01-02T00:00:00Z", b"WARC-Date: not-a-date-at-all"
+    )
+    (tmp_path / "s.warc").write_bytes(frac + junk)
+    rows = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert rows["https://x/a"]["warc_ts"] == datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert rows["https://x/b"]["warc_ts"] == datetime(1970, 1, 1)
+    assert bytes(rows["https://x/b"]["html"]) == b"<p>b</p>"

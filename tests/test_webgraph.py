@@ -16,7 +16,7 @@ HTML = (
     "<a href='https://b.com/y?q=1'>2</a>"
     '<a href="/relative">skip</a>'
     '<a href="ftp://files.com/z">skip</a>'
-    '<A HREF="https://caps.com/">skip-case</A>'  # regex is case-sensitive lhs
+    '<A HREF="https://caps.com/">kept-case-insensitive</A>'
     '<a href="http://a.com/x2">4</a></html>'
 )
 
@@ -29,7 +29,8 @@ def test_extract_links_semantics(spark):
     rows = extract_links(df).collect()
     hrefs = sorted(r["href"] for r in rows)
     assert hrefs == [
-        "http://a.com/x2", "https://a.com/x", "https://b.com/y?q=1",
+        "http://a.com/x2", "https://a.com/x",
+        "https://b.com/y?q=1", "https://caps.com/",
     ]
     assert all(r["src_url"] == "https://src.com/p" for r in rows)
 
@@ -38,7 +39,7 @@ def test_extract_links_binary_html(spark):
     df = spark.createDataFrame(
         [("https://s/", HTML.encode("utf-8"))], "url string, html binary"
     )
-    assert extract_links(df).count() == 3
+    assert extract_links(df).count() == 4
 
 
 def test_extract_links_native_plan(spark):
