@@ -24,6 +24,7 @@ from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
 from data_pipeline_spark.operators import sampling as SMP
+from data_pipeline_spark.operators import spandedup as SPD
 from data_pipeline_spark.operators import textprep as TP
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
 from data_pipeline_spark.operators import components as CC
@@ -2270,6 +2271,45 @@ _SQL_LINE_DEDUP = TD.sql_line_dedup(
 )
 
 
+# Boilerplate prefix shared by every doc in the same (doc_id % 7) group: the
+# deterministic duplicated spans the ExactSubstr contracts detect/remove.
+_SPAN_SPARK = (
+    "concat('terms of service for group ', CAST(doc_id % 7 AS string), "
+    "' all rights reserved . ', substring(text, 1, 120))"
+)
+_SPAN_DUCK = (
+    "'terms of service for group ' || CAST(doc_id % 7 AS VARCHAR) || "
+    "' all rights reserved . ' || substr(text, 1, 120)"
+)
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr (Lee et al. 2022): every duplicated 5-token span keeps
+    only its corpus-wide first occurrence; docs rebuilt from survivors."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPAN_SPARK).alias("text")
+    )
+    return SPD.span_dedup(d, "doc_id", "text", k=5)
+
+
+_SQL_SPAN_DEDUP = SPD.sql_span_dedup(
+    f"SELECT doc_id, {_SPAN_DUCK} AS text FROM documents", "doc_id", "text", k=5
+)
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span report: gram, doc/occurrence counts, first doc."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPAN_SPARK).alias("text")
+    )
+    return SPD.dup_spans(d, "doc_id", "text", k=5)
+
+
+_SQL_DUP_SPANS = SPD.sql_dup_spans(
+    f"SELECT doc_id, {_SPAN_DUCK} AS text FROM documents", "doc_id", "text", k=5
+)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (64-token windows, 8-token overlap): the
     pre-training slicing pass, a pure narrow map (no shuffle — pinned in
@@ -2935,6 +2975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         # --- new this round ---
+        "doc_span_dedup": q_doc_span_dedup,
+        "doc_dup_spans": q_doc_dup_spans,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3022,6 +3064,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_diff": _SQL_KEY_DIFF,
         "cdc_update_detect": _SQL_UPDATE_DETECT,
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
+        "doc_span_dedup": _SQL_SPAN_DEDUP,
+        "doc_dup_spans": _SQL_DUP_SPANS,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
