@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from data_pipeline_spark.functions import normalize as N
+from data_pipeline_spark.functions import htmlmeta as HM
 from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
@@ -2271,6 +2272,45 @@ _SQL_LINE_DEDUP = TD.sql_line_dedup(
 )
 
 
+# Synthesized page head: lang attr, title, description / og:title meta in
+# BOTH attribute orders (doc_id parity), robots-noindex on doc_id % 3 == 0.
+_HTMLMETA_SPARK = """concat(
+ '<html lang="', lang, '"><head><title>Doc ', CAST(doc_id AS string), ' of ', source, '</title>',
+ CASE WHEN doc_id % 2 = 0
+   THEN concat('<meta name="description" content="', substring(text, 1, 50), '">')
+   ELSE concat('<meta content="', substring(text, 1, 50), '" name="description">') END,
+ CASE WHEN doc_id % 5 = 0 THEN ''
+   WHEN doc_id % 2 = 0 THEN concat('<meta property="og:title" content="OG ', CAST(doc_id AS string), '">')
+   ELSE concat('<meta content="OG ', CAST(doc_id AS string), '" property="og:title">') END,
+ CASE WHEN doc_id % 3 = 0 THEN '<meta name="robots" content="noindex">' ELSE '' END,
+ '</head><body></body></html>')"""
+_HTMLMETA_DUCK = """'<html lang="' || lang || '"><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' of ' || source || '</title>' ||
+ CASE WHEN doc_id % 2 = 0
+   THEN '<meta name="description" content="' || substr(text, 1, 50) || '">'
+   ELSE '<meta content="' || substr(text, 1, 50) || '" name="description">' END ||
+ CASE WHEN doc_id % 5 = 0 THEN ''
+   WHEN doc_id % 2 = 0 THEN '<meta property="og:title" content="OG ' || CAST(doc_id AS VARCHAR) || '">'
+   ELSE '<meta content="OG ' || CAST(doc_id AS VARCHAR) || '" property="og:title">' END ||
+ CASE WHEN doc_id % 3 = 0 THEN '<meta name="robots" content="noindex">' ELSE '' END ||
+ '</head><body></body></html>'"""
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (title / description / og:title / robots
+    noindex / lang) as native regexp exprs over synthesized page heads."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTMLMETA_SPARK).alias("html")
+    )
+    return HM.with_page_metadata(d, "html").select("doc_id", *HM.FIELDS)
+
+
+_SQL_HTML_METADATA = (
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {k}" for k, e in HM.sql_page_metadata("html").items())
+    + f" FROM (SELECT doc_id, {_HTMLMETA_DUCK} AS html FROM documents)"
+)
+
+
 # Boilerplate prefix shared by every doc in the same (doc_id % 7) group: the
 # deterministic duplicated spans the ExactSubstr contracts detect/remove.
 _SPAN_SPARK = (
@@ -2977,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "doc_span_dedup": q_doc_span_dedup,
         "doc_dup_spans": q_doc_dup_spans,
+        "html_metadata": q_html_metadata,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3066,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _SQL_REPLAY_FINAL,
         "doc_span_dedup": _SQL_SPAN_DEDUP,
         "doc_dup_spans": _SQL_DUP_SPANS,
+        "html_metadata": _SQL_HTML_METADATA,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
