@@ -24,6 +24,7 @@ from data_pipeline_spark.functions import htmlmeta as HM
 from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
+from data_pipeline_spark.operators import hostrep as HR
 from data_pipeline_spark.operators import sampling as SMP
 from data_pipeline_spark.operators import spandedup as SPD
 from data_pipeline_spark.operators import textprep as TP
@@ -2272,6 +2273,20 @@ _SQL_LINE_DEDUP = TD.sql_line_dedup(
 )
 
 
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup: per-host doc counts, mean quality,
+    corpus-wide exact-dup ratio, top predicted language, verdict."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"), "text"
+    )
+    return HR.host_reputation(d, "host", "text")
+
+
+_SQL_HOST_REPUTATION = HR.sql_host_reputation(
+    "SELECT source AS host, text FROM documents", "host", "text"
+)
+
+
 # Synthesized page head: lang attr, title, description / og:title meta in
 # BOTH attribute orders (doc_id parity), robots-noindex on doc_id % 3 == 0.
 _HTMLMETA_SPARK = """concat(
@@ -3018,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_dedup": q_doc_span_dedup,
         "doc_dup_spans": q_doc_dup_spans,
         "html_metadata": q_html_metadata,
+        "host_reputation": q_host_reputation,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3108,6 +3124,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_span_dedup": _SQL_SPAN_DEDUP,
         "doc_dup_spans": _SQL_DUP_SPANS,
         "html_metadata": _SQL_HTML_METADATA,
+        "host_reputation": _SQL_HOST_REPUTATION,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
