@@ -2273,6 +2273,30 @@ _SQL_LINE_DEDUP = TD.sql_line_dedup(
 )
 
 
+# 'a' + U+0301 combining acute: every 'a' becomes a decomposed sequence the
+# normalizer must fold to precomposed U+00E1.
+_NFC_DIRTY = "á"
+
+
+def q_doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (Arrow pandas UDF) vs DuckDB's native
+    nfc_normalize — pins cross-engine composition-form parity."""
+    from data_pipeline_spark.functions.charset import nfc_normalize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.regexp_replace(F.col("text"), "a", _NFC_DIRTY)
+    return d.select(
+        "doc_id", nfc_normalize_udf()(dirty).alias("text_nfc")
+    )
+
+
+_SQL_NFC_NORMALIZE = (
+    "SELECT doc_id, "
+    f"nfc_normalize(replace(text, 'a', '{_NFC_DIRTY}')) AS text_nfc "
+    "FROM documents"
+)
+
+
 def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation rollup: per-host doc counts, mean quality,
     corpus-wide exact-dup ratio, top predicted language, verdict."""
@@ -3034,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "html_metadata": q_html_metadata,
         "host_reputation": q_host_reputation,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3125,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _SQL_DUP_SPANS,
         "html_metadata": _SQL_HTML_METADATA,
         "host_reputation": _SQL_HOST_REPUTATION,
+        "doc_nfc_normalize": _SQL_NFC_NORMALIZE,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,

@@ -128,3 +128,36 @@ def decode_html(col, prefix_bytes: int = 2048) -> Column:
         )
     decoded = decoded.otherwise(F.decode(c, "UTF-8"))
     return F.regexp_replace(decoded, r"^﻿", "")
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC)
+# ---------------------------------------------------------------------------
+
+def nfc_normalize_udf():
+    """Arrow-vectorized NFC normalization for a string column.
+
+    Web text arrives in mixed composition forms (decomposed sequences like
+    'e' + U+0301 from mac filesystems and some CMSes vs precomposed
+    U+00E9); exact dedup, fingerprints and merge keys must not fork on
+    composition form, so corpora are NFC-normalized before keying
+    (the convention the big public corpus pipelines follow).
+
+    Spark has no native unicode-normalize expression, so this is one of
+    the engine's few Python paths — an Arrow pandas UDF (never per-row
+    Python; pandas' str.normalize runs the ICU-equivalent CPython
+    unicodedata routine per batch). The DuckDB oracle twin is its native
+    ``nfc_normalize``; cross-engine parity is pinned by the
+    doc_nfc_normalize contract and tests.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return pandas_udf(_nfc, "string")
+
+
+def sql_nfc_normalize(col: str) -> str:
+    """DuckDB twin of :func:`nfc_normalize_udf`."""
+    return f"nfc_normalize({col})"

@@ -82,3 +82,43 @@ def test_roundtrip_to_utf8_normalization(df):
     for i, _, _, want in CASES:
         if want is not None:
             assert out[i] == want.encode("utf-8"), i
+
+
+def test_nfc_normalize_udf_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_spark.functions.charset import (
+        nfc_normalize_udf,
+        sql_nfc_normalize,
+    )
+
+    rows = [
+        (1, "éclair"),            # decomposed acute -> é
+        (2, "café"),               # already NFC
+        (3, "각"),      # Hangul jamo -> 각
+        (4, ""),
+        (5, None),
+        (6, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", nfc_normalize_udf()(df.text).alias("t")
+        ).collect()
+    }
+    assert out[1] == "éclair"
+    assert out[2] == "café"
+    assert out[3] == "각"
+    assert out[4] == "" and out[5] is None
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT doc_id, {sql_nfc_normalize('text')} FROM t"
+        ).fetchall()
+    }
+    assert duck == out
