@@ -25,6 +25,7 @@ from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
 from data_pipeline_spark.operators import hostrep as HR
+from data_pipeline_spark.operators import inverted_index as II
 from data_pipeline_spark.operators import sampling as SMP
 from data_pipeline_spark.operators import spandedup as SPD
 from data_pipeline_spark.operators import textprep as TP
@@ -2273,6 +2274,25 @@ _SQL_LINE_DEDUP = TD.sql_line_dedup(
 )
 
 
+_SEARCH_TERMS = ["table", "scan", "merge"]
+
+
+def q_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index batch core: postings build + AND term search with
+    tf-sum ranking (TakeOrderedAndProject, isin filter at the scan)."""
+    d = _t(spark, sf_dir, "documents")
+    posts = II.build_postings(d, "doc_id", "text")
+    return II.search_postings(posts, _SEARCH_TERMS, mode="and", top_k=25)
+
+
+_SQL_DOC_SEARCH = II.sql_search_postings(
+    II.sql_build_postings("SELECT doc_id, text FROM documents", "doc_id", "text"),
+    _SEARCH_TERMS,
+    mode="and",
+    top_k=25,
+)
+
+
 # 'a' + U+0301 combining acute: every 'a' becomes a decomposed sequence the
 # normalizer must fold to precomposed U+00E1.
 _NFC_DIRTY = "á"
@@ -3059,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_metadata": q_html_metadata,
         "host_reputation": q_host_reputation,
         "doc_nfc_normalize": q_doc_nfc_normalize,
+        "doc_search": q_doc_search,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3151,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "html_metadata": _SQL_HTML_METADATA,
         "host_reputation": _SQL_HOST_REPUTATION,
         "doc_nfc_normalize": _SQL_NFC_NORMALIZE,
+        "doc_search": _SQL_DOC_SEARCH,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,

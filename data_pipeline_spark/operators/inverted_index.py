@@ -1,0 +1,414 @@
+"""Term inverted index over the corpus, maintained incrementally off the
+change feed — the engine's third persistent index family (with
+operators/dedup_index.py and operators/vector_index.py).
+
+A CDC-ingesting corpus needs term lookup ("which pages mention these
+words") without re-tokenizing 10^10 accumulated documents per query or
+per epoch. Batch search (:func:`build_postings` + :func:`search_postings`)
+answers it for one corpus snapshot; :class:`InvertedIndex` persists
+postings and makes BOTH sides incremental:
+
+* per epoch, only the NEW batch is tokenized (the single text-touching
+  step) — postings appended under ``postings/epoch=N/bucket=B/``,
+  physically partitioned by a term-hash bucket;
+* a lookup routes its query terms to buckets DRIVER-SIDE with the
+  xxhash64 twin (lake/xxhash.py — zero Spark jobs before the pruned scan)
+  and reads ONLY those bucket directories: probe cost is
+  O(query-term buckets / n_buckets) of the index, the same physical
+  pruning the IVF index applies to its lists;
+* url-keyed CDC updates re-ship a document: its new postings land in the
+  new epoch and a per-doc ledger (``docs/epoch=N``) records the latest
+  epoch per doc; lookups keep only postings whose epoch IS the doc's
+  latest (stale terms from superseded versions drop out) and skip
+  tombstoned docs (:meth:`remove` — takedowns without rewriting
+  postings);
+* ``meta.json`` (atomic rename) freezes n_buckets/id_type and carries the
+  committed-epoch ledger — re-running an epoch is a no-op
+  (exactly-once, same contract as the sibling indexes);
+* :meth:`compact` rewrites live-latest postings into one merged directory
+  and physically drops stale/tombstoned rows.
+
+Scale notes: postings rows are (term, doc_id, tf) — fixed-width and tiny
+vs the text. The per-lookup doc-ledger join is a doc-keyed equi-join
+(AQE-handled); between compactions it is the price of update semantics —
+compaction folds it away for the cold majority. Scoring is query-term
+tf-sum (the contract-friendly core; BM25 weighting composes on top from
+the same postings and the df stats in textprep's TF-IDF).
+
+The reference pipeline has no search surface; this is a beyond-reference
+capability in the LLM-data-pipeline family (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import textstats as TS
+from ..lake.xxhash import spark_xxhash64
+
+_META = "meta.json"
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _has_parquet(root: str) -> bool:
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Batch (contract-able) core
+# ---------------------------------------------------------------------------
+
+def _terms(text_col: str) -> F.Column:
+    """Lowercased whitespace terms (textstats tokenization)."""
+    return TS.tokens(F.lower(F.col(text_col)))
+
+
+def sql_terms(text_col: str) -> str:
+    return TS.sql_tokens(f"lower({text_col})")
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf) — one narrow explode + one map-side-combinable
+    hash agg; the only step that touches text."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(_terms(text_col)).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def sql_build_postings(input_sql: str, id_col: str, text_col: str) -> str:
+    return f"""
+SELECT term, doc_id, count(*) AS tf FROM (
+  SELECT {id_col} AS doc_id, unnest({sql_terms(text_col)}) AS term
+  FROM ({input_sql}))
+GROUP BY term, doc_id
+"""
+
+
+def _normalize_terms(terms) -> list[str]:
+    out = sorted({t.lower() for t in terms})
+    if not out:
+        raise ValueError("search needs at least one term")
+    return out
+
+
+def search_postings(
+    postings: DataFrame, terms, mode: str = "and", top_k: int = 10
+) -> DataFrame:
+    """Top-k docs for the query terms: (doc_id, n_terms, score).
+
+    score = sum of tf over matched query terms; AND requires all terms.
+    The term filter is an isin predicate that pushes to the scan; ranking
+    is (score desc, doc_id) via one TakeOrderedAndProject — never a full
+    sort of the corpus.
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    qs = _normalize_terms(terms)
+    agg = (
+        postings.where(F.col("term").isin(qs))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("score"),
+        )
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms") == len(qs))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def sql_search_postings(
+    postings_sql: str, terms, mode: str = "and", top_k: int = 10
+) -> str:
+    qs = _normalize_terms(terms)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qs)
+    having = f"HAVING count(DISTINCT term) = {len(qs)}" if mode == "and" else ""
+    return f"""
+SELECT doc_id, count(DISTINCT term) AS n_terms, sum(tf) AS score
+FROM ({postings_sql})
+WHERE term IN ({in_list})
+GROUP BY doc_id
+{having}
+ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Persistent incremental index
+# ---------------------------------------------------------------------------
+
+class InvertedIndex:
+    """See module docstring. Create once, ``update()`` per ingest epoch."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        id_type: str = "long",
+    ) -> "InvertedIndex":
+        """CREATE IF NOT EXISTS; n_buckets/id_type frozen (re-bucketing
+        would strand every stored posting — mismatch raises)."""
+        if id_type not in ("long", "string"):
+            raise ValueError(f"id_type must be 'long' or 'string', got {id_type!r}")
+        meta_path = os.path.join(path, _META)
+        if os.path.exists(meta_path):
+            idx = cls.load(spark, path)
+            want = {"n_buckets": n_buckets, "id_type": id_type}
+            have = {k: idx.meta[k] for k in want}
+            if want != have:
+                raise ValueError(
+                    f"index at {path} exists with {have}, asked for {want}; "
+                    "params are frozen at create"
+                )
+            return idx
+        meta = {
+            "version": 1,
+            "n_buckets": n_buckets,
+            "id_type": id_type,
+            "epochs": [],
+        }
+        _atomic_write_json(meta_path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "InvertedIndex":
+        with open(os.path.join(path, _META), encoding="utf-8") as f:
+            return cls(spark, path, json.load(f))
+
+    def committed_epochs(self) -> set[int]:
+        return {e["epoch"] for e in self.meta["epochs"]}
+
+    @property
+    def _id_type(self) -> str:
+        return self.meta["id_type"]
+
+    # -- write ----------------------------------------------------------------
+
+    def update(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        epoch: int | None = None,
+    ) -> int | None:
+        """Index a batch (exactly-once per ``epoch``): tokenize ONLY the
+        batch, append bucket-partitioned postings + the doc-ledger rows.
+        Returns the committed epoch, or None if the epoch was a no-op."""
+        if epoch is not None and epoch in self.committed_epochs():
+            return None
+        eid = epoch if epoch is not None else (
+            max(self.committed_epochs(), default=-1) + 1
+        )
+        base = docs.select(
+            F.col(id_col).cast(self._id_type).alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        postings = build_postings(base, "doc_id", "text").select(
+            "term",
+            "doc_id",
+            "tf",
+            F.lit(eid).alias("_iepoch"),
+            F.pmod(F.xxhash64("term"), F.lit(self.meta["n_buckets"]))
+            .cast("int")
+            .alias("bucket"),
+        )
+        post_dir = os.path.join(self.path, "postings", f"epoch={eid}")
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
+        ledger = base.select(
+            "doc_id", F.lit(eid).alias("_iepoch"), F.lit(False).alias("_del")
+        ).distinct()
+        docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
+        ledger.write.mode("overwrite").parquet(docs_dir)
+        entry: dict = {"epoch": eid}
+        if not _has_parquet(post_dir):
+            # Empty dynamic-partition write leaves only _SUCCESS — drop the
+            # schema-less dir but keep the ledger entry (exactly-once).
+            shutil.rmtree(post_dir, ignore_errors=True)
+            entry["empty"] = True
+            if not _has_parquet(docs_dir):
+                shutil.rmtree(docs_dir, ignore_errors=True)
+                entry["no_docs"] = True
+        self.meta["epochs"].append(entry)
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return eid
+
+    def remove(self, doc_ids, epoch: int | None = None) -> int | None:
+        """Tombstone documents (takedown) without touching postings; their
+        rows stop matching at lookup and are physically dropped by
+        :meth:`compact`."""
+        if epoch is not None and epoch in self.committed_epochs():
+            return None
+        eid = epoch if epoch is not None else (
+            max(self.committed_epochs(), default=-1) + 1
+        )
+        rows = [(d,) for d in doc_ids]
+        ledger = self.spark.createDataFrame(
+            rows, f"doc_id {self._id_type}"
+        ).select("doc_id", F.lit(eid).alias("_iepoch"), F.lit(True).alias("_del"))
+        docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
+        ledger.write.mode("overwrite").parquet(docs_dir)
+        self.meta["epochs"].append({"epoch": eid, "empty": True})
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return eid
+
+    # -- read -----------------------------------------------------------------
+
+    def _dirs(self, sub: str, flag: str = "empty") -> list[str]:
+        seen: dict[str, None] = {}
+        for e in self.meta["epochs"]:
+            if e.get(flag):
+                continue
+            seen.setdefault(str(e.get("dir", e["epoch"])), None)
+        return [
+            p
+            for d in seen
+            if os.path.isdir(p := os.path.join(self.path, sub, f"epoch={d}"))
+        ]
+
+    def doc_ledger(self) -> DataFrame:
+        """Latest (doc_id, _iepoch, _del) per doc — one max_by hash agg."""
+        dirs = self._dirs("docs", flag="no_docs")
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], f"doc_id {self._id_type}, _iepoch int, _del boolean"
+            )
+        df = self.spark.read.parquet(*dirs)
+        return df.groupBy("doc_id").agg(
+            F.max("_iepoch").alias("_iepoch"),
+            F.max_by("_del", "_iepoch").alias("_del"),
+        )
+
+    def stored_postings(self, terms=None) -> DataFrame:
+        """Stored postings; with ``terms``, reads ONLY those terms' bucket
+        directories (driver-side xxhash routing, zero jobs) and applies the
+        residual term filter."""
+        empty = f"term string, doc_id {self._id_type}, tf long, _iepoch int"
+        qs = None
+        buckets = None
+        if terms is not None:
+            qs = _normalize_terms(terms)
+            buckets = sorted(
+                {spark_xxhash64(t) % self.meta["n_buckets"] for t in qs}
+            )
+        parts = []
+        for d in self._dirs("postings"):
+            if buckets is None:
+                paths = [d]
+            else:
+                paths = [
+                    os.path.join(d, f"bucket={b}")
+                    for b in buckets
+                    if os.path.isdir(os.path.join(d, f"bucket={b}"))
+                ]
+                if not paths:
+                    continue
+            p = self.spark.read.option("basePath", d).parquet(*paths).select(
+                "term", "doc_id", "tf", "_iepoch"
+            )
+            parts.append(p)
+        if not parts:
+            return self.spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if qs is not None:
+            out = out.where(F.col("term").isin(qs))
+        return out
+
+    def lookup(self, terms, mode: str = "and", top_k: int = 10) -> DataFrame:
+        """Search the stored index: bucket-pruned scan, stale-version and
+        tombstone filtering, then the batch ranking."""
+        cand = self.stored_postings(terms)
+        # posting epoch renamed _pe: the ledger join carries its own _iepoch
+        live = (
+            cand.withColumnRenamed("_iepoch", "_pe")
+            .join(self.doc_ledger(), "doc_id")
+            .where((~F.col("_del")) & (F.col("_pe") == F.col("_iepoch")))
+        )
+        return search_postings(
+            live.select("term", "doc_id", "tf"), terms, mode=mode, top_k=top_k
+        )
+
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Rewrite live-latest postings into one merged directory; stale
+        versions and tombstoned docs are physically dropped. Ledger epochs
+        are preserved (exactly-once keeps holding across compaction)."""
+        live_docs = self.doc_ledger().where(~F.col("_del"))
+        posts = self.stored_postings()
+        live = (
+            posts.withColumnRenamed("_iepoch", "_pe")
+            .join(live_docs, "doc_id")
+            .where(F.col("_pe") == F.col("_iepoch"))
+            .select(
+                "term",
+                "doc_id",
+                "tf",
+                F.col("_iepoch"),
+                F.pmod(F.xxhash64("term"), F.lit(self.meta["n_buckets"]))
+                .cast("int")
+                .alias("bucket"),
+            )
+        )
+        max_epoch = max(self.committed_epochs(), default=0)
+        existing = {
+            str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]
+        }
+        name = f"compact-{max_epoch}"
+        gen = 1
+        while name in existing:
+            gen += 1
+            name = f"compact-{max_epoch}-{gen}"
+        post_dir = os.path.join(self.path, "postings", f"epoch={name}")
+        docs_dir = os.path.join(self.path, "docs", f"epoch={name}")
+        live.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
+        live_docs.select(
+            "doc_id", "_iepoch", "_del"
+        ).write.mode("overwrite").parquet(docs_dir)
+        old_posts = self._dirs("postings")
+        old_docs = self._dirs("docs", flag="no_docs")
+        stats = {"merged_epochs": len(self.meta["epochs"]), "dir": name}
+        post_ok = _has_parquet(post_dir)
+        docs_ok = _has_parquet(docs_dir)
+        for e in self.meta["epochs"]:
+            e["dir"] = name
+            e["empty"] = not post_ok
+            e["no_docs"] = not docs_ok
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        for d in old_posts + old_docs:
+            shutil.rmtree(d, ignore_errors=True)
+        if not post_ok:
+            shutil.rmtree(post_dir, ignore_errors=True)
+        if not docs_ok:
+            shutil.rmtree(docs_dir, ignore_errors=True)
+        return stats
