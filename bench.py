@@ -64,6 +64,12 @@ HEADLINE = [
     "ann_topk",
     "ann_pq",
     "media_features",
+    # Round-3c web-text additions (span dedup, page metadata, host
+    # reputation, inverted-index search)
+    "doc_span_dedup",
+    "html_metadata",
+    "host_reputation",
+    "doc_search",
 ]
 
 

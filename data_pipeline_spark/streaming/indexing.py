@@ -139,3 +139,47 @@ class StreamingVectorIndexer:
             stream_vectors.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)
         )
+
+
+class StreamingSearchIndexer:
+    """``foreachBatch`` sink for a document stream: maintain the persistent
+    inverted index (operators/inverted_index.py) with the micro-batch id
+    as an exactly-once epoch.
+
+    Same two-ledger construction as the sibling indexers: Structured
+    Streaming re-delivers a failed micro-batch under the SAME batch_id and
+    ``InvertedIndex.update(epoch=batch_id)`` is a no-op for a committed
+    epoch, so every document version is indexed exactly once across driver
+    restarts. Because the index's doc ledger keys postings to each doc's
+    LATEST epoch, a url re-shipped by the CDC stream atomically swaps its
+    searchable terms when the batch commits — searches never see a blend
+    of old and new versions.
+    """
+
+    def __init__(
+        self,
+        index,
+        id_col: str = "url",
+        text_col: str = "text",
+        epoch_base: int = STREAM_EPOCH_BASE,
+    ):
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+        self.epoch_base = epoch_base
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.index.update(
+            batch_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            epoch=self.epoch_base + int(batch_id),
+        )
+
+    def attach(self, stream_docs: DataFrame, checkpoint_dir: str):
+        """Wire onto a streaming DataFrame of documents; returns the
+        DataStreamWriter (caller picks the trigger and calls start())."""
+        return (
+            stream_docs.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )

@@ -176,3 +176,64 @@ def test_vector_index_exclude_epochs_guard(spark, tmp_path):
     idx.compact()
     with _pytest.raises(ValueError, match="compacted into shared dir"):
         idx.assigned(exclude_epochs=[1]).count()
+
+
+def test_stream_search_indexing_update_semantics_and_restart(spark, tmp_path):
+    from data_pipeline_spark.operators.inverted_index import (
+        InvertedIndex,
+        build_postings,
+        search_postings,
+    )
+    from data_pipeline_spark.streaming.indexing import StreamingSearchIndexer
+
+    import os as _os
+    import time as _time
+
+    log = str(tmp_path / "slog")
+    # part 0: initial versions; part 1: doc 1 re-shipped with NEW text.
+    # The file source orders micro-batches by file mtime — bump part=1's
+    # files forward so the re-ship deterministically lands in a LATER
+    # epoch than the originals.
+    v0 = [(0, 1, "alpha beta gamma"), (0, 2, "beta delta"), (0, 3, "gamma gamma")]
+    v1 = [(1, 1, "epsilon zeta")]
+    df = spark.createDataFrame(v0 + v1, "part int, doc_id long, text string")
+    df.write.mode("overwrite").partitionBy("part").parquet(log)
+    later = _time.time() + 3600
+    for dirpath, _dirs, files in _os.walk(_os.path.join(log, "part=1")):
+        for f in files:
+            _os.utime(_os.path.join(dirpath, f), (later, later))
+
+    idx = InvertedIndex.create(spark, str(tmp_path / "search_idx"), n_buckets=4)
+    indexer = StreamingSearchIndexer(idx, id_col="doc_id", text_col="text")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log).schema)
+        .option("basePath", log)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log + "/part=*")
+    )
+    q = indexer.attach(stream.drop("part"), str(tmp_path / "scp")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+
+    # Search equals a batch build over the LATEST versions only.
+    latest = [(1, "epsilon zeta"), (2, "beta delta"), (3, "gamma gamma")]
+    cur = spark.createDataFrame(latest, "doc_id long, text string")
+    for terms in (["gamma"], ["beta"], ["alpha"], ["epsilon"]):
+        got = [tuple(r) for r in idx.lookup(terms).collect()]
+        want = [
+            tuple(r)
+            for r in search_postings(
+                build_postings(cur, "doc_id", "text"), terms
+            ).collect()
+        ]
+        assert got == want, terms
+
+    # Restart from the checkpoint: no epochs re-committed.
+    epochs_before = set(idx.committed_epochs())
+    q2 = indexer.attach(stream.drop("part"), str(tmp_path / "scp")).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination()
+    reloaded = InvertedIndex.load(spark, str(tmp_path / "search_idx"))
+    assert set(reloaded.committed_epochs()) == epochs_before
