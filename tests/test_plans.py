@@ -304,3 +304,47 @@ def test_change_feed_is_one_join_over_pruned_scans(spark, tmp_path):
     )
     assert len(joins) == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_plan_is_agg_join_only(spark, entry):
+    """ExactSubstr: window stream -> fingerprint hash agg (map-side
+    partial) -> keyed equi-joins. Never an all-pairs plan, never a
+    Window over the corpus, no Python."""
+    plan = _plan(spark, entry.queries()["doc_span_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # dup counting combines before the shuffle
+
+
+def test_doc_search_plan_has_topk_and_no_sort_of_corpus(spark, entry):
+    """Inverted-index ranking: isin term filter + TakeOrderedAndProject —
+    a global sort of all matching docs must not appear."""
+    plan = _plan(spark, entry.queries()["doc_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Sort (") == 0 or "SortMergeJoin" in plan
+
+
+def test_html_metadata_plan_is_pure_native(spark, entry):
+    """Page-metadata extraction must fuse into codegen: zero Python eval
+    nodes, zero joins, zero shuffles."""
+    plan = _plan(spark, entry.queries()["html_metadata"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_host_reputation_plan_no_window_no_cartesian(spark, entry):
+    """Domain rollup: hash aggs + keyed equi-joins only (top-lang pick is
+    min(struct(-n, lang)), not a per-doc window)."""
+    plan = _plan(spark, entry.queries()["host_reputation"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_nfc_normalize_is_arrow_vectorized(spark, entry):
+    plan = _plan(spark, entry.queries()["doc_nfc_normalize"](spark, SF))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
