@@ -57,6 +57,11 @@ class CurateConfig:
     # corpus-wide line dedup (C4 order: boilerplate lines removed BEFORE
     # the quality gate judges the text)
     line_dedup: bool = False
+    # ExactSubstr repeated-span dedup (Lee et al. 2022): duplicated runs of
+    # >= span_dedup_k tokens keep only their corpus-wide first occurrence.
+    # Same placement rationale as line dedup — strip shared boilerplate
+    # spans before the quality gate judges what's left. None disables.
+    span_dedup_k: int | None = None
     # quality gate
     apply_gopher: bool = True
     max_dup_line_frac: float = 0.30
@@ -144,6 +149,20 @@ def curate(
             .localCheckpoint(eager=True)
         )
         stats["after_line_dedup"] = latest.count()
+
+    # 2.6 ExactSubstr span dedup (optional): duplicated >=k-token spans
+    # keep their corpus-wide first occurrence only (operators/spandedup).
+    if cfg.span_dedup_k is not None:
+        from .spandedup import span_dedup
+
+        carried = [c for c in latest.columns if c not in (u, t)]
+        stripped = span_dedup(latest, u, t, k=cfg.span_dedup_k)
+        latest = (
+            latest.select(u, *carried)
+            .join(stripped, u)
+            .localCheckpoint(eager=True)
+        )
+        stats["after_span_dedup"] = latest.count()
 
     # 3. quality gate (row-local, before any dedup shuffle)
     pred = (

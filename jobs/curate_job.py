@@ -52,6 +52,11 @@ def main() -> None:
                     help="keep docs whose corpus-self unigram surprisal is "
                          "in [LO, HI] (CCNet-style perplexity filter; "
                          "low = boilerplate, high = rare-token noise)")
+    ap.add_argument("--span-dedup", type=int, default=None, metavar="K",
+                    help="ExactSubstr repeated-span dedup: duplicated runs "
+                         "of >= K tokens keep only their corpus-wide first "
+                         "occurrence (strips shared boilerplate spans "
+                         "before the quality gate)")
     ap.add_argument("--pack", type=int, default=None, metavar="CTX",
                     help="also emit training sequences: concat-and-cut the "
                          "curated corpus into CTX-token packs, written to "
@@ -114,6 +119,7 @@ def main() -> None:
     cfg = CurateConfig(
         lsn_col="lsn" if "lsn" in df.columns else None,
         line_dedup=args.line_dedup,
+        span_dedup_k=args.span_dedup,
         apply_gopher=not args.no_gopher,
         mask_pii=not args.no_pii,
         minhash=None if args.no_minhash else CurateConfig().minhash,

@@ -328,3 +328,31 @@ def test_curate_job_main_content(spark, tmp_path, monkeypatch, capsys):
     texts = [r["text"] for r in out.collect()]
     assert all(t.startswith("This is an ordinary paragraph") for t in texts)
     assert all("Home" not in t and "stale text" not in t for t in texts)
+
+
+def test_span_dedup_stage(spark):
+    """Optional ExactSubstr stage: an INLINE boilerplate span (no newline,
+    so line dedup can't see it) keeps only its corpus-wide first
+    occurrence before the quality gate runs."""
+    from data_pipeline_spark.operators.curate import CurateConfig, curate
+
+    ads = "buy now limited offer click here today"
+    rows = [
+        ("https://a.com/1", 1, 1, "intro one " + _uniq("s1") + " " + ads, "en"),
+        ("https://a.com/2", 1, 2, "intro two " + _uniq("s2") + " " + ads, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    out, stats = curate(
+        df,
+        CurateConfig(
+            span_dedup_k=5, apply_gopher=False, minhash=None, mask_pii=False
+        ),
+    )
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    assert stats["after_span_dedup"] == 2
+    assert set(texts) == {"https://a.com/1", "https://a.com/2"}
+    assert ads in texts["https://a.com/1"]
+    assert "buy now" not in texts["https://a.com/2"]
+    assert "ws2x99" in texts["https://a.com/2"]  # own content intact
