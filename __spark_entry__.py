@@ -2293,6 +2293,22 @@ _SQL_DOC_SEARCH = II.sql_search_postings(
 )
 
 
+def q_doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking over the same postings (idf × length-normalized
+    tf, rounded-score ordering with doc-id tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    posts = II.build_postings(d, "doc_id", "text")
+    return II.bm25_search(posts, _SEARCH_TERMS, mode="and", top_k=25)
+
+
+_SQL_DOC_SEARCH_BM25 = II.sql_bm25_search(
+    II.sql_build_postings("SELECT doc_id, text FROM documents", "doc_id", "text"),
+    _SEARCH_TERMS,
+    mode="and",
+    top_k=25,
+)
+
+
 # 'a' + U+0301 combining acute: every 'a' becomes a decomposed sequence the
 # normalizer must fold to precomposed U+00E1.
 _NFC_DIRTY = "á"
@@ -3080,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "doc_search": q_doc_search,
+        "doc_search_bm25": q_doc_search_bm25,
         "cdc_join_incremental": q_cdc_join_incremental,
         "cdc_chunked_snapshot": q_cdc_chunked_snapshot,
         "cdc_offset_epochs": q_cdc_offset_epochs,
@@ -3173,6 +3190,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reputation": _SQL_HOST_REPUTATION,
         "doc_nfc_normalize": _SQL_NFC_NORMALIZE,
         "doc_search": _SQL_DOC_SEARCH,
+        "doc_search_bm25": _SQL_DOC_SEARCH_BM25,
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,

@@ -31,9 +31,10 @@ postings and makes BOTH sides incremental:
 Scale notes: postings rows are (term, doc_id, tf) — fixed-width and tiny
 vs the text. The per-lookup doc-ledger join is a doc-keyed equi-join
 (AQE-handled); between compactions it is the price of update semantics —
-compaction folds it away for the cold majority. Scoring is query-term
-tf-sum (the contract-friendly core; BM25 weighting composes on top from
-the same postings and the df stats in textprep's TF-IDF).
+compaction folds it away for the cold majority. Scoring: query-term
+tf-sum (:func:`search_postings`) and Okapi BM25 (:func:`bm25_search`,
+:meth:`InvertedIndex.lookup_bm25` — doc lengths and corpus N/avgdl live
+in the doc ledger, so BM25 never scans the full postings).
 
 The reference pipeline has no search surface; this is a beyond-reference
 capability in the LLM-data-pipeline family (SURVEY.md §2.10).
@@ -232,7 +233,8 @@ class InvertedIndex:
             F.col(id_col).cast(self._id_type).alias("doc_id"),
             F.col(text_col).alias("text"),
         )
-        postings = build_postings(base, "doc_id", "text").select(
+        batch_posts = build_postings(base, "doc_id", "text")
+        postings = batch_posts.select(
             "term",
             "doc_id",
             "tf",
@@ -243,9 +245,20 @@ class InvertedIndex:
         )
         post_dir = os.path.join(self.path, "postings", f"epoch={eid}")
         postings.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
-        ledger = base.select(
-            "doc_id", F.lit(eid).alias("_iepoch"), F.lit(False).alias("_del")
-        ).distinct()
+        # Doc ledger carries the token count (_dl): BM25 length norm and
+        # corpus avgdl come from the ledger, never from a full postings scan.
+        doclen = batch_posts.groupBy("doc_id").agg(F.sum("tf").alias("_dl"))
+        ledger = (
+            base.select("doc_id")
+            .distinct()
+            .join(doclen, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(eid).alias("_iepoch"),
+                F.lit(False).alias("_del"),
+                F.coalesce(F.col("_dl"), F.lit(0)).cast("long").alias("_dl"),
+            )
+        )
         docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
         ledger.write.mode("overwrite").parquet(docs_dir)
         entry: dict = {"epoch": eid}
@@ -273,7 +286,12 @@ class InvertedIndex:
         rows = [(d,) for d in doc_ids]
         ledger = self.spark.createDataFrame(
             rows, f"doc_id {self._id_type}"
-        ).select("doc_id", F.lit(eid).alias("_iepoch"), F.lit(True).alias("_del"))
+        ).select(
+            "doc_id",
+            F.lit(eid).alias("_iepoch"),
+            F.lit(True).alias("_del"),
+            F.lit(0).cast("long").alias("_dl"),
+        )
         docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
         ledger.write.mode("overwrite").parquet(docs_dir)
         self.meta["epochs"].append({"epoch": eid, "empty": True})
@@ -299,12 +317,14 @@ class InvertedIndex:
         dirs = self._dirs("docs", flag="no_docs")
         if not dirs:
             return self.spark.createDataFrame(
-                [], f"doc_id {self._id_type}, _iepoch int, _del boolean"
+                [],
+                f"doc_id {self._id_type}, _iepoch int, _del boolean, _dl long",
             )
         df = self.spark.read.parquet(*dirs)
         return df.groupBy("doc_id").agg(
             F.max("_iepoch").alias("_iepoch"),
             F.max_by("_del", "_iepoch").alias("_del"),
+            F.max_by("_dl", "_iepoch").alias("_dl"),
         )
 
     def stored_postings(self, terms=None) -> DataFrame:
@@ -358,6 +378,35 @@ class InvertedIndex:
             live.select("term", "doc_id", "tf"), terms, mode=mode, top_k=top_k
         )
 
+    def lookup_bm25(
+        self,
+        terms,
+        mode: str = "and",
+        top_k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """BM25-ranked search over the stored index. Same bucket-pruned
+        candidate scan as :meth:`lookup`; doc lengths and the corpus
+        N/avgdl come from the doc ledger (live docs only) — the full
+        postings are never scanned."""
+        ledger = self.doc_ledger().where(~F.col("_del"))
+        cand = self.stored_postings(terms).withColumnRenamed("_iepoch", "_pe")
+        live = (
+            cand.join(ledger, "doc_id")
+            .where(F.col("_pe") == F.col("_iepoch"))
+            .select("term", "doc_id", "tf")
+        )
+        return bm25_search(
+            live,
+            terms,
+            mode=mode,
+            top_k=top_k,
+            k1=k1,
+            b=b,
+            doclen=ledger.select("doc_id", "_dl"),
+        )
+
     # -- maintenance ----------------------------------------------------------
 
     def compact(self) -> dict:
@@ -393,7 +442,7 @@ class InvertedIndex:
         docs_dir = os.path.join(self.path, "docs", f"epoch={name}")
         live.write.mode("overwrite").partitionBy("bucket").parquet(post_dir)
         live_docs.select(
-            "doc_id", "_iepoch", "_del"
+            "doc_id", "_iepoch", "_del", "_dl"
         ).write.mode("overwrite").parquet(docs_dir)
         old_posts = self._dirs("postings")
         old_docs = self._dirs("docs", flag="no_docs")
@@ -412,3 +461,108 @@ class InvertedIndex:
         if not docs_ok:
             shutil.rmtree(docs_dir, ignore_errors=True)
         return stats
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (batch core + index lookup)
+# ---------------------------------------------------------------------------
+
+def bm25_search(
+    postings: DataFrame,
+    terms,
+    mode: str = "and",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 over a postings frame: (doc_id, n_terms, score).
+
+    idf = ln(1 + (N - df + .5)/(df + .5)) (the always-positive Lucene
+    form); length norm uses dl = doc token count and the corpus avgdl.
+    ``doclen`` (doc_id, _dl) may be supplied (the persistent index stores
+    it in its doc ledger); otherwise it is derived from the postings in
+    one hash agg. N/avgdl ride a 1-row broadcast — no driver collect, the
+    plan stays composable. Scores are ROUNDED (4 dp) and ranked on the
+    rounded value with a doc-id tie-break, so ranking is reproducible
+    cross-engine (the DuckDB twin applies the identical formula).
+    """
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    qs = _normalize_terms(terms)
+    if doclen is None:
+        doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("_dl"))
+    corpus = doclen.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_dl").cast("double").alias("_avgdl"),
+    )
+    hits = postings.where(F.col("term").isin(qs))
+    df_ = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("_df")
+    )
+    scored = (
+        hits.join(df_, "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf", F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.round(F.sum("_s"), 4).alias("score"),
+    )
+    if mode == "and":
+        agg = agg.where(F.col("n_terms") == len(qs))
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def sql_bm25_search(
+    postings_sql: str,
+    terms,
+    mode: str = "and",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (doclen derived from postings)."""
+    qs = _normalize_terms(terms)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qs)
+    having = f"HAVING count(DISTINCT term) = {len(qs)}" if mode == "and" else ""
+    return f"""
+WITH bm_posts AS (
+  SELECT * FROM ({postings_sql})
+), bm_dl AS (
+  SELECT doc_id, sum(tf) AS _dl FROM bm_posts GROUP BY doc_id
+), bm_corpus AS (
+  SELECT count(*)::DOUBLE AS _n, avg(_dl)::DOUBLE AS _avgdl FROM bm_dl
+), bm_hits AS (
+  SELECT * FROM bm_posts WHERE term IN ({in_list})
+), bm_df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS _df FROM bm_hits GROUP BY term
+), bm_scored AS (
+  SELECT h.doc_id, h.term,
+         ln(1.0 + (c._n - d._df + 0.5) / (d._df + 0.5))
+           * (h.tf * ({k1} + 1.0))
+           / (h.tf + {k1} * (1.0 - {b} + {b} * l._dl / c._avgdl)) AS _s
+  FROM bm_hits h
+  JOIN bm_df d USING (term)
+  JOIN bm_dl l USING (doc_id)
+  CROSS JOIN bm_corpus c
+)
+SELECT doc_id, count(DISTINCT term) AS n_terms, round(sum(_s), 4) AS score
+FROM bm_scored
+GROUP BY doc_id
+{having}
+ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""

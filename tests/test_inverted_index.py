@@ -123,3 +123,78 @@ def test_empty_batch_epoch_is_recorded(spark, tmp_path):
     assert idx.update(_df(spark, DOCS_V0), epoch=0) is None  # still committed
     assert idx.update(_df(spark, DOCS_V0), epoch=1) == 1
     assert idx.lookup(["spark"]).count() == 1
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'zebra' appears in 1 doc, 'the' in all 4 with equal tf: the zebra doc
+    # must outrank docs matched only via the common term in OR mode.
+    rows = [
+        (1, "the cat sat"),
+        (2, "the dog ran"),
+        (3, "the zebra grazed"),
+        (4, "the bird flew"),
+    ]
+    from data_pipeline_spark.operators.inverted_index import bm25_search
+
+    posts = build_postings(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    hits = bm25_search(posts, ["the", "zebra"], mode="or", top_k=4).collect()
+    assert hits[0]["doc_id"] == 3 and hits[0]["n_terms"] == 2
+    assert all(r["score"] < hits[0]["score"] for r in hits[1:])
+
+
+def test_bm25_duckdb_twin_parity(spark):
+    import random
+
+    rng = random.Random(13)
+    vocab = ["merge", "table", "scan", "row", "key", "batch", "window", "agg"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(70)
+    ]
+    from data_pipeline_spark.operators.inverted_index import (
+        bm25_search,
+        sql_bm25_search,
+    )
+
+    posts = build_postings(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    psql = sql_build_postings("SELECT doc_id, text FROM docs", "doc_id", "text")
+    for mode in ("and", "or"):
+        got = [
+            tuple(r)
+            for r in bm25_search(
+                posts, ["merge", "table"], mode=mode, top_k=15
+            ).collect()
+        ]
+        want = con.sql(
+            sql_bm25_search(psql, ["merge", "table"], mode=mode, top_k=15)
+        ).fetchall()
+        assert got == want, mode
+
+
+def test_index_bm25_matches_batch_over_latest(spark, tmp_path):
+    from data_pipeline_spark.operators.inverted_index import bm25_search
+
+    idx = InvertedIndex.create(spark, str(tmp_path / "bmidx"), n_buckets=4)
+    idx.update(_df(spark, DOCS_V0), epoch=0)
+    v1 = [(1, "spark spark table"), (5, "merge scan table")]
+    idx.update(_df(spark, v1), epoch=1)
+    latest = [(1, v1[0][1]), (2, DOCS_V0[1][1]), (3, DOCS_V0[2][1]),
+              (4, DOCS_V0[3][1]), (5, v1[1][1])]
+    posts = build_postings(_df(spark, latest), "doc_id", "text")
+    for terms, mode in ([["table", "merge"], "and"], [["spark", "scan"], "or"]):
+        got = [tuple(r) for r in idx.lookup_bm25(terms, mode=mode).collect()]
+        want = [tuple(r) for r in bm25_search(posts, terms, mode=mode).collect()]
+        assert got == want, (terms, mode)
+    # tombstone shifts N/avgdl and removes the doc — still equal to batch
+    idx.remove([4], epoch=2)
+    del latest[3]
+    posts = build_postings(_df(spark, latest), "doc_id", "text")
+    got = [tuple(r) for r in idx.lookup_bm25(["table", "merge"]).collect()]
+    want = [tuple(r) for r in bm25_search(posts, ["table", "merge"]).collect()]
+    assert got == want
