@@ -320,7 +320,14 @@ class InvertedIndex:
                 [],
                 f"doc_id {self._id_type}, _iepoch int, _del boolean, _dl long",
             )
-        df = self.spark.read.parquet(*dirs)
+        # ONE multi-path read (basePath keeps mixed epoch dir names legal),
+        # not a per-epoch union — listing cost stays one job however many
+        # epochs accumulated between compactions.
+        df = (
+            self.spark.read.option("basePath", os.path.join(self.path, "docs"))
+            .parquet(*dirs)
+            .select("doc_id", "_iepoch", "_del", "_dl")
+        )
         return df.groupBy("doc_id").agg(
             F.max("_iepoch").alias("_iepoch"),
             F.max_by("_del", "_iepoch").alias("_del"),
@@ -339,27 +346,28 @@ class InvertedIndex:
             buckets = sorted(
                 {spark_xxhash64(t) % self.meta["n_buckets"] for t in qs}
             )
-        parts = []
+        paths = []
         for d in self._dirs("postings"):
             if buckets is None:
-                paths = [d]
+                paths.append(d)
             else:
-                paths = [
-                    os.path.join(d, f"bucket={b}")
+                paths.extend(
+                    p
                     for b in buckets
-                    if os.path.isdir(os.path.join(d, f"bucket={b}"))
-                ]
-                if not paths:
-                    continue
-            p = self.spark.read.option("basePath", d).parquet(*paths).select(
-                "term", "doc_id", "tf", "_iepoch"
-            )
-            parts.append(p)
-        if not parts:
+                    if os.path.isdir(p := os.path.join(d, f"bucket={b}"))
+                )
+        if not paths:
             return self.spark.createDataFrame([], empty)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        # ONE multi-path read across every epoch's pruned bucket leaves
+        # (basePath at the postings root keeps partition discovery legal
+        # for numeric and compact-* epoch dir names alike).
+        out = (
+            self.spark.read.option(
+                "basePath", os.path.join(self.path, "postings")
+            )
+            .parquet(*paths)
+            .select("term", "doc_id", "tf", "_iepoch")
+        )
         if qs is not None:
             out = out.where(F.col("term").isin(qs))
         return out
