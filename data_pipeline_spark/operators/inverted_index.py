@@ -220,9 +220,14 @@ class InvertedIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         epoch: int | None = None,
+        deletes: DataFrame | None = None,
     ) -> int | None:
         """Index a batch (exactly-once per ``epoch``): tokenize ONLY the
         batch, append bucket-partitioned postings + the doc-ledger rows.
+        ``deletes`` (a frame carrying ``id_col``) tombstones those docs in
+        the SAME epoch commit — the change-feed shape, where one
+        micro-batch carries upserts and deletes together; a doc appearing
+        on both sides is a delete (the tombstone wins within an epoch).
         Returns the committed epoch, or None if the epoch was a no-op."""
         if epoch is not None and epoch in self.committed_epochs():
             return None
@@ -233,6 +238,12 @@ class InvertedIndex:
             F.col(id_col).cast(self._id_type).alias("doc_id"),
             F.col(text_col).alias("text"),
         )
+        del_ids = None
+        if deletes is not None:
+            del_ids = deletes.select(
+                F.col(id_col).cast(self._id_type).alias("doc_id")
+            ).distinct()
+            base = base.join(del_ids, "doc_id", "left_anti")
         batch_posts = build_postings(base, "doc_id", "text")
         postings = batch_posts.select(
             "term",
@@ -259,6 +270,15 @@ class InvertedIndex:
                 F.coalesce(F.col("_dl"), F.lit(0)).cast("long").alias("_dl"),
             )
         )
+        if del_ids is not None:
+            ledger = ledger.unionByName(
+                del_ids.select(
+                    "doc_id",
+                    F.lit(eid).alias("_iepoch"),
+                    F.lit(True).alias("_del"),
+                    F.lit(0).cast("long").alias("_dl"),
+                )
+            )
         docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
         ledger.write.mode("overwrite").parquet(docs_dir)
         entry: dict = {"epoch": eid}

@@ -161,19 +161,55 @@ class StreamingSearchIndexer:
         index,
         id_col: str = "url",
         text_col: str = "text",
+        op_col: str | None = None,
+        delete_value: str = "delete",
+        order_cols: list[str] | None = None,
         epoch_base: int = STREAM_EPOCH_BASE,
     ):
         self.index = index
         self.id_col = id_col
         self.text_col = text_col
+        self.op_col = op_col
+        self.delete_value = delete_value
+        self.order_cols = order_cols
         self.epoch_base = epoch_base
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.order_cols:
+            # One micro-batch may carry several commits — several versions
+            # of the same url. LWW-fold to the batch's winner per key (one
+            # max_by hash agg, the engine's staging idiom) before indexing;
+            # without the fold, postings would blend old and new text.
+            payload = [self.text_col] + ([self.op_col] if self.op_col else [])
+            batch_df = (
+                batch_df.groupBy(self.id_col)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload), F.struct(*self.order_cols)
+                    ).alias("_w")
+                )
+                .select(self.id_col, "_w.*")
+            )
+        deletes = None
+        if self.op_col is not None:
+            # Change-feed shape (e.g. spark.readStream.format
+            # ("icelite_changes")): deletes ride the same micro-batch and
+            # tombstone in the SAME index epoch — the search index follows
+            # the lake table exactly-once, deletes included.
+            deletes = batch_df.where(
+                F.col(self.op_col) == self.delete_value
+            ).select(self.id_col)
+            batch_df = batch_df.where(
+                F.col(self.op_col) != self.delete_value
+            )
         self.index.update(
             batch_df,
             id_col=self.id_col,
             text_col=self.text_col,
             epoch=self.epoch_base + int(batch_id),
+            deletes=deletes,
         )
 
     def attach(self, stream_docs: DataFrame, checkpoint_dir: str):

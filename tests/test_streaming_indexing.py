@@ -237,3 +237,83 @@ def test_stream_search_indexing_update_semantics_and_restart(spark, tmp_path):
     q2.awaitTermination()
     reloaded = InvertedIndex.load(spark, str(tmp_path / "search_idx"))
     assert set(reloaded.committed_epochs()) == epochs_before
+
+
+def test_search_index_follows_lake_change_feed(spark, tmp_path):
+    """The full CDC loop: lake merges -> icelite_changes stream ->
+    StreamingSearchIndexer (op_col routes deletes) -> lookups equal a
+    batch search over the table's CURRENT rows, deletes included."""
+    from data_pipeline_spark.lake.cdf_stream import register_changes_source
+    from data_pipeline_spark.lake.table import LakeTable
+    from data_pipeline_spark.operators.inverted_index import (
+        InvertedIndex,
+        build_postings,
+        search_postings,
+    )
+    from data_pipeline_spark.streaming.indexing import StreamingSearchIndexer
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "lt"),
+        spark.createDataFrame([], "url string, text string").schema,
+        key_col="url",
+        n_buckets=2,
+    )
+
+    def stage(rows):
+        return spark.createDataFrame(
+            [
+                (u, x, "delete" if x is None else "upsert", lsn)
+                for u, x, lsn in rows
+            ],
+            "url string, text string, op string, lsn long",
+        )
+
+    t.merge(stage([("u1", "alpha beta", 1), ("u2", "beta gamma", 2)]),
+            epoch=0, mode="mor", ts_col="lsn")
+    t.merge(stage([("u1", "delta epsilon", 10), ("u3", "beta beta", 11)]),
+            epoch=1, mode="mor", ts_col="lsn")
+    t.merge(stage([("u2", None, 20)]), epoch=2, mode="mor", ts_col="lsn")
+
+    idx = InvertedIndex.create(
+        spark, str(tmp_path / "cdf_idx"), n_buckets=4, id_type="string"
+    )
+    indexer = StreamingSearchIndexer(idx, id_col="url", text_col="text",
+                                     op_col="op", order_cols=["lsn"])
+    register_changes_source(spark)
+    q = (
+        spark.readStream.format("icelite_changes")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(indexer.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "cdfcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    current = t.read().select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    posts = build_postings(current, "doc_id", "text")
+    for terms in (["beta"], ["alpha"], ["delta", "epsilon"]):
+        got = [tuple(r) for r in idx.lookup(terms).collect()]
+        want = [tuple(r) for r in search_postings(posts, terms).collect()]
+        assert got == want, terms
+    # u2 was deleted; u1's old terms superseded
+    assert all(r[0] != "u2" for r in idx.lookup(["beta"], mode="or").collect())
+    assert idx.lookup(["alpha"]).count() == 0
+
+    # restart: no re-commits
+    eb = set(idx.committed_epochs())
+    q2 = (
+        spark.readStream.format("icelite_changes")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(indexer.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "cdfcp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert set(idx.committed_epochs()) == eb
