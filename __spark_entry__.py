@@ -32,6 +32,8 @@ from data_pipeline_spark.operators import textprep as TP
 from data_pipeline_spark.functions.extract import extract_products_udf, extract_text_udf
 from data_pipeline_spark.operators import components as CC
 from data_pipeline_spark.operators import decontaminate as DX
+from data_pipeline_spark.operators import importance as IW
+from data_pipeline_spark.operators import semdedup as SD
 from data_pipeline_spark.operators import similarity as SIM
 from data_pipeline_spark.operators import textdedup as TD
 from data_pipeline_spark.operators.dedup import lww_dedup, lww_dedup_window
@@ -2838,6 +2840,42 @@ _SQL_ANN_PQ = _sql_pq_topk(
 )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster-then-dedup. Fixed seeded
+    centroids partition the corpus; near-dup pairs are found only WITHIN a
+    cluster (equi-join on cluster_id — Σc², never n²) and each duplicate
+    relation keeps the copy FARTHEST from its centroid. Per-vector verdict
+    rows; the oracle twin embeds the same centroid literals."""
+    return SD.semdedup(
+        _emb_with_copies(spark, sf_dir), "embedding", "vec_id",
+        n_clusters=8, seed=42, threshold=0.99, dim=64,
+    )
+
+
+_SQL_DEDUP_SEMANTIC = SD.sql_semdedup(
+    _SQL_EMB_COPIES, "embedding", "vec_id",
+    n_clusters=8, seed=42, threshold=0.99, dim=64,
+)
+
+
+def q_doc_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (arXiv:2302.03169) over the documents
+    corpus with lang='en' as the target domain: per-doc log importance
+    weight under smoothed target/raw unigram LMs, ranked most-target-like
+    first. One explode, keyed aggs, three broadcast scalars — the
+    vocabulary never leaves the cluster."""
+    return IW.importance_weights(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("lang") == "en",
+    )
+
+
+_SQL_DOC_IMPORTANCE = IW.sql_importance_weights(
+    "SELECT doc_id, text, lang FROM documents",
+    "doc_id", "text", "lang = 'en'",
+)
+
+
 def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25: persistent IVF index grown over two ingest epochs — the frozen
     fixed quantizer makes adds append-only, so the incremental index must
@@ -3075,6 +3113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # now lead, followed by queries new this round; long-stable contracts with
     # green CORRECTNESS_r02 rows rotate to the tail.
     return {
+        # --- newest (no driver row yet) ---
+        "dedup_semantic": q_dedup_semantic,
+        "doc_importance_sample": q_doc_importance,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3268,4 +3309,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_incremental": _SQL_ANN_IVF,
         "media_features": _SQL_MEDIA_FEATURES,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "dedup_semantic": _SQL_DEDUP_SEMANTIC,
+        "doc_importance_sample": _SQL_DOC_IMPORTANCE,
     }

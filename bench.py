@@ -70,6 +70,9 @@ HEADLINE = [
     "html_metadata",
     "host_reputation",
     "doc_search",
+    # Round-3d training-data selection additions
+    "dedup_semantic",
+    "doc_importance_sample",
 ]
 
 
