@@ -1863,6 +1863,45 @@ _URL_SYNTH_SPARK = (
 _URL_SYNTH_DUCK = _URL_SYNTH_SPARK.replace("AS string", "AS VARCHAR")
 
 
+_URL_MESSY_SPARK = (
+    "concat('https://', "
+    "CASE WHEN doc_id % 11 = 0 THEN 'ads.spam-mall.com' "
+    "     WHEN doc_id % 11 = 1 THEN '192.168.3.7' "
+    "     ELSE concat('www.site', CAST(doc_id % 7 AS string), '.com') END, "
+    "'/page/', CAST(doc_id AS string), "
+    "CASE WHEN doc_id % 11 = 3 THEN '/free-casino-bonus' "
+    "     WHEN doc_id % 11 = 4 THEN concat('/', repeat('a', 2600)) "
+    "     WHEN doc_id % 11 = 5 THEN concat('/', CAST(doc_id * 1000003 AS string), '/9917') "
+    "     ELSE '' END)"
+)
+_URL_MESSY_DUCK = _URL_MESSY_SPARK.replace("AS string", "AS VARCHAR")
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/RefinedWeb URL gate (functions/weburl.py::url_verdict) over
+    synthesized urls planting every rule class: UT1-style blocked domain,
+    raw-IP host, banned word, over-length, digit-heavy path. One CASE of
+    native regexes — the filter runs inside the ingest scan at 10^10 urls."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_MESSY_SPARK).alias("url")
+    )
+    blocked = ("spam-mall.com",)
+    return d.select(
+        "doc_id",
+        WU.url_verdict("url", blocked_domains=blocked).alias("verdict"),
+        WU.url_allowed("url", blocked_domains=blocked).alias("allowed"),
+    )
+
+
+_SQL_URL_FILTER = f"""
+WITH urlf AS (SELECT doc_id, {_URL_MESSY_DUCK} AS url FROM documents)
+SELECT doc_id,
+       {WU.sql_url_verdict('url', blocked_domains=('spam-mall.com',))} AS verdict,
+       ({WU.sql_url_verdict('url', blocked_domains=('spam-mall.com',))}) = 'ok' AS allowed
+FROM urlf
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical url + host + registered domain over synthesized messy
     URLs — the key-collapse step for a url-keyed lake table."""
@@ -3116,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest (no driver row yet) ---
         "dedup_semantic": q_dedup_semantic,
         "doc_importance_sample": q_doc_importance,
+        "url_filter": q_url_filter,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3311,4 +3351,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _SQL_FRAME_SAMPLE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "doc_importance_sample": _SQL_DOC_IMPORTANCE,
+        "url_filter": _SQL_URL_FILTER,
     }

@@ -73,6 +73,7 @@ HEADLINE = [
     # Round-3d training-data selection additions
     "dedup_semantic",
     "doc_importance_sample",
+    "url_filter",
 ]
 
 

@@ -80,6 +80,19 @@ PII_PATTERNS = (
 )
 
 
+# URL-level curation filter (FineWeb: Penedo et al. 2024, arXiv:2406.17557;
+# RefinedWeb: Penedo et al. 2023, arXiv:2306.01116 — both gate documents on
+# the URL itself before fetching/processing the body, against the UT1
+# blocklist + banned-word + structural heuristics). The default word list
+# here is a deliberately small stand-in; production passes the real UT1
+# categories via ``blocked_domains``/``banned_words``.
+IP_HOST_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+BANNED_URL_WORDS = ("casino", "porn", "xxx", "viagra", "escort")
+URL_MAX_LEN = 2048
+URL_MAX_DIGIT_FRAC = 0.5
+DIGIT_STRIP_RE = r"[^0-9]"
+
+
 # ---------------------------------------------------------------------------
 # Dialect expression builders (expression strings; Spark wraps in F.expr)
 # ---------------------------------------------------------------------------
@@ -210,6 +223,54 @@ def _count(col: str, regex: str, duck: bool) -> str:
     return f"CAST(regexp_count({col}, {_sq(regex)}) AS BIGINT)"
 
 
+def _matches(col: str, regex: str, duck: bool) -> str:
+    if duck:
+        return f"regexp_matches({col}, {_dq(regex)})"
+    return f"regexp_like({col}, {_sq(regex)})"
+
+
+def _reg_domain(col: str, duck: bool) -> str:
+    h = _host(col, duck)
+    d = _rex(h, DOMAIN_RE, 1, duck)
+    return f"CASE WHEN {d} = '' THEN {h} ELSE {d} END"
+
+
+def _url_verdict(
+    col: str,
+    blocked_domains: tuple[str, ...],
+    banned_words: tuple[str, ...],
+    max_len: int,
+    max_digit_frac: float,
+    duck: bool,
+) -> str:
+    """First-matching-rule verdict, priority order fixed so both engines
+    agree: blocked_domain > ip_host > banned_word > too_long >
+    digit_heavy > ok. Single CASE of regexp/length exprs — scan-speed,
+    zero joins, zero Python; at 10^10 urls this runs inside the ingest
+    scan's codegen stage."""
+    branches = []
+    if blocked_domains:
+        doms = ", ".join("'" + d.replace("'", "''") + "'" for d in blocked_domains)
+        branches.append(
+            f"WHEN {_reg_domain(col, duck)} IN ({doms}) THEN 'blocked_domain'"
+        )
+    branches.append(
+        f"WHEN {_matches(_host(col, duck), IP_HOST_RE, duck)} THEN 'ip_host'"
+    )
+    if banned_words:
+        words = "|".join(banned_words)  # plain words; no metachars to escape
+        branches.append(
+            f"WHEN {_matches(f'lower({col})', words, duck)} THEN 'banned_word'"
+        )
+    path = _path(col, duck)
+    digit_frac = (
+        f"(length({_rrep(path, DIGIT_STRIP_RE, '', duck)}) * 1.0 / length({path}))"
+    )
+    branches.append(f"WHEN length({col}) > {max_len} THEN 'too_long'")
+    branches.append(f"WHEN {digit_frac} > {max_digit_frac} THEN 'digit_heavy'")
+    return "CASE " + " ".join(branches) + " ELSE 'ok' END"
+
+
 # ---------------------------------------------------------------------------
 # Public Spark API (column-name in, Column out)
 # ---------------------------------------------------------------------------
@@ -236,6 +297,35 @@ def surt_key(col: str) -> Column:
     """SURT sort key of an http(s) URL (see ``_surt``); non-http(s) inputs
     pass through trimmed, mirroring ``canonical_url``."""
     return F.expr(_surt(col, duck=False))
+
+
+def url_verdict(
+    col: str,
+    blocked_domains: tuple[str, ...] = (),
+    banned_words: tuple[str, ...] = BANNED_URL_WORDS,
+    max_len: int = URL_MAX_LEN,
+    max_digit_frac: float = URL_MAX_DIGIT_FRAC,
+) -> Column:
+    """FineWeb/RefinedWeb-style URL filter verdict (see ``_url_verdict``):
+    'blocked_domain' | 'ip_host' | 'banned_word' | 'too_long' |
+    'digit_heavy' | 'ok', first matching rule wins."""
+    return F.expr(
+        _url_verdict(col, tuple(blocked_domains), tuple(banned_words),
+                     max_len, max_digit_frac, duck=False)
+    )
+
+
+def url_allowed(
+    col: str,
+    blocked_domains: tuple[str, ...] = (),
+    banned_words: tuple[str, ...] = BANNED_URL_WORDS,
+    max_len: int = URL_MAX_LEN,
+    max_digit_frac: float = URL_MAX_DIGIT_FRAC,
+) -> Column:
+    """Boolean keep/drop form of :func:`url_verdict`."""
+    return url_verdict(
+        col, blocked_domains, banned_words, max_len, max_digit_frac
+    ) == "ok"
 
 
 def mask_pii(col: str) -> Column:
@@ -271,6 +361,17 @@ def sql_registered_domain(col: str) -> str:
 
 def sql_surt_key(col: str) -> str:
     return _surt(col, duck=True)
+
+
+def sql_url_verdict(
+    col: str,
+    blocked_domains: tuple[str, ...] = (),
+    banned_words: tuple[str, ...] = BANNED_URL_WORDS,
+    max_len: int = URL_MAX_LEN,
+    max_digit_frac: float = URL_MAX_DIGIT_FRAC,
+) -> str:
+    return _url_verdict(col, tuple(blocked_domains), tuple(banned_words),
+                        max_len, max_digit_frac, duck=True)
 
 
 def sql_mask_pii(col: str) -> str:

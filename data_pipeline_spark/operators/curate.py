@@ -54,6 +54,12 @@ class CurateConfig:
     lsn_col: str | None = "lsn"  # None → ties broken by ts alone
     text_col: str = "text"
     lang_col: str = "lang"
+    # URL-level gate (FineWeb/RefinedWeb: filter on the url BEFORE any
+    # text processing): None disables; () enables with the built-in
+    # banned-word heuristics only; a non-empty tuple additionally blocks
+    # those registered domains (UT1-style list). Row-local, rides the
+    # stage-1 scan.
+    url_blocked_domains: tuple[str, ...] | None = None
     # corpus-wide line dedup (C4 order: boilerplate lines removed BEFORE
     # the quality gate judges the text)
     line_dedup: bool = False
@@ -103,6 +109,13 @@ class CurateConfig:
     # makes its band key quadratic in the probe join; 50 representatives
     # per bucket is far more than dedup verdicts need.
     dedup_index_max_bucket: int | None = 50
+    # DSIR importance selection (Xie et al. 2023): keep the dsir_top
+    # documents most like the target domain, where the target sample is
+    # the survivors matching this SQL predicate (e.g. "lang = 'en'").
+    # Runs LAST among content stages — the importance LM should be fit on
+    # curated text, not on junk earlier stages remove. Both set or neither.
+    dsir_target: str | None = None
+    dsir_top: int | None = None
 
 
 def curate(
@@ -124,6 +137,14 @@ def curate(
     # 1. re-key on the canonical url (row-local)
     carried = [c for c in df.columns if c != u]
     base = df.select(WU.canonical_url(u).alias(u), *carried)
+
+    # 1.5 URL gate (optional, row-local — rides the same scan): FineWeb
+    # applies its URL filter before touching the body; a page on a blocked
+    # or structurally-spammy url never costs a downstream shuffle.
+    if cfg.url_blocked_domains is not None:
+        base = base.where(
+            WU.url_allowed(u, blocked_domains=cfg.url_blocked_domains)
+        )
 
     # 2. LWW per canonical url — the CDC replay core's operator (max_by
     # partial agg), with the version count riding the same aggregation
@@ -273,6 +294,19 @@ def curate(
             n=cfg.decontaminate_ngram, min_hits=cfg.decontaminate_min_hits,
         ).localCheckpoint(eager=True)
         stats["after_decontaminate"] = deduped.count()
+
+    # 6.8 DSIR importance selection (optional): fit target/raw unigram LMs
+    # on the curated survivors, keep the dsir_top most-target-like docs.
+    # One explode + keyed aggs + a distributed partial top-k — see
+    # operators/importance.py for the scale shape.
+    if cfg.dsir_target is not None and cfg.dsir_top is not None:
+        from .importance import importance_weights, select_top
+
+        w = importance_weights(deduped, u, t, F.expr(cfg.dsir_target))
+        deduped = select_top(deduped, w, u, cfg.dsir_top).localCheckpoint(
+            eager=True
+        )
+        stats["after_dsir"] = deduped.count()
 
     # 7. deterministic per-language quota sample (pure filter)
     if cfg.sample_fractions is not None:

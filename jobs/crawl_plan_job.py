@@ -70,6 +70,13 @@ def main() -> None:
                          "(robots value when present, else "
                          "--default-delay-s); hosts run in parallel")
     ap.add_argument("--default-delay-s", type=float, default=1.0)
+    ap.add_argument("--url-filter", action="store_true",
+                    help="drop urls failing the FineWeb-style URL gate "
+                         "(banned words, raw-IP hosts, over-length, "
+                         "digit-heavy paths) before the budget cut")
+    ap.add_argument("--url-blocklist", default=None,
+                    help="newline-separated registered domains (UT1-style "
+                         "blocklist file); implies --url-filter")
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -131,6 +138,25 @@ def main() -> None:
         stats = stats.withColumn("host_rank", F.lit(None).cast("double"))
         stats = stats.withColumn("priority", F.col("due_score"))
 
+    n_url_filtered = 0
+    if args.url_filter or args.url_blocklist is not None:
+        from data_pipeline_spark.functions.weburl import url_allowed
+
+        blocked: tuple[str, ...] = ()
+        if args.url_blocklist is not None:
+            with open(args.url_blocklist) as fh:
+                blocked = tuple(
+                    line.strip() for line in fh
+                    if line.strip() and not line.startswith("#")
+                )
+        ufobs = Observation()
+        gated = stats.withColumn(
+            "_url_ok", url_allowed("url", blocked_domains=blocked)
+        ).observe(
+            ufobs, F.sum((~F.col("_url_ok")).cast("long")).alias("dropped")
+        )
+        stats = gated.where(F.col("_url_ok")).drop("_url_ok")
+
     n_disallowed = 0
     if args.robots_dir is not None:
         from data_pipeline_spark.sources.robots import check_allowed, parse_robots
@@ -170,8 +196,11 @@ def main() -> None:
     ).write.mode("overwrite").parquet(args.out)
     if args.robots_dir is not None:
         n_disallowed = int(robs.get["blocked"] or 0)
+    if args.url_filter or args.url_blocklist is not None:
+        n_url_filtered = int(ufobs.get["dropped"] or 0)
     print(json.dumps({
         "planned_urls": int(obs.get["n"]),
+        "url_filtered": n_url_filtered,
         "expected_missed_changes": round(float(obs.get["expected_missed_changes"] or 0.0), 3),
         "server_asserted": int(obs.get["asserted"] or 0),
         "robots_disallowed": n_disallowed,

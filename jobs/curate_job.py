@@ -69,6 +69,19 @@ def main() -> None:
                          "density boilerplate removal (X73) before any "
                          "curation stage — nav/footer chrome never reaches "
                          "the quality gates or the dedup signatures")
+    ap.add_argument("--url-gate", action="store_true",
+                    help="FineWeb-style URL filter before any text "
+                         "processing (banned words, IP hosts, over-length, "
+                         "digit-heavy paths)")
+    ap.add_argument("--url-blocklist", default=None, metavar="FILE",
+                    help="newline-separated registered domains to block "
+                         "(UT1-style list); implies --url-gate")
+    ap.add_argument("--dsir-target", default=None, metavar="SQL",
+                    help="DSIR selection: SQL predicate defining the "
+                         "target-domain sample (e.g. \"lang = 'en'\")")
+    ap.add_argument("--dsir-top", type=int, default=None, metavar="N",
+                    help="with --dsir-target: keep the N most target-like "
+                         "documents")
     ap.add_argument("--dedup-index-epoch", type=int, default=None,
                     help="exactly-once ledger id for the index commit")
     args = ap.parse_args()
@@ -87,6 +100,17 @@ def main() -> None:
         ap.error("--pack-shards must be >= 1")
     if args.dedup_index_epoch is not None and args.dedup_index is None:
         ap.error("--dedup-index-epoch requires --dedup-index")
+    if (args.dsir_target is None) != (args.dsir_top is None):
+        ap.error("--dsir-target and --dsir-top must be given together")
+    blocked_domains: tuple[str, ...] | None = None
+    if args.url_blocklist is not None:
+        with open(args.url_blocklist) as fh:
+            blocked_domains = tuple(
+                line.strip() for line in fh
+                if line.strip() and not line.startswith("#")
+            )
+    elif args.url_gate:
+        blocked_domains = ()
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -134,6 +158,9 @@ def main() -> None:
             tuple(float(x) for x in args.surprisal_band.split(","))
             if args.surprisal_band else None
         ),
+        url_blocked_domains=blocked_domains,
+        dsir_target=args.dsir_target,
+        dsir_top=args.dsir_top,
     )
     bench = spark.read.parquet(args.bench) if args.bench else None
     out, stats = curate(df, cfg, bench=bench)

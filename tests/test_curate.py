@@ -356,3 +356,49 @@ def test_span_dedup_stage(spark):
     assert ads in texts["https://a.com/1"]
     assert "buy now" not in texts["https://a.com/2"]
     assert "ws2x99" in texts["https://a.com/2"]  # own content intact
+
+
+def test_url_gate_stage(spark):
+    rows = [
+        ("https://ok.com/a", 100, 1, GOOD + " " + _uniq("g1"), "en"),
+        ("https://ads.bad-domain.com/x", 100, 2, GOOD + " " + _uniq("g2"), "en"),
+        ("https://ok.com/free-casino-win", 100, 3, GOOD + " " + _uniq("g3"), "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    cfg = CurateConfig(minhash=None,
+                       url_blocked_domains=("bad-domain.com",))
+    out, stats = curate(df, cfg)
+    urls = [r["url"] for r in out.collect()]
+    assert urls == ["https://ok.com/a"]
+    # gate rides the stage-1 scan: blocked rows never reach the LWW count
+    assert stats["input_rows"] == 1
+    # disabled (None) keeps all three
+    out2, _ = curate(df, CurateConfig(minhash=None))
+    assert out2.count() == 3
+
+
+def test_dsir_selection_stage(spark):
+    # target = lang 'tgt' docs speak planted vocabulary; generic docs don't
+    tgt_words = " targetish vocabulary tokens special corpus "
+    rows = []
+    for i in range(6):
+        rows.append((f"https://t.com/{i}", 100, i,
+                     GOOD + tgt_words * 3 + " " + _uniq(f"t{i}"), "tgt"))
+    for i in range(6):
+        rows.append((f"https://r.com/{i}", 100, 100 + i,
+                     GOOD + " " + _uniq(f"r{i}"), "raw"))
+    # one raw doc that LOOKS like the target
+    rows.append(("https://r.com/lookalike", 100, 999,
+                 GOOD + tgt_words * 3 + " " + _uniq("rl"), "raw"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    cfg = CurateConfig(minhash=None, dsir_target="lang = 'tgt'", dsir_top=7)
+    out, stats = curate(df, cfg)
+    kept = {r["url"] for r in out.collect()}
+    assert stats["after_dsir"] == 7 == len(kept)
+    # the 6 target docs plus the target-like raw doc win the selection
+    assert "https://r.com/lookalike" in kept
+    assert all(f"https://t.com/{i}" in kept for i in range(6))

@@ -719,6 +719,20 @@ def test_spark_submit_crawl_loop_plan(submit_env, tmp_path, spark):
     assert plan[0]["change_period_s"] is not None
     assert plan[0]["host_rank"] is not None
 
+    # same plan under the URL gate: a UT1-style blocklist file banning
+    # h1.com drops that host's urls BEFORE the budget cut
+    bl = work / "blocklist.txt"
+    bl.write_text("# adult/spam domains\nh1.com\n")
+    gated_meta = submit("crawl_plan_job.py", [
+        "--cdx-dir", str(work / "loop_cdx"),
+        "--out", str(work / "plan_gated"),
+        "--budget", "10",
+        "--url-blocklist", str(bl),
+    ])
+    assert gated_meta["url_filtered"] == 3  # p1, p3, p5 live on h1.com
+    gated = spark.read.parquet(str(work / "plan_gated")).collect()
+    assert gated and all("h1.com" not in r["url"] for r in gated)
+
 
 def test_spark_submit_crawl_tail_job(submit_env, tmp_path, spark):
     """Live crawl tail via real spark-submit + zip: the registered warc

@@ -164,3 +164,56 @@ def test_surt_native(udf_):
         W.surt_key("url")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+FILTER_URLS = [
+    (0, "https://ads.spam-mall.com/landing"),          # blocked domain (eTLD+1 match)
+    (1, "https://192.168.3.7/cgi/admin"),              # raw-IP host
+    (2, "https://news.example.com/free-CASINO-bonus"), # banned word, any case
+    (3, "https://example.com/" + "a" * 3000),          # over-length
+    (4, "https://example.com/9912837465/118293/55"),   # digit-heavy path
+    (5, "https://example.com/articles/science-2024"),  # clean
+    (6, "https://spam-mall.com.evil.org/p"),           # blocklist must NOT match mid-host
+]
+BLOCKED = ("spam-mall.com",)
+
+
+def test_url_verdict_rules(spark):
+    df = spark.createDataFrame(FILTER_URLS, "id long, url string")
+    got = {r["id"]: (r["v"], r["a"]) for r in df.select(
+        "id",
+        W.url_verdict("url", blocked_domains=BLOCKED).alias("v"),
+        W.url_allowed("url", blocked_domains=BLOCKED).alias("a"),
+    ).collect()}
+    assert got[0] == ("blocked_domain", False)
+    assert got[1] == ("ip_host", False)
+    assert got[2] == ("banned_word", False)
+    assert got[3] == ("too_long", False)
+    assert got[4] == ("digit_heavy", False)
+    assert got[5] == ("ok", True)
+    # registered-domain matching, not substring: evil.org hosting a
+    # "spam-mall.com" subdomain label is not the blocked domain
+    assert got[6] == ("ok", True)
+
+
+def test_url_verdict_duckdb_twin(spark):
+    df = spark.createDataFrame(FILTER_URLS, "id long, url string")
+    got = {r["id"]: r["v"] for r in df.select(
+        "id", W.url_verdict("url", blocked_domains=BLOCKED).alias("v")
+    ).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE uf (id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO uf VALUES (?,?)", FILTER_URLS)
+    oracle = dict(con.execute(
+        f"SELECT id, {W.sql_url_verdict('url', blocked_domains=BLOCKED)} FROM uf"
+    ).fetchall())
+    assert got == oracle
+
+
+def test_url_verdict_native(spark):
+    df = spark.createDataFrame(FILTER_URLS, "id long, url string")
+    plan = df.select(
+        W.url_verdict("url", blocked_domains=BLOCKED)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # pure per-row CASE, no lookup table
