@@ -2091,6 +2091,92 @@ FROM pages
 """
 
 
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.substring("text", 1, 40), F.lit("</p>"),
+        F.lit('<a href="https://example.com/doc/'),
+        ((F.col("doc_id") * 7 + 1) % 100).cast("string"),
+        F.lit('">Doc  '), (F.col("doc_id") % 3).cast("string"),
+        F.lit("\n</a>"),
+        F.lit("<a href='https://mirror.example.org/d/"),
+        ((F.col("doc_id") * 13 + 2) % 100).cast("string"),
+        F.lit("'><b>the</b> mirror</a>"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit('<a href="https://img.example.net/i"><img src="x"/></a>'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (operators/webgraph.py): whole <a>
+    elements extracted natively, visible text tag-stripped + squeezed,
+    aggregated to each target url's top-2 anchors (n desc, anchor asc).
+    Planted variety: three 'doc N' variants per target, a markup-wrapped
+    'the mirror', and an image link whose empty text must NOT profile."""
+    from data_pipeline_spark.operators.webgraph import anchor_profile, extract_anchors
+
+    return anchor_profile(
+        extract_anchors(_anchor_pages(spark, sf_dir), "url", "html"), k=2
+    )
+
+
+def _sql_anchor_texts() -> str:
+    from data_pipeline_spark.functions.quality import _dq
+    from data_pipeline_spark.operators.webgraph import (
+        ANCHOR_RE,
+        HREF_RE,
+        TAG_STRIP_RE,
+        WS_SQUEEZE_RE,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><p>' || substr(text, 1, 40) || '</p>'
+         || '<a href="https://example.com/doc/'
+         || CAST((doc_id * 7 + 1) % 100 AS VARCHAR)
+         || '">Doc  ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || '</a>'
+         || '<a href=''https://mirror.example.org/d/'
+         || CAST((doc_id * 13 + 2) % 100 AS VARCHAR)
+         || '''><b>the</b> mirror</a>'
+         || CASE WHEN doc_id % 7 = 0
+                 THEN '<a href="https://img.example.net/i"><img src="x"/></a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+),
+raw_a AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, {_dq(ANCHOR_RE)}, 0)) AS a
+  FROM pages
+),
+anch AS (
+  SELECT src_url,
+         coalesce(regexp_extract(a, {_dq(HREF_RE)}, 1), '') AS href,
+         trim(regexp_replace(regexp_replace(a, {_dq(TAG_STRIP_RE)}, ' ', 'g'),
+                             {_dq(WS_SQUEEZE_RE)}, ' ', 'g')) AS anchor
+  FROM raw_a
+),
+counted AS (
+  SELECT href, lower(anchor) AS anchor, CAST(count(*) AS BIGINT) AS n
+  FROM anch WHERE href <> '' AND anchor <> ''
+  GROUP BY href, lower(anchor)
+)
+SELECT href, anchor, n,
+       CAST(row_number() OVER (PARTITION BY href ORDER BY n DESC, anchor ASC)
+            AS INTEGER) AS rank
+FROM counted
+QUALIFY rank <= 2
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): each document becomes a
     2-entry sitemap file (second entry lastmod-only — nulls must surface,
@@ -3156,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "doc_importance_sample": q_doc_importance,
         "url_filter": q_url_filter,
+        "anchor_texts": q_anchor_texts,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3352,4 +3439,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "doc_importance_sample": _SQL_DOC_IMPORTANCE,
         "url_filter": _SQL_URL_FILTER,
+        "anchor_texts": _sql_anchor_texts(),
     }

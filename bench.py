@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_semantic",
     "doc_importance_sample",
     "url_filter",
+    "anchor_texts",
 ]
 
 

@@ -170,3 +170,61 @@ def test_discover_frontier(spark):
     )
     got = sorted(r["url"] for r in discover_frontier(links, known).collect())
     assert got == ["https://a.com/new", "https://b.com/other"]
+
+
+ANCHOR_HTML = (
+    '<html><body>'
+    '<a href="https://t.com/a">Click   Here\n</a>'
+    "<a href='https://t.com/a'><b>click</b> here</a>"   # markup + case fold
+    '<a href="https://t.com/a">docs</a>'
+    '<a href="https://t.com/b"><img src="x"/></a>'       # image link: no text
+    '<a href="/rel">relative</a>'                        # relative: dropped
+    '<A HREF="https://t.com/c">LEGACY</A>'               # legacy casing
+    '</body></html>'
+)
+
+
+def test_extract_anchors_semantics(spark):
+    from data_pipeline_spark.operators.webgraph import extract_anchors
+
+    df = spark.createDataFrame([("u", ANCHOR_HTML)], "url string, html string")
+    rows = sorted(
+        (r["href"], r["anchor"]) for r in extract_anchors(df).collect()
+    )
+    assert rows == [
+        ("https://t.com/a", "Click Here"),   # squeezed + trimmed
+        ("https://t.com/a", "click here"),   # tags stripped
+        ("https://t.com/a", "docs"),
+        ("https://t.com/b", ""),             # image link kept, empty text
+        ("https://t.com/c", "LEGACY"),
+    ]
+
+
+def test_anchor_profile_topk(spark):
+    from data_pipeline_spark.operators.webgraph import (
+        anchor_profile,
+        extract_anchors,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", ANCHOR_HTML) for i in range(4)], "url string, html string"
+    )
+    prof = {
+        (r["href"], r["rank"]): (r["anchor"], r["n"])
+        for r in anchor_profile(extract_anchors(df), k=2).collect()
+    }
+    # case-folded 'click here' dominates (2 per page), 'docs' second
+    assert prof[("https://t.com/a", 1)] == ("click here", 8)
+    assert prof[("https://t.com/a", 2)] == ("docs", 4)
+    assert ("https://t.com/a", 3) not in prof  # k=2
+    # image link's empty anchor must not profile
+    assert not any(h == "https://t.com/b" for h, _ in prof)
+    assert prof[("https://t.com/c", 1)] == ("legacy", 4)
+
+
+def test_extract_anchors_native_plan(spark):
+    from data_pipeline_spark.operators.webgraph import extract_anchors
+
+    df = spark.createDataFrame([("u", ANCHOR_HTML)], "url string, html string")
+    plan = extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
