@@ -2177,6 +2177,47 @@ QUALIFY rank <= 2
 """
 
 
+_RANK_PAGES_SPARK = """
+SELECT concat('https://site', CAST(doc_id % 5 AS string), '.com/p',
+              CAST(doc_id AS string)) AS url,
+       concat('<html><body>',
+              '<a href="https://site', CAST((doc_id * 7 + 1) % 5 AS string),
+              '.com/x">a</a>',
+              '<a href="https://site', CAST((doc_id * 13 + 2) % 5 AS string),
+              '.com/y">b</a>',
+              CASE WHEN doc_id % 3 = 0
+                   THEN '<a href="https://hub.example.com/">hub</a>'
+                   ELSE '' END,
+              '</body></html>') AS html
+FROM {src}
+"""
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host PageRank end-to-end (operators/webgraph.py): link
+    regex → host-graph collapse → 4 power-iteration rounds with exact
+    dangling-mass redistribution (hub.example.com has no out-links and
+    leaks rank every round). The oracle UNROLLS the same iteration in
+    SQL with the same float op order — the whole iterative operator is
+    value-hash-checked, not just row counts."""
+    from data_pipeline_spark.operators.webgraph import host_rank
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__rank_docs")
+    pages = spark.sql(_RANK_PAGES_SPARK.format(src="__rank_docs"))
+    return host_rank(pages, iterations=4).select(
+        "host", F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_host_rank_contract() -> str:
+    from data_pipeline_spark.operators.webgraph import sql_host_rank
+
+    pages_sql = _RANK_PAGES_SPARK.format(src="documents").replace(
+        "AS string", "AS VARCHAR"
+    )
+    return sql_host_rank(pages_sql, iterations=4, damping=0.85)
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): each document becomes a
     2-entry sitemap file (second entry lastmod-only — nulls must surface,
@@ -3243,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_importance_sample": q_doc_importance,
         "url_filter": q_url_filter,
         "anchor_texts": q_anchor_texts,
+        "host_rank": q_host_rank,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3440,4 +3482,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_importance_sample": _SQL_DOC_IMPORTANCE,
         "url_filter": _SQL_URL_FILTER,
         "anchor_texts": _sql_anchor_texts(),
+        "host_rank": _sql_host_rank_contract(),
     }

@@ -75,6 +75,7 @@ HEADLINE = [
     "doc_importance_sample",
     "url_filter",
     "anchor_texts",
+    "host_rank",
 ]
 
 

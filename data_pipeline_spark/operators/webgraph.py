@@ -221,6 +221,77 @@ def host_rank(
     ).withColumnRenamed("node", "host")
 
 
+def sql_host_rank(
+    pages_sql: str, iterations: int = 4, damping: float = 0.85
+) -> str:
+    """DuckDB oracle twin of :func:`host_rank` with the power iteration
+    UNROLLED (one CTE pair per round — iterations are a compile-time
+    constant, so no recursive-CTE single-reference gymnastics). Every
+    float op mirrors the Spark expression order — share division, contrib
+    sum, ``(1-d)/n + d*(1-sent)/n + d*contrib`` — so after ``round(.,6)``
+    the driver's value hash checks true cross-engine parity of the full
+    pipeline: link regex → host collapse → weighted PageRank with exact
+    dangling-mass redistribution.
+
+    ``pages_sql`` must yield (url, html)."""
+    from ..functions.quality import _dq
+    from ..functions.weburl import sql_url_host
+
+    d = repr(float(damping))
+    ctes = [
+        f"pages AS ({pages_sql})",
+        (
+            "links AS (\n"
+            "  SELECT url AS src_url,\n"
+            f"         unnest(regexp_extract_all(html, {_dq(HREF_RE)}, 1)) AS href\n"
+            "  FROM pages\n)"
+        ),
+        (
+            "hg AS (\n"
+            "  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (\n"
+            f"    SELECT {sql_url_host('src_url')} AS src,\n"
+            f"           {sql_url_host('href')} AS dst\n"
+            "    FROM links\n"
+            "  ) WHERE src <> dst AND dst <> '' GROUP BY src, dst\n)"
+        ),
+        (
+            "nodes AS (\n"
+            "  SELECT src AS node FROM hg UNION SELECT dst FROM hg\n)"
+        ),
+        "nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        (
+            "share AS (\n"
+            "  SELECT hg.src, hg.dst, hg.w / ow.out_w AS share\n"
+            "  FROM hg JOIN (SELECT src, sum(w) AS out_w FROM hg GROUP BY src) ow\n"
+            "  USING (src)\n)"
+        ),
+        "r0 AS (SELECT node, 1.0 / ns.n AS rank FROM nodes CROSS JOIN nstat ns)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (\n"
+            f"  SELECT sh.dst, sum({p}.rank * sh.share) AS contrib\n"
+            f"  FROM {p} JOIN share sh ON {p}.node = sh.src GROUP BY sh.dst\n)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT coalesce(sum(contrib), 0.0) AS sent FROM c{i})"
+        )
+        ctes.append(
+            f"r{i} AS (\n"
+            f"  SELECT n2.node,\n"
+            f"         ((1.0 - {d}) / ns.n + ({d} * (1.0 - s.sent)) / ns.n)\n"
+            f"           + {d} * coalesce(c.contrib, 0.0) AS rank\n"
+            f"  FROM nodes n2 CROSS JOIN nstat ns CROSS JOIN s{i} s\n"
+            f"  LEFT JOIN c{i} c ON n2.node = c.dst\n)"
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node AS host, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
 #: rel=canonical link tag, both attribute orders, case-insensitive; same
 #: pattern text under Java regex and RE2 (no lookarounds), per the repo
 #: dual-dialect policy.

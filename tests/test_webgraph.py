@@ -228,3 +228,32 @@ def test_extract_anchors_native_plan(spark):
     df = spark.createDataFrame([("u", ANCHOR_HTML)], "url string, html string")
     plan = extract_anchors(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sql_host_rank_twin_parity(spark):
+    import duckdb
+
+    from data_pipeline_spark.operators.webgraph import host_rank, sql_host_rank
+
+    pages = [
+        ("https://a.com/1", '<a href="https://b.com/x">b</a><a href="https://c.com/y">c</a>'),
+        ("https://a.com/2", '<a href="https://b.com/x">b</a>'),
+        ("https://b.com/1", '<a href="https://a.com/z">a</a>'),
+        ("https://c.com/1", '<a href="https://sink.com/">s</a>'),
+        # sink.com never links out: dangling-mass path exercised
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    import pyspark.sql.functions as F
+    got = {
+        r["host"]: r["rank"]
+        for r in host_rank(df, iterations=5)
+        .select("host", F.round("rank", 6).alias("rank")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (url VARCHAR, html VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?,?)", pages)
+    oracle = dict(con.execute(
+        sql_host_rank("SELECT url, html FROM p", iterations=5)
+    ).fetchall())
+    assert got == oracle
+    assert abs(sum(got.values()) - 1.0) < 1e-4  # still a distribution
