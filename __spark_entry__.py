@@ -2218,6 +2218,102 @@ def _sql_host_rank_contract() -> str:
     return sql_host_rank(pages_sql, iterations=4, damping=0.85)
 
 
+def q_template_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-level fingerprints (operators/webgraph.py): SimHash over
+    each page's TAG stream — two planted layouts must collapse to two
+    signature groups however different the visible text. Composition of
+    the tag_stream narrow map and the existing simhash hash-agg."""
+    from data_pipeline_spark.operators.webgraph import template_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grid = F.concat(
+        F.lit("<html><body><div class=g><ul><li><span>"),
+        F.substring("text", 1, 30),
+        F.lit("</span></li><li><em>x</em></li></ul></div></body></html>"),
+    )
+    article = F.concat(
+        F.lit("<html><body><article><h1>t</h1><p>"),
+        F.substring("text", 1, 30),
+        F.lit("</p><p>more</p></article></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, grid).otherwise(article).alias("html"),
+    )
+    return template_fingerprint(pages, "url", "html")
+
+
+def _sql_template_simhash() -> str:
+    from data_pipeline_spark.operators.textdedup import sql_simhash
+    from data_pipeline_spark.operators.webgraph import sql_tag_stream
+
+    pages = """
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 2 = 0
+              THEN '<html><body><div class=g><ul><li><span>'
+                   || substr(text, 1, 30)
+                   || '</span></li><li><em>x</em></li></ul></div></body></html>'
+              ELSE '<html><body><article><h1>t</h1><p>'
+                   || substr(text, 1, 30)
+                   || '</p><p>more</p></article></body></html>' END AS html
+  FROM documents
+"""
+    staged = (
+        f"(SELECT url, {sql_tag_stream('html')} AS _tags FROM ({pages}))"
+    )
+    inner = sql_simhash(staged, "_tags", "url")
+    return f"SELECT doc AS url, simhash FROM ({inner})"
+
+
+def q_frontier_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier expansion with a seen-filter (operators/webgraph.py):
+    outlink targets canonicalized and anti-joined against the captured
+    url set — the discovery feed for the crawl planner. Known set =
+    the even-numbered target urls, so exactly the odd targets surface."""
+    from data_pipeline_spark.operators.webgraph import (
+        discover_frontier,
+        extract_links,
+    )
+
+    links = extract_links(_anchor_pages(spark, sf_dir), "url", "html")
+    known = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select(
+            F.concat(F.lit("https://example.com/doc/"),
+                     ((F.col("doc_id") * 7 + 1) % 100).cast("string")).alias("url")
+        )
+    )
+    return discover_frontier(links, known)
+
+
+def _sql_frontier_discover() -> str:
+    from data_pipeline_spark.functions.quality import _dq
+    from data_pipeline_spark.functions.weburl import sql_canonical_url
+    from data_pipeline_spark.operators.webgraph import HREF_RE
+
+    anchor_pages_sql = _sql_anchor_texts().split("raw_a AS")[0].strip()
+    # reuse the anchor contract's page synthesis (the WITH pages AS (...) part)
+    return f"""
+{anchor_pages_sql}
+links AS (
+  SELECT unnest(regexp_extract_all(html, {_dq(HREF_RE)}, 1)) AS href
+  FROM pages
+),
+targets AS (
+  SELECT DISTINCT {sql_canonical_url('href')} AS url FROM links
+  WHERE regexp_matches({sql_canonical_url('href')}, '^https?://')
+),
+known AS (
+  SELECT DISTINCT {sql_canonical_url("'https://example.com/doc/' || CAST((doc_id * 7 + 1) % 100 AS VARCHAR)")} AS url
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT t.url FROM targets t LEFT JOIN known k ON t.url = k.url
+WHERE k.url IS NULL
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): each document becomes a
     2-entry sitemap file (second entry lastmod-only — nulls must surface,
@@ -3285,6 +3381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "anchor_texts": q_anchor_texts,
         "host_rank": q_host_rank,
+        "template_simhash": q_template_simhash,
+        "frontier_discover": q_frontier_discover,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3483,4 +3581,6 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _SQL_URL_FILTER,
         "anchor_texts": _sql_anchor_texts(),
         "host_rank": _sql_host_rank_contract(),
+        "template_simhash": _sql_template_simhash(),
+        "frontier_discover": _sql_frontier_discover(),
     }

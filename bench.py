@@ -76,6 +76,8 @@ HEADLINE = [
     "url_filter",
     "anchor_texts",
     "host_rank",
+    "template_simhash",
+    "frontier_discover",
 ]
 
 

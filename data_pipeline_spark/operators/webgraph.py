@@ -332,6 +332,54 @@ def canonical_collapse(
     )
 
 
+#: opening/closing tag NAMES (no attributes): the page's layout skeleton.
+TAG_STREAM_RE = r"(?i)</?([a-zA-Z][a-zA-Z0-9]*)"
+
+
+def tag_stream(html) -> "Column":
+    """The page's tag-name sequence as one space-joined lowercase string —
+    its LAYOUT stripped of content. Near-identical tag streams = same
+    template; one regexp_extract_all + array_join, scan-speed."""
+    c = html if not isinstance(html, str) else F.col(html)
+    return F.array_join(
+        F.transform(
+            F.regexp_extract_all(c.cast("string"), F.lit(TAG_STREAM_RE), 1),
+            lambda t: F.lower(t),
+        ),
+        " ",
+    )
+
+
+def sql_tag_stream(html_col: str) -> str:
+    from ..functions.quality import _dq
+
+    return (
+        f"array_to_string(list_transform(regexp_extract_all("
+        f"{html_col}, {_dq(TAG_STREAM_RE)}, 1), t -> lower(t)), ' ')"
+    )
+
+
+def template_fingerprint(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, simhash) template fingerprints: SimHash over the TAG stream
+    instead of the text — pages generated by the same template (listing
+    grids, forum shells, tag-page spam) collapse to near-identical
+    signatures however different their visible words are. Template-level
+    dedup is the standard crawl-corpus complement to content dedup
+    (boilerplate detection literature, e.g. Gibson et al., "The volume
+    and evolution of web page templates", WWW 2005). Pure composition:
+    tag_stream (narrow map) → textdedup.simhash (one hash agg);
+    ``textdedup.simhash_pairs``-style hamming banding applies unchanged
+    downstream when grouping by near-equality rather than exact match."""
+    from .textdedup import simhash
+
+    staged = pages.select(
+        F.col(url_col).alias("url"), tag_stream(F.col(html_col)).alias("_tags")
+    )
+    return simhash(staged, "_tags", "url").withColumnRenamed("doc", "url")
+
+
 def discover_frontier(links: DataFrame, known_urls: DataFrame) -> DataFrame:
     """Frontier expansion with a seen-filter: outlink targets we have
     never captured, deduplicated and canonicalized — the discovery feed

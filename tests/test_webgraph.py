@@ -257,3 +257,44 @@ def test_sql_host_rank_twin_parity(spark):
     ).fetchall())
     assert got == oracle
     assert abs(sum(got.values()) - 1.0) < 1e-4  # still a distribution
+
+
+def test_template_fingerprint_groups_by_layout(spark):
+    from data_pipeline_spark.operators.webgraph import template_fingerprint
+
+    def grid(words):
+        return (f"<html><body><div><ul><li><span>{words}</span></li>"
+                "<li><em>x</em></li></ul></div></body></html>")
+
+    def article(words):
+        return (f"<html><body><article><h1>t</h1><p>{words}</p>"
+                "<p>more</p></article></body></html>")
+
+    pages = [
+        ("g1", grid("entirely different visible words here")),
+        ("g2", grid("nothing shared with the other grid page")),
+        ("a1", article("prose content one")),
+        ("a2", article("second article body text")),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    sig = {r["url"]: r["simhash"] for r in template_fingerprint(df).collect()}
+    # same layout -> identical signature regardless of content;
+    # different layout -> different signature
+    assert sig["g1"] == sig["g2"]
+    assert sig["a1"] == sig["a2"]
+    assert sig["g1"] != sig["a1"]
+
+
+def test_discover_frontier_seen_filter(spark):
+    from data_pipeline_spark.operators.webgraph import discover_frontier
+
+    links = spark.createDataFrame(
+        [("s", "https://new.com/a?utm_source=x"),   # canonicalizes to /a
+         ("s", "https://new.com/a"),                # same after canon -> one row
+         ("s", "https://seen.com/b/"),              # known (canonical match)
+         ("s", "ftp://odd.org/c")],                 # non-http: dropped
+        "src_url string, href string",
+    )
+    known = spark.createDataFrame([("https://seen.com/b",)], "url string")
+    got = sorted(r["url"] for r in discover_frontier(links, known).collect())
+    assert got == ["https://new.com/a"]
