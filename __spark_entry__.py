@@ -2314,6 +2314,87 @@ WHERE k.url IS NULL
 """
 
 
+_ROBOTS_FIXTURE: list[tuple[str, list[str]]] = [
+    # every host: a star group with prefix rules + crawl-delay
+    *[(f"site{k}.com",
+       ["User-agent: *", f"Disallow: /private", "Allow: /private/ok",
+        f"Crawl-delay: {k + 1}", "# trailing comment"])
+      for k in range(5)],
+]
+# site0 ALSO names our agent: per RFC the star group then does NOT apply
+# on site0 — /private becomes legal there, /mybot-no does not.
+_ROBOTS_FIXTURE[0] = ("site0.com", _ROBOTS_FIXTURE[0][1] + [
+    "", "User-agent: mybot", "Disallow: /mybot-no", "Allow: /private",
+])
+# site1 adds a wildcard + end-anchor rule (regex compilation path)
+_ROBOTS_FIXTURE[1] = ("site1.com", _ROBOTS_FIXTURE[1][1] + ["Disallow: /*.pdf$"])
+
+_URL_PATHS_SPARK = (
+    "CASE CAST(doc_id % 6 AS int) "
+    "WHEN 0 THEN concat('/pub/p', CAST(doc_id AS string)) "
+    "WHEN 1 THEN concat('/private/p', CAST(doc_id AS string)) "
+    "WHEN 2 THEN concat('/private/ok/p', CAST(doc_id AS string)) "
+    "WHEN 3 THEN concat('/doc', CAST(doc_id AS string), '.pdf') "
+    "WHEN 4 THEN concat('/mybot-no/', CAST(doc_id AS string)) "
+    "ELSE '/' END"
+)
+
+
+def q_robots_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl legality end-to-end (sources/robots.py): RFC 9309 group
+    assignment (windows over the line stream), agent-specific group
+    override on site0, wildcard/end-anchor rule compilation on site1,
+    longest-match allow-wins verdicts + crawl-delay. The oracle re-runs
+    the ENTIRE parse+check pipeline in SQL (sql_check_allowed)."""
+    from data_pipeline_spark.sources.robots import check_allowed, parse_robots
+
+    robots = spark.createDataFrame(
+        [(h, "\n".join(lines)) for h, lines in _ROBOTS_FIXTURE],
+        "host string, robots_txt string",
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('https://site', CAST(doc_id % 5 AS string), '.com', "
+            + _URL_PATHS_SPARK + ")"
+        ).alias("url"),
+    )
+    return check_allowed(urls, parse_robots(robots, agent="mybot"))
+
+
+def _sql_robots_check() -> str:
+    from data_pipeline_spark.sources.robots import sql_check_allowed
+
+    def duck_txt(lines: list[str]) -> str:
+        return " || chr(10) || ".join(
+            "'" + line.replace("'", "''") + "'" if line else "''"
+            for line in lines
+        )
+
+    values = ", ".join(
+        f"('{h}', {duck_txt(lines)})" for h, lines in _ROBOTS_FIXTURE
+    )
+    robots_sql = f"SELECT * FROM (VALUES {values}) AS rb(host, robots_txt)"
+    urls_sql = (
+        "SELECT doc_id, 'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.com' || "
+        + _URL_PATHS_SPARK.replace("AS string", "AS VARCHAR")
+          .replace("concat('/pub/p', CAST(doc_id AS VARCHAR))",
+                   "'/pub/p' || CAST(doc_id AS VARCHAR)")
+          .replace("concat('/private/p', CAST(doc_id AS VARCHAR))",
+                   "'/private/p' || CAST(doc_id AS VARCHAR)")
+          .replace("concat('/private/ok/p', CAST(doc_id AS VARCHAR))",
+                   "'/private/ok/p' || CAST(doc_id AS VARCHAR)")
+          .replace("concat('/doc', CAST(doc_id AS VARCHAR), '.pdf')",
+                   "'/doc' || CAST(doc_id AS VARCHAR) || '.pdf'")
+          .replace("concat('/mybot-no/', CAST(doc_id AS VARCHAR))",
+                   "'/mybot-no/' || CAST(doc_id AS VARCHAR)")
+        + " AS url FROM documents"
+    )
+    return sql_check_allowed(
+        urls_sql, robots_sql, agent="mybot", url_cols=("doc_id", "url")
+    )
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): each document becomes a
     2-entry sitemap file (second entry lastmod-only — nulls must surface,
@@ -3383,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": q_host_rank,
         "template_simhash": q_template_simhash,
         "frontier_discover": q_frontier_discover,
+        "robots_check": q_robots_check,
         # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3583,4 +3665,5 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _sql_host_rank_contract(),
         "template_simhash": _sql_template_simhash(),
         "frontier_discover": _sql_frontier_discover(),
+        "robots_check": _sql_robots_check(),
     }

@@ -78,6 +78,7 @@ HEADLINE = [
     "host_rank",
     "template_simhash",
     "frontier_discover",
+    "robots_check",
 ]
 
 

@@ -226,3 +226,152 @@ def check_allowed(
         F.when(F.col("__any").isNotNull(), F.col("__best.p")).alias("matched_rule"),
         "crawl_delay",
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin
+# ---------------------------------------------------------------------------
+
+#: metacharacter class shared by rule_regex_expr and the twin below.
+_ESCAPE_CLASS = r"([.^$+?(){}\[\]\\|])"
+
+
+def sql_check_allowed(
+    urls_sql: str,
+    robots_sql: str,
+    agent: str = "*",
+    url_col: str = "url",
+    url_cols: tuple[str, ...] = ("url",),
+) -> str:
+    """DuckDB twin of ``check_allowed(urls, parse_robots(robots, agent))``
+    — the ENTIRE legality pipeline (line split, comment strip, UA group
+    assignment via the same lag/cumsum windows, RFC group selection, rule
+    compilation to anchored regexes, longest-match max_by with
+    allow-wins-ties) expressed once more in SQL so the driver value-hash
+    checks it cross-engine. ``urls_sql`` yields ``url_cols`` (must
+    include ``url_col``); ``robots_sql`` yields (host, robots_txt)."""
+    from ..functions.quality import _dq
+    from ..functions.weburl import sql_url_host
+
+    me = agent.lower().replace("'", "''")
+    if agent == "*":
+        has_me = "FALSE"
+    else:
+        has_me = (
+            f"len(list_filter(uas, u -> u <> '*' AND strpos('{me}', u) > 0)) > 0"
+        )
+    ucols = ", ".join(url_cols)
+    field = lambda name: (  # noqa: E731 — local SQL snippet builder
+        f"CASE WHEN regexp_matches(line, '(?i)^{name}\\s*:') "
+        f"THEN trim(coalesce(regexp_extract(line, '(?i)^{name}\\s*:\\s*(.*)$', 1), '')) END"
+    )
+    return f"""
+WITH rb_lines0 AS (
+  SELECT host,
+         unnest(list_transform(range(1, len(ls) + 1),
+                i -> {{'pos': i,
+                       'line': trim(regexp_replace(ls[i], '#.*$', '', 'g'))}})) AS s
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM ({robots_sql}))
+),
+rb_cls AS (
+  SELECT host, pos,
+         {field('user-agent')} AS ua,
+         {field('allow')} AS allow_path,
+         {field('disallow')} AS disallow_path,
+         {field('crawl-delay')} AS delay
+  FROM (SELECT host, s.pos AS pos, s.line AS line
+        FROM rb_lines0 WHERE s.line <> '')
+),
+rb_grp AS (
+  SELECT *, sum(CASE WHEN starts THEN 1 ELSE 0 END)
+              OVER (PARTITION BY host ORDER BY pos) AS grp
+  FROM (
+    SELECT *, (ua IS NOT NULL AND NOT coalesce(
+                 lag(ua IS NOT NULL) OVER (PARTITION BY host ORDER BY pos),
+                 FALSE)) AS starts
+    FROM rb_cls
+  )
+),
+rb_body0 AS (SELECT * FROM rb_grp WHERE grp > 0),
+rb_agents AS (
+  SELECT host, grp, list(DISTINCT lower(ua)) AS uas
+  FROM rb_body0 WHERE ua IS NOT NULL GROUP BY host, grp
+),
+rb_ag2 AS (
+  SELECT host, grp, list_contains(uas, '*') AS has_star, ({has_me}) AS has_me
+  FROM rb_agents
+),
+rb_hhm AS (
+  SELECT host, max(CASE WHEN has_me THEN 1 ELSE 0 END) AS host_has_me
+  FROM rb_ag2 GROUP BY host
+),
+rb_chosen AS (
+  SELECT a.host, a.grp
+  FROM rb_ag2 a JOIN rb_hhm h USING (host)
+  WHERE CASE WHEN h.host_has_me = 1 THEN a.has_me ELSE a.has_star END
+),
+rb_body AS (
+  SELECT b.* FROM rb_body0 b JOIN rb_chosen c USING (host, grp)
+),
+rb_delay AS (
+  SELECT host, min(TRY_CAST(delay AS DOUBLE)) AS crawl_delay
+  FROM rb_body WHERE delay IS NOT NULL GROUP BY host
+),
+rb_rules0 AS (
+  SELECT DISTINCT host,
+         CASE WHEN allow_path IS NOT NULL THEN 'allow'
+              WHEN disallow_path IS NOT NULL THEN 'disallow' END AS rule,
+         coalesce(allow_path, disallow_path) AS path
+  FROM rb_body
+  WHERE (allow_path IS NOT NULL OR disallow_path IS NOT NULL)
+    AND coalesce(allow_path, disallow_path) <> ''
+),
+rb_rules AS (
+  SELECT coalesce(r.host, d.host) AS host, r.rule, r.path,
+         CAST(length(r.path) AS INT) AS rule_len, d.crawl_delay
+  FROM rb_rules0 r FULL JOIN rb_delay d ON r.host = d.host
+),
+rb_r AS (
+  SELECT host AS __host, rule, path AS rule_path, rule_len, crawl_delay,
+         CASE WHEN path IS NOT NULL THEN
+           '^' || regexp_replace(regexp_replace(
+                    CASE WHEN path LIKE '%$'
+                         THEN substr(path, 1, length(path) - 1)
+                         ELSE path END,
+                    {_dq(_ESCAPE_CLASS)}, '\\\\\\1', 'g'),
+                  '\\*', '.*', 'g')
+               || CASE WHEN path LIKE '%$' THEN '$' ELSE '' END
+         END AS __re
+  FROM rb_rules
+),
+rb_u AS (
+  SELECT u0.*, {sql_url_host(url_col)} AS __host,
+         coalesce(nullif(coalesce(regexp_extract({url_col},
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1), ''), ''), '/')
+           AS __path
+  FROM ({urls_sql}) u0
+),
+rb_joined AS (
+  SELECT u.*, r.rule, r.rule_path, r.rule_len, r.crawl_delay,
+         CASE WHEN r.__re IS NOT NULL
+              THEN regexp_matches(u.__path, r.__re) ELSE FALSE END AS __matched
+  FROM rb_u u LEFT JOIN rb_r r USING (__host)
+),
+rb_best AS (
+  SELECT {ucols},
+         arg_max({{'rule': rule, 'p': rule_path}},
+                 CASE WHEN __matched THEN
+                   CAST(rule_len AS BIGINT) * 2
+                     + CASE WHEN rule = 'allow' THEN 1 ELSE 0 END END)
+           AS __best,
+         max(CASE WHEN __matched THEN rule_len END) AS __any,
+         min(crawl_delay) AS crawl_delay
+  FROM rb_joined GROUP BY {ucols}
+)
+SELECT {ucols},
+       CASE WHEN __any IS NULL THEN TRUE
+            ELSE __best.rule = 'allow' END AS allowed,
+       CASE WHEN __any IS NOT NULL THEN __best.p END AS matched_rule,
+       crawl_delay
+FROM rb_best
+"""

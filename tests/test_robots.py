@@ -209,3 +209,39 @@ def test_delay_only_group_keeps_crawl_delay(spark):
     assert got["https://d.com/x"]["allowed"] is True
     assert got["https://d.com/x"]["crawl_delay"] == 10.0
     assert got["https://e.com/y"]["crawl_delay"] == 7.0
+
+
+def test_sql_check_allowed_twin_parity(spark, robots_df):
+    """The DuckDB twin must reproduce the full parse+check pipeline on the
+    same fixture for BOTH agent modes (named agent and star-only)."""
+    import duckdb
+
+    from data_pipeline_spark.sources.robots import sql_check_allowed
+
+    url_rows = [
+        ("https://a.com/",), ("https://a.com/admin",),
+        ("https://a.com/admin/secret",), ("https://a.com/admin/public/page",),
+        ("https://a.com/tmp/x.bak",), ("https://a.com/tmp/x.bak.txt",),
+        ("https://a.com/private/doc",), ("https://a.com/private/ok.html",),
+        ("https://b.com/anything",), ("https://c.com/no-robots",),
+    ]
+    urls = spark.createDataFrame(url_rows, "url string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rb (host VARCHAR, robots_txt VARCHAR)")
+    con.executemany("INSERT INTO rb VALUES (?,?)",
+                    [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)])
+    con.execute("CREATE TABLE uu (url VARCHAR)")
+    con.executemany("INSERT INTO uu VALUES (?)", url_rows)
+    for agent in ("GoodBot", "*", "UnknownBot"):
+        got = sorted(
+            tuple(r) for r in check_allowed(
+                urls, parse_robots(robots_df, agent=agent)
+            ).collect()
+        )
+        oracle = sorted(
+            tuple(r) for r in con.execute(sql_check_allowed(
+                "SELECT url FROM uu", "SELECT host, robots_txt FROM rb",
+                agent=agent,
+            )).fetchall()
+        )
+        assert got == oracle, agent
