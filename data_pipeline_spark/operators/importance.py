@@ -42,7 +42,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .textprep import _doc_term_freq, _sql_doc_term_freq
+from ..functions.textstats import sql_tokens, tokens
 
 
 def importance_weights(
@@ -67,19 +67,23 @@ def importance_weights(
     sort — a 10^10-row scale-killer); selection runs as distributed
     partial top-k in :func:`select_top` instead.
     """
-    tf = _doc_term_freq(df, id_col, text_col)
-    target_ids = df.where(target_pred).select(id_col)
-    # Term count vectors for both distributions off the ONE tf relation:
-    # raw = everything, target = semi-joined subset, outer-joined so raw
-    # vocabulary terms missing from the target keep cf_t = 0.
-    cf_raw = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf_r"))
-    cf_tgt = (
-        tf.join(target_ids, id_col, "semi")
-        .groupBy("term")
-        .agg(F.sum("tf").cast("long").alias("cf_t"))
+    # ONE explode pass: the target flag rides each token row, so BOTH
+    # count vectors come out of a single term-keyed aggregation — no
+    # second corpus scan, no target-id semi-join (an earlier draft
+    # semi-joined tf against the target ids, which re-derived the explode;
+    # at 10^10 docs that is a second full pass over the corpus).
+    terms = df.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    cf = cf_raw.join(cf_tgt, "term", "left").withColumn(
-        "cf_t", F.coalesce("cf_t", F.lit(0).cast("long"))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.max("_tgt").alias("_tgt"),  # constant per doc; max = that constant
+    )
+    cf = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf_r"),
+        F.sum(F.col("tf") * F.col("_tgt")).cast("long").alias("cf_t"),
     )
     totals = cf.select(
         F.sum("cf_r").cast("double").alias("_tr"),
@@ -135,21 +139,20 @@ def sql_importance_weights(
     same BIGINT count vectors, same smoothing arithmetic, same rounded
     ranking keys."""
     return f"""
-WITH {_sql_doc_term_freq(input_sql, id_col, text_col).strip()},
-iw_tgt_ids AS (
-  SELECT {id_col} FROM ({input_sql}) WHERE {target_pred_sql}
+WITH iw_terms AS (
+  SELECT {id_col},
+         CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS _tgt,
+         unnest({sql_tokens(f'lower({text_col})')}) AS term
+  FROM ({input_sql})
 ),
-iw_cf_r AS (
-  SELECT term, CAST(sum(tf) AS BIGINT) AS cf_r FROM dtf_tf GROUP BY term
-),
-iw_cf_t AS (
-  SELECT t.term, CAST(sum(t.tf) AS BIGINT) AS cf_t
-  FROM dtf_tf t JOIN iw_tgt_ids USING ({id_col})
-  GROUP BY t.term
+iw_tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf, max(_tgt) AS _tgt
+  FROM iw_terms GROUP BY {id_col}, term
 ),
 iw_cf AS (
-  SELECT r.term, r.cf_r, CAST(coalesce(ct.cf_t, 0) AS BIGINT) AS cf_t
-  FROM iw_cf_r r LEFT JOIN iw_cf_t ct USING (term)
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf_r,
+         CAST(sum(tf * _tgt) AS BIGINT) AS cf_t
+  FROM iw_tf GROUP BY term
 ),
 iw_totals AS (
   SELECT CAST(sum(cf_r) AS DOUBLE) AS tr,
@@ -167,7 +170,7 @@ iw_scored AS (
   SELECT t.{id_col},
          CAST(sum(t.tf) AS BIGINT) AS n_tokens,
          round(sum(t.tf * r.log_ratio), 6) AS log_weight
-  FROM dtf_tf t JOIN iw_ratio r USING (term)
+  FROM iw_tf t JOIN iw_ratio r USING (term)
   GROUP BY t.{id_col}
 )
 SELECT {id_col}, n_tokens, log_weight FROM iw_scored
