@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .textdedup import _signature_from_shingles, hot_shingles, shingles
 
+from .epochutil import next_auto_epoch
+
 _META = "meta.json"
 
 
@@ -383,7 +385,7 @@ class MinHashDedupIndex:
 
     def _commit_sigs(self, sigs: DataFrame, epoch: int | None) -> int:
         eid = epoch if epoch is not None else (
-            max(self.committed_epochs(), default=-1) + 1
+            next_auto_epoch(self.committed_epochs())
         )
         # Size epoch files by ROW COUNT, not input partitioning: a small
         # batch written at full parallelism leaves ~32 near-empty files per

@@ -72,9 +72,13 @@ def importance_weights(
     # second corpus scan, no target-id semi-join (an earlier draft
     # semi-joined tf against the target ids, which re-derived the explode;
     # at 10^10 docs that is a second full pass over the corpus).
+    # coalesce: a NULL predicate result (e.g. lang IS NULL under
+    # "lang = 'en'") must count as non-target, exactly like the oracle's
+    # CASE ... ELSE 0 — a NULL _tgt would otherwise null cf_t for every
+    # term seen in such docs and silently drop those terms' log-ratios.
     terms = df.select(
         F.col(id_col),
-        target_pred.cast("int").alias("_tgt"),
+        F.coalesce(target_pred, F.lit(False)).cast("int").alias("_tgt"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(

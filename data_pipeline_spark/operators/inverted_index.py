@@ -53,6 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import textstats as TS
 from ..lake.xxhash import spark_xxhash64
 
+from .epochutil import next_auto_epoch
+
 _META = "meta.json"
 
 
@@ -232,7 +234,7 @@ class InvertedIndex:
         if epoch is not None and epoch in self.committed_epochs():
             return None
         eid = epoch if epoch is not None else (
-            max(self.committed_epochs(), default=-1) + 1
+            next_auto_epoch(self.committed_epochs())
         )
         base = docs.select(
             F.col(id_col).cast(self._id_type).alias("doc_id"),
@@ -244,7 +246,11 @@ class InvertedIndex:
                 F.col(id_col).cast(self._id_type).alias("doc_id")
             ).distinct()
             base = base.join(del_ids, "doc_id", "left_anti")
-        batch_posts = build_postings(base, "doc_id", "text")
+        # Persisted: the postings write and the ledger's doclen aggregate
+        # are two separate actions — without the persist the second one
+        # re-runs the whole tokenize/explode (and re-reads a streaming
+        # micro-batch source), doubling the dominant per-epoch cost.
+        batch_posts = build_postings(base, "doc_id", "text").persist()
         postings = batch_posts.select(
             "term",
             "doc_id",
@@ -281,6 +287,7 @@ class InvertedIndex:
             )
         docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
         ledger.write.mode("overwrite").parquet(docs_dir)
+        batch_posts.unpersist()
         entry: dict = {"epoch": eid}
         if not _has_parquet(post_dir):
             # Empty dynamic-partition write leaves only _SUCCESS — drop the
@@ -301,7 +308,7 @@ class InvertedIndex:
         if epoch is not None and epoch in self.committed_epochs():
             return None
         eid = epoch if epoch is not None else (
-            max(self.committed_epochs(), default=-1) + 1
+            next_auto_epoch(self.committed_epochs())
         )
         rows = [(d,) for d in doc_ids]
         ledger = self.spark.createDataFrame(
@@ -314,7 +321,14 @@ class InvertedIndex:
         )
         docs_dir = os.path.join(self.path, "docs", f"epoch={eid}")
         ledger.write.mode("overwrite").parquet(docs_dir)
-        self.meta["epochs"].append({"epoch": eid, "empty": True})
+        entry: dict = {"epoch": eid, "empty": True}
+        if not _has_parquet(docs_dir):
+            # An empty takedown batch writes only _SUCCESS — drop the
+            # schema-less dir (doc_ledger would fail to infer it) but keep
+            # the ledger entry so the epoch replays as a no-op.
+            shutil.rmtree(docs_dir, ignore_errors=True)
+            entry["no_docs"] = True
+        self.meta["epochs"].append(entry)
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return eid
 

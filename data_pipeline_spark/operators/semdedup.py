@@ -83,21 +83,28 @@ def semdedup(
         .withColumn(
             "c_sim", vec_dot("v", "centroid") / (F.col("_nv") * F.col("_ncent"))
         )
-        .select("id", "v", F.col("list_id").alias("cluster_id"), "c_sim")
+        .select(
+            "id", "v", "_nv", F.col("list_id").alias("cluster_id"), "c_sim"
+        )
     )
     # Within-cluster candidate pairs. Both legs share lineage — rename the
     # right side wholesale before the join (Spark's ambiguous-self-join
     # check trips on column refs otherwise).
+    # Norms are hoisted once per VECTOR (the _nv the scoring pass already
+    # computed rides along) — recomputing vec_norm per candidate PAIR
+    # would multiply the Σc² hot path by two extra O(dim) folds.
     left = scored.select(
         "cluster_id",
         F.col("id").alias("id_a"),
         F.col("v").alias("_va"),
+        F.col("_nv").alias("_na"),
         F.col("c_sim").alias("_csim_a"),
     )
     right = scored.select(
         F.col("cluster_id").alias("_b_cluster_id"),
         F.col("id").alias("id_b"),
         F.col("v").alias("_vb"),
+        F.col("_nv").alias("_nb"),
         F.col("c_sim").alias("_csim_b"),
     )
     pairs = (
@@ -108,7 +115,7 @@ def semdedup(
         )
         .withColumn(
             "pair_sim",
-            vec_dot("_va", "_vb") / (vec_norm("_va") * vec_norm("_vb")),
+            vec_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")),
         )
         .where(F.col("pair_sim") >= F.lit(threshold))
     )

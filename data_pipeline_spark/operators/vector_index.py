@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .dedup_index import _atomic_write_json, _fresh_compact_name, _has_parquet
 from .similarity import assign_to_lists, fixed_centroids, ivf_topk
 
+from .epochutil import next_auto_epoch
+
 _META = "meta.json"
 
 
@@ -117,7 +119,7 @@ class IVFVectorIndex:
         )
         assigned = assign_to_lists(base, self.centroids())
         eid = epoch if epoch is not None else (
-            max(self.committed_epochs(), default=-1) + 1
+            next_auto_epoch(self.committed_epochs())
         )
         out_dir = os.path.join(self.path, "lists", f"epoch={eid}")
         assigned.write.mode("overwrite").partitionBy("list_id").parquet(out_dir)

@@ -35,10 +35,13 @@ from pyspark.sql import Column, DataFrame, Window
 
 def _lines(df: DataFrame, host_col: str, txt_col: str) -> DataFrame:
     """(host, pos, line) with comments stripped and blanks kept (blank
-    lines do NOT end groups in RFC 9309 — only a new UA line starts one)."""
+    lines do NOT end groups in RFC 9309 — only a new UA line starts one).
+    Splits on ``\\r?\\n``: robots.txt on the wire is CRLF more often than
+    not, and a trailing ``\\r`` left on the value would poison every
+    rule path (trim strips spaces only)."""
     return df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+        F.posexplode(F.split(F.col(txt_col), r"\r?\n")).alias("pos", "raw"),
     ).select(
         "host",
         "pos",
@@ -95,8 +98,13 @@ def parse_robots(
         "host",
         "grp",
         F.array_contains("uas", "*").alias("has_star"),
+        # u != "": an empty (malformed) User-agent value would otherwise
+        # substring-match EVERY agent and suppress the '*' group host-wide.
         (
-            F.exists("uas", lambda u: (me != "*") & me.contains(u) & (u != "*"))
+            F.exists(
+                "uas",
+                lambda u: (me != "*") & me.contains(u) & (u != "*") & (u != ""),
+            )
         ).alias("has_me"),
     )
     # RFC: if ANY group names our agent, star groups do not apply
@@ -113,8 +121,10 @@ def parse_robots(
     )
 
     body = grouped.join(chosen, ["host", "grp"])
+    # try_cast: a malformed delay ("10s", "1,5") must null out, not abort
+    # the whole crawl plan under Spark 4's default ANSI cast semantics.
     delay = body.where(F.col("delay").isNotNull()).groupBy("host").agg(
-        F.min(F.col("delay").cast("double")).alias("crawl_delay")
+        F.min(F.col("delay").try_cast("double")).alias("crawl_delay")
     )
     rules = body.select(
         "host",
@@ -179,6 +189,22 @@ def check_allowed(
     join + one max_by agg."""
     from data_pipeline_spark.functions.weburl import url_host
 
+    from data_pipeline_spark.functions.weburl import (
+        HOST_DOT_RE,
+        PORT_STRIP_RE,
+        WWW_RE,
+    )
+
+    def _norm_bare_host(c):
+        # The urls side goes through url_host (lowercase, port/www./trailing
+        # dot stripped); the rules side is a BARE hostname column and must be
+        # normalized the same way or 'WWW.Example.COM'-keyed robots silently
+        # match nothing and the legality gate allows everything.
+        h = F.lower(F.trim(c))
+        h = F.regexp_replace(h, PORT_STRIP_RE, "")
+        h = F.regexp_replace(h, HOST_DOT_RE, "")
+        return F.regexp_replace(h, WWW_RE, "")
+
     u = urls.withColumn("__host", url_host(url_col)).withColumn(
         "__path",
         F.coalesce(
@@ -187,7 +213,7 @@ def check_allowed(
         ),
     )
     r = rules.select(
-        F.col("host").alias("__host"),
+        _norm_bare_host(F.col("host")).alias("__host"),
         "rule",
         F.col("path").alias("rule_path"),
         "rule_len",
@@ -258,7 +284,8 @@ def sql_check_allowed(
         has_me = "FALSE"
     else:
         has_me = (
-            f"len(list_filter(uas, u -> u <> '*' AND strpos('{me}', u) > 0)) > 0"
+            f"len(list_filter(uas, u -> u <> '*' AND u <> '' "
+            f"AND strpos('{me}', u) > 0)) > 0"
         )
     ucols = ", ".join(url_cols)
     field = lambda name: (  # noqa: E731 — local SQL snippet builder
@@ -271,7 +298,7 @@ WITH rb_lines0 AS (
          unnest(list_transform(range(1, len(ls) + 1),
                 i -> {{'pos': i,
                        'line': trim(regexp_replace(ls[i], '#.*$', '', 'g'))}})) AS s
-  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM ({robots_sql}))
+  FROM (SELECT host, string_split_regex(robots_txt, '\r?\n') AS ls FROM ({robots_sql}))
 ),
 rb_cls AS (
   SELECT host, pos,
@@ -332,7 +359,9 @@ rb_rules AS (
   FROM rb_rules0 r FULL JOIN rb_delay d ON r.host = d.host
 ),
 rb_r AS (
-  SELECT host AS __host, rule, path AS rule_path, rule_len, crawl_delay,
+  SELECT regexp_replace(regexp_replace(regexp_replace(lower(trim(host)),
+           ':[0-9]+$', ''), '\.+$', ''), '^www\.', '') AS __host,
+         rule, path AS rule_path, rule_len, crawl_delay,
          CASE WHEN path IS NOT NULL THEN
            '^' || regexp_replace(regexp_replace(
                     CASE WHEN path LIKE '%$'

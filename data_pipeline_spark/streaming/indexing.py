@@ -198,12 +198,14 @@ class StreamingSearchIndexer:
             # ("icelite_changes")): deletes ride the same micro-batch and
             # tombstone in the SAME index epoch — the search index follows
             # the lake table exactly-once, deletes included.
-            deletes = batch_df.where(
-                F.col(self.op_col) == self.delete_value
-            ).select(self.id_col)
-            batch_df = batch_df.where(
-                F.col(self.op_col) != self.delete_value
+            # NULL op must mean upsert, not "matches neither side": a raw
+            # `op != delete` predicate is NULL for NULL op and the row
+            # silently vanishes from both legs.
+            is_delete = F.coalesce(
+                F.col(self.op_col) == self.delete_value, F.lit(False)
             )
+            deletes = batch_df.where(is_delete).select(self.id_col)
+            batch_df = batch_df.where(~is_delete)
         self.index.update(
             batch_df,
             id_col=self.id_col,

@@ -198,3 +198,45 @@ def test_index_bm25_matches_batch_over_latest(spark, tmp_path):
     got = [tuple(r) for r in idx.lookup_bm25(["table", "merge"]).collect()]
     want = [tuple(r) for r in bm25_search(posts, ["table", "merge"]).collect()]
     assert got == want
+
+
+def test_auto_epoch_stays_below_stream_space(spark, tmp_path):
+    """A stream feeding the index must not poison batch auto-epochs: after
+    a stream-space commit, epoch=None still allocates in the batch space,
+    and the stream's NEXT micro-batch id is not 'already committed'."""
+    from data_pipeline_spark.operators.epochutil import (
+        AUTO_EPOCH_CEILING,
+        next_auto_epoch,
+    )
+    from data_pipeline_spark.operators.inverted_index import InvertedIndex
+    from data_pipeline_spark.streaming.indexing import STREAM_EPOCH_BASE
+
+    assert AUTO_EPOCH_CEILING == STREAM_EPOCH_BASE
+    idx = InvertedIndex.create(spark, str(tmp_path / "ii"), n_buckets=4)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    assert idx.update(docs, "doc_id", "text", epoch=STREAM_EPOCH_BASE + 0) == STREAM_EPOCH_BASE
+    # batch auto-epoch: NOT stream_base + 1
+    eid = idx.update(
+        spark.createDataFrame([(3, "delta")], "doc_id long, text string"),
+        "doc_id", "text", epoch=None,
+    )
+    assert eid == 0
+    # the stream's next micro-batch is still fresh
+    assert (STREAM_EPOCH_BASE + 1) not in idx.committed_epochs()
+    assert next_auto_epoch(idx.committed_epochs()) == 1
+
+
+def test_remove_empty_batch_keeps_ledger_readable(spark, tmp_path):
+    from data_pipeline_spark.operators.inverted_index import InvertedIndex
+
+    idx = InvertedIndex.create(spark, str(tmp_path / "ii2"), n_buckets=4)
+    eid = idx.remove([], epoch=5)
+    assert eid == 5
+    assert idx.remove([], epoch=5) is None  # exactly-once replay no-op
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    idx.update(docs, "doc_id", "text", epoch=6)
+    # the empty takedown epoch must not break ledger reads or search
+    assert idx.doc_ledger().count() == 1
+    assert idx.lookup(["alpha"]).count() == 1

@@ -317,3 +317,25 @@ def test_search_index_follows_lake_change_feed(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert set(idx.committed_epochs()) == eb
+
+
+def test_null_op_rows_index_as_upserts(spark, tmp_path):
+    """A change row with op=NULL must be treated as an upsert, not silently
+    dropped from both the delete and upsert legs."""
+    from data_pipeline_spark.operators.inverted_index import InvertedIndex
+    from data_pipeline_spark.streaming.indexing import StreamingSearchIndexer
+
+    idx = InvertedIndex.create(spark, str(tmp_path / "nullop"), n_buckets=4,
+                               id_type="string")
+    indexer = StreamingSearchIndexer(idx, id_col="url", text_col="text",
+                                     op_col="op")
+    batch = spark.createDataFrame(
+        [("u1", "alpha beta", None), ("u2", "gone", "delete"),
+         ("u3", "gamma", "insert")],
+        "url string, text string, op string",
+    )
+    indexer.apply_batch(batch, 0)
+    hits = {r["doc_id"]
+            for r in idx.lookup(["alpha", "gamma", "gone"], mode="or").collect()}
+    assert "u1" in hits and "u3" in hits      # NULL op indexed
+    assert "u2" not in hits                   # delete tombstoned
