@@ -2027,12 +2027,12 @@ per_key AS (
 hw AS (SELECT max(last_ts) AS h FROM per_key)
 SELECT url, n_captures, n_changes,
   round((epoch_us(last_ts) - epoch_us(first_ts)) / 1e6, 6) AS span_s,
-  round(CASE WHEN n_changes > 0
+  round(CASE WHEN n_changes > 0 AND epoch_us(last_ts) > epoch_us(first_ts)
         THEN (epoch_us(last_ts) - epoch_us(first_ts)) / 1e6 / n_changes END,
         6) AS change_period_s,
   round((epoch_us(h) - epoch_us(last_ts)) / 1e6, 6) AS staleness_s,
   round(coalesce((epoch_us(h) - epoch_us(last_ts)) / 1e6
-        / (CASE WHEN n_changes > 0
+        / (CASE WHEN n_changes > 0 AND epoch_us(last_ts) > epoch_us(first_ts)
            THEN (epoch_us(last_ts) - epoch_us(first_ts)) / 1e6 / n_changes END),
         0.0), 6) AS due_score
 FROM per_key, hw

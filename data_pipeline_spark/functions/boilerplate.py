@@ -39,7 +39,11 @@ BLOCK_SPLIT_RE = (
     r"(?i)</?(?:p|div|article|section|main|aside|nav|footer|header|ul|ol|li"
     r"|h[1-6]|table|tr|td|th|blockquote|br|hr)[^>]*>"
 )
-ANCHOR_TEXT_RE = r"(?i)<a[^>]*>([\s\S]*?)</a>"
+# "<a" must be followed by whitespace or ">": without the boundary,
+# <abbr>/<address>/<area>/<audio> open a phantom anchor and everything
+# up to the next real </a> counts as link text, killing legitimate
+# main-content blocks (same fix as webgraph.ANCHOR_RE).
+ANCHOR_TEXT_RE = r"(?i)<a(?:\s[^>]*)?>([\s\S]*?)</a>"
 TAG_RE = r"<[^>]*>"
 WS_RE = r"\s+"
 COMMENT_RE = r"<!--[\s\S]*?-->"
@@ -108,11 +112,9 @@ def main_content(col) -> Column:
     """Block-density main content of an html string column (see module
     docstring). Returns '' when nothing survives — a page of pure chrome
     IS empty content, which the Gopher-style filters then reject."""
-    name = col if isinstance(col, str) else None
-    expr = _main_content(name if name else "__c", duck=False)
-    if name:
-        return F.expr(expr)
-    raise TypeError("main_content expects a column NAME (expression builder)")
+    if not isinstance(col, str):
+        raise TypeError("main_content expects a column NAME (expression builder)")
+    return F.expr(_main_content(col, duck=False))
 
 
 def content_ratio(col: str) -> Column:

@@ -71,7 +71,10 @@ def _squeeze(expr: str, duck: bool) -> str:
 
 
 def _first_nonempty(a: str, b: str) -> str:
-    return f"CASE WHEN {a} <> '' THEN {a} ELSE {b} END"
+    # nullif, not CASE WHEN a <> '' THEN a: the CASE form embeds the ``a``
+    # regexp_extract TWICE, and each evaluation scans the full html string
+    # — a duplicate whole-page regex pass per field at corpus scale.
+    return f"coalesce(nullif({a}, ''), {b})"
 
 
 def _title(col: str, duck: bool) -> str:

@@ -52,7 +52,11 @@ def host_reputation(
     df: DataFrame, host_col: str, text_col: str
 ) -> DataFrame:
     """Per-host reputation rollup (see module docstring for columns)."""
-    fp = TS.fingerprint(F.col(text_col)).alias("_fp")
+    # coalesce: a NULL text fingerprints to NULL, and NULL keys never
+    # equi-join -- those docs would silently vanish from the rollup (a
+    # host of all-failed extractions got NO verdict instead of 'review').
+    # Empty-string text groups together, which is the right dup semantics.
+    fp = TS.fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp")
     d = df.select(
         F.col(host_col).alias("host"),
         fp,
@@ -101,7 +105,7 @@ def sql_host_reputation(input_sql: str, host_col: str, text_col: str) -> str:
     return f"""
 WITH hr_docs AS (
   SELECT {host_col} AS host,
-         {TS.sql_fingerprint(text_col)} AS _fp,
+         {TS.sql_fingerprint(f'coalesce({text_col}, %r)' % '')} AS _fp,
          {TS.sql_quality_score(text_col)} AS _q,
          {TS.sql_lang_id(text_col)} AS _lang
   FROM ({input_sql})

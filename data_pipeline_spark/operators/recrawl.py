@@ -73,8 +73,13 @@ def recrawl_stats(
     )
     hw = per_key.agg(F.max("last_ts").alias("__hw"))
     span = F.unix_micros(F.col("last_ts")) - F.unix_micros(F.col("first_ts"))
+    # span > 0: captures landing within one timestamp tick (WARC dates are
+    # second-resolution) with differing digests would otherwise yield
+    # period 0 -> due_score NULL->0 FOREVER, and apply_default_period skips
+    # non-null periods -- the page becomes permanently unschedulable. A
+    # zero span carries no rate information; leave the period unknown.
     period = F.when(
-        F.col("n_changes") > 0,
+        (F.col("n_changes") > 0) & (span > 0),
         (span / F.lit(1_000_000) / F.col("n_changes")),
     )
     staleness = (

@@ -193,16 +193,35 @@ def _iter_members(content: bytes) -> Iterator[tuple[int, int, bytes]]:
     if content[:2] != b"\x1f\x8b":
         yield 0, len(content), content
         return
-    offset = 0
+    # Chunked feeding over a memoryview: the naive form decompresses
+    # content[offset:] per member, and zlib hands back the whole remaining
+    # tail as unused_data — two O(segment) copies per member, O(members ×
+    # segment) total, which effectively hangs the parse task on a 1 GiB
+    # segment with ~50k one-record members. Feeding bounded chunks caps
+    # the copy per member at CHUNK bytes (memoryview slices don't copy).
+    mv = memoryview(content)
     n = len(content)
+    offset = 0
+    CHUNK = 1 << 20
     while offset < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        raw = d.decompress(content[offset:])
-        raw += d.flush()
-        consumed = (n - offset) - len(d.unused_data)
-        if consumed <= 0:  # trailing garbage; stop rather than spin
+        out = []
+        pos = offset
+        consumed = 0
+        try:
+            while pos < n:
+                chunk = mv[pos : pos + CHUNK]
+                out.append(d.decompress(chunk))
+                if d.eof:
+                    consumed = (pos - offset) + (len(chunk) - len(d.unused_data))
+                    break
+                pos += len(chunk)
+        except zlib.error:
+            return  # corrupt member: stop at the last clean boundary
+        if not d.eof or consumed <= 0:  # truncated/garbage tail
             return
-        yield offset, consumed, raw
+        out.append(d.flush())
+        yield offset, consumed, b"".join(out)
         offset += consumed
 
 
@@ -253,7 +272,14 @@ def _strip_http(
         return None, {}, block
     lines = block[:sep].split(CRLF)
     status_line = lines[0].split(b" ")
-    status = int(status_line[1]) if len(status_line) > 1 else None
+    # lenient like the rest of the parser: 'HTTP/1.1  200' (double space)
+    # or a garbage token must not kill the whole segment's parse task
+    status = None
+    if len(status_line) > 1:
+        try:
+            status = int(status_line[1])
+        except ValueError:
+            status = None
     headers: dict[str, str] = {}
     for line in lines[1:]:
         k, _, v = line.partition(b":")
@@ -365,15 +391,17 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def build_cdx(records: DataFrame) -> DataFrame:
+def build_cdx(records: DataFrame, sort: bool = True) -> DataFrame:
     """CDX-style index rows from parsed records: everything needed to fetch
     one record later without rescanning segments. Keyed by SURT (the real
     CDX key format — reversed host labels), so every page of a domain and
     its subdomains sorts adjacent: per-domain scans become contiguous
-    parquet ranges that min/max file stats prune."""
+    parquet ranges that min/max file stats prune. ``sort=False`` skips the
+    per-partition sort for callers that impose their own order (write_cdx
+    range-partitions and re-sorts — sorting twice is pure waste)."""
     from data_pipeline_spark.functions.weburl import surt_key
 
-    return records.select(
+    out = records.select(
         surt_key("url").alias("surt"),
         "url",
         "warc_ts",
@@ -385,16 +413,17 @@ def build_cdx(records: DataFrame) -> DataFrame:
         "http_status",
         "http_etag",
         "http_last_modified",
-    ).sortWithinPartitions("surt", "warc_ts")
+    )
+    return out.sortWithinPartitions("surt", "warc_ts") if sort else out
 
 
 def write_cdx(records: DataFrame, cdx_dir: str, mode: str = "append") -> None:
     """Range-partition by SURT then sort within partitions — a total SURT
     order across output files, the layout real CDX shards use."""
     n_out = max(records.sparkSession.sparkContext.defaultParallelism // 4, 1)
-    build_cdx(records).repartitionByRange(n_out, "surt", "warc_ts").sortWithinPartitions(
-        "surt", "warc_ts"
-    ).write.mode(mode).parquet(cdx_dir)
+    build_cdx(records, sort=False).repartitionByRange(
+        n_out, "surt", "warc_ts"
+    ).sortWithinPartitions("surt", "warc_ts").write.mode(mode).parquet(cdx_dir)
 
 
 def fetch_record(
@@ -427,7 +456,12 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
     — never all-pairs, and AQE broadcast-converts the map side when small.
     Output keeps every response row unchanged and adds resolved revisits
     with ``revisit = true``; revisits whose original is absent from this
-    corpus slice stay body-less (html null) rather than silently dropping.
+    corpus slice stay body-less (html null) AND keep
+    ``record_type='revisit'`` — retyping them 'response' would turn them
+    into null-html insert events downstream (warc_to_change_events), whose
+    newer lsn LWW-overwrites the stored real body. With per-segment gzip
+    dedup the original routinely lives in a PREVIOUS batch, so this is the
+    common case on a live tail, not a corner.
     """
     responses = records.where(F.col("record_type") == "response").withColumn(
         "revisit", F.lit(False)
@@ -441,8 +475,12 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
     resolved = (
         revisits.join(bodies, "payload_digest", "left")
         .withColumn("html", F.col("__orig_html"))
+        .withColumn(
+            "record_type",
+            F.when(F.col("__orig_html").isNotNull(), F.lit("response"))
+            .otherwise(F.lit("revisit")),
+        )
         .drop("__orig_html")
-        .withColumn("record_type", F.lit("response"))
         .withColumn("revisit", F.lit(True))
     )
     return responses.unionByName(resolved.select(*responses.columns))
@@ -480,6 +518,10 @@ def warc_to_change_events(
     return (
         records.where(F.col("record_type") == "response")
         .where(F.col("url").isNotNull())
+        # a body-less "response" (e.g. an unresolved revisit that slipped
+        # through) must never become an insert event: its newer lsn would
+        # LWW-erase the stored real body at replay
+        .where(F.col("html").isNotNull())
         .select(
             F.lit("I").alias("op"),
             F.col("url"),

@@ -72,3 +72,19 @@ def test_native_plan(df):
         B.main_content("html"), B.content_ratio("html")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_abbr_does_not_open_phantom_anchor(spark):
+    """<abbr>/<address> etc. must not be counted as anchors: with the old
+    unanchored '<a[^>]*>' pattern the whole paragraph between <abbr> and a
+    later real </a> read as link text and legitimate content was dropped."""
+    from data_pipeline_spark.functions.boilerplate import main_content
+
+    para = ("The <abbr title='HyperText'>HTML</abbr> living standard defines "
+            "the web platform in considerable detail and this paragraph is "
+            "clearly substantive content, ending with one small "
+            "<a href='/spec'>spec</a> link.")
+    html = f"<html><body><p>{para}</p></body></html>"
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(main_content("html").alias("c")).collect()[0]["c"]
+    assert "living standard" in out

@@ -96,3 +96,19 @@ def test_duckdb_twin_parity(spark):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_null_text_docs_still_count(spark):
+    from data_pipeline_spark.operators.hostrep import host_reputation
+
+    df = spark.createDataFrame(
+        [("h1.com", "good interesting varied text content here"),
+         ("h1.com", None), ("h2.com", None), ("h2.com", None)],
+        "host string, text string",
+    )
+    out = {r["host"]: r for r in host_reputation(df, "host", "text").collect()}
+    # NULL-text docs participate (they fingerprint together as dups)
+    assert out["h1.com"]["n_docs"] == 2
+    assert out["h2.com"]["n_docs"] == 2
+    assert out["h2.com"]["dup_ratio"] == 1.0  # all-null host = pure dups
+    assert out["h2.com"]["verdict"] in ("review", "block")

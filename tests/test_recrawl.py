@@ -119,3 +119,31 @@ def test_cap_per_host(spark):
     # the kept three are the highest-priority pages
     assert set(by_host["big.com"]) == {f"https://big.com/{i}" for i in (9, 8, 7)}
     assert by_host["small.com"] == ["https://small.com/1"]
+
+
+def test_same_tick_changes_stay_schedulable(spark):
+    """Captures within one timestamp tick with differing digests: span 0
+    carries no rate info — the period must be NULL (unknown) so
+    apply_default_period can rotate the page back in, never 0 (which made
+    due_score 0 forever)."""
+    from datetime import datetime
+
+    from data_pipeline_spark.operators.recrawl import (
+        apply_default_period,
+        recrawl_stats,
+    )
+
+    t = datetime(2024, 3, 1, 12, 0, 0)
+    caps = spark.createDataFrame(
+        [("u", t, "d1"), ("u", t, "d2"),
+         ("v", t, "x1"), ("v", datetime(2024, 3, 8), "x2")],
+        "url string, warc_ts timestamp, payload_digest string",
+    )
+    stats = {r["url"]: r for r in recrawl_stats(caps).collect()}
+    assert stats["u"]["n_changes"] == 1
+    assert stats["u"]["change_period_s"] is None  # unknown, not 0
+    assert stats["u"]["due_score"] == 0.0
+    assert stats["v"]["change_period_s"] is not None and stats["v"]["change_period_s"] > 0
+    rotated = {r["url"]: r for r in
+               apply_default_period(recrawl_stats(caps), 86400.0).collect()}
+    assert rotated["u"]["due_score"] > 0.0  # schedulable again

@@ -213,6 +213,28 @@ def test_revisit_missing_original_kept_bodyless(spark, tmp_path):
     out = resolve_revisits(read_warc(spark, str(tmp_path))).collect()
     assert len(out) == 1
     assert out[0]["url"] == "https://x.org/orphan" and out[0]["html"] is None
+    # and it must STAY typed 'revisit': retyped 'response' it would become
+    # a null-html insert event whose newer lsn LWW-erases the stored body
+    assert out[0]["record_type"] == "revisit"
+
+
+def test_unresolved_revisit_never_becomes_change_event(spark, tmp_path):
+    """Cross-batch revisit (original ingested earlier, not in this slice):
+    the change-log bridge must not emit a null-html insert for it."""
+    from data_pipeline_spark.sources.warc import (
+        record_bytes,
+        resolve_revisits,
+        warc_to_change_events,
+    )
+
+    rev = record_bytes(
+        "https://x.org/seen-before", datetime(2024, 2, 2), b"",
+        record_type="revisit", http_wrap=False, digest="feedface" * 8,
+    )
+    (tmp_path / "r2.warc").write_bytes(rev)
+    resolved = resolve_revisits(read_warc(spark, str(tmp_path)))
+    events = warc_to_change_events(resolved, epoch=0)
+    assert events.count() == 0
 
 
 def test_revisit_dedup_state_spans_segments(tmp_path):
