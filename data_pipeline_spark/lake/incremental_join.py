@@ -381,6 +381,13 @@ class IncrementalJoinView:
             .select(*fact_cols)
         )
 
+        # NOTE: this mirrors join_view_refresh's resident/union/left-join
+        # splice (the oracle-checked pure form above) — any change to the
+        # delta algebra must land in BOTH. The __b_ rename the pure form
+        # needs is not required here: both sides come off LakeTable parquet
+        # reads (fresh lineage each scan), so Spark's ambiguous-self-join
+        # check cannot trip, and attribute-qualified refs disambiguate the
+        # select.
         fact_rows = resident.unionByName(a_post.select(*fact_cols))
         joined = fact_rows.join(
             b_post_k,
@@ -441,17 +448,40 @@ class IncrementalJoinView:
             staged = staged.unionByName(gone.select(*staged.columns))
         # version stamps go on LAST so every leg (upserts, deletes, retired
         # keys) carries them — a null-stamped delete would lose LWW to the
-        # stored row and silently resurrect it.
+        # stored row and silently resurrect it. The LWW tiebreak rides a
+        # RESERVED _view_lsn column: stamping the fact's own ``lsn``
+        # payload column (if it has one — engine tables usually do) would
+        # clobber the source value with the refresh counter.
         staged = staged.withColumn(
             "_view_ver", F.timestamp_seconds(F.lit(version))
-        ).withColumn("lsn", F.lit(version).cast("long"))
+        ).withColumn("_view_lsn", F.lit(version).cast("long"))
         res = view.merge(
             staged,
             epoch=version,
             ts_col="_view_ver",
+            lsn_col="_view_lsn",
             mode="cow",
             extra_summary={"snap_a": snap_a, "snap_b": snap_b},
         )
+        if res.get("skipped"):
+            # Epoch ``version`` was already applied by a run that crashed
+            # before its cursor write. The delta just computed may be WIDER
+            # (the base tables advanced since); recording its snapshots
+            # would silently drop the widened range forever. Recover the
+            # snapshots the applied commit actually consumed from its own
+            # commit summary and record those — the next refresh then
+            # re-derives exactly the missing delta under version+1.
+            applied = next(
+                (s for s in view.history()
+                 if s["summary"].get("engine.epoch") == str(version)),
+                None,
+            )
+            if applied is not None:
+                def _snap(k: str):
+                    v = applied["summary"].get(k)
+                    return None if v in (None, "None") else int(v)
+
+                snap_a, snap_b = _snap("snap_a"), _snap("snap_b")
         _atomic_write(
             self._meta_path,
             json.dumps({

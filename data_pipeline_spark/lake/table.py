@@ -768,6 +768,7 @@ class LakeTable:
         key_equals=None,
         ref: str | None = None,
         range_filters: dict | None = None,
+        resolve: bool = False,
     ) -> DataFrame:
         """Scan the table (optionally time-traveled / bucket-pruned).
 
@@ -821,6 +822,13 @@ class LakeTable:
                 if hi is not None:
                     out = out.where(F.col(col) <= F.lit(hi))
         if with_system:
+            # resolve=True: collapse MoR multi-versions to per-key winners
+            # while KEEPING the system columns — consumers that diff or
+            # stamp against stored state (reconcile_snapshot) need winners,
+            # not every superseded version; merge internals pass False and
+            # handle versions themselves.
+            if resolve and snap is not None and snap.get("needs_resolve"):
+                out = self._resolve(out)
             return out
         if snap is not None and snap.get("needs_resolve"):
             out = self._resolve(out)

@@ -55,8 +55,11 @@ def compact_log(
     delete_op: str = "delete",
 ) -> dict:
     """Write a compacted copy of ``log_dir`` to ``out_dir``: epochs
-    ``<= upto_epoch`` folded to per-key winners under epoch id
-    ``upto_epoch``; later epochs copied through byte-identical. Returns
+    ``<= upto_epoch`` folded to per-key winners under the id of the LAST
+    ACTUAL prefix epoch (not ``upto_epoch`` verbatim — a checkpoint store
+    that marked the prefix done must find the folded epoch's id among the
+    ids it already skipped, or it re-applies the whole fold); later epochs
+    copied through byte-identical. Returns
     {'prefix_epochs', 'winners', 'dropped_tombstones', 'suffix_epochs'}.
     """
     epochs = changelog.list_epochs(spark, log_dir)
@@ -81,7 +84,8 @@ def compact_log(
     # Idempotent re-run: the folded epoch is this operator's output, and
     # write_log appends — a partial previous attempt must not double the
     # winners. The suffix copies below already guard on existence.
-    shutil.rmtree(os.path.join(out_dir, f"epoch={int(upto_epoch)}"),
+    folded_epoch = int(prefix[-1])
+    shutil.rmtree(os.path.join(out_dir, f"epoch={folded_epoch}"),
                   ignore_errors=True)
     # Winner/tombstone counts ride the write job as an observation (the
     # fold over a 10^10-event prefix is the heaviest stage here — no
@@ -98,7 +102,7 @@ def compact_log(
         observed.where(F.col(op_col) != delete_op) if drop_tombstones else observed
     )
     changelog.write_log(
-        out_df.withColumn("epoch", F.lit(int(upto_epoch))), out_dir
+        out_df.withColumn("epoch", F.lit(folded_epoch)), out_dir
     )
     m = obs.get
     dropped = int(m["tombs"]) if drop_tombstones else 0
@@ -108,7 +112,15 @@ def compact_log(
         src = os.path.join(log_dir, f"epoch={e}")
         dst = os.path.join(out_dir, f"epoch={e}")
         if not os.path.exists(dst):
-            shutil.copytree(src, dst)
+            # copy to a temp sibling + atomic rename: a crash mid-copytree
+            # would otherwise leave a PARTIAL epoch dir that every re-run's
+            # existence guard skips -- silent event loss in the compacted
+            # log. rename() is atomic on one filesystem; a leftover tmp dir
+            # from a crash is overwritten by the next attempt.
+            tmp = dst + ".__tmp__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.copytree(src, tmp)
+            os.rename(tmp, dst)
 
     return {
         "prefix_epochs": len(prefix),

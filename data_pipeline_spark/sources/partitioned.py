@@ -56,12 +56,16 @@ def pack_offset_epochs(
     partition_col: str = "partition",
     offset_col: str = "offset",
     epoch_base: int = 0,
+    genesis: int = 1,
 ) -> DataFrame:
     """Assign epochs by per-partition offset cuts (narrow, shuffle-free).
 
     ``start_vector``: {partition → last shipped offset} (exclusive); rows
-    at or below it are presumed redelivered and dropped. Unknown
-    partitions (first sight) start at offset 0 meaning "nothing shipped".
+    at or below it are presumed redelivered and dropped. ``genesis`` is
+    the transport's FIRST offset: unknown (first-sight) partitions start
+    at ``genesis - 1`` meaning "nothing shipped". The default 1 matches a
+    1-based transport; **pass genesis=0 for Kafka** (0-based) or the first
+    record of every new partition is silently dropped as a redelivery.
     ``target``: offsets per partition per epoch. Output adds ``epoch``.
     """
     if target <= 0:
@@ -76,10 +80,10 @@ def pack_offset_epochs(
         )
         base = F.coalesce(
             F.element_at(start, F.col(partition_col).cast("long")),
-            F.lit(0).cast("long"),
+            F.lit(int(genesis) - 1).cast("long"),
         )
     else:
-        base = F.lit(0).cast("long")
+        base = F.lit(int(genesis) - 1).cast("long")
     out = df.where(F.col(offset_col) > base).withColumn(
         "epoch",
         (
@@ -142,6 +146,7 @@ def ingest_partitioned(
     partition_col: str = "partition",
     offset_col: str = "offset",
     consumed: DataFrame | None = None,
+    genesis: int = 1,
 ) -> dict:
     """Pack a partitioned delivery into changelog epochs, exactly-once.
 
@@ -173,9 +178,14 @@ def ingest_partitioned(
     committed = ledger.committed_epochs()
     epoch_base = (committed[-1] + 1) if committed else 0
 
+    # localCheckpoint: the gap check (collect below) and write_log are two
+    # actions over this frame; a non-deterministic source (a landing dir
+    # gaining files between the jobs) would otherwise ship rows the gap
+    # check never validated (same pin as transactions.align_epochs).
     packed = pack_offset_epochs(
-        df, start, target, partition_col, offset_col, epoch_base
-    )
+        df, start, target, partition_col, offset_col, epoch_base,
+        genesis=genesis,
+    ).localCheckpoint(eager=True)
     coords = packed.select("epoch", partition_col, offset_col).withColumn(
         "__shipped", F.lit(1)
     )
@@ -184,6 +194,7 @@ def ingest_partitioned(
             pack_offset_epochs(
                 consumed.select(partition_col, offset_col),
                 start, target, partition_col, offset_col, epoch_base,
+                genesis=genesis,
             ).select("epoch", partition_col, offset_col).withColumn(
                 "__shipped", F.lit(0)
             )
@@ -196,6 +207,7 @@ def ingest_partitioned(
             F.min(offset_col).alias("lo"),
             F.max(offset_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct(offset_col).alias("nd"),
             F.sum("__shipped").alias("n_shipped"),
         )
         .collect()
@@ -207,14 +219,25 @@ def ingest_partitioned(
         per_part.setdefault(int(r[partition_col]), []).append(r)
     for p, rows in per_part.items():
         rows.sort(key=lambda r: int(r["epoch"]))
-        expect = start.get(p, 0) + 1
+        expect = start.get(p, genesis - 1) + 1
         for r in rows:
-            if int(r["lo"]) != expect or int(r["n"]) != int(r["hi"]) - int(r["lo"]) + 1:
+            # DISTINCT count vs extent: with a plain row count a duplicated
+            # offset and a missing offset cancel out and a hole ships
+            # silently. Within-batch duplicate offsets are refused too —
+            # they would double rows in the changelog epoch.
+            extent = int(r["hi"]) - int(r["lo"]) + 1
+            if int(r["lo"]) != expect or int(r["nd"]) != extent:
                 raise ValueError(
                     f"partition {p} offsets are not contiguous from the "
                     f"committed vector (expected {expect}, got "
-                    f"[{r['lo']}..{r['hi']}] with {r['n']} rows) — refusing "
-                    "to ship a delivery with holes"
+                    f"[{r['lo']}..{r['hi']}] with {r['nd']} distinct) — "
+                    "refusing to ship a delivery with holes"
+                )
+            if int(r["n"]) != int(r["nd"]):
+                raise ValueError(
+                    f"partition {p} delivered duplicated offsets within one "
+                    f"batch ([{r['lo']}..{r['hi']}]: {r['n']} rows over "
+                    f"{r['nd']} offsets) — dedup the landing before ingest"
                 )
             expect = int(r["hi"]) + 1
 

@@ -107,7 +107,14 @@ def repair_keys(
     log = spark.read.option("mergeSchema", "true").parquet(log_dir)
     key = table.key_col
     bad_slice = log.where(F.col("epoch").isin(bad_epochs))
-    affected = bad_slice.select(key).where(F.col(key).isNotNull()).distinct()
+    # localCheckpoint: `affected` feeds the history semi-join AND the
+    # n_affected_keys metric below — without the pin the bad-epoch scan +
+    # distinct runs twice (a second full Spark job just for a metric).
+    # It is delta-sized by construction (distinct keys of the bad epochs).
+    affected = (
+        bad_slice.select(key).where(F.col(key).isNotNull()).distinct()
+        .localCheckpoint(eager=True)
+    )
 
     history = (
         log.where(F.col("epoch").isin(applied))
@@ -203,10 +210,19 @@ def reconcile_snapshot(
             "columns it does not know about"
         )
 
-    live = table.read(with_system=True).where(
-        ~F.coalesce(F.col("__deleted"), F.lit(False))
-    )
-    stored = live.select(
+    # resolve=True: on a MoR table the raw with_system scan returns EVERY
+    # stored version of a key; diffing superseded versions against the
+    # snapshot masks real divergence (a stale pre-delete row that happens
+    # to equal the snapshot hides a wrongful tombstone) and duplicates
+    # corrections. Reconcile wants the per-key winners, stamps included.
+    resolved = table.read(with_system=True, resolve=True)
+    live = resolved.where(~F.coalesce(F.col("__deleted"), F.lit(False)))
+    # Stamps come from the resolved winners INCLUDING tombstones: a key
+    # wrongly deleted in the replica has a winning tombstone as its stored
+    # state, and the resurrecting correction must stamp at (>=) ITS
+    # (ts, lsn) to win LWW — stamping at the snapshot's (older) stamp
+    # would lose to the tombstone and the heal would silently no-op.
+    stored = resolved.select(
         F.col(key).alias("__k"),
         F.col(ts_col).alias("__stored_ts"),
         F.col("__lsn").alias("__stored_lsn"),

@@ -70,6 +70,10 @@ def main() -> None:
                          "offset-vector epochs via this durable ledger "
                          "(epoch-size = offsets per partition per epoch); "
                          "lsn = offset")
+    ap.add_argument("--offset-genesis", type=int, default=1,
+                    help="the transport's first offset (0 for Kafka; "
+                         "default 1) — first-sight partitions ship from "
+                         "here")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, SparkSession
@@ -179,6 +183,7 @@ def main() -> None:
             OffsetVectorLedger(args.offset_ledger),
             target=args.epoch_size,
             consumed=holes,
+            genesis=args.offset_genesis,
         )
         print(json.dumps({
             "events": res["rows"], "epochs": len(res["epochs"]),

@@ -379,3 +379,40 @@ def test_pure_refresh_algebra(spark):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_crash_replay_preserves_widened_delta(spark, tables, ivj):
+    """Crash after merge, before cursor write — and the FACT ADVANCES
+    before the replay runs. The replay's merge is skipped by the epoch
+    ledger; the cursor must record the snapshots the applied commit
+    actually consumed (from its commit summary), NOT the wider just-
+    computed delta — otherwise the widened range is dropped forever."""
+    import json
+
+    fact, dim = tables
+    _seed2(spark, fact, dim)
+    ivj.refresh()  # version 1
+    fact.merge(
+        _rows(spark, FACT_SCHEMA, "url", [
+            ("update", "u0", 100, "c2", 50.0, 100),
+        ]),
+        epoch=1, mode="mor",
+    )
+    ivj.refresh()  # version 2 applied
+    cur = ivj.cursors()
+    rewound = dict(cur)
+    rewound["snap_a"], rewound["version"] = 1, 1
+    with open(ivj._meta_path, "w") as fh:
+        json.dump(rewound, fh)
+    # the fact advances BEFORE the crash replay
+    fact.merge(
+        _rows(spark, FACT_SCHEMA, "url", [
+            ("update", "u1", 200, "c3", 60.0, 200),
+        ]),
+        epoch=2, mode="mor",
+    )
+    ivj.refresh()  # merge(epoch=2) skipped — must not swallow u1's change
+    ivj.refresh()  # applies the remaining delta as version 3
+    assert _got(ivj) == _expected(fact, dim)
+    u1 = [r for r in ivj.read().collect() if r["url"] == "u1"][0]
+    assert u1["amount"] == 60.0 and u1["segment"] == "bronze"

@@ -301,3 +301,67 @@ def test_ingest_job_offset_ledger_mode(spark, tmp_path, monkeypatch, capsys):
     ingest_job.main()
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["events"] == 0 and out2["epochs"] == 0
+
+
+def test_genesis_zero_ships_offset_zero(spark, tmp_path):
+    """Kafka is 0-based: with genesis=0 the first record of a new partition
+    (offset 0) must ship, not drop as a presumed redelivery."""
+    from data_pipeline_spark.sources.partitioned import (
+        OffsetVectorLedger,
+        ingest_partitioned,
+        pack_offset_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0, "upsert", "k0", 1.0), (0, 1, "upsert", "k1", 2.0)],
+        "partition long, offset long, op string, url string, val double",
+    ).withColumn("warc_ts", F.lit(0).cast("timestamp")).withColumn(
+        "lsn", F.col("offset"))
+    packed = pack_offset_epochs(df, {}, target=10, genesis=0)
+    assert packed.count() == 2  # offset 0 included
+    # default (1-based) convention still drops offset 0 as pre-genesis
+    assert pack_offset_epochs(df, {}, target=10).count() == 1
+
+    led = OffsetVectorLedger(str(tmp_path / "led.json"))
+    res = ingest_partitioned(
+        spark, df, str(tmp_path / "log"), led, target=10, genesis=0
+    )
+    assert res["rows"] == 2 and led.start_vector() == {0: 1}
+
+
+def test_duplicate_offset_cannot_mask_a_hole(spark, tmp_path):
+    """[1,2,2,4]: row count equals the extent, but offset 3 is missing —
+    the distinct-count check must refuse it."""
+    import pytest as _pt
+
+    from data_pipeline_spark.sources.partitioned import (
+        OffsetVectorLedger,
+        ingest_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(0, o, "upsert", f"k{o}", 1.0) for o in (1, 2, 2, 4)],
+        "partition long, offset long, op string, url string, val double",
+    ).withColumn("warc_ts", F.lit(0).cast("timestamp")).withColumn(
+        "lsn", F.col("offset"))
+    led = OffsetVectorLedger(str(tmp_path / "led2.json"))
+    with _pt.raises(ValueError, match="holes"):
+        ingest_partitioned(spark, df, str(tmp_path / "log2"), led, target=10)
+
+
+def test_pure_duplicate_offsets_refused(spark, tmp_path):
+    import pytest as _pt
+
+    from data_pipeline_spark.sources.partitioned import (
+        OffsetVectorLedger,
+        ingest_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(0, o, "upsert", f"k{o}", 1.0) for o in (1, 2, 2, 3)],
+        "partition long, offset long, op string, url string, val double",
+    ).withColumn("warc_ts", F.lit(0).cast("timestamp")).withColumn(
+        "lsn", F.col("offset"))
+    led = OffsetVectorLedger(str(tmp_path / "led3.json"))
+    with _pt.raises(ValueError, match="duplicated offsets"):
+        ingest_partitioned(spark, df, str(tmp_path / "log3"), led, target=10)

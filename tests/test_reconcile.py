@@ -110,3 +110,32 @@ def test_partial_snapshot_rejected(spark, drifted):
     t, source = drifted
     with pytest.raises(ValueError, match="missing"):
         reconcile_snapshot(spark, source.drop("val"), t, reconcile_id=3)
+
+
+def test_reconcile_sees_mor_winners_not_stale_versions(spark, tmp_path):
+    """MoR table with a WRONGFUL tombstone stacked on a real row: the raw
+    with_system scan still holds the superseded insert whose payload equals
+    the snapshot — diffing against unresolved versions masks the divergence
+    and the key is never healed. Reconcile must diff per-key WINNERS."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "mor_t"),
+        spark.createDataFrame([], SCHEMA).schema,
+        key_col="url", n_buckets=4,
+    )
+    t.merge(_frame(spark, [("insert", "u_kept", 1, 1.0),
+                           ("insert", "u_wronged", 2, 2.0)]),
+            epoch=0, mode="mor")
+    # wrongful delete lands as a LATER MoR version; no compaction runs
+    t.merge(_frame(spark, [("delete", "u_wronged", 10, 0.0)]),
+            epoch=1, mode="mor")
+    assert set(_state(t)) == {"u_kept"}
+    source = _frame(spark, [("x", "u_kept", 1, 1.0),
+                            ("x", "u_wronged", 2, 2.0)]).drop("op")
+    res = reconcile_snapshot(spark, source, t, reconcile_id=9)
+    assert res["published"], res
+    got = _state(t)
+    assert set(got) == {"u_kept", "u_wronged"}
+    assert got["u_wronged"][0] == 2.0
+    # healed table: a second sweep stages nothing
+    res2 = reconcile_snapshot(spark, source, t, reconcile_id=10)
+    assert (res2.get("staged_rows") or 0) == 0
