@@ -5,10 +5,13 @@ exact incremental fold); this module makes it a durable, resumable derived
 table: one small parquet relation holding the version history, advanced
 epoch-by-epoch off the same change log the replay runner consumes.
 
-Per epoch cost is O(batch + affected keys) — the fold touches only the
+Per epoch COMPUTE is O(batch + affected keys) — the fold touches only the
 batch's keys; late keys (events at or before a key's stored high-water
 mark) rebuild from the retained log slice, which is exactly why the store
 keeps the log as its source of truth instead of trusting arrival order.
+Commit I/O is O(history) per commit (COW snapshot rewrite), so
+:meth:`Scd2Store.refresh` takes ``epochs_per_commit`` to amortize it over
+a backlog — the fold is batching-invariant, so grouping is exact.
 
 Durability follows the engine's derived-state convention
 (:class:`lake.incremental.IncrementalRollup`): data written to a tmp dir,
@@ -39,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.scd import scd2_apply_batch, scd2_history, scd2_prune
 from ..sources import changelog
 from .table import _atomic_write
+
+# sentinel: "carry the current meta value through" (vs. explicit None)
+_KEEP = object()
 
 
 class Scd2Store:
@@ -92,7 +98,21 @@ class Scd2Store:
         m = self._meta()
         return m.get("retention_cutoff") if m else None
 
-    def _commit(self, df: DataFrame, epoch: int, version: int) -> None:
+    def _commit(
+        self,
+        df: DataFrame,
+        epoch: int,
+        version: int,
+        *,
+        retention_cutoff=_KEEP,
+        stream_batch=_KEEP,
+    ) -> None:
+        """Atomic state swap. ``retention_cutoff`` / ``stream_batch``
+        default to carrying the current meta values through — every commit
+        path preserves both ledgers, and callers that change one pass it
+        HERE so it lands in the same fsync-swapped meta as the data (a
+        crash can never apply the data without its ledger or vice versa).
+        """
         cur = self._meta()
         live = cur["data"] if cur else None
         for fn in os.listdir(self.state_dir):
@@ -102,19 +122,46 @@ class Scd2Store:
         tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".tmp-")
         df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
         os.rename(os.path.join(tmp, "data"), os.path.join(self.state_dir, name))
+        if retention_cutoff is _KEEP:
+            retention_cutoff = cur.get("retention_cutoff") if cur else None
+        if stream_batch is _KEEP:
+            stream_batch = cur.get("stream_batch") if cur else None
         _atomic_write(
             self._meta_path,
             json.dumps({
                 "epoch": epoch,
                 "version": version,
                 "data": name,
-                "retention_cutoff": cur.get("retention_cutoff") if cur else None,
+                "retention_cutoff": retention_cutoff,
+                "stream_batch": stream_batch,
                 "committed_at": time.time(),
             }),
         )
         shutil.rmtree(tmp, ignore_errors=True)
         if live and live != name:
             shutil.rmtree(os.path.join(self.state_dir, live), ignore_errors=True)
+
+    def _parse_cutoff(self, cutoff) -> tuple[str, "F.Column"]:
+        """Stringify + VALIDATE a retention cutoff. An unparseable cutoff
+        would become NULL inside ``to_timestamp`` and the prune predicate
+        ``valid_to > NULL`` would then silently drop every closed version —
+        a mass deletion from a typo. Fail fast instead (one metadata-scale
+        driver job)."""
+        cutoff_s = cutoff.isoformat() if hasattr(cutoff, "isoformat") else str(cutoff)
+        # try_to_timestamp: under ANSI a malformed literal makes to_timestamp
+        # THROW at plan time; the try_ variant yields NULL so we can raise a
+        # clear error either way (and non-ANSI sessions get the same guard).
+        parsed = (
+            self.spark.range(1)
+            .select(F.try_to_timestamp(F.lit(cutoff_s)).alias("t"))
+            .first()["t"]
+        )
+        if parsed is None:
+            raise ValueError(
+                f"retention cutoff {cutoff!r} does not parse as a timestamp "
+                "(pass a datetime or an ISO 'YYYY-MM-DD[ HH:MM:SS]' string)"
+            )
+        return cutoff_s, F.to_timestamp(F.lit(cutoff_s))
 
     def prune(self, cutoff) -> int:
         """Apply history retention now and persist the cutoff so every
@@ -125,12 +172,14 @@ class Scd2Store:
         m = self._meta()
         if m is None:
             raise ValueError(f"no SCD2 state at {self.state_dir} — run refresh()")
-        cutoff_s = cutoff.isoformat() if hasattr(cutoff, "isoformat") else str(cutoff)
-        pruned = scd2_prune(self.read(), F.to_timestamp(F.lit(cutoff_s)))
-        self._commit(pruned, epoch=m["epoch"], version=m["version"] + 1)
-        meta = self._meta()
-        meta["retention_cutoff"] = cutoff_s
-        _atomic_write(self._meta_path, json.dumps(meta))
+        cutoff_s, cutoff_col = self._parse_cutoff(cutoff)
+        pruned = scd2_prune(self.read(), cutoff_col)
+        # cutoff rides in the SAME commit as the pruned data — a crash
+        # between "data pruned" and "cutoff persisted" cannot happen.
+        self._commit(
+            pruned, epoch=m["epoch"], version=m["version"] + 1,
+            retention_cutoff=cutoff_s,
+        )
         return self.read().count()
 
     # -- maintenance -------------------------------------------------------
@@ -166,10 +215,21 @@ class Scd2Store:
         ]
         return df.select(*exprs)
 
-    def refresh(self) -> dict:
-        """Apply every unapplied epoch in order, one atomic commit each
-        (resumable mid-stream). Returns ``{"applied": [...], "versions":
-        n_rows_of_final_state}``."""
+    def refresh(self, epochs_per_commit: int | None = 1) -> dict:
+        """Apply every unapplied epoch in order, atomically committing every
+        ``epochs_per_commit`` epochs (resumable mid-stream: a crash re-folds
+        only the uncommitted group). Returns ``{"applied": [...],
+        "versions": n_rows_of_final_state}``.
+
+        Cost note — each commit rewrites the full history relation (COW
+        snapshot store), so commit I/O is O(history) PER COMMIT while the
+        fold's compute is O(batch + affected keys). When landing a backlog
+        of many small epochs, pass a larger group (or ``None`` = all
+        pending in ONE commit): the fold is batching-invariant
+        (``scd2_apply_batch``'s fold-order property, pinned by test), so
+        grouping is exact and cuts the O(history) rewrites by the group
+        size. The default of 1 keeps the finest-grained resumability.
+        """
         self._log_schema = None  # new epochs may have widened the schema
         done = self.cursor
         epochs = [
@@ -177,25 +237,31 @@ class Scd2Store:
             for e in changelog.list_epochs(self.spark, self.log_dir)
             if done is None or e > done
         ]
+        step = len(epochs) if epochs_per_commit is None else max(1, epochs_per_commit)
         applied = []
         m = self._meta()
         version = m["version"] if m else 0
-        for e in epochs:
-            batch = self._project(
-                changelog.read_epoch(self.spark, self.log_dir, e)
-            )
+        for i in range(0, len(epochs), step):
+            group = epochs[i : i + step]
+            parts = [
+                self._project(changelog.read_epoch(self.spark, self.log_dir, e))
+                for e in group
+            ]
+            batch = parts[0]
+            for p in parts[1:]:
+                batch = batch.unionByName(p)
             if self._meta() is None:
                 h = scd2_history(
                     batch, self.key_cols, self.order_cols, self.tracked_cols,
                     carry_order=True,
                 )
             else:
-                # retained log slice up to and including this epoch — only
+                # retained log slice up to and including this group — only
                 # evaluated when the fold actually finds late keys
                 retained = self._project(
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(self.log_dir)
-                    .where(F.col("epoch") <= e)
+                    .where(F.col("epoch") <= group[-1])
                 )
                 h = scd2_apply_batch(
                     self.read(), batch, self.key_cols, self.order_cols,
@@ -205,8 +271,8 @@ class Scd2Store:
             if cutoff is not None:
                 h = scd2_prune(h, F.to_timestamp(F.lit(cutoff)))
             version += 1
-            self._commit(h, epoch=e, version=version)
-            applied.append(e)
+            self._commit(h, epoch=group[-1], version=version)
+            applied.extend(group)
         return {
             "applied": applied,
             "versions": self.read().count() if self._meta() else 0,

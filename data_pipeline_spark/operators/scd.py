@@ -197,6 +197,24 @@ def scd2_apply_batch(
         h_events.unionByName(e_inorder), key_cols, order_cols, tracked_cols,
         carry_order=True,
     )
+    # scd2_history renumbers from 1; a PRUNED key's surviving versions start
+    # above 1 (scd2_prune keeps original numbers for auditability), so add
+    # back each key's stored numbering base. Only pruned keys carry a
+    # non-zero base — the broadcast stays batch-key-bounded.
+    vbase = F.broadcast(
+        history.join(inorder_keys, key_cols, "left_semi")
+        .groupBy(*key_cols)
+        .agg((F.min("version") - F.lit(1)).cast("long").alias("_vbase"))
+        .where(F.col("_vbase") > 0)
+    )
+    rebuilt = (
+        rebuilt.join(vbase, key_cols, "left")
+        .withColumn(
+            "version",
+            F.col("version") + F.coalesce(F.col("_vbase"), F.lit(0).cast("long")),
+        )
+        .drop("_vbase")
+    )
 
     n_late = late_keys.count()  # metadata-scale job; 0 on the hot path
     if n_late:
@@ -256,12 +274,29 @@ def scd2_lookup(
     it is ONE shuffle with no range-join row explosion — a probe at exactly
     ``valid_from`` matches the version taking effect at that instant,
     which is precisely the interval semantics (``valid_to`` exclusive).
+
+    Values ride wrapped in a single struct: ``asof_join``'s bare-column
+    carry treats NULL as "no update" and would return the PREVIOUS
+    version's value for probes inside a version whose tracked value is
+    legitimately NULL (delete tombstones, null transitions — both real
+    SCD2 versions here, see ``scd2_history``'s eqNullSafe change detect).
+    The struct is non-null whenever a version row exists, so the matched
+    version's fields come back exactly, nulls included.
     """
-    return asof_join(
+    value_cols = tuple(value_cols)
+    wrapped = history.select(
+        *key_cols, "valid_from",
+        F.struct(*[F.col(c) for c in value_cols]).alias("__scd_vals"),
+    )
+    out = asof_join(
         probes,
-        history,
+        wrapped,
         key_cols=tuple(key_cols),
         left_ts=probe_ts,
         right_ts="valid_from",
-        value_cols=tuple(value_cols),
+        value_cols=("__scd_vals",),
+    )
+    return out.select(
+        *probes.columns,
+        *[F.col("__scd_vals")[c].alias(c) for c in value_cols],
     )

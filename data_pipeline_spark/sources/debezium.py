@@ -91,7 +91,14 @@ def parse_debezium(
     ``extra_cols``: transport-side columns of ``df`` (e.g. Kafka's
     ``partition``/``offset``) selected through unchanged — the envelope
     value doesn't carry them, the consumer does.
+
+    NULL values (Kafka log-compaction tombstones — Debezium emits one
+    after every delete) are dropped up front in BOTH modes: they carry no
+    payload, and without this filter ``_corrupt = when(op.isNull(),
+    value)`` would itself be NULL for them, so the quarantine filter
+    would pass an all-null ghost row into the change frame.
     """
+    df = df.where(F.col(value_col).isNotNull())
     parsed = F.from_json(F.col(value_col), envelope_schema(row_ddl), _JSON_OPTS)
     p = parsed["payload"]
     op = _map_expr(_DBZ_TO_ENGINE, p["op"])

@@ -63,40 +63,67 @@ class MultiTableReplay:
         self.table_col = table_col
         self.quarantine_dir = quarantine_dir
 
-    def apply_epoch(self, epoch: int) -> dict:
+    def apply_epoch(self, epoch: int, exclude: set[str] = frozenset()) -> dict:
+        """Apply one epoch to every route. A route's failure is RECORDED
+        (``{"error": ...}``) and does not abort the other routes — each
+        route owns its checkpoint ledger precisely so failures stay per
+        table. ``exclude``: routes skipped outright (``run()`` passes the
+        set of routes that already errored this run, preserving in-order
+        epoch application per table while the healthy tables proceed)."""
         t0 = time.monotonic()
         df = changelog.read_epoch(self.spark, self.log_dir, epoch)
         results: dict[str, dict] = {}
         for name, route in self.routes.items():
+            if name in exclude:
+                results[name] = {"skipped": True, "reason": "blocked_by_earlier_error"}
+                continue
             if route.checkpoints.is_done(epoch):
                 results[name] = {"skipped": True, "reason": "checkpointed"}
                 continue
-            sub = df.where(F.col(self.table_col) == name).drop(self.table_col)
-            maybe_evolve(route.table, route.registry, sub, epoch=epoch)
-            staged = stage_changes(self.spark, sub, route.table)
-            metrics = route.table.merge(
-                staged, epoch=epoch, mode=route.merge_mode
-            )
-            record = {"skipped": False, **metrics}
-            route.checkpoints.record(epoch, record)
-            results[name] = record
+            try:
+                sub = df.where(F.col(self.table_col) == name).drop(self.table_col)
+                maybe_evolve(route.table, route.registry, sub, epoch=epoch)
+                staged = stage_changes(self.spark, sub, route.table)
+                metrics = route.table.merge(
+                    staged, epoch=epoch, mode=route.merge_mode
+                )
+                record = {"skipped": False, **metrics}
+                route.checkpoints.record(epoch, record)
+                results[name] = record
+            except Exception as exc:  # noqa: BLE001 — isolation is the contract
+                results[name] = {"skipped": False, "error": repr(exc)}
 
         n_unrouted = 0
         if self.quarantine_dir is not None:
-            unrouted = df.where(
-                ~F.coalesce(
-                    F.col(self.table_col).isin(*self.routes.keys()), F.lit(False)
-                )
-            )
-            from pyspark.sql import Observation
+            qdir = os.path.join(self.quarantine_dir, f"epoch={epoch}")
+            count_path = os.path.join(qdir, "_quarantine_count.json")
+            if os.path.exists(count_path):
+                # done-guard: the quarantine write is idempotent per epoch;
+                # without this, every run() re-scans and re-writes EVERY
+                # epoch's unrouted slice even when all routes are
+                # checkpointed — O(entire log) per run.
+                import json
 
-            obs = Observation()
-            unrouted.withColumn("_reason", F.lit("unknown_table")).observe(
-                obs, F.count(F.lit(1)).alias("n")
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.quarantine_dir, f"epoch={epoch}")
-            )
-            n_unrouted = int(obs.get["n"])
+                with open(count_path) as fh:
+                    n_unrouted = json.load(fh)["n"]
+            else:
+                unrouted = df.where(
+                    ~F.coalesce(
+                        F.col(self.table_col).isin(*self.routes.keys()), F.lit(False)
+                    )
+                )
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                unrouted.withColumn("_reason", F.lit("unknown_table")).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                ).write.mode("overwrite").parquet(qdir)
+                n_unrouted = int(obs.get["n"])
+                import json
+
+                from ..lake.table import _atomic_write
+
+                _atomic_write(count_path, json.dumps({"n": n_unrouted}))
 
         return {
             "epoch": epoch,
@@ -107,8 +134,13 @@ class MultiTableReplay:
 
     def run(self, max_epochs: int | None = None) -> list[dict]:
         out = []
+        blocked: set[str] = set()
         for epoch in changelog.list_epochs(self.spark, self.log_dir):
-            out.append(self.apply_epoch(epoch))
+            rec = self.apply_epoch(epoch, exclude=blocked)
+            out.append(rec)
+            blocked |= {
+                name for name, r in rec["tables"].items() if "error" in r
+            }
             if max_epochs is not None and len(out) >= max_epochs:
                 break
         return out

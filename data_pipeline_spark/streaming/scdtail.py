@@ -53,8 +53,8 @@ class Scd2Tailer:
     def _apply_batch(self, df: DataFrame, batch_id: int) -> None:
         store = self.store
         meta = store._meta()
-        last = meta.get("stream_batch", -1) if meta else -1
-        if batch_id <= last:
+        last = (meta.get("stream_batch") if meta else None)
+        if last is not None and batch_id <= last:
             return  # crash-replayed micro-batch: already folded, skip
         batch = store._project(df)
         if meta is None:
@@ -74,20 +74,25 @@ class Scd2Tailer:
         if cutoff is not None:
             h = scd2_prune(h, F.to_timestamp(F.lit(cutoff)))
         version = (meta["version"] if meta else 0) + 1
-        store._commit(h, epoch=meta["epoch"] if meta else -1, version=version)
-        # stamp the stream ledger in meta (atomic replace, same convention)
-        import json
-
-        from ..lake.table import _atomic_write
-
-        m = store._meta()
-        m["stream_batch"] = batch_id
-        _atomic_write(store._meta_path, json.dumps(m))
+        # stream ledger rides in the SAME atomic commit as the data — any
+        # other _commit against this store (e.g. prune between batches)
+        # carries it through, so the exactly-once stamp can't be lost.
+        store._commit(
+            h, epoch=meta["epoch"] if meta else -1, version=version,
+            stream_batch=batch_id,
+        )
 
     def run_available(self) -> None:
         """Drain everything currently in the log (``availableNow``), then
         stop — call again to pick up later arrivals (same checkpoint)."""
-        schema = self.spark.read.parquet(self.log_dir).schema
+        # mergeSchema: a tracked column added mid-log must be visible in the
+        # stream schema, or _project would null-fill it for EVERY event
+        # (the batch path's refresh() already reads merged for this reason).
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.log_dir)
+            .schema
+        )
         reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)

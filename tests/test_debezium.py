@@ -228,3 +228,19 @@ def test_transport_cols_pass_through(spark):
     good = out.where("_corrupt IS NULL")
     assert good.where("url IS NULL").count() == 0
     assert good.select("partition", "offset").distinct().count() == 40
+
+
+def test_null_value_tombstones_dropped(spark):
+    """Kafka log-compaction tombstones (NULL value — Debezium emits one
+    after every delete) carry no payload and must be dropped in BOTH
+    modes, never pass as all-null ghost rows or fake quarantine hits."""
+    ch, wire = _wire(spark, 100)
+    with_tomb = wire.unionByName(
+        spark.range(5).select(F.lit(None).cast("string").alias("value"))
+    )
+    dropped = parse_debezium(with_tomb, ROW_DDL)
+    assert dropped.count() == 100
+    assert dropped.where("op IS NULL").count() == 0
+    kept = parse_debezium(with_tomb, ROW_DDL, keep_corrupt=True)
+    assert kept.count() == 100
+    assert kept.where("_corrupt IS NOT NULL").count() == 0

@@ -95,3 +95,66 @@ def test_ledgers_independent_and_backfill_by_declaration(spark, tmp_path):
     assert _state(profiles.table) == _state(
         _single_table_truth(spark, tmp_path, log_dir, "profiles")
     )
+
+
+def test_route_failure_is_isolated_and_blocks_in_order(spark, tmp_path):
+    """One route's merge failure is recorded, the OTHER routes keep
+    applying (per-table isolation), and the failed route is blocked for
+    later epochs in the same run (in-order application) — then heals on
+    the next run via its own ledger."""
+    log_dir = _routed_log(spark, tmp_path)
+    routes = {
+        "pages": _route(spark, tmp_path, "iso_p"),
+        "profiles": _route(spark, tmp_path, "iso_r"),
+    }
+    broken = routes["profiles"].table
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated merge failure")
+
+    orig_merge = broken.merge
+    broken.merge = boom
+    results = MultiTableReplay(spark, log_dir, routes).run()
+    assert len(results) == 3
+    assert all(not r["tables"]["pages"].get("skipped") for r in results)
+    assert "error" in results[0]["tables"]["profiles"]
+    assert all(
+        r["tables"]["profiles"].get("reason") == "blocked_by_earlier_error"
+        for r in results[1:]
+    )
+    assert _state(routes["pages"].table) == _state(
+        _single_table_truth(spark, tmp_path, log_dir, "pages")
+    )
+    # heal: restore merge; the ledger replays profiles from epoch 0
+    broken.merge = orig_merge
+    MultiTableReplay(spark, log_dir, routes).run()
+    assert _state(routes["profiles"].table) == _state(
+        _single_table_truth(spark, tmp_path, log_dir, "profiles")
+    )
+
+
+def test_quarantine_written_once_per_epoch(spark, tmp_path):
+    """Re-running over a fully checkpointed log must not re-scan and
+    re-write every epoch's quarantine slice (O(log) per run) — the
+    sidecar count is the done-guard and the recorded count is reused."""
+    import glob
+    import os
+
+    log_dir = _routed_log(spark, tmp_path)
+    routes = {
+        "pages": _route(spark, tmp_path, "qg_p"),
+        "profiles": _route(spark, tmp_path, "qg_r"),
+    }
+    dlq = str(tmp_path / "dlq")
+    mtr = MultiTableReplay(spark, log_dir, routes, quarantine_dir=dlq)
+    r1 = mtr.run()
+    files = sorted(glob.glob(os.path.join(dlq, "epoch=*", "*.parquet")))
+    assert files
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    r2 = mtr.run()
+    assert [r["unrouted"] for r in r2] == [r["unrouted"] for r in r1]
+    after = {
+        f: os.path.getmtime(f)
+        for f in sorted(glob.glob(os.path.join(dlq, "epoch=*", "*.parquet")))
+    }
+    assert after == mtimes  # nothing rewritten

@@ -297,3 +297,44 @@ def test_scd2_prune_preserves_lookups_at_or_after_cutoff(spark):
         for r in scd2_lookup(pruned, probes, ("key",), "at", ("val_at",)).collect()
     }
     assert full_res == pruned_res
+
+
+def test_scd2_lookup_null_mid_history_returns_null(spark):
+    """A probe inside a version whose tracked value is NULL must return
+    NULL — not the previous version's value carried past. Null-valued
+    versions are real SCD2 versions here (delete tombstones, value→null
+    transitions), so the lookup wraps values in a struct."""
+    rows = [
+        ("k", _ts(0), 1, "v"),
+        ("k", _ts(10), 2, None),  # tombstone / null transition
+        ("k", _ts(20), 3, "w"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, lsn long, val string")
+    hist = scd2_history(
+        df, ("key",), ("ts", "lsn"), ("val",)
+    ).withColumnRenamed("val", "val_at")
+    probes = spark.createDataFrame(
+        [("k", _ts(5), 1), ("k", _ts(15), 2), ("k", _ts(25), 3)],
+        "key string, at timestamp, pid long",
+    )
+    got = {
+        r.pid: r.val_at
+        for r in scd2_lookup(hist, probes, ("key",), "at", ("val_at",)).collect()
+    }
+    assert got == {1: "v", 2: None, 3: "w"}
+
+
+def test_apply_batch_keeps_pruned_version_numbering(spark):
+    """scd2_prune keeps original version numbers for auditability; the
+    incremental fold must not renumber a pruned key's survivors from 1."""
+    from data_pipeline_spark.operators.scd import scd2_prune
+
+    base = _log(spark)  # key a → versions 1..3 (x, y, x), key b → 1 (null)
+    hist = scd2_history(base, ("key",), ("ts", "lsn"), ("val",), carry_order=True)
+    pruned = scd2_prune(hist, _ts(20))  # a's v1 ends AT the cutoff → dropped
+    batch = spark.createDataFrame(
+        [("a", _ts(40), 9, "z")], "key string, ts timestamp, lsn long, val string"
+    )
+    h1 = scd2_apply_batch(pruned, batch, ("key",), ("ts", "lsn"), ("val",))
+    got = sorted((r.key, r.version, r.val) for r in h1.collect())
+    assert got == [("a", 2, "y"), ("a", 3, "x"), ("a", 4, "z"), ("b", 1, None)]

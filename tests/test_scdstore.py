@@ -162,3 +162,63 @@ def test_tracked_column_added_mid_log(spark, tmp_path):
         for r in store.read().collect()
     )
     assert got == [(1, "en", None, False), (2, "en", "news", True)]
+
+
+def test_prune_rejects_unparseable_cutoff(spark, log_dir, tmp_path):
+    """An unparseable cutoff would become NULL in to_timestamp and the
+    prune predicate would then silently delete every closed version —
+    fail fast instead, state untouched."""
+    store = Scd2Store(spark, log_dir, str(tmp_path / "state"), **ARGS)
+    store.refresh()
+    before = _rows(store.read())
+    with pytest.raises(ValueError, match="cutoff"):
+        store.prune("2024-13-45")  # month 13: not a timestamp
+    with pytest.raises(ValueError, match="cutoff"):
+        store.prune(1700000000)  # raw epoch seconds: pass a datetime
+    assert _rows(store.read()) == before
+    assert store.retention_cutoff is None
+
+
+def test_prune_cutoff_in_same_commit_as_data(spark, log_dir, tmp_path):
+    """The standing cutoff rides the SAME meta swap as the pruned data —
+    exactly one meta write per prune (no window where pruning is applied
+    but no cutoff persists)."""
+    import data_pipeline_spark.lake.scdstore as scdstore_mod
+
+    store = Scd2Store(spark, log_dir, str(tmp_path / "state"), **ARGS)
+    store.refresh()
+    cutoff = store.read().where("valid_to is not null").agg(
+        F.expr("percentile(cast(valid_to as double), 0.5)")
+    ).first()[0]
+    import datetime as dt
+
+    writes = []
+    orig = scdstore_mod._atomic_write
+
+    def spy(path, data):
+        writes.append(path)
+        return orig(path, data)
+
+    scdstore_mod._atomic_write = spy
+    try:
+        store.prune(dt.datetime.fromtimestamp(cutoff))
+    finally:
+        scdstore_mod._atomic_write = orig
+    meta_writes = [p for p in writes if p.endswith("meta.json")]
+    assert len(meta_writes) == 1
+    assert store.retention_cutoff is not None
+
+
+def test_refresh_grouped_commits_equal_per_epoch(spark, log_dir, tmp_path):
+    """The fold is batching-invariant: landing all pending epochs in ONE
+    commit (epochs_per_commit=None) produces the identical history with a
+    single O(history) rewrite instead of one per epoch."""
+    per_epoch = Scd2Store(spark, log_dir, str(tmp_path / "s1"), **ARGS)
+    per_epoch.refresh()
+    grouped = Scd2Store(spark, log_dir, str(tmp_path / "s2"), **ARGS)
+    res = grouped.refresh(epochs_per_commit=None)
+    assert res["applied"] == [0, 1, 2]
+    assert grouped.cursor == 2
+    assert grouped._meta()["version"] == 1  # one commit for the backlog
+    assert per_epoch._meta()["version"] == 3
+    assert _rows(grouped.read()) == _rows(per_epoch.read())
