@@ -2397,9 +2397,11 @@ def _sql_robots_check() -> str:
 
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion (sources/sitemap.py): each document becomes a
-    2-entry sitemap file (second entry lastmod-only — nulls must surface,
-    not fail), parsed with one native regexp_extract_all + explode. The
-    oracle runs the SAME entry/field regexes under DuckDB/RE2."""
+    2-entry sitemap file (second entry: entity-escaped query-string loc
+    that must decode '&amp;'→'&', a garbage <priority> that must try_cast
+    to null — never fail the scan — and no changefreq so nulls surface),
+    parsed with one native regexp_extract_all + explode. The oracle runs
+    the SAME entry/field regexes + entity decode under DuckDB/RE2."""
     from data_pipeline_spark.sources.sitemap import parse_sitemap
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2417,7 +2419,8 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("string"),
         F.lit("</priority>\n  </url>\n  <url><loc>https://m.example.org/alt/"),
         F.col("doc_id").cast("string"),
-        F.lit("</loc><lastmod>2024-04-01</lastmod></url>\n</urlset>"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2024-04-01</lastmod>"
+              "<priority>high</priority></url>\n</urlset>"),
     )
     return parse_sitemap(d.select("doc_id", xml.alias("xml")))
 
@@ -2430,8 +2433,10 @@ def _sql_sitemap_parse() -> str:
         LOC_RE,
         PRIORITY_RE,
         URL_ENTRY_RE,
+        sql_xml_unescape,
     )
 
+    loc = sql_xml_unescape(f"nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '')")
     return f"""
 WITH files AS (
   SELECT doc_id,
@@ -2442,7 +2447,8 @@ WITH files AS (
     || '    <priority>0.' || CAST(doc_id % 10 AS VARCHAR) || '</priority>' || chr(10)
     || '  </url>' || chr(10)
     || '  <url><loc>https://m.example.org/alt/' || CAST(doc_id AS VARCHAR)
-    || '</loc><lastmod>2024-04-01</lastmod></url>' || chr(10) || '</urlset>' AS xml
+    || '?a=1&amp;b=2</loc><lastmod>2024-04-01</lastmod><priority>high</priority></url>'
+    || chr(10) || '</urlset>' AS xml
   FROM documents
 ),
 entries AS (
@@ -2450,12 +2456,12 @@ entries AS (
   FROM files
 )
 SELECT doc_id,
-  nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '') AS loc,
+  {loc} AS loc,
   nullif(regexp_extract(e, {_dq(LASTMOD_RE)}, 1), '') AS lastmod,
   nullif(regexp_extract(e, {_dq(CHANGEFREQ_RE)}, 1), '') AS changefreq,
-  CAST(nullif(regexp_extract(e, {_dq(PRIORITY_RE)}, 1), '') AS DOUBLE) AS priority
+  TRY_CAST(nullif(regexp_extract(e, {_dq(PRIORITY_RE)}, 1), '') AS DOUBLE) AS priority
 FROM entries
-WHERE nullif(regexp_extract(e, {_dq(LOC_RE)}, 1), '') IS NOT NULL
+WHERE {loc} IS NOT NULL
 """
 
 

@@ -46,6 +46,11 @@ from . import sampling as SMP
 from . import textdedup as TD
 from .dedup import lww_dedup
 
+#: one source of truth for the LSH tuning shared by the in-batch near-dup
+#: stage and the persistent cross-run index — a drift between the two
+#: would make their dedup verdicts diverge (or fail index param checks)
+DEFAULT_MINHASH: dict = dict(n=3, num_hashes=12, bands=4, threshold=0.5)
+
 
 @dataclass
 class CurateConfig:
@@ -84,9 +89,7 @@ class CurateConfig:
     # --no-gopher the band is the stage that removes them).
     surprisal_band: tuple[float, float] | None = None
     # near-dup (MinHash-LSH → components); None disables the stage
-    minhash: dict | None = field(
-        default_factory=lambda: dict(n=3, num_hashes=12, bands=4, threshold=0.5)
-    )
+    minhash: dict | None = field(default_factory=lambda: dict(DEFAULT_MINHASH))
     # per-language quotas; None disables sampling
     sample_fractions: dict[str, float] | None = None
     sample_default: float = 1.0
@@ -173,6 +176,9 @@ def curate(
 
     # 2.6 ExactSubstr span dedup (optional): duplicated >=k-token spans
     # keep their corpus-wide first occurrence only (operators/spandedup).
+    # The rebuild preserves newline structure, so the stage-3 line-based
+    # rules (dup_line_frac, Gopher's per-line heuristics) still judge
+    # real lines, not one flattened mega-line.
     if cfg.span_dedup_k is not None:
         from .spandedup import span_dedup
 
@@ -232,8 +238,7 @@ def curate(
 
         # Merge over the defaults: a PARTIAL cfg.minhash dict is valid for
         # minhash_lsh_pairs (keyword defaults) and must be here too.
-        mh = {**dict(n=3, num_hashes=12, bands=4, threshold=0.5),
-              **(cfg.minhash or {})}
+        mh = {**DEFAULT_MINHASH, **(cfg.minhash or {})}
         idx = MinHashDedupIndex.create(
             deduped.sparkSession, cfg.dedup_index_path,
             n=mh["n"], num_hashes=mh["num_hashes"], bands=mh["bands"],

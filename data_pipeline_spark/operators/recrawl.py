@@ -145,11 +145,26 @@ def attach_validators(
     the fetch layer can issue conditional GETs (If-None-Match /
     If-Modified-Since) — a 304 costs headers, not the payload. One
     ``max_by`` hash aggregation over the CDX (map-side combinable), one
-    key equi-join; columns are null when the server never sent them."""
-    latest = cdx.groupBy(key).agg(
-        F.max_by("http_etag", F.col(ts)).alias("etag"),
-        F.max_by("http_last_modified", F.col(ts)).alias("last_modified"),
-    )
+    key equi-join; columns are null when the server never sent them.
+
+    A CDX may carry only one of the two validator columns (the contract
+    makes both optional) — the missing one comes back as all-null rather
+    than failing the plan with UNRESOLVED_COLUMN."""
+    sources = {"etag": "http_etag", "last_modified": "http_last_modified"}
+    aggs = [
+        F.max_by(src, F.col(ts)).alias(dst)
+        for dst, src in sources.items()
+        if src in cdx.columns
+    ]
+    if not aggs:
+        raise ValueError(
+            "cdx has neither http_etag nor http_last_modified; "
+            "nothing to attach"
+        )
+    latest = cdx.groupBy(key).agg(*aggs)
+    for dst, src in sources.items():
+        if src not in cdx.columns:
+            latest = latest.withColumn(dst, F.lit(None).cast("string"))
     return stats.join(latest, key, "left")
 
 
@@ -194,15 +209,22 @@ def cap_per_host(
     host_col: str = "host",
     priority_col: str = "priority",
     key: str = "url",
+    asserted_col: str | None = None,
 ) -> DataFrame:
     """Fairness cap: at most ``max_per_host`` urls per host, keeping each
     host's highest-priority pages. Without it one mega-host's backlog can
     consume the whole global budget (the crawl-scheduling equivalent of
     key skew). One keyed window — same shuffle the politeness slotting
-    already pays."""
-    w = Window.partitionBy(host_col).orderBy(
-        F.col(priority_col).desc_nulls_last(), F.col(key)
-    )
+    already pays.
+
+    ``asserted_col``: boolean column (e.g. ``server_modified``) ranked
+    ABOVE priority — server-asserted/discovery urls often carry null or
+    low statistical priority, and the cap must keep what the final plan
+    sort would have put first, not cut it."""
+    order = [F.col(priority_col).desc_nulls_last(), F.col(key)]
+    if asserted_col is not None:
+        order.insert(0, F.col(asserted_col).desc_nulls_last())
+    w = Window.partitionBy(host_col).orderBy(*order)
     return (
         plan.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= max_per_host)

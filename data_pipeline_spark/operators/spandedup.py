@@ -32,9 +32,14 @@ Differences from the suffix-array formulation, by design:
   only the first window's tokens; later overlapping windows are removed
   even where they overlap the kept window — deterministic, and identical
   in the DuckDB twin;
-* documents are rebuilt token-joined by single spaces (the operator works
-  on the token stream, as the paper does); callers who need original
-  whitespace keep the pre-dedup column.
+* documents are rebuilt from the surviving token stream with NEWLINES
+  preserved: each token rejoins prefixed by a single '\\n' when the
+  whitespace run that originally preceded it contained a newline, else a
+  single space (horizontal whitespace runs collapse; fingerprints are
+  whitespace-insensitive either way). Line structure must survive because
+  downstream line-based quality rules (dup_line_frac, Gopher's per-line
+  heuristics) judge the post-strip text — a rebuild that flattened the
+  document to one line would silently disable them.
 
 Reference parity: the reference pipeline has no substring dedup (its dedup
 is per-key LWW, /root/reference/src/stores/mod.rs); this operator is part
@@ -55,6 +60,20 @@ def _sql_tokens(col: str) -> str:
     """DuckDB twin of :func:`_tokens`."""
     return (
         f"list_filter(string_split_regex(trim({col}), '\\s+'), t -> t <> '')"
+    )
+
+
+def _tokens_with_sep(col: Column) -> Column:
+    """array<struct<tok,nl>>: same token stream as :func:`_tokens` (one
+    entry per ``\\S+`` run, same order — positions align), plus whether the
+    whitespace run PRECEDING the token contained a newline. Drives the
+    newline-preserving rebuild."""
+    return F.transform(
+        F.regexp_extract_all(col, F.lit(r"(\s*)(\S+)"), 0),
+        lambda w: F.struct(
+            F.regexp_replace(w, r"^\s+", "").alias("tok"),
+            F.regexp_extract(w, r"^(\s*)", 1).contains("\n").alias("nl"),
+        ),
     )
 
 
@@ -140,7 +159,8 @@ def span_dedup(
 ) -> DataFrame:
     """ExactSubstr removal: strip every duplicated k-token span occurrence
     except the corpus-wide first (min (doc id, position)); return
-    (id_col, text_col) with documents rebuilt from surviving tokens.
+    (id_col, text_col) with documents rebuilt from surviving tokens,
+    newline structure preserved (see module docstring).
 
     Plan shape: windows (narrow map) -> ONE map-side-combinable hash agg
     on the md5 fingerprint (occurrence count + first occurrence via
@@ -177,19 +197,31 @@ def span_dedup(
     ).distinct()
     tokpos = (
         df.select(
-            F.col(id_col).alias("_id"), _tokens(F.col(text_col)).alias("_toks")
+            F.col(id_col).alias("_id"),
+            _tokens_with_sep(F.col(text_col)).alias("_toks"),
         )
-        .select("_id", F.posexplode("_toks").alias("_ti", "_tok"))
+        .select("_id", F.posexplode("_toks").alias("_ti", "_t"))
+        .select(
+            "_id", "_ti",
+            F.col("_t.tok").alias("_tok"), F.col("_t.nl").alias("_nl"),
+        )
+    )
+    # every token rejoins prefixed by its original separator class
+    # ('\n' vs ' '); the leading prefix of the first survivor is trimmed
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_ti", "_nl", "_tok"))),
+            lambda s: F.concat(
+                F.when(s["_nl"], F.lit("\n")).otherwise(F.lit(" ")),
+                s["_tok"],
+            ),
+        ),
+        "",
     )
     rebuilt = (
         tokpos.join(removed, ["_id", "_ti"], "left_anti")
         .groupBy("_id")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(_ti, _tok))), s -> s._tok), ' ')"
-            ).alias("_text")
-        )
+        .agg(F.regexp_replace(assembled, r"^\s+", "").alias("_text"))
     )
     return (
         df.select(id_col)
@@ -205,10 +237,13 @@ def sql_span_dedup(
     input_sql: str, id_col: str, text_col: str, k: int = 5
 ) -> str:
     """DuckDB twin of :func:`span_dedup` (window row_number picks the same
-    first occurrence as Spark's min(struct(id, p)))."""
+    first occurrence as Spark's min(struct(id, p)); the rebuild is the
+    same newline-preserving separator-class rejoin)."""
     return f"""
 WITH sd_tok AS (
-  SELECT {id_col} AS _id, {_sql_tokens(text_col)} AS _toks FROM ({input_sql})
+  SELECT {id_col} AS _id, {_sql_tokens(text_col)} AS _toks,
+         regexp_extract_all({text_col}, '(\\s*)(\\S+)', 0) AS _ws
+  FROM ({input_sql})
 ), sd_pos AS (
   SELECT _id, _toks, unnest(range(0, len(_toks) - {k} + 1)) AS _p
   FROM sd_tok WHERE len(_toks) >= {k}
@@ -225,14 +260,19 @@ WITH sd_tok AS (
     SELECT _id, unnest(range(_p, _p + {k})) AS _ti
     FROM sd_marked WHERE _n > 1 AND _rn > 1)
 ), sd_tokpos AS (
-  SELECT _id, unnest(range(0, len(_toks))) AS _ti, _toks FROM sd_tok
+  SELECT _id, unnest(range(0, len(_ws))) AS _ti, _ws FROM sd_tok
 ), sd_kept AS (
-  SELECT t._id, t._ti, t._toks[t._ti + 1] AS _tok
+  SELECT t._id, t._ti,
+         regexp_replace(t._ws[t._ti + 1], '^\\s+', '') AS _tok,
+         contains(regexp_extract(t._ws[t._ti + 1], '^(\\s*)', 1), chr(10)) AS _nl
   FROM sd_tokpos t
   LEFT JOIN sd_removed r ON t._id = r._id AND t._ti = r._ti
   WHERE r._ti IS NULL
 ), sd_rebuilt AS (
-  SELECT _id, string_agg(_tok, ' ' ORDER BY _ti) AS _text
+  SELECT _id, regexp_replace(
+           string_agg(CASE WHEN _nl THEN chr(10) ELSE ' ' END || _tok,
+                      '' ORDER BY _ti),
+           '^\\s+', '') AS _text
   FROM sd_kept GROUP BY _id
 )
 SELECT d.{id_col}, coalesce(r._text, '') AS {text_col}

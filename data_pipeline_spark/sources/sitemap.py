@@ -34,6 +34,35 @@ LASTMOD_RE = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
 CHANGEFREQ_RE = r"<changefreq>\s*([^<]+?)\s*</changefreq>"
 PRIORITY_RE = r"<priority>\s*([^<]+?)\s*</priority>"
 
+#: the five XML predefined entities. The sitemap protocol REQUIRES urls
+#: with '&'/'<'/... to be entity-escaped inside <loc> — a query-string url
+#: is stored as 'p?a=1&amp;b=2' and must decode back before it can join
+#: against captured urls. '&amp;' decodes LAST so literal text '&amp;lt;'
+#: round-trips to '&lt;', not '<'. Numeric character references (&#NN;)
+#: are out of scope (vanishingly rare in <loc>; they would need a per-row
+#: codepoint loop that native expressions can't do).
+XML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def xml_unescape(c: Column) -> Column:
+    """Decode the five predefined XML entities (native replace chain)."""
+    for ent, ch in XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def sql_xml_unescape(expr: str) -> str:
+    """DuckDB twin of :func:`xml_unescape`."""
+    for ent, ch in XML_ENTITIES:
+        expr = f"replace({expr}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return expr
+
 
 def _f(entry: Column, regex: str) -> Column:
     e = F.regexp_extract(entry, regex, 1)
@@ -50,12 +79,15 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     ).alias("__entry")
     passthrough = [c for c in df.columns if c != xml_col]
     exploded = df.select(*passthrough, entry)
+    # priority: try_cast, not cast — '<priority>high</priority>' and other
+    # garbage must null out, never fail the scan under ANSI mode (same
+    # convention as robots.py's Crawl-delay parse).
     return exploded.select(
         *passthrough,
-        _f(F.col("__entry"), LOC_RE).alias("loc"),
+        xml_unescape(_f(F.col("__entry"), LOC_RE)).alias("loc"),
         _f(F.col("__entry"), LASTMOD_RE).alias("lastmod"),
         _f(F.col("__entry"), CHANGEFREQ_RE).alias("changefreq"),
-        _f(F.col("__entry"), PRIORITY_RE).cast("double").alias("priority"),
+        _f(F.col("__entry"), PRIORITY_RE).try_cast("double").alias("priority"),
     ).where(F.col("loc").isNotNull())
 
 
@@ -70,7 +102,7 @@ def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         df.select(*passthrough, entry)
         .select(
             *passthrough,
-            _f(F.col("__entry"), LOC_RE).alias("loc"),
+            xml_unescape(_f(F.col("__entry"), LOC_RE)).alias("loc"),
             _f(F.col("__entry"), LASTMOD_RE).alias("lastmod"),
         )
         .where(F.col("loc").isNotNull())
@@ -101,15 +133,21 @@ def sitemap_due(
     origin said so; statistics are for when it doesn't. One hash agg over
     entries + one left join; urls in the sitemap but never captured join
     from the entries side with null stats (discovery, not just refresh)."""
-    latest = sitemap_entries.groupBy(F.col("loc").alias(key)).agg(
-        F.max(lastmod_ts("lastmod")).alias("server_lastmod")
+    latest = (
+        sitemap_entries.groupBy(F.col("loc").alias(key))
+        .agg(F.max(lastmod_ts("lastmod")).alias("server_lastmod"))
+        # presence flag: a never-captured url in the sitemap is a discovery
+        # (= asserted) even when its optional <lastmod> is absent —
+        # server_lastmod alone can't distinguish "no entry" from
+        # "entry without lastmod"
+        .withColumn("__asserted", F.lit(True))
     )
     joined = stats.join(latest, key, "full_outer")
     return joined.withColumn(
         "server_modified",
         F.coalesce(
             F.col("server_lastmod") > F.col("last_ts"),
-            F.col("last_ts").isNull() & F.col("server_lastmod").isNotNull(),
+            F.col("last_ts").isNull() & F.col("__asserted").isNotNull(),
             F.lit(False),
         ),
-    )
+    ).drop("__asserted")

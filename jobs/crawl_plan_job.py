@@ -93,10 +93,10 @@ def main() -> None:
 
     cdx = spark.read.parquet(args.cdx_dir)
     stats = recrawl_stats(cdx)
-    if "http_etag" in cdx.columns:
+    if "http_etag" in cdx.columns or "http_last_modified" in cdx.columns:
         # conditional-GET validators of the latest capture ride the plan:
         # a fetcher sends If-None-Match / If-Modified-Since and a 304
-        # costs headers, not payload
+        # costs headers, not payload (either validator alone is enough)
         stats = attach_validators(stats, cdx)
     if args.default_period_s is not None:
         stats = apply_default_period(stats, args.default_period_s)
@@ -174,7 +174,11 @@ def main() -> None:
     if args.max_per_host is not None:
         from data_pipeline_spark.operators.recrawl import cap_per_host
 
-        stats = cap_per_host(stats, args.max_per_host)
+        # asserted urls rank above statistical priority inside the cap,
+        # matching the final plan sort below
+        stats = cap_per_host(
+            stats, args.max_per_host, asserted_col="server_modified"
+        )
 
     # server-asserted changes jump the statistical queue: the origin said
     # the page changed; due_score ranks only the rest

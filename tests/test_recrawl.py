@@ -121,6 +121,61 @@ def test_cap_per_host(spark):
     assert by_host["small.com"] == ["https://small.com/1"]
 
 
+def test_cap_per_host_keeps_asserted_urls(spark):
+    """Server-asserted/discovery urls carry null or low statistical
+    priority; with asserted_col set the fairness cap must keep them ahead
+    of high-priority statistical urls — matching the final plan sort."""
+    from data_pipeline_spark.operators.recrawl import cap_per_host
+
+    plan = spark.createDataFrame(
+        [(f"https://big.com/{i}", "big.com", float(i), False) for i in range(5)]
+        + [
+            ("https://big.com/new1", "big.com", None, True),
+            ("https://big.com/new2", "big.com", 0.1, True),
+        ],
+        "url string, host string, priority double, server_modified boolean",
+    )
+    got = cap_per_host(plan, 3, asserted_col="server_modified").collect()
+    kept = {r["url"] for r in got}
+    assert kept == {
+        "https://big.com/new1", "https://big.com/new2", "https://big.com/4"
+    }
+
+
+def test_attach_validators_single_column_cdx(spark):
+    """A CDX carrying only one of the two validator headers still
+    attaches: the missing one comes back all-null instead of failing with
+    UNRESOLVED_COLUMN."""
+    from datetime import datetime
+
+    from data_pipeline_spark.operators.recrawl import attach_validators
+
+    stats = spark.createDataFrame(
+        [("https://x.org/a", 0.5)], "url string, due_score double"
+    )
+    cdx_lm = spark.createDataFrame(
+        [
+            ("https://x.org/a", datetime(2024, 3, 1), "Mon, 01 Mar"),
+            ("https://x.org/a", datetime(2024, 3, 5), "Fri, 05 Mar"),
+        ],
+        "url string, warc_ts timestamp, http_last_modified string",
+    )
+    row = attach_validators(stats, cdx_lm).collect()[0]
+    assert row["last_modified"] == "Fri, 05 Mar" and row["etag"] is None
+
+    cdx_etag = spark.createDataFrame(
+        [("https://x.org/a", datetime(2024, 3, 1), 'W/"abc"')],
+        "url string, warc_ts timestamp, http_etag string",
+    )
+    row = attach_validators(stats, cdx_etag).collect()[0]
+    assert row["etag"] == 'W/"abc"' and row["last_modified"] is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="neither"):
+        attach_validators(stats, cdx_etag.drop("http_etag"))
+
+
 def test_same_tick_changes_stay_schedulable(spark):
     """Captures within one timestamp tick with differing digests: span 0
     carries no rate info — the period must be NULL (unknown) so

@@ -45,6 +45,27 @@ def test_parse_entries(spark):
     assert b["changefreq"] is None and b["priority"] is None
 
 
+def test_entity_escaped_loc_and_garbage_priority(spark):
+    # the protocol REQUIRES '&' in a url to ship as '&amp;' — it must
+    # decode back or the join against captured urls misses; a non-numeric
+    # <priority> must null out, never fail the scan (ANSI mode)
+    xml = (
+        "<urlset>"
+        "<url><loc>https://x.org/p?a=1&amp;b=2</loc>"
+        "<priority>high</priority></url>"
+        "<url><loc>https://x.org/lt/&lt;&gt;&quot;&apos;</loc></url>"
+        "<url><loc>https://x.org/amp/&amp;lt;</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    rows = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert "https://x.org/p?a=1&b=2" in rows
+    assert rows["https://x.org/p?a=1&b=2"]["priority"] is None
+    assert "https://x.org/lt/<>\"'" in rows
+    # '&amp;lt;' is the literal text '&lt;', not '<' (amp decodes last)
+    assert "https://x.org/amp/&lt;" in rows
+
+
 def test_parse_index(spark):
     df = spark.createDataFrame([(INDEX,)], "xml string")
     rows = {r["loc"]: r["lastmod"] for r in parse_sitemap_index(df).collect()}
@@ -90,6 +111,26 @@ def test_sitemap_due_merge(spark):
     # never-captured url discovered from the sitemap: must-fetch
     assert out["https://x.org/new"]["server_modified"] is True
     assert out["https://x.org/new"]["due_score"] is None
+
+
+def test_discovery_without_lastmod_is_asserted(spark):
+    # <lastmod> is optional and very commonly omitted: a never-captured
+    # url in the sitemap is a discovery even with no lastmod at all
+    stats = spark.createDataFrame(
+        [("https://x.org/a", datetime(2024, 3, 1), 0.2)],
+        "url string, last_ts timestamp, due_score double",
+    )
+    entries = parse_sitemap(
+        spark.createDataFrame(
+            [("<urlset><url><loc>https://x.org/bare</loc></url></urlset>",)],
+            "xml string",
+        )
+    )
+    out = {r["url"]: r for r in sitemap_due(stats, entries).collect()}
+    assert out["https://x.org/bare"]["server_modified"] is True
+    assert out["https://x.org/bare"]["server_lastmod"] is None
+    # captured url absent from the sitemap stays statistical
+    assert out["https://x.org/a"]["server_modified"] is False
 
 
 def test_crawl_plan_job_with_sitemap(spark, tmp_path, monkeypatch):

@@ -40,10 +40,27 @@ def test_self_overlap_keeps_first_window_only(spark):
     assert out[1] == "x"
 
 
-def test_no_duplicates_is_whitespace_normalizing_identity(spark):
+def test_no_duplicates_normalizes_runs_but_keeps_newlines(spark):
+    # horizontal whitespace runs collapse to one space; a run containing a
+    # newline collapses to one '\n' (line structure must survive for the
+    # downstream line-based quality rules)
     rows = [(1, "  a  b\tc \n d "), (2, "e f g")]
     out = _result(span_dedup(_df(spark, rows), "doc_id", "text", k=2))
-    assert out == {1: "a b c d", 2: "e f g"}
+    assert out == {1: "a b c\nd", 2: "e f g"}
+
+
+def test_newlines_survive_span_removal(spark):
+    boiler = "subscribe to our newsletter today please"
+    rows = [
+        (1, f"first line\n{boiler}\nlast line"),
+        (2, f"other intro\n{boiler}\nunique tail here"),
+    ]
+    out = _result(span_dedup(_df(spark, rows), "doc_id", "text", k=6))
+    # doc 1 holds the span's first occurrence: fully intact, 3 real lines
+    assert out[1] == rows[0][1]
+    # doc 2 loses the boilerplate line but keeps ITS line breaks: the
+    # token after the removed span still rejoins with its original '\n'
+    assert out[2] == "other intro\nunique tail here"
 
 
 def test_short_and_empty_docs_pass_through(spark):
@@ -103,8 +120,17 @@ def test_randomized_vs_python_oracle(spark):
 def test_duckdb_twin_parity(spark):
     rng = random.Random(11)
     vocab = ["w0", "w1", "w2", "w3", "w4", "w5"]
+    # random separators exercise the newline-preserving rebuild in both
+    # engines, not just the gram semantics
+    seps = [" ", " ", " ", "\n", "  ", " \n "]
     rows = [
-        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        (
+            i,
+            "".join(
+                (rng.choice(seps) if x else "") + rng.choice(vocab)
+                for x in range(rng.randint(0, 25))
+            ),
+        )
         for i in range(60)
     ]
     con = duckdb.connect()
