@@ -822,8 +822,9 @@ SELECT part,
        CAST(count(DISTINCT seq) AS BIGINT) AS n_distinct,
        min(seq) AS min_seq,
        max(seq) AS max_seq,
-       CAST(max(seq) - min(seq) + 1 - count(DISTINCT seq) AS BIGINT) AS n_missing,
-       CAST(count(*) - count(DISTINCT seq) AS BIGINT) AS n_duplicates
+       CAST(coalesce(max(seq) - min(seq) + 1 - count(DISTINCT seq), 0) AS BIGINT) AS n_missing,
+       CAST(count(seq) - count(DISTINCT seq) AS BIGINT) AS n_duplicates,
+       CAST(count(*) - count(seq) AS BIGINT) AS n_null_seq
 FROM stream GROUP BY part
 """
 

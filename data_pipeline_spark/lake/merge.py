@@ -137,12 +137,19 @@ class MergeBuilder:
 
     # -- compile -----------------------------------------------------------------
 
-    def plan(self, include_action: bool = False) -> DataFrame:
+    def plan(
+        self, include_action: bool = False, keep_deletes: bool = False
+    ) -> DataFrame:
         """The post-merge table image (target schema), as one lazy plan.
 
         ``include_action`` (internal, used by the lake apply path) appends
         the ``__action`` clause ordinal (-1 = pass-through) so the caller
-        can distinguish rows the merge actually changed."""
+        can distinguish rows the merge actually changed.
+
+        ``keep_deletes`` (internal, lake apply path) keeps rows a DELETE
+        clause claimed — identified by their ``__action`` ordinal, values
+        passed through from the target side — so the caller can turn them
+        into winner tombstones instead of losing them."""
         if not self.clauses:
             raise ValueError("MERGE needs at least one WHEN clause")
         t = self.target.withColumn("__t_present", F.lit(True)).alias("t")
@@ -177,7 +184,7 @@ class MergeBuilder:
         action = action.otherwise(F.when(t_present, F.lit(-1)).otherwise(F.lit(-2)))
         j = j.select(F.col("*"), action.alias("__action"))
 
-        drop_ordinals = [
+        drop_ordinals = [-2] if keep_deletes else [
             i for i, c in enumerate(self.clauses) if c.action == "delete"
         ] + [-2]
         kept = j.where(~F.col("__action").isin(drop_ordinals))
@@ -289,8 +296,12 @@ class LakeMergeBuilder(MergeBuilder):
 
         ``epoch`` gives exactly-once semantics (re-applying a committed
         epoch is a no-op), same ledger as :meth:`LakeTable.merge`.
-        ``lsn`` stamps rewritten rows' ``__lsn`` (default: the new snapshot
-        id — deterministic and monotone per table).
+        ``lsn`` stamps rewritten rows' ``__lsn``; the default is the row's
+        stored lsn + 1 (0 for fresh inserts) — IN the event-lsn space, so
+        a clause-touched row dominates every event already applied for its
+        key (an at-least-once redelivery ties on ts and loses on lsn) while
+        any genuinely newer event still wins. A snapshot-counter stamp
+        would be meaningless against event lsns.
         """
         from .table import BUCKET_COL, DELETED_COL, LSN_COL
 
@@ -311,19 +322,7 @@ class LakeMergeBuilder(MergeBuilder):
         if head is not None and head.get("needs_resolve"):
             raw = tbl._resolve(raw)
         is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
-        # Winner tombstones are live metadata: they are what stops a late
-        # out-of-order CDC event from resurrecting a deleted key. A merge
-        # rewrite must carry them — EXCEPT for keys the source re-creates
-        # (an explicit INSERT establishes a new baseline; keeping the old
-        # tombstone would non-deterministically re-delete the key at the
-        # next LWW resolve).
         tombs = raw.where(is_del)
-        if tbl.key_col in self.on:
-            tombs = tombs.join(
-                self.source.select(tbl.key_col).distinct(),
-                tbl.key_col,
-                "left_anti",
-            )
         # The live view keeps each row's stored LSN as a hidden passthrough
         # column: rows no clause touches must retain their original
         # (order_col, lsn) LWW coordinates, or a later re-delivered event
@@ -333,17 +332,51 @@ class LakeMergeBuilder(MergeBuilder):
             .drop(DELETED_COL)
             .withColumnRenamed(LSN_COL, "__t_lsn")
         )
-        merged = self.plan(include_action=True)
+        merged = self.plan(include_action=True, keep_deletes=True)
+        insert_ords = [
+            i for i, c in enumerate(self.clauses) if c.action == "insert"
+        ]
+        delete_ords = [
+            i for i, c in enumerate(self.clauses) if c.action == "delete"
+        ]
+        # Winner tombstones are live metadata: they are what stops a late
+        # out-of-order CDC event from resurrecting a deleted key. A merge
+        # rewrite must carry them — EXCEPT for keys the merge actually
+        # INSERTS (an explicit INSERT establishes a new baseline; keeping
+        # the old tombstone would non-deterministically re-delete the key
+        # at the next LWW resolve). Source keys whose insert clause did
+        # NOT fire keep their tombstone — erasing on mere source presence
+        # would let a late out-of-order event resurrect the key. (The
+        # anti-join's right side re-derives the merge plan; the extra pass
+        # is O(touched buckets), the same bound as the rewrite itself.)
+        if tbl.key_col in self.on and insert_ords:
+            inserted = (
+                merged.where(F.col("__action").isin(insert_ords))
+                .select(tbl.key_col)
+                .distinct()
+            )
+            tombs = tombs.join(inserted, tbl.key_col, "left_anti")
 
         snapshot_id = tbl._next_snapshot_id()
-        stamp = F.when(
-            F.col("__action") >= 0,
-            F.lit(snapshot_id if lsn is None else lsn),
-        ).otherwise(F.coalesce(F.col("__t_lsn"), F.lit(-1)))
+        new_lsn = (
+            F.coalesce(F.col("__t_lsn"), F.lit(-1)) + 1
+            if lsn is None
+            else F.lit(lsn)
+        )
+        stamp = F.when(F.col("__action") >= 0, new_lsn).otherwise(
+            F.coalesce(F.col("__t_lsn"), F.lit(-1))
+        )
+        # Rows a DELETE clause claimed become winner tombstones (stamped
+        # with the NEW lsn so they win LWW against late redeliveries) —
+        # the same protection the CDC delete path writes; simply dropping
+        # them would let an at-least-once redelivery resurrect the key.
+        clause_deleted = (
+            F.col("__action").isin(delete_ords) if delete_ords else F.lit(False)
+        )
         out = (
             merged.withColumn(LSN_COL, stamp.cast("long"))
+            .withColumn(DELETED_COL, clause_deleted)
             .drop("__action", "__t_lsn")
-            .withColumn(DELETED_COL, F.lit(False))
         )
         out = out.unionByName(tombs.select(*out.columns)).withColumn(
             BUCKET_COL, tbl._bucket_expr()

@@ -51,10 +51,17 @@ def sequence_audit(
 
     For each stream partition: ``n_rows``, ``n_distinct`` (distinct seq
     values), ``min_seq``, ``max_seq``, ``n_missing`` (holes in
-    [min_seq, max_seq]), ``n_duplicates`` (rows beyond first per seq).
-    A clean exactly-once, in-order feed has ``n_missing = n_duplicates =
-    0``. Dense-rank semantics assume the source assigns consecutive
-    integers per partition (Debezium/binlog position within a partition).
+    [min_seq, max_seq]), ``n_duplicates`` (NON-NULL rows beyond first per
+    seq), ``n_null_seq`` (rows with no sequence at all). A clean
+    exactly-once, in-order feed has ``n_missing = n_duplicates =
+    n_null_seq = 0``. NULL seqs are a producer bug, not a redelivery —
+    they get their own column instead of inflating ``n_duplicates``
+    (count_distinct ignores NULLs, so n_rows − n_distinct would count
+    them as phantom duplicates); an all-NULL partition reports
+    ``n_missing = 0``, not NULL, so ``= 0`` health checks cannot
+    silently pass it. Dense-rank semantics assume the source assigns
+    consecutive integers per partition (Debezium/binlog position within
+    a partition).
     """
     partition_cols = list(partition_cols)
     s = F.col(seq_col).cast("long")
@@ -62,6 +69,7 @@ def sequence_audit(
         df.groupBy(*partition_cols)
         .agg(
             F.count("*").cast("long").alias("n_rows"),
+            F.count(s).cast("long").alias("_n_nonnull"),
             F.count_distinct(s).cast("long").alias("n_distinct"),
             F.min(s).alias("min_seq"),
             F.max(s).alias("max_seq"),
@@ -72,10 +80,18 @@ def sequence_audit(
             "n_distinct",
             "min_seq",
             "max_seq",
-            (F.col("max_seq") - F.col("min_seq") + 1 - F.col("n_distinct"))
+            F.coalesce(
+                F.col("max_seq") - F.col("min_seq") + 1 - F.col("n_distinct"),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_missing"),
-            (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_duplicates"),
+            (F.col("_n_nonnull") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_duplicates"),
+            (F.col("n_rows") - F.col("_n_nonnull"))
+            .cast("long")
+            .alias("n_null_seq"),
         )
     )
 

@@ -372,9 +372,15 @@ class SchemaRegistry:
         # C3 exact
         if norm in self.field_mappings:
             return self.field_mappings[norm]
-        # C4 fuzzy: bidirectional substring containment
+        # C4 fuzzy: bidirectional substring containment. The sku/discount
+        # guard applies HERE too: an unseen discount-style name containing
+        # 'sku' (e.g. skuPercentageOff) would otherwise fuzzy-match the
+        # 'sku' mapping before the C5 guard could veto it — the exact
+        # contamination verify_column_fix.rs:86-109 regressed on.
         for known, canonical in self.field_mappings.items():
             if known in norm or norm in known:
+                if canonical == "sku" and ("percent" in norm or "off" in norm):
+                    continue
                 return canonical
         # C5 content/name-pattern tier (ordered)
         if "sku" in norm and "percent" not in norm and "off" not in norm:
@@ -404,8 +410,7 @@ class SchemaRegistry:
         Sampling for the value-shape tier reads ≤ ``sample_rows`` values per
         unresolved column (P13, registry-build-time, driver-side).
         """
-        aliases: dict[str, str] = {}
-        taken: set[str] = set()
+        canon: dict[str, str | None] = {}
         for col in df.columns:
             canonical = self.classify_field(col)
             if canonical is None and sample_rows:
@@ -414,9 +419,29 @@ class SchemaRegistry:
                     for r in df.select(col).where(f"`{col}` is not null").limit(sample_rows).collect()
                 ]
                 canonical = self.classify_field(col, samples)
+            canon[col] = canonical
+        # Collision policy: a column ALREADY named its canonical name keeps
+        # it (claimed first, regardless of position); other claimants fall
+        # back to their original name, deterministically suffixed if that
+        # is taken too — the output must never carry duplicate column
+        # names (ambiguous downstream, unwritable as parquet).
+        aliases: dict[str, str] = {}
+        taken: set[str] = set()
+        for col in df.columns:
+            if canon[col] == col:
+                aliases[col] = col
+                taken.add(col)
+        for col in df.columns:
+            if col in aliases:
+                continue
+            canonical = canon[col]
             target = canonical if canonical and canonical not in taken else col
+            n = 2
+            while target in taken:
+                target = f"{col}_{n}"
+                n += 1
             aliases[col] = target
             taken.add(target)
         import pyspark.sql.functions as F
 
-        return df.select(*[F.col(f"`{c}`").alias(a) for c, a in aliases.items()])
+        return df.select(*[F.col(f"`{c}`").alias(aliases[c]) for c in df.columns])

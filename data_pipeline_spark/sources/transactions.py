@@ -52,12 +52,18 @@ def align_epochs(
     tx = changes.groupBy(tx_col).agg(
         F.count("*").alias("_n"), F.max(lsn_col).alias("_commit_lsn")
     )
+    # Distributed prefix sum over transactions in commit order.
+    ranged = tx.repartitionByRange(
+        num_partitions, F.col("_commit_lsn"), F.col(tx_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning: both
+    # passes below must see identical _pid assignments.
     # NULL tx/commit keys would silently vanish at the final inner equi-join
     # (NULL never equals NULL) — unquarantined data loss. Fail loudly; the
     # caller quarantines null-key events BEFORE alignment (split_poison /
-    # ingest_job's DLQ). Checked on the folded per-tx frame, so the probe is
-    # O(#transactions), not O(events).
-    bad = tx.where(
+    # ingest_job's DLQ). Probed on the already-checkpointed per-tx frame —
+    # O(#transactions) at metadata cost, no second fold over the events.
+    bad = ranged.where(
         F.col(tx_col).isNull() | F.col("_commit_lsn").isNull()
     ).count()
     if bad:
@@ -65,13 +71,6 @@ def align_epochs(
             f"align_epochs: {bad} transaction group(s) with NULL {tx_col}/"
             f"{lsn_col} — quarantine null-key events before alignment"
         )
-
-    # Distributed prefix sum over transactions in commit order.
-    ranged = tx.repartitionByRange(
-        num_partitions, F.col("_commit_lsn"), F.col(tx_col)
-    ).withColumn("_pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning: both
-    # passes below must see identical _pid assignments.
     part_sums = {
         r["_pid"]: r["_s"]
         for r in ranged.groupBy("_pid").agg(F.sum("_n").alias("_s")).collect()

@@ -153,6 +153,27 @@ def split_poison(
     )
 
 
+#: driver-side per-batch metrics ring buffer size (log + wire tailers):
+#: a 24/7 tail appends one dict per micro-batch forever; keep the most
+#: recent window instead of leaking driver memory
+METRICS_KEEP = 10_000
+
+
+def write_dlq(poison: DataFrame, quarantine_dir: str, batch_id: int) -> int:
+    """Write one micro-batch's poison rows to the dead-letter directory,
+    keyed by batch id (overwrite ⇒ idempotent across batch re-execution);
+    returns the row count, observed on the write job itself (no second
+    pass). Shared by the log tailer and the wire tailer so the DLQ
+    convention cannot drift between them."""
+    from pyspark.sql import Observation
+
+    qobs = Observation()
+    poison.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(quarantine_dir, f"batch={batch_id}"))
+    return int(qobs.get["n"])
+
+
 class ReplayRunner:
     def __init__(
         self,

@@ -76,18 +76,10 @@ class ChangeLogTailer:
         if self.quarantine_dir is not None:
             # Same dead-letter convention as the batch runner; keyed by
             # batch id, overwrite => idempotent across batch re-execution.
-            from .runner import split_poison
+            from .runner import split_poison, write_dlq
 
             good, poison = split_poison(batch_df, self.table.key_col)
-            from pyspark.sql import Observation
-
-            import pyspark.sql.functions as F
-
-            qobs = Observation()
-            poison.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.quarantine_dir, f"batch={batch_id}"))
-            n_quarantined = int(qobs.get["n"])
+            n_quarantined = write_dlq(poison, self.quarantine_dir, batch_id)
             batch_df = good
         staged = stage_changes(self.spark, batch_df, self.table)
         metrics = self.table.merge(
@@ -99,6 +91,10 @@ class ChangeLogTailer:
         self.batch_metrics.append(
             {"batch_id": batch_id, "quarantined": n_quarantined, **metrics}
         )
+        # ring buffer: a 24/7 tail must not leak one dict per batch forever
+        from .runner import METRICS_KEEP
+
+        del self.batch_metrics[:-METRICS_KEEP]
 
     def _source(self) -> DataFrame:
         # Schema from a one-time static read: streaming parquet sources

@@ -11,10 +11,15 @@ Exactly-once is the standard composition (see streaming/tailer.py): the
 stream checkpoint re-executes a failed batch with the same batch_id, and
 the merge keyed by that id is a structural no-op on re-execution.
 
-Poison handling mirrors the batch DLQ: unparseable envelopes and events
-with no lsn dead-letter per micro-batch (keyed by batch id, overwrite ⇒
-idempotent across re-execution) — a poison message must never kill the
-tail or silently vanish.
+Poison handling mirrors the batch DLQ with the SAME poison taxonomy as
+``streaming/runner.py::split_poison`` (corrupt envelope, null key, null
+lsn, unknown op — any of which would corrupt or crash the merge):
+offenders dead-letter per micro-batch (keyed by batch id, overwrite ⇒
+idempotent across re-execution) with a replayable ``raw`` payload — the
+original wire line for corrupt envelopes, the parsed row re-serialized
+as JSON otherwise. A poison message must never kill the tail or
+silently vanish, so when no ``quarantine_dir`` is given the DLQ
+defaults to ``<checkpoint_dir>/dlq`` instead of dropping rows.
 """
 
 from __future__ import annotations
@@ -27,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from ..lake.table import LakeTable
 from ..plans.registry import SchemaRegistry
 from ..sources.debezium import parse_debezium
-from .runner import maybe_evolve, stage_changes
+from .runner import (
+    METRICS_KEEP,
+    maybe_evolve,
+    split_poison,
+    stage_changes,
+    write_dlq,
+)
 
 # Distinct id space from ChangeLogTailer's STREAM_EPOCH_BASE so one table
 # fed by a log tail AND a wire tail cannot collide in the epoch ledger.
@@ -60,22 +71,28 @@ class WireTailer:
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_debezium(batch_df, self.row_ddl, keep_corrupt=True)
-        bad_pred = F.col("_corrupt").isNotNull() | F.col("lsn").isNull()
-        n_bad = 0
-        if self.quarantine_dir is not None:
-            from pyspark.sql import Observation
-
-            bad = parsed.where(bad_pred).select(
-                F.col("_corrupt").alias("raw"), "op", "lsn",
-                F.when(F.col("_corrupt").isNotNull(), F.lit("corrupt_envelope"))
-                .otherwise(F.lit("null_lsn")).alias("_reason"),
+        corrupt = F.col("_corrupt").isNotNull()
+        # Same taxonomy as the log tailer: a parsed-but-null-KEY event
+        # would form a bogus null-key LWW group, an unknown op would
+        # misclassify — both must dead-letter, not just corrupt/null-lsn.
+        good, poison = split_poison(parsed.where(~corrupt), self.table.key_col)
+        payload_cols = [c for c in parsed.columns if c != "_corrupt"]
+        poison_all = (
+            parsed.where(corrupt)
+            .withColumn("_reason", F.lit("corrupt_envelope"))
+            .unionByName(poison)
+            # replayable DLQ record: the raw wire line when we have it,
+            # else the parsed row re-serialized — never a NULL payload
+            .select(
+                F.coalesce(
+                    F.col("_corrupt"), F.to_json(F.struct(*payload_cols))
+                ).alias("raw"),
+                "op", "lsn", "_reason",
             )
-            qobs = Observation()
-            bad.observe(qobs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.quarantine_dir, f"batch={batch_id}"))
-            n_bad = int(qobs.get["n"])
-        good = parsed.where(~bad_pred).drop("_corrupt", "source_ts")
+        )
+        qdir = self.quarantine_dir or os.path.join(self.checkpoint_dir, "dlq")
+        n_bad = write_dlq(poison_all, qdir, batch_id)
+        good = good.drop("_corrupt", "source_ts")
         maybe_evolve(self.table, self.registry, good)
         staged = stage_changes(self.spark, good, self.table)
         metrics = self.table.merge(
@@ -87,6 +104,7 @@ class WireTailer:
         self.batch_metrics.append(
             {"batch_id": batch_id, "quarantined": n_bad, **metrics}
         )
+        del self.batch_metrics[:-METRICS_KEEP]
 
     def _source(self) -> DataFrame:
         reader = self.spark.readStream

@@ -95,3 +95,21 @@ def test_freshness_report(spark):
     assert got["x"].staleness_us == 60_000_000
     assert abs(got["x"].staleness_s - 60.0) < 1e-9
     assert got["x"].latest_ts == t0 + dt.timedelta(seconds=30)
+
+
+def test_sequence_audit_null_seqs_not_counted_as_duplicates(spark):
+    """Review finding: NULL seqs are a producer bug, not redelivery — they
+    get their own n_null_seq column; an all-NULL partition reports
+    n_missing = 0, not NULL (so '= 0' health checks can't silently pass)."""
+    df = spark.createDataFrame(
+        [("p1", 1), ("p1", 2), ("p1", None), ("p2", None), ("p2", None)],
+        "part string, seq int",
+    )
+    got = {r["part"]: r for r in sequence_audit(df, ("part",), "seq").collect()}
+    p1 = got["p1"]
+    assert p1["n_duplicates"] == 0          # no actual redelivery
+    assert p1["n_null_seq"] == 1
+    assert p1["n_missing"] == 0
+    p2 = got["p2"]
+    assert p2["n_missing"] == 0             # not NULL
+    assert p2["n_null_seq"] == 2 and p2["n_duplicates"] == 0

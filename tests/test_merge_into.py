@@ -288,3 +288,62 @@ def test_merge_preserves_passthrough_lsn(spark, tmp_path):
     # re-delivered event: same ts, LOWER lsn -> must lose the tie-break
     tbl.merge(_cdc_stage(spark, [("k", 10, 666.0, "upsert", 50)]), epoch=1)
     assert {r["url"]: r["score"] for r in tbl.read().collect()} == {"k": 1.0}
+
+
+def test_tombstone_survives_source_touch_without_insert(spark, tmp_path):
+    """Review finding: a merge whose source CONTAINS a tombstoned key but
+    never inserts it (update-only clause set, or an insert whose condition
+    fails) must keep the tombstone — erasing on mere source presence lets
+    a late out-of-order event resurrect the deleted key."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "ts"), CDC_SCHEMA, key_col="url", n_buckets=1,
+        order_col="warc_ts",
+    )
+    tbl.merge(_cdc_stage(spark, [("k", 10, 1.0, "upsert", 10)]), epoch=0)
+    tbl.merge(_cdc_stage(spark, [("k", 20, 0.0, "delete", 20)]), epoch=1)
+    # update-only merge with k in the source: matches nothing (k is dead)
+    src = spark.createDataFrame([("k", 99.0)], "url string, score double")
+    tbl.merge_builder(src).when_matched_update(set={"score": "s.score"}).execute()
+    assert tbl.read().count() == 0
+    # conditional insert whose condition FAILS for k: same story
+    (tbl.merge_builder(src)
+        .when_not_matched_insert(
+            values={"url": "s.url", "warc_ts": "timestamp_seconds(30)",
+                    "score": "s.score"},
+            condition="s.score < 0")
+        .execute())
+    assert tbl.read().count() == 0
+    # late event OLDER than the deletion must still lose to the tombstone
+    tbl.merge(_cdc_stage(spark, [("k", 15, 5.0, "upsert", 15)]), epoch=2)
+    assert tbl.read().count() == 0
+
+
+def test_matched_delete_writes_winner_tombstone(spark, tmp_path):
+    """Review finding: rows a MERGE DELETE clause removes must leave a
+    winner tombstone (stamped with the new lsn), exactly like CDC deletes —
+    otherwise an at-least-once redelivery of an old event resurrects the
+    row the merge just deleted."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "td"), CDC_SCHEMA, key_col="url", n_buckets=1,
+        order_col="warc_ts",
+    )
+    tbl.merge(_cdc_stage(spark, [
+        ("k", 10, 1.0, "upsert", 10), ("other", 10, 2.0, "upsert", 10),
+    ]), epoch=0)
+    src = spark.createDataFrame([("k", 0.0)], "url string, score double")
+    tbl.merge_builder(src).when_matched_delete().execute()
+    assert {r["url"] for r in tbl.read().collect()} == {"other"}
+    # at-least-once redelivery of the ORIGINAL insert (same ts, old lsn):
+    # the tombstone must win LWW, not vanish with the rewrite
+    tbl.merge(_cdc_stage(spark, [("k", 10, 1.0, "upsert", 10)]), epoch=5)
+    assert {r["url"] for r in tbl.read().collect()} == {"other"}
+    # by-source delete gets the same protection
+    src2 = spark.createDataFrame([("other", 0.0)], "url string, score double")
+    (tbl.merge_builder(src2)
+        .when_matched_update(set={"score": "s.score"})
+        .when_not_matched_by_source_delete()
+        .execute())
+    assert tbl.read().count() == 1  # only 'other' (updated) remains
+    tbl.merge(_cdc_stage(spark, [("k", 10, 1.0, "upsert", 10)]), epoch=6)
+    state = {r["url"]: r["score"] for r in tbl.read().collect()}
+    assert state == {"other": 0.0}

@@ -173,3 +173,28 @@ def test_drop_and_retype_columns(spark, tmp_path):
     got = {r["url"]: r for r in table.read().collect()}
     assert got["https://e/p/1"]["fetch_status"] == 5_000_000_000  # needs long
     assert got["https://e/p/2"]["fetch_status"] == 404
+
+
+def test_fuzzy_tier_respects_sku_discount_guard():
+    """Review finding: the C4 fuzzy tier matched mapping key 'sku' before
+    the C5 guard could veto it — an unseen discount-style name containing
+    'sku' must classify as discount, never contaminate the sku column."""
+    reg = SchemaRegistry()
+    assert reg.classify_field("skuPercentageOff") == "discount"
+    assert reg.classify_field("sku_amount_off") == "discount"
+    # plain fuzzy sku names still land on sku
+    assert reg.classify_field("item_sku_code") == "sku"
+
+
+def test_map_to_canonical_never_duplicates_columns(spark):
+    """Review finding: two source columns classifying to one canonical name
+    must not produce duplicate output names; the column ALREADY named the
+    canonical keeps it regardless of position."""
+    reg = SchemaRegistry()
+    df = spark.createDataFrame([( "9.99", "7.50")], ["price", "cost_price"])
+    out = reg.map_to_canonical(df, sample_rows=0)
+    assert sorted(out.columns) == ["cost_price", "price"]
+    row = out.first()
+    assert row["cost_price"] == "7.50" and row["price"] == "9.99"
+    # parquet write (the original crash site for duplicate names) works
+    assert out.select("cost_price").first()[0] == "7.50"

@@ -89,3 +89,44 @@ def test_wire_stream_incremental_file_arrivals(spark, tmp_path):
     t2 = make_table_for_log(spark, str(tmp_path / "t_one"), reg, n_buckets=4)
     ReplayRunner(spark, log_dir, t2, CheckpointStore(str(tmp_path / "cp")), reg).run()
     assert _state(table) == _state(t2)
+
+
+def test_wire_poison_taxonomy_and_default_dlq(spark, tmp_path):
+    """Review findings: a parsed envelope with a NULL key (or unknown op)
+    must dead-letter — not form a null-key LWW group; the DLQ record must
+    carry a replayable payload, not raw=NULL; and with no quarantine_dir
+    the DLQ defaults under the checkpoint dir instead of dropping rows."""
+    ch = gen_changes(spark, 60, events_per_epoch=60, seed=5)
+    bad_key = ch.limit(1).withColumn("url", F.lit(None).cast("string"))
+    # (an unknown ENGINE op never reaches split_poison via this adapter:
+    # to_debezium maps it to a null op code and parse_debezium flags the
+    # envelope corrupt — so the post-parse poison cases are key and lsn)
+    bad_lsn = (
+        ch.orderBy("lsn").limit(2).orderBy(F.desc("lsn")).limit(1)
+        .withColumn("lsn", F.lit(None).cast("long"))
+    )
+    wire = to_debezium(
+        ch.unionByName(bad_key).unionByName(bad_lsn),
+        payload_cols=PAYLOAD, op_col="op", lsn_col="lsn", ts_col="warc_ts",
+    )
+    wire_dir = str(tmp_path / "wire")
+    wire.coalesce(1).write.mode("overwrite").text(wire_dir)
+
+    reg = SchemaRegistry()
+    table = make_table_for_log(spark, str(tmp_path / "t"), reg, n_buckets=4)
+    cp = str(tmp_path / "scp")
+    metrics = WireTailer(
+        spark, wire_dir, ROW_DDL, table, cp, registry=reg  # no quarantine_dir
+    ).run_available()
+    assert sum(m["quarantined"] for m in metrics) == 2
+    import os
+
+    dlq = spark.read.parquet(os.path.join(cp, "dlq"))
+    rows = {r["_reason"]: r for r in dlq.collect()}
+    assert set(rows) == {"null_key", "null_lsn"}
+    # replayable: the parsed row is serialized back, never a NULL payload
+    assert all(r["raw"] is not None and r["raw"].startswith("{")
+               for r in rows.values())
+    assert '"lsn":' in rows["null_key"]["raw"]
+    # the table holds exactly the clean events' final state (no null key)
+    assert table.read().where(F.col("url").isNull()).count() == 0
