@@ -3513,14 +3513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "canonical_collapse": q_canonical_collapse,
         "main_content": q_main_content,
+        # --- contracts CHANGED this round (re-prove inside the window) ---
+        # merge_into_generic: delete-clause tombstones + lsn stamping;
+        # field_classify_rename: fuzzy sku/discount guard + collision policy
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "merge_into_generic": q_merge_into_generic,
+        "field_classify_rename": q_field_classify_rename,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
-        "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_key_diff": q_cdc_key_diff,
         "cdc_update_detect": q_cdc_update_detect,
         "cdc_replay_final_state": q_cdc_replay_final_state,
-        "merge_into_generic": q_merge_into_generic,
         "cdc_net_changes": q_cdc_net_changes,
         # aggregates / joins / windows
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3542,7 +3546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_discounts": q_parse_discounts,
         "derive_discounts": q_derive_discounts,
         "clean_names_units": q_clean_names_units,
-        "field_classify_rename": q_field_classify_rename,
         "flatten_cascade": q_flatten_cascade,
         "json_envelope_extract": q_json_envelope_extract,
         # HTML extraction
