@@ -2040,6 +2040,157 @@ FROM per_key, hw
 """
 
 
+def q_content_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url change MAGNITUDE between consecutive captures
+    (operators/contentdelta.py::version_deltas): 3 versions per document —
+    v0 the original text, v1 appends a sentence for even doc_ids (minor
+    churn), v2 halves the text for doc_ids % 3 == 0 (major/rewrite) —
+    then token-set Jaccard + churn class vs the previous capture. One
+    keyed window shuffle (lag of the distinct-token set), no Python.
+    Jaccard rounded 6dp both sides; churn classified on the raw
+    integer-ratio double (bit-identical cross-engine)."""
+    from data_pipeline_spark.operators.contentdelta import version_deltas
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t1 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("text"), F.lit(" freshly updated section appended here")),
+    ).otherwise(F.col("text"))
+    caps = d.select(
+        "doc_id", F.col("text").alias("t0"), t1.alias("t1"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("c"),
+    )
+    t2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.col("t1").substr(F.lit(1), F.floor(F.length("t1") / 2).cast("int")),
+    ).otherwise(F.col("t1"))
+    caps = caps.select(
+        F.concat(
+            F.lit("https://example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("c") * 86_400).alias(
+            "warc_ts"
+        ),
+        F.when(F.col("c") == 0, F.col("t0"))
+        .when(F.col("c") == 1, F.col("t1"))
+        .otherwise(t2)
+        .alias("text"),
+    )
+    return version_deltas(caps)
+
+
+_SQL_CONTENT_DELTA = f"""
+WITH v1e AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0
+              THEN text || ' freshly updated section appended here'
+              ELSE text END AS t1
+  FROM documents
+),
+caps AS (
+  SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         to_timestamp(1700000000 + c.c * 86400) AS warc_ts,
+         CASE WHEN c.c = 0 THEN text
+              WHEN c.c = 1 THEN t1
+              ELSE CASE WHEN doc_id % 3 = 0
+                        THEN substr(t1, 1, length(t1) // 2)
+                        ELSE t1 END
+         END AS text
+  FROM v1e, (VALUES (0),(1),(2)) AS c(c)
+),
+v AS (
+  SELECT url, warc_ts,
+         list_distinct({{toks}}) AS toks,
+         {{fp}} AS fp
+  FROM caps
+),
+d AS (
+  SELECT url, warc_ts, toks,
+         len(toks) AS n,
+         lag(toks) OVER w AS ptoks,
+         lag(len(toks)) OVER w AS pn
+  FROM v
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, fp)
+)
+SELECT url, warc_ts,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(n - pn AS BIGINT) AS token_delta,
+  CASE WHEN ptoks IS NULL THEN NULL
+       WHEN len(list_distinct(list_concat(toks, ptoks))) = 0 THEN round(1.0, 6)
+       ELSE round(CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(toks, ptoks))), 6)
+  END AS jaccard,
+  CASE WHEN ptoks IS NULL THEN 'new'
+       WHEN len(list_intersect(toks, ptoks))
+            = len(list_distinct(list_concat(toks, ptoks))) THEN 'unchanged'
+       WHEN CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+            / len(list_distinct(list_concat(toks, ptoks))) >= 0.7 THEN 'minor'
+       WHEN CAST(len(list_intersect(toks, ptoks)) AS DOUBLE)
+            / len(list_distinct(list_concat(toks, ptoks))) >= 0.3 THEN 'major'
+       ELSE 'rewrite'
+  END AS churn
+FROM d
+"""
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-over-epoch corpus distribution drift
+    (operators/contentdelta.py::corpus_drift): documents split into 3
+    ingest epochs by doc_id % 3; per consecutive pair, Jensen-Shannon
+    divergence of the unigram token distributions + OOV / lost mass +
+    vocabulary deltas. Token-keyed hash aggs only — epochs are never
+    joined pairwise, vocabulary never collected. Floats rounded 6dp both
+    sides (sums of ~vocab-size log terms differ by ~1e-12 across
+    engines' summation orders)."""
+    from data_pipeline_spark.operators.contentdelta import corpus_drift
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3).cast("long").alias("epoch"), "text"
+    )
+    return corpus_drift(d)
+
+
+_SQL_CORPUS_DRIFT = """
+WITH counts AS (
+  SELECT doc_id % 3 AS epoch, t.token AS token, count(*) AS n
+  FROM documents, unnest({toks}) AS t(token)
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT pair, token, sum(cur_n) AS cur_n, sum(prev_n) AS prev_n FROM (
+    SELECT epoch AS pair, token, n AS cur_n, 0 AS prev_n FROM counts
+    UNION ALL
+    SELECT epoch + 1 AS pair, token, 0 AS cur_n, n AS prev_n FROM counts
+  ) u GROUP BY 1, 2
+),
+tot AS (
+  SELECT pair, sum(cur_n) AS cur_total, sum(prev_n) AS prev_total
+  FROM merged GROUP BY 1
+  HAVING sum(cur_n) > 0 AND sum(prev_n) > 0
+),
+j AS (
+  SELECT m.pair, m.cur_n, m.prev_n, t.cur_total, t.prev_total,
+         CAST(m.cur_n AS DOUBLE) / t.cur_total AS p,
+         CAST(m.prev_n AS DOUBLE) / t.prev_total AS q
+  FROM merged m JOIN tot t USING (pair)
+)
+SELECT CAST(pair AS BIGINT) AS epoch,
+  round(sum(
+      (CASE WHEN cur_n > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) * 0.5
+    + (CASE WHEN prev_n > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) * 0.5
+  ), 6) AS js_divergence,
+  round(sum(CASE WHEN prev_n = 0 THEN p ELSE 0.0 END), 6) AS oov_mass,
+  round(sum(CASE WHEN cur_n = 0 THEN q ELSE 0.0 END), 6) AS lost_mass,
+  CAST(max(cur_total) AS BIGINT) AS cur_tokens,
+  CAST(max(prev_total) AS BIGINT) AS prev_tokens,
+  CAST(sum(CASE WHEN cur_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cur_vocab,
+  CAST(sum(CASE WHEN prev_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS prev_vocab,
+  CAST(sum(CASE WHEN cur_n > 0 AND prev_n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_vocab
+FROM j GROUP BY pair
+"""
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph edge extraction (operators/webgraph.py): documents become
     synthetic pages with two planted absolute links (one double-quoted,
@@ -3472,14 +3623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_simhash": q_template_simhash,
         "frontier_discover": q_frontier_discover,
         "robots_check": q_robots_check,
-        # --- 13 contracts with no driver row yet (VERDICT r2, Next round #1) ---
+        # --- contracts with no driver row yet (VERDICT r2, Next round #1;
+        # ann_topk + dedup_embedding_cosine hold r01-green rows and rotated
+        # to the tail to keep this round's new contracts in the window) ---
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "ann_ivf_incremental": q_ann_ivf_incremental,
-        "ann_topk": q_ann_topk,
         "dedup_components": q_dedup_components,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_index_incremental": q_dedup_index_incremental,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -3487,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         # --- new this round ---
+        "content_delta": q_content_delta,
+        "corpus_drift": q_corpus_drift,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_dup_spans": q_doc_dup_spans,
         "html_metadata": q_html_metadata,
@@ -3574,6 +3727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (stable)
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # exact similarity verifiers (green driver rows in CORRECTNESS_r01;
+        # rotated out of the window to make room for this round's contracts)
+        "ann_topk": q_ann_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
     }
 
 
@@ -3608,6 +3765,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _SQL_WARC_INGEST,
         "url_surt": _SQL_URL_SURT,
         "recrawl_stats": _SQL_RECRAWL,
+        "content_delta": _SQL_CONTENT_DELTA.format(
+            toks=TS.sql_tokens("lower(text)"), fp=TS.sql_fingerprint("text")
+        ),
+        "corpus_drift": _SQL_CORPUS_DRIFT.format(
+            toks=TS.sql_tokens("lower(text)")
+        ),
         "link_extract": _sql_link_extract(),
         "sitemap_parse": _sql_sitemap_parse(),
         "canonical_collapse": _SQL_CANONICAL,

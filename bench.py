@@ -79,6 +79,9 @@ HEADLINE = [
     "template_simhash",
     "frontier_discover",
     "robots_check",
+    # Round-3e change-observability additions
+    "content_delta",
+    "corpus_drift",
 ]
 
 
