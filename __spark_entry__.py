@@ -2191,6 +2191,46 @@ FROM j GROUP BY pair
 """
 
 
+def q_doc_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained NB quality classifier, train/apply split
+    (operators/qualityclassifier.py): weak labels from the Gopher rules on
+    the EVEN doc_ids (the DCLM/FineWeb trick: heuristic labels, learned
+    generalization), then every document — training rows and held-out odd
+    ids alike — scored against the frozen model. Train is one token-keyed
+    hash agg + two 1-row broadcasts; score is one explode + model
+    equi-join + doc-keyed agg. log_odds rounded 6dp both sides (sums of
+    per-token ln-ratio terms differ ~1e-12 across engines' summation
+    orders); pred on the un-rounded value."""
+    from data_pipeline_spark.operators.qualityclassifier import (
+        score_documents,
+        train_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_classifier(
+        d.filter(F.col("doc_id") % 2 == 0), "text", QL.gopher_pass("text")
+    )
+    return score_documents(d, model, "doc_id", "text")
+
+
+def _sql_doc_quality_nb() -> str:
+    from data_pipeline_spark.operators.qualityclassifier import (
+        sql_score_documents,
+        sql_train_classifier,
+    )
+
+    return sql_score_documents(
+        "SELECT doc_id, text FROM documents",
+        sql_train_classifier(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            "text",
+            QL.sql_gopher_pass("text"),
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-graph edge extraction (operators/webgraph.py): documents become
     synthetic pages with two planted absolute links (one double-quoted,
@@ -3640,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "content_delta": q_content_delta,
         "corpus_drift": q_corpus_drift,
+        "doc_quality_nb": q_doc_quality_nb,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_dup_spans": q_doc_dup_spans,
         "html_metadata": q_html_metadata,
@@ -3771,6 +3812,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _SQL_CORPUS_DRIFT.format(
             toks=TS.sql_tokens("lower(text)")
         ),
+        "doc_quality_nb": _sql_doc_quality_nb(),
         "link_extract": _sql_link_extract(),
         "sitemap_parse": _sql_sitemap_parse(),
         "canonical_collapse": _SQL_CANONICAL,

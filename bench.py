@@ -82,6 +82,7 @@ HEADLINE = [
     # Round-3e change-observability additions
     "content_delta",
     "corpus_drift",
+    "doc_quality_nb",
 ]
 
 
