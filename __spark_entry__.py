@@ -2100,7 +2100,7 @@ caps AS (
 ),
 v AS (
   SELECT url, warc_ts,
-         list_distinct({{toks}}) AS toks,
+         coalesce(list_distinct({{toks}}), []::VARCHAR[]) AS toks,
          {{fp}} AS fp
   FROM caps
 ),

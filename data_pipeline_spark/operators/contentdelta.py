@@ -65,7 +65,14 @@ def version_token_sets(
     replaces each token with its xxhash64 (longs shuffle ~5-10x smaller
     than prose tokens; set semantics are unchanged barring 2^-64
     collisions — pinned by tests/test_contentdelta.py parity)."""
-    toks = F.array_distinct(TS.tokens(F.lower(F.col(text))))
+    # NULL payloads (a fetch that produced nothing) count as the EMPTY
+    # token set, exactly like empty-string text — without the coalesce,
+    # lag(toks) after a NULL capture is NULL and the next capture would
+    # misreport churn='new' on a url that has history.
+    toks = F.coalesce(
+        F.array_distinct(TS.tokens(F.lower(F.col(text)))),
+        F.array().cast("array<string>"),
+    )
     if hashed:
         toks = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(

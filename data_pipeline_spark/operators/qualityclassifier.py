@@ -46,13 +46,21 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from ..functions.textstats import sql_tokens, tokens
 
 MODEL_SCHEMA = "term string, llr double, log_prior_odds double"
+HASHED_MODEL_SCHEMA = "term bigint, llr double, log_prior_odds double"
 
 
 def _terms(df: DataFrame, text_col: str, hashed: bool) -> Column:
     t = tokens(F.lower(F.col(text_col)))
     if hashed:
-        t = F.transform(t, lambda x: F.xxhash64(x).cast("string"))
+        # Keep the raw 8-byte long (NOT a ~19-char decimal string): the
+        # whole point of hashing is that longs shuffle/store smaller than
+        # prose tokens. Hashed models carry term:bigint.
+        t = F.transform(t, lambda x: F.xxhash64(x))
     return t
+
+
+def _term_type(hashed: bool) -> str:
+    return "bigint" if hashed else "string"
 
 
 def train_classifier(
@@ -75,8 +83,18 @@ def train_classifier(
     OCCURRENCES and ``log_prior_odds = ln((n_pos+1)/(n_neg+1))`` over
     documents (add-one so a single-class training set stays finite),
     repeated per row so the model is one self-contained artifact that
-    round-trips through parquet with no side file.
+    round-trips through parquet with no side file. One sentinel row
+    (term NULL, llr NULL) always carries the prior, so a model trained
+    on a corpus that tokenizes to nothing still scores (with the prior
+    alone) instead of degenerating to an empty frame; a NULL join key
+    matches no document term, so the sentinel never adds evidence.
     """
+    if label_pred is None:
+        raise ValueError(
+            "label_pred is required: pass a boolean Column marking the "
+            "positive (keep-quality) training rows, e.g. "
+            "quality.gopher_pass('text') or F.col('label')"
+        )
     flag = F.coalesce(label_pred, F.lit(False)).cast("int")
     term_rows = df.select(
         flag.alias("_pos"), F.explode(_terms(df, text_col, hashed)).alias("term")
@@ -97,7 +115,7 @@ def train_classifier(
         ).alias("log_prior_odds")
     )
     a = F.lit(float(alpha))
-    return (
+    term_llr = (
         cf.crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(prior))
         .select(
@@ -109,6 +127,12 @@ def train_classifier(
             "log_prior_odds",
         )
     )
+    sentinel = prior.select(
+        F.lit(None).cast(_term_type(hashed)).alias("term"),
+        F.lit(None).cast("double").alias("llr"),
+        "log_prior_odds",
+    )
+    return term_llr.unionByName(sentinel)
 
 
 def score_documents(
@@ -124,8 +148,10 @@ def score_documents(
     Columns: id_col, n_tokens, log_odds (prior + sum of tf*llr, 6dp),
     pred (boolean, on the UN-rounded log odds vs ``threshold``). Terms
     unseen in training contribute 0 evidence (the left join's NULL llr);
-    documents that tokenize to nothing score exactly the prior. ``hashed``
-    must match the flag the model was trained with.
+    documents that tokenize to nothing score exactly the prior — as does
+    EVERY document under a model whose training corpus tokenized to
+    nothing (the sentinel row keeps the prior alive in a vocabulary-less
+    model). ``hashed`` must match the flag the model was trained with.
     """
     tf = (
         df.select(F.col(id_col), F.explode(_terms(df, text_col, hashed)).alias("term"))
@@ -160,7 +186,12 @@ def top_terms(model: DataFrame, k: int = 20, positive: bool = True) -> DataFrame
     compiles to TakeOrderedAndProject (partial per-partition top-k),
     never a global sort."""
     order = [F.desc("llr") if positive else F.asc("llr"), F.asc("term")]
-    return model.select("term", "llr").orderBy(*order).limit(k)
+    return (
+        model.filter(F.col("llr").isNotNull())  # drop the prior sentinel
+        .select("term", "llr")
+        .orderBy(*order)
+        .limit(k)
+    )
 
 
 def save_model(model: DataFrame, path: str) -> None:
@@ -168,8 +199,9 @@ def save_model(model: DataFrame, path: str) -> None:
     model.write.mode("overwrite").parquet(path)
 
 
-def load_model(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(MODEL_SCHEMA).parquet(path)
+def load_model(spark: SparkSession, path: str, hashed: bool = False) -> DataFrame:
+    schema = HASHED_MODEL_SCHEMA if hashed else MODEL_SCHEMA
+    return spark.read.schema(schema).parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +242,8 @@ SELECT term,
          - ln((c_neg + {alpha}) / (tn + {alpha} * v)) AS llr,
        log_prior_odds
 FROM cf, tot, prior
+UNION ALL
+SELECT NULL, NULL, log_prior_odds FROM prior
 """
 
 

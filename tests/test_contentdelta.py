@@ -81,6 +81,19 @@ class TestVersionDeltas:
         # empty -> 3 tokens: 0/3
         assert got[("C", 3)] == (3, 0.0, "rewrite")
 
+    def test_null_payload_is_empty_set_not_reset(self, spark):
+        # A NULL-text capture (failed fetch) must count as the EMPTY set:
+        # the following capture still has history — churn vs {} — not 'new'.
+        caps = _caps(
+            spark, [("E", 1, "a b"), ("E", 2, None), ("E", 3, "a b")]
+        )
+        got = _by_key(
+            version_deltas(caps, ts="warc_ts"), "n_tokens", "jaccard", "churn"
+        )
+        assert got[("E", 1)] == (2, None, "new")
+        assert got[("E", 2)] == (0, 0.0, "rewrite")
+        assert got[("E", 3)] == (2, 0.0, "rewrite")
+
     def test_duplicate_tokens_collapse_to_set(self, spark):
         caps = _caps(spark, [("D", 1, "a a a b"), ("D", 2, "b a")])
         got = _by_key(version_deltas(caps, ts="warc_ts"), "n_tokens", "churn")

@@ -47,6 +47,35 @@ class TestTrain:
         # balanced 1v1 docs -> prior ln(2/2) = 0, constant on every row
         assert all(r["log_prior_odds"] == 0.0 for r in rows.values())
 
+    def test_label_pred_required(self, spark):
+        with pytest.raises(ValueError, match="label_pred is required"):
+            train_classifier(_train_df(spark))
+
+    def test_empty_vocabulary_model_keeps_prior(self, spark):
+        # Training texts tokenize to nothing -> 0 evidence terms, but the
+        # sentinel row still carries the prior; scoring must yield the
+        # prior and a real boolean pred, never NULLs.
+        df = spark.createDataFrame(
+            [(1, "", True), (2, "   ", True), (3, "", False)],
+            "doc_id long, text string, label boolean",
+        )
+        model = train_classifier(df, "text", F.col("label"))
+        assert model.count() == 1  # sentinel only
+        prior = math.log(3.0 / 2.0)  # ln((2+1)/(1+1))
+        docs = spark.createDataFrame(
+            [(10, "anything at all"), (11, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in score_documents(docs, model).collect()}
+        for i in (10, 11):
+            assert got[i]["log_odds"] == round(prior, 6)
+            assert got[i]["pred"] is True
+
+    def test_hashed_model_stores_longs(self, spark):
+        model = train_classifier(
+            _train_df(spark), "text", F.col("label"), hashed=True
+        )
+        assert dict(model.dtypes)["term"] == "bigint"
+
     def test_prior_unbalanced_and_null_label(self, spark):
         df = spark.createDataFrame(
             [(1, "a", True), (2, "b", True), (3, "c", True), (4, "d", None)],
