@@ -360,7 +360,7 @@ rb_rules AS (
 ),
 rb_r AS (
   SELECT regexp_replace(regexp_replace(regexp_replace(lower(trim(host)),
-           ':[0-9]+$', ''), '\.+$', ''), '^www\.', '') AS __host,
+           ':[0-9]+$', ''), '\\.+$', ''), '^www\\.', '') AS __host,
          rule, path AS rule_path, rule_len, crawl_delay,
          CASE WHEN path IS NOT NULL THEN
            '^' || regexp_replace(regexp_replace(
