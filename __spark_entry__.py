@@ -3710,11 +3710,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- contracts CHANGED this round (re-prove inside the window) ---
         # merge_into_generic: delete-clause tombstones + lsn stamping;
         # field_classify_rename: fuzzy sku/discount guard + collision policy
-        "cdc_lww_latest": q_cdc_lww_latest,
         "merge_into_generic": q_merge_into_generic,
         "field_classify_rename": q_field_classify_rename,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
+        "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_key_diff": q_cdc_key_diff,
         "cdc_update_detect": q_cdc_update_detect,
