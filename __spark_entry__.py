@@ -24,6 +24,7 @@ from data_pipeline_spark.functions import htmlmeta as HM
 from data_pipeline_spark.functions import quality as QL
 from data_pipeline_spark.functions import textstats as TS
 from data_pipeline_spark.functions import weburl as WU
+from data_pipeline_spark.functions import webqa as WQ
 from data_pipeline_spark.operators import hostrep as HR
 from data_pipeline_spark.operators import inverted_index as II
 from data_pipeline_spark.operators import sampling as SMP
@@ -1793,6 +1794,27 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_LANG_ID = f"""
 SELECT doc_id, lang, {TS.sql_lang_id('text')} AS lang_pred FROM documents
 """
+
+
+def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profiling (webtext QA): per-doc script codepoint
+    counts, dominant script, mojibake flag. Row-local regexp counting over
+    the shared BMP range table — one codegen stage, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return WQ.script_profile(d, "doc_id", "text")
+
+
+_SQL_SCRIPT_PROFILE = WQ.sql_script_profile_select("documents", "doc_id")
+
+
+def q_doc_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection: error-phrase hits + short-content signal from
+    the shared phrase table; flags 200-but-error pages content-side."""
+    d = _t(spark, sf_dir, "documents")
+    return WQ.soft404_flag(d, "doc_id", "text")
+
+
+_SQL_SOFT404 = WQ.sql_soft404_select("documents", "doc_id")
 
 
 def q_doc_grouped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3712,6 +3734,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # field_classify_rename: fuzzy sku/discount guard + collision policy
         "merge_into_generic": q_merge_into_generic,
         "field_classify_rename": q_field_classify_rename,
+        # --- new post-window contracts (the 50 window slots above are all
+        # taken by never-driver-green or changed-this-round queries; these
+        # two are verified by tools/check_contract.py this round and are
+        # first in line for next round's window) ---
+        "doc_script_profile": q_doc_script_profile,
+        "doc_soft404": q_doc_soft404,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -3777,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_script_profile": _SQL_SCRIPT_PROFILE,
+        "doc_soft404": _SQL_SOFT404,
         "cdc_lww_latest": _SQL_LWW,
         "cdc_lww_window": _SQL_LWW,
         "cdc_key_diff": _SQL_KEY_DIFF,

@@ -40,6 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..functions import quality as QL
+from ..functions import webqa as WQA
 from ..functions import weburl as WU
 from . import components as CC
 from . import sampling as SMP
@@ -77,6 +78,18 @@ class CurateConfig:
     apply_gopher: bool = True
     max_dup_line_frac: float = 0.30
     max_dup_3gram_frac: float = 0.50
+    # webtext QA gates (functions/webqa.py), all row-local and riding the
+    # same stage-3 scan predicate as Gopher:
+    # soft-404 pages (error content served with HTTP 200) and mojibake
+    # (U+FFFD / control-char soup from charset mis-decodes).
+    drop_soft404: bool = False
+    drop_mojibake: bool = False
+    # zlib compression-ratio band (RefinedWeb machine-generated-spam
+    # signal): keep lo <= len(zlib)/len(utf8) <= hi. Arrow-batched pandas
+    # UDF — the only Python in the gate, so it is applied as its own
+    # filter AFTER the native predicate has already shrunk the rows.
+    # Null-ratio (empty text) docs are dropped when a band is set.
+    compression_band: tuple[float, float] | None = None
     # pii
     mask_pii: bool = True
     # corpus-self unigram surprisal band (CCNet-style perplexity filter):
@@ -198,7 +211,15 @@ def curate(
     )
     if cfg.apply_gopher:
         pred = pred & QL.gopher_pass(t)
+    if cfg.drop_soft404:
+        pred = pred & ~WQA.is_soft404_col(t)
+    if cfg.drop_mojibake:
+        pred = pred & ~WQA.is_mojibake_col(t)
     kept = latest.where(pred)
+    if cfg.compression_band is not None:
+        # Separate filter so the Arrow UDF runs on post-gate rows only.
+        lo, hi = cfg.compression_band
+        kept = kept.where(WQA.compression_ratio(t).between(lo, hi))
 
     # 4. PII mask (after the gate: only surviving text is rewritten)
     if cfg.mask_pii:

@@ -84,7 +84,24 @@ def main() -> None:
                          "documents")
     ap.add_argument("--dedup-index-epoch", type=int, default=None,
                     help="exactly-once ledger id for the index commit")
+    ap.add_argument("--drop-soft404", action="store_true",
+                    help="drop pages whose content is an error page "
+                         "(soft-404 phrase + short-content signals)")
+    ap.add_argument("--drop-mojibake", action="store_true",
+                    help="drop pages with U+FFFD or control-char soup "
+                         "(charset mis-decode)")
+    ap.add_argument("--compression-band", default=None, metavar="LO,HI",
+                    help="keep docs with LO <= zlib-compression ratio <= HI "
+                         "(machine-generated-spam signal)")
     args = ap.parse_args()
+    if args.compression_band is not None:
+        parts = args.compression_band.split(",")
+        try:
+            band = tuple(float(x) for x in parts)
+        except ValueError:
+            band = ()
+        if len(band) != 2 or band[0] > band[1]:
+            ap.error("--compression-band must be LO,HI with LO <= HI")
     if args.surprisal_band is not None:
         # Fail at argparse, not hours into the pipeline.
         parts = args.surprisal_band.split(",")
@@ -161,6 +178,12 @@ def main() -> None:
         url_blocked_domains=blocked_domains,
         dsir_target=args.dsir_target,
         dsir_top=args.dsir_top,
+        drop_soft404=args.drop_soft404,
+        drop_mojibake=args.drop_mojibake,
+        compression_band=(
+            tuple(float(x) for x in args.compression_band.split(","))
+            if args.compression_band else None
+        ),
     )
     bench = spark.read.parquet(args.bench) if args.bench else None
     out, stats = curate(df, cfg, bench=bench)

@@ -251,6 +251,54 @@ def test_surprisal_band_stage(spark):
     assert stats["after_surprisal"] == 6
 
 
+def test_webqa_gates(spark):
+    """drop_soft404 / drop_mojibake / compression_band each remove exactly
+    their planted page while ordinary pages survive all three."""
+    rows = []
+    for i in range(4):
+        rows.append((f"https://ok{i}.com/p", 100, i,
+                     GOOD + " " + _uniq(f"g{i}"), "en"))
+    # soft-404: long enough for Gopher, but two error phrases.
+    soft = (GOOD + " " + _uniq("s404")
+            + " sorry this page does not exist and the content is"
+            + " no longer available here")
+    rows.append(("https://s404.com/p", 100, 50, soft, "en"))
+    # mojibake: replacement chars planted into an otherwise-good page.
+    rows.append(("https://moji.com/p", 100, 51,
+                 GOOD + " " + _uniq("mj") + " broken � decode �", "en"))
+    # machine-generated: one phrase repeated -> compresses to almost nothing.
+    spam = ("buy cheap widgets now best price " * 60).strip()
+    rows.append(("https://spam.com/p", 100, 52, spam, "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    # Gopher's repetition caps would eat the spam page; isolate the gates.
+    base = dict(minhash=None, mask_pii=False, apply_gopher=False,
+                max_dup_line_frac=1.0, max_dup_3gram_frac=1.0)
+    out_all, _ = curate(df, CurateConfig(**base))
+    assert out_all.count() == 7  # nothing dropped without the gates
+
+    out, _ = curate(df, CurateConfig(**base, drop_soft404=True))
+    assert {r["url"] for r in out.collect()} == (
+        {r[0] for r in rows} - {"https://s404.com/p"}
+    )
+
+    out, _ = curate(df, CurateConfig(**base, drop_mojibake=True))
+    assert {r["url"] for r in out.collect()} == (
+        {r[0] for r in rows} - {"https://moji.com/p"}
+    )
+
+    from data_pipeline_spark.functions.webqa import ratio_oracle
+
+    ratios = dict(zip([r[0] for r in rows], ratio_oracle([r[3] for r in rows])))
+    lo = ratios["https://spam.com/p"] + 0.01
+    assert all(v >= lo for u, v in ratios.items() if u != "https://spam.com/p")
+    out, _ = curate(df, CurateConfig(**base, compression_band=(lo, 1.0)))
+    assert {r["url"] for r in out.collect()} == (
+        {r[0] for r in rows} - {"https://spam.com/p"}
+    )
+
+
 def test_curate_job_pack_output(spark, tmp_path, monkeypatch, capsys):
     """--pack CTX emits the <output>_packs doc->span map alongside the
     curated corpus (in-process; spark-submit path in test_submit_job)."""
