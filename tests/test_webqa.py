@@ -149,6 +149,33 @@ def test_plans_are_native(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+from hypothesis import given, settings, strategies as st
+
+
+# Random unicode incl. astral planes (🚀, CJK-B) and raw controls: the twin
+# must agree codepoint-for-codepoint even on text no crawler should emit.
+_wild_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters=["\x00"]  # NUL breaks C-string SQL
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_wild_text | st.none(), min_size=1, max_size=8))
+def test_script_profile_twin_property(spark, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = sorted(
+        tuple(r) for r in WQ.script_profile(df, "doc_id", "text").collect()
+    )
+    want = sorted(
+        _duck_with(docs, None, WQ.sql_script_profile_select("documents", "doc_id"))
+    )
+    assert got == want
+
+
 def test_compression_ratio_matches_zlib(spark):
     texts = [
         "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 10,  # templated → low
