@@ -875,6 +875,209 @@ FROM per_group, hwm
 """
 
 
+def q_cdc_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile per stream partition — the lateness
+    distribution a Structured Streaming watermark must cover (running
+    event-time high-water mark in arrival order minus own event time;
+    one bounded per-partition window + one hash agg). Percentiles are
+    EXACT (linear interpolation), value-identical to DuckDB's
+    quantile_cont, so the oracle hashes real numbers, not approx."""
+    from data_pipeline_spark.operators.flowstats import disorder_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 4).alias("part"), "event_id", "ts"
+    )
+    return disorder_report(ev, ("part",), "event_id", "ts")
+
+
+_SQL_DISORDER = """
+WITH stream AS (
+  SELECT event_id % 4 AS part, event_id, ts FROM events
+),
+scored AS (
+  SELECT part,
+         epoch_us(max(ts) OVER (PARTITION BY part ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING)) - epoch_us(ts)
+           AS late_us
+  FROM stream
+)
+SELECT part,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) / count(*), 6)
+         AS late_frac,
+       max(late_us) AS max_late_us,
+       round(quantile_cont(late_us, 0.5), 3) AS p50_late_us,
+       round(quantile_cont(late_us, 0.95), 3) AS p95_late_us,
+       round(quantile_cont(late_us, 0.99), 3) AS p99_late_us
+FROM scored GROUP BY part
+"""
+
+
+def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → a parent change stream: every key inserted (lsn 1), every
+    5th updated (lsn 2), every 19th deleted (lsn 3)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    ins = o.select("pk", F.lit(1).alias("lsn"), F.lit("insert").alias("op"))
+    upd = o.where(F.col("pk") % 5 == 0).select(
+        "pk", F.lit(2).alias("lsn"), F.lit("update").alias("op")
+    )
+    dele = o.where(F.col("pk") % 19 == 0).select(
+        "pk", F.lit(3).alias("lsn"), F.lit("delete").alias("op")
+    )
+    return ins.unionByName(upd).unionByName(dele)
+
+
+_SQL_ORDERS_STREAM = """
+  SELECT o_orderkey AS pk, 1 AS lsn, 'insert' AS op FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'update' FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'delete' FROM orders WHERE o_orderkey % 19 = 0
+"""
+
+
+def q_cdc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit after replay (operators/refint.py):
+    surviving lineitem children whose LWW foreign key points at a
+    deleted order (reason parent_deleted) or at a key no parent event
+    ever carried (parent_missing — every 31st child's fk is re-pointed
+    to pk+1, usually a hole in the sparse TPC-H keyspace). Two max_by
+    hash aggs + ONE fk equi-join; report bounded by violations."""
+    from data_pipeline_spark.operators.refint import orphan_audit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ck1"),
+        F.col("l_linenumber").alias("ck2"),
+    )
+    ins = li.select(
+        "ck1", "ck2", F.col("ck1").alias("fk"),
+        F.lit(1).alias("lsn"), F.lit("insert").alias("op"),
+    )
+    repoint = li.where(F.col("ck1") % 31 == 0).select(
+        "ck1", "ck2", (F.col("ck1") + 1).alias("fk"),
+        F.lit(2).alias("lsn"), F.lit("update").alias("op"),
+    )
+    dele = li.where(F.col("ck1") % 23 == 0).select(
+        "ck1", "ck2", F.col("ck1").alias("fk"),
+        F.lit(3).alias("lsn"), F.lit("delete").alias("op"),
+    )
+    children = ins.unionByName(repoint).unionByName(dele)
+    return orphan_audit(
+        children,
+        _orders_stream(spark, sf_dir),
+        ("ck1", "ck2"),
+        fk_col="fk",
+        parent_key_col="pk",
+    )
+
+
+_SQL_ORPHANS = f"""
+WITH parents AS ({_SQL_ORDERS_STREAM}),
+children AS (
+  SELECT l_orderkey AS ck1, l_linenumber AS ck2, l_orderkey AS fk,
+         1 AS lsn, 'insert' AS op FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_orderkey + 1, 2, 'update'
+  FROM lineitem WHERE l_orderkey % 31 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_orderkey, 3, 'delete'
+  FROM lineitem WHERE l_orderkey % 23 = 0
+),
+kid_final AS (
+  SELECT ck1, ck2, max_by(op, lsn) AS final_op, max_by(fk, lsn) AS fk
+  FROM children GROUP BY ck1, ck2
+),
+par_final AS (
+  SELECT pk, max_by(op, lsn) AS final_op FROM parents GROUP BY pk
+)
+SELECT k.ck1, k.ck2, k.fk,
+       CASE WHEN p.pk IS NULL THEN 'parent_missing'
+            WHEN p.final_op = 'delete' THEN 'parent_deleted' END AS reason
+FROM kid_final k LEFT JOIN par_final p ON k.fk = p.pk
+WHERE k.final_op <> 'delete'
+  AND (p.pk IS NULL OR p.final_op = 'delete')
+"""
+
+
+def q_cdc_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer conflict audit (operators/refint.py): two writers race
+    on the orders keyspace with overlapping sequence ranges; per
+    contended key the report says whether their individual final states
+    truly disagree and which version wins under LWW-by-(seq, lowest
+    writer id). One union + two hash aggs + one key join — the stream
+    never self-joins."""
+    from data_pipeline_spark.operators.refint import conflict_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    a = o.select(
+        "pk",
+        (F.lit(10) + F.col("pk") % 3).cast("long").alias("lsn"),
+        F.lit("update").alias("op"),
+        "price",
+    )
+    b = o.where(F.col("pk") % 2 == 0).select(
+        "pk",
+        (F.lit(9) + F.col("pk") % 5).cast("long").alias("lsn"),
+        F.when(F.col("pk") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.when(F.col("pk") % 3 == 0, F.round(F.col("price") + 5, 2))
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    return conflict_audit(
+        [(1, a), (2, b)], ("pk",), "lsn", "op", ("price",)
+    )
+
+
+_SQL_CONFLICTS = """
+WITH a AS (
+  SELECT o_orderkey AS pk, 1 AS w, CAST(10 + o_orderkey % 3 AS BIGINT) AS lsn,
+         'update' AS op, round(o_totalprice, 2) AS price
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey AS pk, 2 AS w, CAST(9 + o_orderkey % 5 AS BIGINT) AS lsn,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN o_orderkey % 3 = 0 THEN round(round(o_totalprice, 2) + 5, 2)
+              ELSE round(o_totalprice, 2) END AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+per_writer AS (
+  SELECT pk, w,
+         max_by(op || '#' || CAST(price AS VARCHAR), lsn) AS image
+  FROM u GROUP BY pk, w
+),
+facts AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_writers,
+         count(DISTINCT image) > 1 AS is_conflict
+  FROM per_writer GROUP BY pk
+),
+resolved AS (
+  -- composite numeric rank: higher lsn wins, ties to the LOWEST writer id
+  -- (lsn * 10 - w is strictly monotone in (lsn, -w) for w in {1,2})
+  SELECT pk,
+         max_by(w, lsn * 10 - w) AS winner_writer,
+         max_by(lsn, lsn * 10 - w) AS winner_seq,
+         max_by(op, lsn * 10 - w) AS final_op,
+         max_by(price, lsn * 10 - w) AS price
+  FROM u GROUP BY pk
+)
+SELECT f.pk, f.n_writers, f.is_conflict,
+       r.winner_writer, r.winner_seq, r.final_op, r.price
+FROM facts f JOIN resolved r USING (pk)
+WHERE f.n_writers > 1
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round trip as a contract (sources/warc.py): documents become a
     deterministic Common-Crawl-style ``.warc.gz`` segment (per-record gzip
@@ -3740,6 +3943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for next round's window) ---
         "doc_script_profile": q_doc_script_profile,
         "doc_soft404": q_doc_soft404,
+        "cdc_disorder": q_cdc_disorder,
+        "cdc_orphans": q_cdc_orphans,
+        "cdc_conflicts": q_cdc_conflicts,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -3807,6 +4013,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_script_profile": _SQL_SCRIPT_PROFILE,
         "doc_soft404": _SQL_SOFT404,
+        "cdc_disorder": _SQL_DISORDER,
+        "cdc_orphans": _SQL_ORPHANS,
+        "cdc_conflicts": _SQL_CONFLICTS,
         "cdc_lww_latest": _SQL_LWW,
         "cdc_lww_window": _SQL_LWW,
         "cdc_key_diff": _SQL_KEY_DIFF,

@@ -32,6 +32,11 @@ Scale posture, per operator:
 - :func:`freshness_report` — per-group max event time and staleness vs
   the stream's high-water mark; the high-water mark is a 1-row aggregate
   broadcast back, never a global window.
+- :func:`disorder_report` / :func:`recommend_watermark` — event-time
+  lateness distribution vs the arrival-order high-water mark (the
+  quantity a Structured Streaming watermark must cover), and the
+  watermark delay that covers its p99. One keyed window per STREAM
+  partition (the ordering the tail already guarantees) + one hash agg.
 """
 
 from __future__ import annotations
@@ -195,3 +200,85 @@ def freshness_report(
         lag_us.cast("long").alias("staleness_us"),
         (lag_us / F.lit(1_000_000.0)).alias("staleness_s"),
     )
+
+
+def disorder_report(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-partition event-time disorder profile: how late events arrive
+    relative to the event-time high-water mark ALREADY SEEN in arrival
+    order — exactly the quantity a Structured Streaming watermark must
+    cover. An event's lateness is ``max(ts over arrival order so far) -
+    own ts`` (0 for in-order events).
+
+    Output per stream partition: ``part_cols + (n_events, n_late,
+    late_frac, max_late_us, p50_late_us, p95_late_us, p99_late_us)``.
+    Percentiles are exact (``percentile``, linear interpolation — the
+    same formula DuckDB's ``quantile_cont`` uses, so the oracle twin is
+    value-exact, not approx-vs-approx).
+
+    Scale posture: the running high-water mark is one keyed window per
+    STREAM partition ordered by the wire sequence — the same per-partition
+    ordering the tail protocol already guarantees, so the sort is cheap
+    and bounded by partition, never global. The stats collapse in one
+    map-side-combinable hash agg. Run it scoped to an epoch range on a
+    10^10-event stream, like :func:`sequence_gap_intervals`.
+    """
+    part_cols = list(part_cols)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hwm_us = F.unix_micros(F.max(ts_col).over(w).cast("timestamp"))
+    late_us = (hwm_us - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast(
+        "long"
+    )
+    scored = df.select(*part_cols, late_us.alias("_late_us"))
+    pct = F.percentile("_late_us", F.lit([0.5, 0.95, 0.99]))
+    return scored.groupBy(*part_cols).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("_late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("_late_us") > 0, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("late_frac"),
+        F.max("_late_us").alias("max_late_us"),
+        F.round(pct.getItem(0), 3).alias("p50_late_us"),
+        F.round(pct.getItem(1), 3).alias("p95_late_us"),
+        F.round(pct.getItem(2), 3).alias("p99_late_us"),
+    )
+
+
+def recommend_watermark(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    ts_col: str,
+    percentile: float = 0.99,
+    safety_factor: float = 1.5,
+) -> tuple[int, str]:
+    """Watermark delay covering ``percentile`` of observed lateness across
+    the whole stream, padded by ``safety_factor`` and rounded up to whole
+    seconds — ready for ``withWatermark(ts, f"{s} seconds")``.
+
+    Driver-side result (two scalars): the aggregation collapses to one
+    row before collect, so this is metadata-scale like the convergence
+    checks elsewhere in the repo.
+    """
+    rep = disorder_report(df, part_cols, order_col, ts_col)
+    # worst partition governs: the watermark is global but lateness is
+    # generated per partition.
+    p_col = {0.5: "p50_late_us", 0.95: "p95_late_us", 0.99: "p99_late_us"}
+    if percentile not in p_col:
+        raise ValueError(f"percentile must be one of {sorted(p_col)}")
+    worst = rep.agg(F.max(p_col[percentile]).alias("m")).collect()[0]["m"]
+    delay_us = int((worst or 0) * safety_factor)
+    seconds = max(1, -(-delay_us // 1_000_000))  # ceil, floor 1s
+    return delay_us, f"{seconds} seconds"

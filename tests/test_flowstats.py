@@ -113,3 +113,55 @@ def test_sequence_audit_null_seqs_not_counted_as_duplicates(spark):
     p2 = got["p2"]
     assert p2["n_missing"] == 0             # not NULL
     assert p2["n_null_seq"] == 2 and p2["n_duplicates"] == 0
+
+
+def test_disorder_report_hand_computed(spark):
+    # arrival order 1..5, event times (s): 10, 20, 15, 30, 25
+    # lateness vs running hwm:             0,  0,  5,  0,  5  (seconds)
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("p0", i + 1, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([10, 20, 15, 30, 25])
+    ]
+    df = spark.createDataFrame(rows, "part string, seq long, ts timestamp")
+    from data_pipeline_spark.operators.flowstats import disorder_report
+
+    r = disorder_report(df, ("part",), "seq", "ts").collect()[0]
+    assert r["n_events"] == 5 and r["n_late"] == 2
+    assert r["late_frac"] == 0.4
+    assert r["max_late_us"] == 5_000_000
+    # sorted lateness [0,0,0,5e6,5e6]: p50 -> idx 2.0 = 0;
+    # p95 -> idx 3.8 interpolates between two 5e6 values
+    assert r["p50_late_us"] == 0.0
+    assert r["p95_late_us"] == 5_000_000.0
+    assert r["p99_late_us"] == 5_000_000.0
+
+
+def test_disorder_in_order_stream_is_zero(spark):
+    base = dt.datetime(2026, 1, 1)
+    rows = [("p0", i, base + dt.timedelta(seconds=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "part string, seq long, ts timestamp")
+    from data_pipeline_spark.operators.flowstats import disorder_report
+
+    r = disorder_report(df, ("part",), "seq", "ts").collect()[0]
+    assert r["n_late"] == 0 and r["max_late_us"] == 0
+    assert r["p99_late_us"] == 0.0
+
+
+def test_recommend_watermark(spark):
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("p0", i + 1, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([10, 20, 15, 30, 25])
+    ]
+    df = spark.createDataFrame(rows, "part string, seq long, ts timestamp")
+    from data_pipeline_spark.operators.flowstats import recommend_watermark
+
+    delay_us, clause = recommend_watermark(df, ("part",), "seq", "ts")
+    # p99 = 5e6 us, ×1.5 safety = 7.5e6 → ceil to 8 seconds
+    assert delay_us == 7_500_000
+    assert clause == "8 seconds"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        recommend_watermark(df, ("part",), "seq", "ts", percentile=0.9)
