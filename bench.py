@@ -83,6 +83,12 @@ HEADLINE = [
     "content_delta",
     "corpus_drift",
     "doc_quality_nb",
+    # Round-3f webtext-QA + cross-stream audit additions
+    "doc_script_profile",
+    "doc_soft404",
+    "cdc_disorder",
+    "cdc_orphans",
+    "cdc_conflicts",
 ]
 
 

@@ -181,3 +181,89 @@ def test_deduplicated_change_stream_drops_redeliveries(spark, tmp_path):
     # Redelivered events inside the watermark are dropped; every unique
     # event appears (no false drops).
     assert len(got) == n_unique
+
+
+def test_watermark_planner_covers_late_data(spark, tmp_path):
+    """disorder_report → recommend_watermark → withWatermark integration:
+    the planned delay keeps every late event in its window across
+    micro-batches, while a too-tight watermark measurably drops them
+    (so the harness is proven non-vacuous)."""
+    import datetime as dt
+
+    from data_pipeline_spark.operators.flowstats import recommend_watermark
+    from data_pipeline_spark.streaming.windows import windowed_event_rollup
+
+    T = dt.datetime(2026, 1, 1)
+    rows = []  # (part, lsn, url, op, warc_ts)
+    lsn = 0
+
+    def add(epoch_rows, seconds_list):
+        nonlocal lsn
+        for s in seconds_list:
+            epoch_rows.append(
+                (0, lsn, f"https://u{lsn}.com", "insert",
+                 T + dt.timedelta(seconds=s))
+            )
+            lsn += 1
+
+    # The late rows land TWO micro-batches after their window: a late row
+    # arriving in the same batch where its window crosses the watermark is
+    # still accepted (state not yet evicted — verified Spark 4.1.2
+    # behavior), so a drop requires the window to have been finalized in
+    # an EARLIER batch.
+    e0, e1, e2 = [], [], []
+    add(e0, range(0, 100, 2))            # 50 on-time events [T, T+98]
+    add(e1, range(100, 200, 2))          # 50 on-time events
+    add(e2, range(200, 300, 2))          # 50 on-time events
+    add(e2, [30, 32, 34, 36, 38])        # 5 LATE events (~270 s behind hwm)
+    log = str(tmp_path / "wm_log")
+    ddl = "part int, lsn long, url string, op string, warc_ts timestamp"
+    for i, ep in enumerate([e0, e1, e2]):
+        spark.createDataFrame(ep, ddl).coalesce(1).write.parquet(
+            f"{log}/epoch={i}"
+        )
+
+    batch = spark.read.option("basePath", log).parquet(f"{log}/epoch=*")
+    delay_us, clause = recommend_watermark(batch, ("part",), "lsn", "warc_ts")
+    assert delay_us >= 268 * 1_000_000  # plan covers the observed lateness
+
+    def run(watermark):
+        final = {}
+
+        def upsert(df, _eid):
+            for r in df.collect():
+                final[(r["window_start"], r["op"])] = r["n"]
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("basePath", log)
+            .option("maxFilesPerTrigger", 1)   # one epoch per micro-batch
+            .parquet(f"{log}/epoch=*")
+        )
+        q = (
+            windowed_event_rollup(stream, window="1 minute",
+                                  watermark=watermark)
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation",
+                    str(tmp_path / f"cp_{watermark.replace(' ', '_')}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return final
+
+    expected = {
+        (r["window_start"], r["op"]): r["n"]
+        for r in windowed_event_rollup(batch, window="1 minute").collect()
+    }
+
+    planned = run(clause)
+    assert planned == expected  # nothing dropped under the planned delay
+
+    tight = run("1 seconds")
+    # the 5 late events fell below the tight watermark: their [T, T+60)
+    # window keeps its batch-0 count while everything on-time still lands
+    assert sum(tight.values()) == sum(expected.values()) - 5
+    first_win = min(k for k in expected)
+    assert tight[first_win] == expected[first_win] - 5
