@@ -3076,6 +3076,27 @@ _SQL_DOC_SEARCH_BM25 = II.sql_bm25_search(
     top_k=25,
 )
 
+_PHRASE = ("table", "scan")
+
+
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over POSITIONAL postings (slot-shift
+    intersection: slot i votes for start = pos - i; a start winning all
+    slots is an occurrence). Postings filter pushes to the scan; the slot
+    table broadcasts; two hash aggs; no postings self-join."""
+    d = _t(spark, sf_dir, "documents")
+    posts = II.build_positional_postings(d, "doc_id", "text")
+    return II.phrase_search(posts, _PHRASE, top_k=25)
+
+
+_SQL_PHRASE_SEARCH = II.sql_phrase_search(
+    II.sql_build_positional_postings(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
+    ),
+    _PHRASE,
+    top_k=25,
+)
+
 
 # 'a' + U+0301 combining acute: every 'a' becomes a decomposed sequence the
 # normalizer must fold to precomposed U+00E1.
@@ -3946,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_disorder": q_cdc_disorder,
         "cdc_orphans": q_cdc_orphans,
         "cdc_conflicts": q_cdc_conflicts,
+        "doc_phrase_search": q_doc_phrase_search,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4016,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_disorder": _SQL_DISORDER,
         "cdc_orphans": _SQL_ORPHANS,
         "cdc_conflicts": _SQL_CONFLICTS,
+        "doc_phrase_search": _SQL_PHRASE_SEARCH,
         "cdc_lww_latest": _SQL_LWW,
         "cdc_lww_window": _SQL_LWW,
         "cdc_key_diff": _SQL_KEY_DIFF,

@@ -89,6 +89,7 @@ HEADLINE = [
     "cdc_disorder",
     "cdc_orphans",
     "cdc_conflicts",
+    "doc_phrase_search",
 ]
 
 

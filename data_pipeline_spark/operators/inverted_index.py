@@ -29,7 +29,10 @@ postings and makes BOTH sides incremental:
   and physically drops stale/tombstoned rows.
 
 Scale notes: postings rows are (term, doc_id, tf) — fixed-width and tiny
-vs the text. The per-lookup doc-ledger join is a doc-keyed equi-join
+vs the text (``positional=True`` adds the sorted token-position array,
+bounded by tf, enabling :meth:`InvertedIndex.lookup_phrase` /
+:func:`phrase_search` — exact phrase match by slot-shift intersection,
+no postings self-join). The per-lookup doc-ledger join is a doc-keyed equi-join
 (AQE-handled); between compactions it is the price of update semantics —
 compaction folds it away for the cold majority. Scoring: query-term
 tf-sum (:func:`search_postings`) and Okapi BM25 (:func:`bm25_search`,
@@ -46,6 +49,7 @@ import json
 import os
 import shutil
 import tempfile
+from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -177,16 +181,23 @@ class InvertedIndex:
         path: str,
         n_buckets: int = 16,
         id_type: str = "long",
+        positional: bool = False,
     ) -> "InvertedIndex":
-        """CREATE IF NOT EXISTS; n_buckets/id_type frozen (re-bucketing
-        would strand every stored posting — mismatch raises)."""
+        """CREATE IF NOT EXISTS; n_buckets/id_type/positional frozen
+        (re-bucketing would strand every stored posting, and a
+        positional lookup over non-positional postings has no data —
+        mismatch raises)."""
         if id_type not in ("long", "string"):
             raise ValueError(f"id_type must be 'long' or 'string', got {id_type!r}")
         meta_path = os.path.join(path, _META)
         if os.path.exists(meta_path):
             idx = cls.load(spark, path)
-            want = {"n_buckets": n_buckets, "id_type": id_type}
-            have = {k: idx.meta[k] for k in want}
+            want = {
+                "n_buckets": n_buckets,
+                "id_type": id_type,
+                "positional": positional,
+            }
+            have = {k: idx.meta.get(k, False) for k in want}
             if want != have:
                 raise ValueError(
                     f"index at {path} exists with {have}, asked for {want}; "
@@ -197,6 +208,7 @@ class InvertedIndex:
             "version": 1,
             "n_buckets": n_buckets,
             "id_type": id_type,
+            "positional": positional,
             "epochs": [],
         }
         _atomic_write_json(meta_path, meta)
@@ -250,11 +262,17 @@ class InvertedIndex:
         # are two separate actions — without the persist the second one
         # re-runs the whole tokenize/explode (and re-reads a streaming
         # micro-batch source), doubling the dominant per-epoch cost.
-        batch_posts = build_postings(base, "doc_id", "text").persist()
+        builder = (
+            build_positional_postings
+            if self.meta.get("positional")
+            else build_postings
+        )
+        batch_posts = builder(base, "doc_id", "text").persist()
         postings = batch_posts.select(
             "term",
             "doc_id",
             "tf",
+            *(["positions"] if self.meta.get("positional") else []),
             F.lit(eid).alias("_iepoch"),
             F.pmod(F.xxhash64("term"), F.lit(self.meta["n_buckets"]))
             .cast("int")
@@ -372,7 +390,10 @@ class InvertedIndex:
         """Stored postings; with ``terms``, reads ONLY those terms' bucket
         directories (driver-side xxhash routing, zero jobs) and applies the
         residual term filter."""
+        pos = self.meta.get("positional")
         empty = f"term string, doc_id {self._id_type}, tf long, _iepoch int"
+        if pos:
+            empty += ", positions array<int>"
         qs = None
         buckets = None
         if terms is not None:
@@ -400,7 +421,13 @@ class InvertedIndex:
                 "basePath", os.path.join(self.path, "postings")
             )
             .parquet(*paths)
-            .select("term", "doc_id", "tf", "_iepoch")
+            .select(
+                "term",
+                "doc_id",
+                "tf",
+                *(["positions"] if pos else []),
+                "_iepoch",
+            )
         )
         if qs is not None:
             out = out.where(F.col("term").isin(qs))
@@ -419,6 +446,23 @@ class InvertedIndex:
         return search_postings(
             live.select("term", "doc_id", "tf"), terms, mode=mode, top_k=top_k
         )
+
+    def lookup_phrase(self, phrase: Sequence[str], top_k: int = 10) -> DataFrame:
+        """Exact phrase lookup over a POSITIONAL index: the same
+        bucket-pruned candidate scan and stale/tombstone filtering as
+        :meth:`lookup`, then the slot-shift phrase intersection
+        (:func:`phrase_search`) over only the live candidates."""
+        if not self.meta.get("positional"):
+            raise ValueError(
+                "lookup_phrase needs an index created with positional=True"
+            )
+        cand = self.stored_postings(phrase).withColumnRenamed("_iepoch", "_pe")
+        live = (
+            cand.join(self.doc_ledger(), "doc_id")
+            .where((~F.col("_del")) & (F.col("_pe") == F.col("_iepoch")))
+            .select("term", "doc_id", "tf", "positions")
+        )
+        return phrase_search(live, phrase, top_k=top_k)
 
     def lookup_bm25(
         self,
@@ -465,6 +509,7 @@ class InvertedIndex:
                 "term",
                 "doc_id",
                 "tf",
+                *(["positions"] if self.meta.get("positional") else []),
                 F.col("_iepoch"),
                 F.pmod(F.xxhash64("term"), F.lit(self.meta["n_buckets"]))
                 .cast("int")
@@ -606,5 +651,127 @@ FROM bm_scored
 GROUP BY doc_id
 {having}
 ORDER BY score DESC, doc_id
+LIMIT {top_k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Positional postings + phrase search
+# ---------------------------------------------------------------------------
+
+def build_positional_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(term, doc_id, tf, positions) — like :func:`build_postings` plus the
+    sorted 0-based token positions per (term, doc). Still one narrow
+    posexplode + one map-side-combinable hash agg; positions arrays are
+    bounded by per-doc term frequency, so row width stays proportional to
+    tf, never to the document."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_terms(text_col)).alias("pos", "term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def sql_build_positional_postings(
+    input_sql: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB twin: positions via range-index list_transform (0-based, the
+    same convention as posexplode)."""
+    toks = sql_terms(text_col)
+    return f"""
+SELECT term, doc_id, count(*) AS tf,
+       list_sort(list(pos)) AS positions
+FROM (
+  SELECT {id_col} AS doc_id, u.s.pos AS pos, u.s.term AS term
+  FROM ({input_sql}),
+       unnest(list_transform(range(1, len({toks}) + 1),
+              i -> {{'pos': i - 1, 'term': ({toks})[i]}})) AS u(s))
+GROUP BY term, doc_id
+"""
+
+
+def phrase_search(
+    pos_postings: DataFrame, phrase: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Exact phrase match over positional postings: (doc_id, phrase_tf).
+
+    Classic slot-shift intersection: phrase slot i must find its term at
+    position ``start + i``, so every (term hit, slot) pair votes for
+    ``start = pos - i`` and a start winning ALL len(phrase) distinct
+    slots is an occurrence (duplicate terms in the phrase work — each
+    slot votes separately, the count is over DISTINCT slots).
+
+    Plan: postings filtered to the phrase's terms (isin predicate pushes
+    to the scan / pruned buckets) → posexplode(positions) → broadcast
+    join against the tiny slot table → two hash aggs → ordered-limit.
+    No self-join of the postings, no window, no Python.
+    """
+    phrase = [t.lower() for t in phrase]
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    spark = pos_postings.sparkSession
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "slot int, term string"
+    )
+    hits = (
+        pos_postings.where(F.col("term").isin(sorted(set(phrase))))
+        .select("doc_id", "term", F.explode("positions").alias("pos"))
+        .join(F.broadcast(slots), "term")
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("start"), "slot")
+        .where(F.col("start") >= 0)
+    )
+    occurrences = (
+        hits.groupBy("doc_id", "start")
+        .agg(F.countDistinct("slot").alias("_n_slots"))
+        .where(F.col("_n_slots") == len(phrase))
+    )
+    return (
+        occurrences.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+def sql_phrase_search(
+    pos_postings_sql: str, phrase: Sequence[str], top_k: int = 10
+) -> str:
+    """DuckDB twin of :func:`phrase_search` (same slot algebra)."""
+    phrase = [t.lower() for t in phrase]
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 terms")
+    in_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(phrase))
+    )
+    slot_rows = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH slots(slot, term) AS (VALUES {slot_rows}),
+flat AS (
+  SELECT doc_id, term, unnest(positions) AS pos
+  FROM ({pos_postings_sql}) WHERE term IN ({in_list})
+),
+hits AS (
+  SELECT f.doc_id, f.pos - s.slot AS start, s.slot
+  FROM flat f JOIN slots s ON s.term = f.term
+  WHERE f.pos - s.slot >= 0
+),
+occurrences AS (
+  SELECT doc_id, start FROM hits
+  GROUP BY doc_id, start
+  HAVING count(DISTINCT slot) = {len(phrase)}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+FROM occurrences GROUP BY doc_id
+ORDER BY phrase_tf DESC, doc_id
 LIMIT {top_k}
 """

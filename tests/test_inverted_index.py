@@ -240,3 +240,156 @@ def test_remove_empty_batch_keeps_ledger_readable(spark, tmp_path):
     # the empty takedown epoch must not break ledger reads or search
     assert idx.doc_ledger().count() == 1
     assert idx.lookup(["alpha"]).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Positional postings + phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE_DOCS = [
+    (1, "the big bad wolf ate the big bad pig"),      # 2 occurrences of "big bad"
+    (2, "big things and bad things are not adjacent"),# both terms, never adjacent
+    (3, "bad big order"),                              # reversed → no match
+    (4, "aa aa aa"),                                   # overlapping starts
+    (5, "buffalo buffalo buffalo"),                    # duplicate-term phrase
+    (6, "nothing relevant here"),
+]
+
+
+def _pos_postings(spark):
+    from data_pipeline_spark.operators.inverted_index import (
+        build_positional_postings,
+    )
+
+    df = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    return build_positional_postings(df, "doc_id", "text")
+
+
+def test_positional_postings_shapes(spark):
+    posts = _pos_postings(spark)
+    r = {
+        (x["term"], x["doc_id"]): (x["tf"], x["positions"])
+        for x in posts.collect()
+    }
+    assert r[("big", 1)] == (2, [1, 6])
+    assert r[("aa", 4)] == (3, [0, 1, 2])
+    assert r[("the", 1)][1] == [0, 5]
+
+
+def test_phrase_search_semantics(spark):
+    from data_pipeline_spark.operators.inverted_index import phrase_search
+
+    posts = _pos_postings(spark)
+    got = {r["doc_id"]: r["phrase_tf"] for r in phrase_search(posts, ["big", "bad"]).collect()}
+    # doc 1 twice; doc 2 has both terms but never adjacent; doc 3 reversed
+    assert got == {1: 2}
+
+    overlap = {r["doc_id"]: r["phrase_tf"] for r in phrase_search(posts, ["aa", "aa"]).collect()}
+    assert overlap == {4: 2}  # starts 0 and 1 both match "aa aa"
+
+    tri = {r["doc_id"]: r["phrase_tf"]
+           for r in phrase_search(posts, ["buffalo", "buffalo", "buffalo"]).collect()}
+    assert tri == {5: 1}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_search(posts, ["single"])
+
+
+def test_phrase_search_duckdb_twin_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from data_pipeline_spark.operators.inverted_index import (
+        phrase_search,
+        sql_build_positional_postings,
+        sql_phrase_search,
+    )
+
+    posts = _pos_postings(spark)
+    for phrase in (["big", "bad"], ["aa", "aa"], ["the", "big", "bad"]):
+        got = sorted(tuple(r) for r in phrase_search(posts, phrase, top_k=10).collect())
+        con = duckdb.connect()
+        con.register("docs_pd", pd.DataFrame(PHRASE_DOCS, columns=["doc_id", "text"]))
+        sql = sql_phrase_search(
+            sql_build_positional_postings("SELECT * FROM docs_pd", "doc_id", "text"),
+            phrase,
+            top_k=10,
+        )
+        want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+        assert got == want, phrase
+
+
+def test_phrase_search_plan(spark):
+    """Slot table broadcast, no cartesian, no window, no Python."""
+    from data_pipeline_spark.operators.inverted_index import phrase_search
+
+    plan = (
+        phrase_search(_pos_postings(spark), ["big", "bad"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_positional_index_incremental_phrase(spark, tmp_path):
+    """Positional index: incremental phrase lookup equals batch
+    phrase_search over the LATEST corpus across re-ships, tombstones,
+    and compaction; positional flag is frozen."""
+    from data_pipeline_spark.operators.inverted_index import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    path = str(tmp_path / "pidx")
+    idx = InvertedIndex.create(spark, path, n_buckets=4, positional=True)
+
+    v0 = [
+        (1, "the table scan beats the index scan here"),
+        (2, "a table scan and another table scan appear"),
+        (3, "scan table reversed never matches"),
+    ]
+    assert idx.update(_df(spark, v0), epoch=0) == 0
+    # re-ship doc 1 WITHOUT the phrase; add doc 4 with it
+    v1 = [(1, "no phrase anymore just a scan"), (4, "one table scan")]
+    assert idx.update(_df(spark, v1), epoch=1) == 1
+
+    latest = {1: v1[0][1], 2: v0[1][1], 3: v0[2][1], 4: v1[1][1]}
+
+    def batch_equiv(phrase):
+        cur = _df(spark, list(latest.items()))
+        return [
+            tuple(r)
+            for r in phrase_search(
+                build_positional_postings(cur, "doc_id", "text"), phrase
+            ).collect()
+        ]
+
+    got = [tuple(r) for r in idx.lookup_phrase(["table", "scan"]).collect()]
+    assert got == batch_equiv(["table", "scan"])
+    assert got == [(2, 2), (4, 1)]  # doc 1 dropped its phrase; doc 3 reversed
+
+    idx.remove([2], epoch=2)
+    del latest[2]
+    got = [tuple(r) for r in idx.lookup_phrase(["table", "scan"]).collect()]
+    assert got == batch_equiv(["table", "scan"]) == [(4, 1)]
+
+    idx.compact()
+    reloaded = InvertedIndex.load(spark, path)
+    got = [tuple(r) for r in reloaded.lookup_phrase(["table", "scan"]).collect()]
+    assert got == [(4, 1)]
+    # tf-ranked term lookup still works on the positional index
+    assert [tuple(r) for r in reloaded.lookup(["scan"]).collect()][0][0] in (1, 4)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):  # positional is frozen at create
+        InvertedIndex.create(spark, path, n_buckets=4, positional=False)
+    # a non-positional index refuses phrase lookups
+    flat = InvertedIndex.create(spark, str(tmp_path / "flat"), n_buckets=4)
+    flat.update(_df(spark, v0), epoch=0)
+    with _pt.raises(ValueError):
+        flat.lookup_phrase(["table", "scan"])
