@@ -1078,6 +1078,57 @@ WHERE f.n_writers > 1
 """
 
 
+def q_cdc_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity burst detection (operators/flowstats.py::burst_report):
+    hourly counts on a DENSIFIED per-entity window spine, z-score vs the
+    trailing-24h sample stddev, null-z (never burst) under thin or flat
+    baselines. One windowed count + spine explode + one keyed window."""
+    from data_pipeline_spark.operators.flowstats import burst_report
+
+    ev = _t(spark, sf_dir, "events")
+    return burst_report(
+        ev, ("event_type",), "ts", window="1 hour", trailing=24,
+        z_threshold=2.0, min_count=5,
+    )
+
+
+_SQL_BURSTS = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+  FROM counts GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS window_start
+  FROM spans
+),
+dense AS (
+  SELECT s.event_type, s.window_start,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN counts c USING (event_type, window_start)
+),
+stats AS (
+  SELECT event_type, window_start, n,
+         avg(n) OVER wt AS m, stddev_samp(n) OVER wt AS sd
+  FROM dense
+  WINDOW wt AS (PARTITION BY event_type ORDER BY window_start
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n,
+       round(m, 4) AS baseline_mean,
+       round(sd, 4) AS baseline_std,
+       round(CASE WHEN sd > 0 THEN (n - m) / sd END, 4) AS zscore,
+       (coalesce(CASE WHEN sd > 0 THEN (n - m) / sd END >= 2.0, false)
+        AND n >= 5) AS is_burst
+FROM stats
+"""
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round trip as a contract (sources/warc.py): documents become a
     deterministic Common-Crawl-style ``.warc.gz`` segment (per-record gzip
@@ -3968,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_orphans": q_cdc_orphans,
         "cdc_conflicts": q_cdc_conflicts,
         "doc_phrase_search": q_doc_phrase_search,
+        "cdc_bursts": q_cdc_bursts,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4039,6 +4091,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_orphans": _SQL_ORPHANS,
         "cdc_conflicts": _SQL_CONFLICTS,
         "doc_phrase_search": _SQL_PHRASE_SEARCH,
+        "cdc_bursts": _SQL_BURSTS,
         "cdc_lww_latest": _SQL_LWW,
         "cdc_lww_window": _SQL_LWW,
         "cdc_key_diff": _SQL_KEY_DIFF,

@@ -282,3 +282,82 @@ def recommend_watermark(
     delay_us = int((worst or 0) * safety_factor)
     seconds = max(1, -(-delay_us // 1_000_000))  # ceil, floor 1s
     return delay_us, f"{seconds} seconds"
+
+
+def burst_report(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    window: str = "1 hour",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_count: int = 10,
+) -> DataFrame:
+    """Per-entity burst detection over tumbling event-time windows: flag
+    windows whose count is ``z_threshold`` sample-stddevs above the mean
+    of the previous ``trailing`` windows (and at least ``min_count``) —
+    the standard early-warning for crawl storms, hot-site churn, or a
+    runaway producer, judged per entity so a steady-state-noisy entity
+    does not mask a quiet one's spike.
+
+    The per-entity window axis is DENSIFIED first (``sequence(min_ws,
+    max_ws)`` → explode → left join, zero-filled), so quiet periods count
+    as zeros in the baseline instead of silently collapsing — a sparse
+    baseline of observed-only windows would inflate the mean exactly when
+    bursts matter most. Baselines with fewer than 2 prior windows or zero
+    variance yield a null z-score (never a burst).
+
+    Scale posture: one windowed count (hash agg), one per-entity min/max
+    agg, the spine explode (windows-per-entity rows — calendar-bounded,
+    orders of magnitude below event count), one keyed equi-join, and ONE
+    per-entity window pass for the trailing stats. No global sort, no
+    self-join of the stream.
+    """
+    entity_cols = list(entity_cols)
+    counts = (
+        df.groupBy(
+            *entity_cols, F.window(F.col(ts_col), window).alias("_w")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(*entity_cols, F.col("_w.start").alias("window_start"), "n")
+    )
+    spine = (
+        counts.groupBy(*entity_cols)
+        .agg(
+            F.min("window_start").alias("_lo"),
+            F.max("window_start").alias("_hi"),
+        )
+        .select(
+            *entity_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {window}"))
+            ).alias("window_start"),
+        )
+    )
+    dense = spine.join(counts, entity_cols + ["window_start"], "left").select(
+        *entity_cols,
+        "window_start",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy(*entity_cols)
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    mean_prev = F.avg("n").over(w)
+    std_prev = F.stddev_samp("n").over(w)
+    z = F.when(
+        std_prev > 0, (F.col("n") - mean_prev) / std_prev
+    )  # <2 baseline rows or zero variance → null z, never a burst
+    return dense.select(
+        *entity_cols,
+        "window_start",
+        "n",
+        F.round(mean_prev, 4).alias("baseline_mean"),
+        F.round(std_prev, 4).alias("baseline_std"),
+        F.round(z, 4).alias("zscore"),
+        (
+            F.coalesce(z >= F.lit(float(z_threshold)), F.lit(False))
+            & (F.col("n") >= F.lit(int(min_count)))
+        ).alias("is_burst"),
+    )

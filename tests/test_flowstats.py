@@ -165,3 +165,69 @@ def test_recommend_watermark(spark):
 
     with _pt.raises(ValueError):
         recommend_watermark(df, ("part",), "seq", "ts", percentile=0.9)
+
+
+def test_burst_report_hand_computed(spark):
+    from data_pipeline_spark.operators.flowstats import burst_report
+
+    base = dt.datetime(2026, 3, 1)
+    # hourly counts for entity e: h0:4 h1:6 h2:5 h3:5 h4:GAP(0) h5:30
+    per_hour = {0: 4, 1: 6, 2: 5, 3: 5, 5: 30}
+    rows = [
+        ("e", base + dt.timedelta(hours=h, minutes=i))
+        for h, k in per_hour.items()
+        for i in range(k)
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts timestamp")
+    out = {
+        r["window_start"].hour: r.asDict()
+        for r in burst_report(
+            df, ("entity",), "ts", window="1 hour", trailing=3,
+            z_threshold=2.0, min_count=10,
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}  # h4 densified in as n=0
+    assert out[4]["n"] == 0
+    # h0: empty baseline; h1: single-row baseline → stddev null → z null
+    assert out[0]["zscore"] is None and out[1]["zscore"] is None
+    assert not out[0]["is_burst"] and not out[1]["is_burst"]
+    # h3: baseline [4,6,5] mean 5 std 1 → z = 0
+    assert out[3]["baseline_mean"] == 5.0 and out[3]["baseline_std"] == 1.0
+    assert out[3]["zscore"] == 0.0 and not out[3]["is_burst"]
+    # h4: n=0 vs baseline [6,5,5] → strongly negative z, no burst
+    assert out[4]["zscore"] == -9.2376 and not out[4]["is_burst"]
+    # h5: n=30 vs baseline [5,5,0]: mean 10/3, std 2.8868 → z = 9.2376
+    assert out[5]["baseline_mean"] == 3.3333
+    assert out[5]["baseline_std"] == 2.8868
+    assert out[5]["zscore"] == 9.2376 and out[5]["is_burst"]
+
+
+def test_burst_min_count_and_flat_baseline(spark):
+    from data_pipeline_spark.operators.flowstats import burst_report
+
+    base = dt.datetime(2026, 3, 1)
+
+    def run(per_hour, **kw):
+        rows = [
+            ("e", base + dt.timedelta(hours=h, minutes=i))
+            for h, k in per_hour.items()
+            for i in range(k)
+        ]
+        df = spark.createDataFrame(rows, "entity string, ts timestamp")
+        return {
+            r["window_start"].hour: r
+            for r in burst_report(
+                df, ("entity",), "ts", trailing=3, z_threshold=2.0, **kw
+            ).collect()
+        }
+
+    # varied baseline [2,1,2]: z = (8 - 5/3)/0.5774 ≈ 11 ≥ 2, but 8 < 10
+    out = run({0: 1, 1: 2, 2: 1, 3: 2, 4: 8}, min_count=10)
+    assert out[4]["zscore"] and out[4]["zscore"] > 2.0
+    assert not out[4]["is_burst"]  # min_count gates the flag
+    out = run({0: 1, 1: 2, 2: 1, 3: 2, 4: 8}, min_count=5)
+    assert out[4]["is_burst"]  # same spike flags once past the floor
+
+    # flat baseline [1,1,1]: zero variance → z null → never a burst
+    out = run({0: 1, 1: 1, 2: 1, 3: 1, 4: 8}, min_count=1)
+    assert out[4]["zscore"] is None and not out[4]["is_burst"]
