@@ -3317,6 +3317,26 @@ _SQL_SURPRISAL = TP.sql_unigram_surprisal(
 )
 
 
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style interpolated bigram LM perplexity
+    (operators/lmfilter.py): train on a deterministic md5 hash-sampled
+    reference partition, score EVERY doc (spine-joined — <2-token docs
+    surface with NULL scores). Two training hash aggs + per-doc bigram
+    collapse + three count equi-joins; vocabulary never broadcast."""
+    from data_pipeline_spark.operators.lmfilter import bigram_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_perplexity(d, "doc_id", "text")
+
+
+def _sql_lm_ppl() -> str:
+    from data_pipeline_spark.operators.lmfilter import sql_bigram_perplexity
+
+    return sql_bigram_perplexity(
+        "SELECT doc_id, text FROM documents", "doc_id", "text"
+    )
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25}
 _SAMPLE_DEFAULT = 0.1
 
@@ -4023,6 +4043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt": q_url_surt,                     # sibling: url_filter
         "recrawl_stats": q_recrawl_stats,           # sibling: content_delta
         "anchor_texts": q_anchor_texts,             # sibling: link_extract
+        # --- new this round (X98+) ---
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4171,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf": _SQL_TFIDF,
         "doc_pack_sequences": _SQL_PACK,
         "doc_surprisal": _SQL_SURPRISAL,
+        "doc_lm_perplexity": _sql_lm_ppl(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -91,6 +91,7 @@ HEADLINE = [
     "cdc_conflicts",
     "doc_phrase_search",
     "cdc_bursts",
+    "doc_lm_perplexity",
 ]
 
 
