@@ -3317,6 +3317,24 @@ _SQL_SURPRISAL = TP.sql_unigram_surprisal(
 )
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy hitters via bounded-memory two-pass plan
+    (operators/heavyhitters.py): per-partition Misra-Gries summaries in
+    Arrow mapInPandas (zero shuffle, superset guarantee), broadcast
+    candidate semi-join, exact count of candidates only. Output is
+    EXACTLY the full-shuffle answer."""
+    from data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", phi=0.0008)
+
+
+def _sql_heavy_hitters() -> str:
+    from data_pipeline_spark.operators.heavyhitters import sql_heavy_hitters
+
+    return sql_heavy_hitters("SELECT user_id FROM events", "user_id", 0.0008)
+
+
 def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style interpolated bigram LM perplexity
     (operators/lmfilter.py): train on a deterministic md5 hash-sampled
@@ -4045,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,             # sibling: link_extract
         # --- new this round (X98+) ---
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "events_heavy_hitters": q_events_heavy_hitters,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4194,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": _SQL_PACK,
         "doc_surprisal": _SQL_SURPRISAL,
         "doc_lm_perplexity": _sql_lm_ppl(),
+        "events_heavy_hitters": _sql_heavy_hitters(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

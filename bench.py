@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_phrase_search",
     "cdc_bursts",
     "doc_lm_perplexity",
+    "events_heavy_hitters",
 ]
 
 
