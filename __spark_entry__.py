@@ -3440,6 +3440,43 @@ def _docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(variants)
 
 
+def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact dedup against a historical corpus (X100):
+    even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
+    epoch, keyed by md5(text). Output is EXACTLY `new ANTI JOIN history`;
+    the sparse-bitmap prefilter only routes definitely-new rows around
+    the verify join (operators/bloomdedup.py)."""
+    from data_pipeline_spark.operators.bloomdedup import dedup_against_history
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = F.md5(F.col("text")).alias("fp")
+    history = docs.where(F.col("doc_id") % 2 == 0).select(fp)
+    new = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .select("doc_id", fp)
+    )
+    return dedup_against_history(new, history, "fp", m_bits=1 << 20, k=4)
+
+
+_SQL_HISTORY_BLOOM = """
+WITH history AS (
+  SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+), newrows AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT n.doc_id, n.fp FROM newrows n
+WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.fp = n.fp)
+"""
+
+
 _SQL_DOCS_NEARDUP = """(
   SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
   UNION ALL
@@ -4064,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (X98+) ---
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "dedup_history_bloom": q_dedup_history_bloom,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4214,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal": _SQL_SURPRISAL,
         "doc_lm_perplexity": _sql_lm_ppl(),
         "events_heavy_hitters": _sql_heavy_hitters(),
+        "dedup_history_bloom": _SQL_HISTORY_BLOOM,
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
