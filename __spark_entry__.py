@@ -3440,6 +3440,111 @@ def _docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(variants)
 
 
+_CERT_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+
+
+def _cert_states(spark: SparkSession, sf_dir: str):
+    """Reference state vs a replayed state with injected divergence:
+    updates (key%197), deletes (key%211), inserts (key%503 re-keyed)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    mutated = (
+        orders.where(F.col("o_orderkey") % 211 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 197 == 0, F.col("o_custkey") + 1
+            ).otherwise(F.col("o_custkey")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 503 == 0).select(
+                (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        )
+    )
+    return orders, mutated
+
+
+def q_cdc_state_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-equivalence certificate (X101): per-bucket (count, modular
+    sum of portable row hashes) for reference vs diverged replay — the
+    scale-safe form of the north rule's "final table state matches after
+    replay" check (two O(n) aggs, ≤ n_buckets output rows, no row diff).
+    lake/statecert.py."""
+    from data_pipeline_spark.lake.statecert import compare_states
+
+    a, b = _cert_states(spark, sf_dir)
+    return compare_states(
+        a, b, "o_orderkey", cols=_CERT_COLS, n_buckets=64
+    ).withColumnRenamed("match", "is_match")
+
+
+def q_cdc_state_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level drill-down on the certificate mismatches: keyed diff
+    computed ONLY over the buckets whose certificates disagree — output
+    is exactly the injected updates/deletes/inserts."""
+    from data_pipeline_spark.lake.statecert import state_diff
+
+    a, b = _cert_states(spark, sf_dir)
+    return state_diff(a, b, "o_orderkey", cols=_CERT_COLS, n_buckets=64)
+
+
+def _sql_cert_states() -> str:
+    return """
+a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 197 = 0 THEN o_custkey + 1 ELSE o_custkey END
+           AS o_custkey,
+         o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 211 <> 0
+  UNION ALL
+  SELECT o_orderkey + 90000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 503 = 0
+)"""
+
+
+def _sql_state_certificate() -> str:
+    from data_pipeline_spark.lake.statecert import sql_state_checksum
+
+    ca = sql_state_checksum("a", "o_orderkey", _CERT_COLS, 64)
+    cb = sql_state_checksum("b", "o_orderkey", _CERT_COLS, 64)
+    return f"""
+WITH {_sql_cert_states()},
+ca AS ({ca}), cb AS ({cb})
+SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+       coalesce(ca.n_rows, 0) AS a_rows,
+       coalesce(cb.n_rows, 0) AS b_rows,
+       coalesce(ca.checksum, 0) AS a_checksum,
+       coalesce(cb.checksum, 0) AS b_checksum,
+       (coalesce(ca.n_rows, 0) = coalesce(cb.n_rows, 0)
+        AND coalesce(ca.checksum, 0) = coalesce(cb.checksum, 0)) AS is_match
+FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+"""
+
+
+def _sql_state_drilldown() -> str:
+    return f"""
+WITH {_sql_cert_states()}
+SELECT CAST(coalesce(a.o_orderkey, b.o_orderkey) AS VARCHAR) AS o_orderkey,
+       CAST(CASE WHEN a.o_orderkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS a_rows,
+       CAST(CASE WHEN b.o_orderkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS b_rows,
+       CASE WHEN a.o_orderkey IS NULL THEN 'b_only'
+            WHEN b.o_orderkey IS NULL THEN 'a_only'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.o_custkey IS DISTINCT FROM b.o_custkey
+   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+   OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+"""
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4102,6 +4207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "events_heavy_hitters": q_events_heavy_hitters,
         "dedup_history_bloom": q_dedup_history_bloom,
+        "cdc_state_certificate": q_cdc_state_certificate,
+        "cdc_state_drilldown": q_cdc_state_drilldown,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4253,6 +4360,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_perplexity": _sql_lm_ppl(),
         "events_heavy_hitters": _sql_heavy_hitters(),
         "dedup_history_bloom": _SQL_HISTORY_BLOOM,
+        "cdc_state_certificate": _sql_state_certificate(),
+        "cdc_state_drilldown": _sql_state_drilldown(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
