@@ -3545,6 +3545,30 @@ WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
 """
 
 
+def q_cdc_cert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental certificate maintenance (X102): the post-divergence
+    certificate computed WITHOUT scanning the post state — base cert +
+    one hash agg over the row-level change feed (snapshot_diff). The
+    DuckDB oracle computes the post-state certificate directly, so the
+    contract pins the abelian-group update law itself."""
+    from data_pipeline_spark.lake.diff import snapshot_diff
+    from data_pipeline_spark.lake.statecert import state_checksum, update_checksum
+
+    a, b = _cert_states(spark, sf_dir)
+    base = state_checksum(a, "o_orderkey", _CERT_COLS, 64)
+    changes = snapshot_diff(a, b, "o_orderkey")
+    return update_checksum(base, changes, "o_orderkey", _CERT_COLS, 64)
+
+
+def _sql_cert_incremental() -> str:
+    from data_pipeline_spark.lake.statecert import sql_state_checksum
+
+    return f"""
+WITH {_sql_cert_states()}
+{sql_state_checksum('b', 'o_orderkey', _CERT_COLS, 64)}
+"""
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4209,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_history_bloom": q_dedup_history_bloom,
         "cdc_state_certificate": q_cdc_state_certificate,
         "cdc_state_drilldown": q_cdc_state_drilldown,
+        "cdc_cert_incremental": q_cdc_cert_incremental,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4362,6 +4387,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_history_bloom": _SQL_HISTORY_BLOOM,
         "cdc_state_certificate": _sql_state_certificate(),
         "cdc_state_drilldown": _sql_state_drilldown(),
+        "cdc_cert_incremental": _sql_cert_incremental(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

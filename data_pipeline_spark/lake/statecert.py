@@ -41,6 +41,7 @@ __all__ = [
     "state_checksum",
     "compare_states",
     "state_diff",
+    "update_checksum",
     "sql_state_checksum",
 ]
 
@@ -205,6 +206,80 @@ def state_diff(
             .otherwise(F.lit("changed"))
             .alias("status"),
         )
+    )
+
+
+def update_checksum(
+    cert: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """O(changes) certificate refresh off a row-level change feed (X102).
+
+    The modular-sum checksum is an ABELIAN-GROUP hash, so it updates
+    algebraically: inserts/update-postimages add their row hash, deletes/
+    update-preimages subtract theirs, counts adjust ±1 — one hash agg over
+    the CHANGES (``snapshot_diff`` / ``LakeTable.change_feed`` semantics:
+    ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``),
+    then an ≤ n_buckets-row join against the old certificate. Re-certifying
+    a 10^10-row table after an epoch costs O(epoch), never a rescan; the
+    law ``update_checksum(cert(pre), diff(pre, post)) == cert(post)`` is
+    pinned by tests and by the ``cdc_cert_incremental`` oracle contract.
+
+    ``cols`` must be the exact column list the base certificate was built
+    with (no default here — a mismatch must be impossible to get silently).
+    Unknown change types raise at execution time rather than corrupting
+    the certificate. Buckets whose row count returns to zero drop from the
+    output, matching :func:`state_checksum` on the post state."""
+    sign = (
+        F.when(
+            F.col(change_type_col).isin("insert", "update_postimage"), F.lit(1)
+        )
+        .when(
+            F.col(change_type_col).isin("delete", "update_preimage"), F.lit(-1)
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("update_checksum: unknown change type "),
+                    F.col(change_type_col),
+                )
+            ).cast("int")
+        )
+    )
+    delta = (
+        changes.select(
+            _bucket(key_col, n_buckets),
+            row_hash(cols).alias("_h"),
+            sign.alias("_s"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("_s").cast("long").alias("dn"),
+            F.sum((F.col("_h") * F.col("_s")).cast("decimal(38,0)")).alias("ds"),
+        )
+        .alias("d")
+    )
+    c = cert.alias("c")
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    raw = F.coalesce(F.col("c.checksum").cast("decimal(38,0)"), zero_d) + F.coalesce(
+        F.col("d.ds"), zero_d
+    )
+    return (
+        c.join(delta, F.col("c.bucket") == F.col("d.bucket"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.bucket"), F.col("d.bucket")).alias("bucket"),
+            (
+                F.coalesce(F.col("c.n_rows"), zero_l)
+                + F.coalesce(F.col("d.dn"), zero_l)
+            ).alias("n_rows"),
+            (((raw % MOD) + MOD) % MOD).cast("long").alias("checksum"),
+        )
+        .where(F.col("n_rows") != 0)
     )
 
 

@@ -108,6 +108,38 @@ def test_empty_and_disjoint(spark, state):
     assert state_diff(state, state, "k", n_buckets=N_B).count() == 0
 
 
+def test_incremental_update_law(spark, state):
+    """update_checksum(cert(pre), diff(pre, post)) == cert(post), incl.
+    buckets emptied by deletes and buckets born from inserts."""
+    from data_pipeline_spark.lake.diff import snapshot_diff
+    from data_pipeline_spark.lake.statecert import update_checksum
+
+    cols = ["k", "name", "grp", "val"]
+    post = _mutate(state)
+    changes = snapshot_diff(state, post, "k")
+    got = update_checksum(
+        state_checksum(state, "k", cols, N_B), changes, "k", cols, N_B
+    )
+    want = state_checksum(post, "k", cols, N_B)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # delete EVERYTHING -> empty certificate (emptied buckets drop)
+    wipe = snapshot_diff(state, state.limit(0), "k")
+    assert update_checksum(
+        state_checksum(state, "k", cols, N_B), wipe, "k", cols, N_B
+    ).count() == 0
+
+
+def test_incremental_rejects_unknown_change_type(spark, state):
+    from data_pipeline_spark.lake.statecert import update_checksum
+
+    cols = ["k", "name", "grp", "val"]
+    bad = state.limit(1).withColumn("_change_type", F.lit("upsert"))
+    with pytest.raises(Exception, match="unknown change type"):
+        update_checksum(
+            state_checksum(state, "k", cols, N_B), bad, "k", cols, N_B
+        ).collect()
+
+
 def test_plan_pins(spark, state):
     plan = (
         state_checksum(state, "k", n_buckets=N_B)
