@@ -3569,6 +3569,26 @@ WITH {_sql_cert_states()}
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (X103): per-language
+    Efraimidis-Spirakis draw, 15 docs per lang proportional to n_chars —
+    quality-weighted corpus downsampling that preserves diversity
+    (operators/sampling.py:weighted_sample)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SMP.weighted_sample(
+        docs, "doc_id", "n_chars", 15, stratum_col="lang"
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = SMP.sql_weighted_sample(
+    "SELECT doc_id, lang, n_chars FROM documents",
+    "doc_id",
+    "n_chars",
+    15,
+    stratum_col="lang",
+)
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4234,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state_certificate": q_cdc_state_certificate,
         "cdc_state_drilldown": q_cdc_state_drilldown,
         "cdc_cert_incremental": q_cdc_cert_incremental,
+        "doc_weighted_sample": q_doc_weighted_sample,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4388,6 +4409,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_state_certificate": _sql_state_certificate(),
         "cdc_state_drilldown": _sql_state_drilldown(),
         "cdc_cert_incremental": _sql_cert_incremental(),
+        "doc_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -93,6 +93,10 @@ HEADLINE = [
     "cdc_bursts",
     "doc_lm_perplexity",
     "events_heavy_hitters",
+    # Round-3g: history dedup prefilter + state-equivalence certificates
+    "dedup_history_bloom",
+    "cdc_state_certificate",
+    "cdc_cert_incremental",
 ]
 
 

@@ -221,3 +221,109 @@ WITH tbs_base AS (
 )
 SELECT * EXCLUDE (_n_tok, _b, _prev) FROM tbs_cum WHERE _prev < {case}
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, derandomized (X103):
+    Efraimidis-Spirakis priority sampling. Each row draws a deterministic
+    uniform u from md5(seed:key) and gets priority u^(1/w); the top-k
+    priorities are EXACTLY a w-proportional without-replacement draw
+    (Efraimidis & Spirakis 2006). Unlike DSIR's ``select_top`` (pure rank
+    order, collapses onto the head of the weight distribution), every
+    positive-weight row keeps a proportional chance — the standard way to
+    downsample a corpus by quality score while preserving diversity.
+
+    Ranking uses ``ln(u)/w`` (monotone in u^(1/w)), ROUNDED to 6 dp with
+    key tie-break — the repo's cross-engine float convention
+    (operators/importance.py). Rows with NULL or non-positive weight are
+    dropped (zero-weight rows have zero inclusion probability; negative
+    weights are a caller bug surfaced by omission, documented here).
+
+    Plan shape: global flavor compiles to TakeOrderedAndProject (per-
+    partition partial top-k, no global sort); per-stratum flavor is one
+    window row_number — a single keyed shuffle.
+
+    Output: input columns + ``_priority`` (the rounded ranking key).
+    """
+    if k <= 0:
+        raise ValueError("need k >= 1")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        )
+        / HEX_SPACE
+    )
+    pri = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 6
+    ).alias("_priority")
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    ).withColumn("_priority", pri)
+    if stratum_col is None:
+        return base.orderBy(F.desc("_priority"), F.asc(key_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_priority"), F.asc(key_col)
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sql_weighted_sample(
+    input_sql: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+    stratum_col: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — same md5 uniform, same
+    rounded ln(u)/w priority, same tie-break."""
+    u = (
+        f"(('0x' || substring(md5('{seed}:' || CAST({key_col} AS VARCHAR)),"
+        f" 1, 8))::BIGINT + 1.0) / {HEX_SPACE}"
+    )
+    pri = f"round(ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
+    guard = (
+        f"{weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0"
+    )
+    if stratum_col is None:
+        return f"""
+SELECT *, {pri} AS _priority FROM ({input_sql})
+WHERE {guard}
+ORDER BY _priority DESC, {key_col} ASC LIMIT {int(k)}
+"""
+    return f"""
+WITH ws_base AS (
+  SELECT *, {pri} AS _priority FROM ({input_sql}) WHERE {guard}
+), ws_rn AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {stratum_col} ORDER BY _priority DESC, {key_col} ASC
+  ) AS _rn FROM ws_base
+)
+SELECT * EXCLUDE (_rn) FROM ws_rn WHERE _rn <= {int(k)}
+"""
