@@ -3589,6 +3589,25 @@ _SQL_WEIGHTED_SAMPLE = SMP.sql_weighted_sample(
 )
 
 
+def q_events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch per-user frequency estimates (X104): depth 4 x
+    width 256 over 10k events / 150 users — real collisions, so the
+    one-sided error law is live in the contract. Sketch built with one
+    hash agg, estimates via broadcast probe join
+    (operators/cms.py)."""
+    from data_pipeline_spark.operators.cms import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id", depth=4, width=256)
+    return cms_estimate(sk, ev.select("user_id"), "user_id", depth=4, width=256)
+
+
+def _sql_cms_counts() -> str:
+    from data_pipeline_spark.operators.cms import sql_cms_estimate
+
+    return sql_cms_estimate("events", "events", "user_id", depth=4, width=256)
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4255,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state_drilldown": q_cdc_state_drilldown,
         "cdc_cert_incremental": q_cdc_cert_incremental,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "events_cms_counts": q_events_cms_counts,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4410,6 +4430,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_state_drilldown": _sql_state_drilldown(),
         "cdc_cert_incremental": _sql_cert_incremental(),
         "doc_weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "events_cms_counts": _sql_cms_counts(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -97,6 +97,8 @@ HEADLINE = [
     "dedup_history_bloom",
     "cdc_state_certificate",
     "cdc_cert_incremental",
+    "doc_weighted_sample",
+    "events_cms_counts",
 ]
 
 
