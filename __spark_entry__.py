@@ -3608,6 +3608,25 @@ def _sql_cms_counts() -> str:
     return sql_cms_estimate("events", "events", "user_id", depth=4, width=256)
 
 
+def q_events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user register state per event type (X105): the
+    mergeable form of events_user_reach — integer-exact register table,
+    foldable across epochs by pointwise max (operators/hll.py). The
+    float estimate layer is pinned by tests/test_hll.py accuracy
+    bounds."""
+    from data_pipeline_spark.operators.hll import hll_registers
+
+    return hll_registers(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"], p=7
+    )
+
+
+def _sql_hll_contract() -> str:
+    from data_pipeline_spark.operators.hll import sql_hll_registers
+
+    return sql_hll_registers("events", "user_id", ["event_type"], p=7)
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4275,6 +4294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cert_incremental": q_cdc_cert_incremental,
         "doc_weighted_sample": q_doc_weighted_sample,
         "events_cms_counts": q_events_cms_counts,
+        "events_hll_registers": q_events_hll_registers,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4431,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cert_incremental": _sql_cert_incremental(),
         "doc_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "events_cms_counts": _sql_cms_counts(),
+        "events_hll_registers": _sql_hll_contract(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

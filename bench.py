@@ -99,6 +99,7 @@ HEADLINE = [
     "cdc_cert_incremental",
     "doc_weighted_sample",
     "events_cms_counts",
+    "events_hll_registers",
 ]
 
 
