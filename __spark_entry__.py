@@ -3627,6 +3627,56 @@ def _sql_hll_contract() -> str:
     return sql_hll_registers("events", "user_id", ["event_type"], p=7)
 
 
+def q_sketch_state_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch state (X106): three ingest epochs folded into a
+    lake-persisted CMS via the exactly-once SketchStore ledger
+    (operators/sketchstate.py); docs with doc_id%7==0 are re-shipped in
+    EVERY epoch, so the frequency state must count them three times. The
+    DuckDB twin rebuilds the same sketch from the equivalent union-with-
+    duplicates relation — persistence must be invisible to the math."""
+    import tempfile
+
+    from data_pipeline_spark.operators.sketchstate import SketchStore
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("doc"), F.col("doc_id")).alias("key")
+    )
+    store = SketchStore.create(
+        spark,
+        tempfile.mkdtemp(prefix="skst_"),
+        "key",
+        bloom_m=1 << 14,
+        cms_width=1 << 10,
+        hll_p=8,
+    )
+    for e in range(3):
+        store.update(
+            docs.where(
+                (F.col("doc_id") % 3 == e) | (F.col("doc_id") % 7 == 0)
+            ).select("key"),
+            epoch=e,
+        )
+    return store.freq(docs.select("key"))
+
+
+def _sql_sketch_state_freq() -> str:
+    from data_pipeline_spark.operators.cms import sql_cms_estimate
+
+    ingested = " UNION ALL ".join(
+        f"SELECT 'doc' || CAST(doc_id AS VARCHAR) AS key FROM documents "
+        f"WHERE doc_id % 3 = {e} OR doc_id % 7 = 0"
+        for e in range(3)
+    )
+    return sql_cms_estimate(
+        f"({ingested})",
+        "(SELECT 'doc' || CAST(doc_id AS VARCHAR) AS key FROM documents)",
+        "key",
+        depth=4,
+        width=1 << 10,
+        seed="sketch",
+    )
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4295,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": q_doc_weighted_sample,
         "events_cms_counts": q_events_cms_counts,
         "events_hll_registers": q_events_hll_registers,
+        "sketch_state_freq": q_sketch_state_freq,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4452,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "events_cms_counts": _sql_cms_counts(),
         "events_hll_registers": _sql_hll_contract(),
+        "sketch_state_freq": _sql_sketch_state_freq(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

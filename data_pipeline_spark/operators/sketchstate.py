@@ -1,0 +1,255 @@
+"""Lake-persisted sketch state: the mergeable summaries as MAINTAINED
+incremental state, exactly-once per epoch (X106).
+
+The three linear/mergeable summaries —
+
+- Bloom bitmap  → membership   ("have we EVER seen this url?")
+- Count-Min     → frequency    ("how many times?")
+- HyperLogLog   → cardinality  ("how many distinct, per group?")
+
+(operators/bloomdedup.py, operators/cms.py, operators/hll.py) — answer
+corpus-lifetime questions that a 10^10-event CDC tail cannot afford to
+recompute by rescanning history each epoch. This module persists them the
+way the MinHash dedup index persists signatures
+(operators/dedup_index.py): one directory per summary kind, one
+subdirectory per committed epoch, a JSON meta file holding the FROZEN
+sketch parameters (changing m/width/p invalidates every stored word/
+counter/register, so a mismatch raises) and the committed-epoch ledger.
+
+Exactly-once: ``update(df, epoch=batch_id)`` is a no-op for a committed
+epoch, so a Structured Streaming ``foreachBatch`` (which re-executes a
+failed micro-batch under the SAME batch id) maintains the state across
+driver crashes without double counting — double counting would corrupt
+CMS counts silently, which is why the ledger matters more here than for
+the idempotent-by-algebra Bloom/HLL. Crash ordering is data-first,
+meta-second: a crash between the two leaves orphan data dirs, never a
+committed epoch without data.
+
+Reads merge the epoch dirs with each summary's own fold (bit_or / sum /
+max) — one map-side-combinable agg over state that is already tiny;
+``compact()`` collapses the fold into a single stored dir when the epoch
+count grows, preserving the ledger ids (dedup_index's shared-dir
+convention).
+
+Reference: no counterpart (the Rust pipeline keeps no cross-run state at
+all — each run replaces its dataset; /root/reference/src/storage/mod.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .bloomdedup import bloom_build, bloom_probe
+from .cms import cms_build, cms_estimate
+from .hll import hll_estimate, hll_registers
+
+__all__ = ["SketchStore", "STREAM_EPOCH_BASE"]
+
+_META = "sketch_meta.json"
+_KINDS = ("bloom", "cms", "hll")
+
+# keep stream batch ids clear of batch-pipeline epoch ids (same convention
+# as streaming/indexing.py)
+STREAM_EPOCH_BASE = 1_000_000_000
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class SketchStore:
+    """See module docstring. ``create`` once, ``update`` per epoch, query
+    via :meth:`probe` / :meth:`freq` / :meth:`distinct`."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        group_col: str | None = None,
+        bloom_m: int = 1 << 24,
+        bloom_k: int = 4,
+        cms_depth: int = 4,
+        cms_width: int = 1 << 16,
+        hll_p: int = 12,
+        seed: str = "sketch",
+    ) -> "SketchStore":
+        """CREATE IF NOT EXISTS; existing params win, a contradiction
+        raises (sketch params are frozen — changing them invalidates all
+        stored state)."""
+        meta_path = os.path.join(path, _META)
+        want = {
+            "key_col": key_col,
+            "group_col": group_col,
+            "bloom_m": bloom_m,
+            "bloom_k": bloom_k,
+            "cms_depth": cms_depth,
+            "cms_width": cms_width,
+            "hll_p": hll_p,
+            "seed": seed,
+        }
+        if os.path.exists(meta_path):
+            store = cls.load(spark, path)
+            have = {k: store.meta[k] for k in want}
+            if want != have:
+                raise ValueError(
+                    f"sketch store at {path} exists with params {have}, "
+                    f"asked for {want}; params are frozen at create"
+                )
+            return store
+        os.makedirs(path, exist_ok=True)
+        meta = {"version": 1, "epochs": [], **want}
+        _atomic_write_json(meta_path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SketchStore":
+        with open(os.path.join(path, _META)) as f:
+            return cls(spark, path, json.load(f))
+
+    def committed_epochs(self) -> set[int]:
+        return {e["epoch"] for e in self.meta["epochs"]}
+
+    # -- write path ----------------------------------------------------------
+
+    def update(self, df: DataFrame, epoch: int) -> int | None:
+        """Fold one epoch's keys into the state. Returns the epoch id, or
+        None if already committed (exactly-once)."""
+        if epoch in self.committed_epochs():
+            return None
+        m = self.meta
+        parts = {
+            "bloom": bloom_build(
+                df, m["key_col"], m["bloom_m"], m["bloom_k"], m["seed"]
+            ),
+            "cms": cms_build(
+                df, m["key_col"], m["cms_depth"], m["cms_width"], m["seed"]
+            ),
+            "hll": hll_registers(
+                df,
+                m["key_col"],
+                [m["group_col"]] if m["group_col"] else None,
+                m["hll_p"],
+                m["seed"],
+            ),
+        }
+        for kind, frame in parts.items():
+            # sketches are tiny by construction; one file per epoch dir
+            frame.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.path, kind, f"epoch={epoch}")
+            )
+        self.meta["epochs"].append({"epoch": int(epoch)})
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return epoch
+
+    def foreach_batch(self) -> Callable[[DataFrame, int], None]:
+        """``writeStream.foreachBatch`` adapter: micro-batch ids become
+        ledger epochs (offset by STREAM_EPOCH_BASE), so restart
+        re-delivery is a no-op."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.update(batch_df, STREAM_EPOCH_BASE + batch_id)
+
+        return apply
+
+    # -- read path -----------------------------------------------------------
+
+    def _dirs(self, kind: str) -> list[str]:
+        seen: dict[str, None] = {}
+        for e in self.meta["epochs"]:
+            seen.setdefault(str(e.get("dir", e["epoch"])), None)
+        return [os.path.join(self.path, kind, f"epoch={d}") for d in seen]
+
+    def _merged(self, kind: str) -> DataFrame:
+        dirs = self._dirs(kind)
+        if not dirs:
+            schema = {
+                "bloom": "word_idx long, word long",
+                "cms": "d int, w_idx long, cnt long",
+                "hll": (
+                    (f"{self.meta['group_col']} string, " if self.meta["group_col"] else "")
+                    + "idx int, rho int"
+                ),
+            }[kind]
+            return self.spark.createDataFrame([], schema)
+        raw = self.spark.read.parquet(*dirs)
+        if kind == "bloom":
+            return raw.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        if kind == "cms":
+            return raw.groupBy("d", "w_idx").agg(F.sum("cnt").alias("cnt"))
+        keys = [c for c in raw.columns if c != "rho"]
+        return raw.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+    def probe(self, df: DataFrame, key_col: str | None = None) -> DataFrame:
+        """Adds ``_maybe``: False is a certainty the key was never
+        ingested; True routes to an exact check (bloom_probe
+        semantics)."""
+        m = self.meta
+        return bloom_probe(
+            df,
+            key_col or m["key_col"],
+            self._merged("bloom"),
+            m["bloom_m"],
+            m["bloom_k"],
+            m["seed"],
+        )
+
+    def freq(self, keys: DataFrame, key_col: str | None = None) -> DataFrame:
+        """One-sided frequency estimates (est >= true) for the queried
+        keys over everything ever ingested."""
+        m = self.meta
+        return cms_estimate(
+            self._merged("cms"),
+            keys,
+            key_col or m["key_col"],
+            m["cms_depth"],
+            m["cms_width"],
+            m["seed"],
+        )
+
+    def distinct(self) -> DataFrame:
+        """Cardinality estimates over everything ever ingested — one row,
+        or one per group when the store was created with a group_col."""
+        m = self.meta
+        groups = [m["group_col"]] if m["group_col"] else None
+        return hll_estimate(self._merged("hll"), m["hll_p"], groups)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> dict:
+        """Collapse all epoch dirs into one merged dir per kind; ledger
+        ids survive pointing at the shared dir. Data-first, meta-second."""
+        if not self.meta["epochs"]:
+            return {"epochs": 0, "dirs": 0}
+        max_epoch = max(e["epoch"] for e in self.meta["epochs"])
+        existing = {str(e.get("dir", e["epoch"])) for e in self.meta["epochs"]}
+        name = f"compact-{max_epoch}"
+        while name in existing:
+            name += "x"
+        n_dirs = 0
+        for kind in _KINDS:
+            merged = self._merged(kind)
+            n_dirs += len(self._dirs(kind))
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.path, kind, f"epoch={name}")
+            )
+        for e in self.meta["epochs"]:
+            e["dir"] = name
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return {"epochs": len(self.meta["epochs"]), "dirs": n_dirs}

@@ -1,0 +1,105 @@
+"""Persisted sketch state (X106): exactly-once epochs, fold equivalence
+vs direct builds, cold reload, compaction, frozen params, streaming
+foreachBatch maintenance."""
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.bloomdedup import bloom_build
+from data_pipeline_spark.operators.cms import cms_build, cms_estimate
+from data_pipeline_spark.operators.hll import hll_estimate, hll_registers
+from data_pipeline_spark.operators.sketchstate import (
+    STREAM_EPOCH_BASE,
+    SketchStore,
+)
+
+PARAMS = dict(
+    bloom_m=1 << 14, bloom_k=4, cms_depth=4, cms_width=1 << 10, hll_p=8
+)
+
+
+def _epoch(spark, e):
+    return spark.range(e * 300, (e + 1) * 300 + 50).select(  # 50-key overlap
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("grp"),
+    )
+
+
+def test_fold_equivalence_and_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "st")
+    store = SketchStore.create(spark, path, "url", group_col="grp", **PARAMS)
+    union = None
+    for e in range(3):
+        df = _epoch(spark, e)
+        assert store.update(df, e) == e
+        union = df if union is None else union.unionByName(df)
+    assert store.update(_epoch(spark, 1), 1) is None  # exactly-once skip
+
+    # membership: every ingested key reads _maybe=True (no false negatives)
+    probed = store.probe(union)
+    assert probed.where(~F.col("_maybe")).count() == 0
+    # state == direct builds over the union (bloom + cms + hll folds)
+    direct_bloom = bloom_build(union, "url", PARAMS["bloom_m"], 4, "sketch")
+    assert sorted(map(tuple, store._merged("bloom").collect())) == sorted(
+        map(tuple, direct_bloom.collect())
+    )
+    direct_cms = cms_build(union, "url", 4, PARAMS["cms_width"], "sketch")
+    assert sorted(map(tuple, store._merged("cms").collect())) == sorted(
+        map(tuple, direct_cms.collect())
+    )
+    direct_hll = hll_registers(union, "url", ["grp"], PARAMS["hll_p"], "sketch")
+    assert sorted(map(tuple, store._merged("hll").collect())) == sorted(
+        map(tuple, direct_hll.collect())
+    )
+
+    # freq honors the one-sided law incl. cross-epoch double-ingest keys
+    true = {
+        r["url"]: r["n"]
+        for r in union.groupBy("url").agg(F.count("*").alias("n")).collect()
+    }
+    est = {r["url"]: r["est"] for r in store.freq(union).collect()}
+    assert all(est[k] >= v for k, v in true.items())
+
+    # cold reload + compaction preserve every answer
+    est_before = sorted(map(tuple, store.distinct().collect()))
+    reloaded = SketchStore.load(spark, path)
+    stats = reloaded.compact()
+    assert stats["epochs"] == 3 and stats["dirs"] == 9
+    assert sorted(map(tuple, reloaded.distinct().collect())) == est_before
+    assert len(reloaded._dirs("cms")) == 1  # fold collapsed
+    assert reloaded.update(_epoch(spark, 1), 1) is None  # ledger survives
+
+
+def test_frozen_params_and_distinct_accuracy(spark, tmp_path):
+    path = str(tmp_path / "st2")
+    store = SketchStore.create(spark, path, "url", **PARAMS)
+    store.update(_epoch(spark, 0), 0)
+    with pytest.raises(ValueError, match="frozen"):
+        SketchStore.create(spark, path, "url", cms_width=1 << 11, **{
+            k: v for k, v in PARAMS.items() if k != "cms_width"
+        })
+    est = store.distinct().collect()[0]["est"]
+    assert abs(est - 350) / 350 < 0.25  # p=8 -> ~6.5% se
+
+
+def test_streaming_foreach_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    for e in range(3):
+        _epoch(spark, e).withColumn("part", F.lit(e)).write.mode(
+            "append"
+        ).parquet(src)
+    store = SketchStore.create(spark, str(tmp_path / "st3"), "url", **PARAMS)
+    stream = spark.readStream.schema("url string, grp string, part int").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(store.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    eps = SketchStore.load(spark, str(tmp_path / "st3")).committed_epochs()
+    assert eps and all(e >= STREAM_EPOCH_BASE for e in eps)
+    union = spark.read.parquet(src)
+    assert store.probe(union).where(~F.col("_maybe")).count() == 0
