@@ -3677,6 +3677,25 @@ def _sql_sketch_state_freq() -> str:
     )
 
 
+def q_events_dd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch bucket state of event values per type (X107): the
+    mergeable form of events_value_quantiles — geometric bins with fixed
+    2% relative accuracy, foldable across epochs by sum
+    (operators/ddsketch.py). The float quantile layer is pinned by the
+    relative-error law in tests/test_ddsketch.py."""
+    from data_pipeline_spark.operators.ddsketch import dd_histogram
+
+    return dd_histogram(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], alpha=0.02
+    )
+
+
+def _sql_dd_contract() -> str:
+    from data_pipeline_spark.operators.ddsketch import sql_dd_histogram
+
+    return sql_dd_histogram("events", "value", ["event_type"], alpha=0.02)
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4346,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": q_events_cms_counts,
         "events_hll_registers": q_events_hll_registers,
         "sketch_state_freq": q_sketch_state_freq,
+        "events_dd_histogram": q_events_dd_histogram,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4504,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cms_counts": _sql_cms_counts(),
         "events_hll_registers": _sql_hll_contract(),
         "sketch_state_freq": _sql_sketch_state_freq(),
+        "events_dd_histogram": _sql_dd_contract(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

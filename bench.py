@@ -100,6 +100,8 @@ HEADLINE = [
     "doc_weighted_sample",
     "events_cms_counts",
     "events_hll_registers",
+    "sketch_state_freq",
+    "events_dd_histogram",
 ]
 
 
