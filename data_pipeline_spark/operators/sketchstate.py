@@ -47,12 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .bloomdedup import bloom_build, bloom_probe
 from .cms import cms_build, cms_estimate
+from .ddsketch import dd_histogram, dd_quantiles
 from .hll import hll_estimate, hll_registers
 
 __all__ = ["SketchStore", "STREAM_EPOCH_BASE"]
 
 _META = "sketch_meta.json"
-_KINDS = ("bloom", "cms", "hll")
+_KINDS = ("bloom", "cms", "hll", "dd")
 
 # keep stream batch ids clear of batch-pipeline epoch ids (same convention
 # as streaming/indexing.py)
@@ -88,11 +89,14 @@ class SketchStore:
         cms_depth: int = 4,
         cms_width: int = 1 << 16,
         hll_p: int = 12,
+        value_col: str | None = None,
+        dd_alpha: float = 0.01,
         seed: str = "sketch",
     ) -> "SketchStore":
         """CREATE IF NOT EXISTS; existing params win, a contradiction
         raises (sketch params are frozen — changing them invalidates all
-        stored state)."""
+        stored state). ``value_col`` additionally maintains a DDSketch of
+        that column's distribution (quantile state per epoch)."""
         meta_path = os.path.join(path, _META)
         want = {
             "key_col": key_col,
@@ -102,11 +106,13 @@ class SketchStore:
             "cms_depth": cms_depth,
             "cms_width": cms_width,
             "hll_p": hll_p,
+            "value_col": value_col,
+            "dd_alpha": dd_alpha,
             "seed": seed,
         }
         if os.path.exists(meta_path):
             store = cls.load(spark, path)
-            have = {k: store.meta[k] for k in want}
+            have = {k: store.meta.get(k) for k in want}
             if want != have:
                 raise ValueError(
                     f"sketch store at {path} exists with params {have}, "
@@ -149,6 +155,13 @@ class SketchStore:
                 m["seed"],
             ),
         }
+        if m.get("value_col"):
+            parts["dd"] = dd_histogram(
+                df,
+                m["value_col"],
+                [m["group_col"]] if m["group_col"] else None,
+                m["dd_alpha"],
+            )
         for kind, frame in parts.items():
             # sketches are tiny by construction; one file per epoch dir
             frame.coalesce(1).write.mode("overwrite").parquet(
@@ -176,23 +189,30 @@ class SketchStore:
             seen.setdefault(str(e.get("dir", e["epoch"])), None)
         return [os.path.join(self.path, kind, f"epoch={d}") for d in seen]
 
+    def _kinds(self) -> tuple[str, ...]:
+        return _KINDS if self.meta.get("value_col") else _KINDS[:3]
+
     def _merged(self, kind: str) -> DataFrame:
         dirs = self._dirs(kind)
         if not dirs:
+            grp = (
+                f"{self.meta['group_col']} string, "
+                if self.meta["group_col"]
+                else ""
+            )
             schema = {
                 "bloom": "word_idx long, word long",
                 "cms": "d int, w_idx long, cnt long",
-                "hll": (
-                    (f"{self.meta['group_col']} string, " if self.meta["group_col"] else "")
-                    + "idx int, rho int"
-                ),
+                "hll": grp + "idx int, rho int",
+                "dd": grp + "sgn tinyint, bin int, cnt long",
             }[kind]
             return self.spark.createDataFrame([], schema)
         raw = self.spark.read.parquet(*dirs)
         if kind == "bloom":
             return raw.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
-        if kind == "cms":
-            return raw.groupBy("d", "w_idx").agg(F.sum("cnt").alias("cnt"))
+        if kind in ("cms", "dd"):
+            keys = [c for c in raw.columns if c != "cnt"]
+            return raw.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
         keys = [c for c in raw.columns if c != "rho"]
         return raw.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
@@ -230,6 +250,16 @@ class SketchStore:
         groups = [m["group_col"]] if m["group_col"] else None
         return hll_estimate(self._merged("hll"), m["hll_p"], groups)
 
+    def quantiles(self, qs: list[float]) -> DataFrame:
+        """Quantile estimates of the value column over everything ever
+        ingested (requires ``value_col`` at create) — DDSketch bounded
+        relative error, per group when grouped."""
+        m = self.meta
+        if not m.get("value_col"):
+            raise ValueError("store was created without a value_col")
+        groups = [m["group_col"]] if m["group_col"] else None
+        return dd_quantiles(self._merged("dd"), qs, m["dd_alpha"], groups)
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self) -> dict:
@@ -243,7 +273,7 @@ class SketchStore:
         while name in existing:
             name += "x"
         n_dirs = 0
-        for kind in _KINDS:
+        for kind in self._kinds():
             merged = self._merged(kind)
             n_dirs += len(self._dirs(kind))
             merged.coalesce(1).write.mode("overwrite").parquet(

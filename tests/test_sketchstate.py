@@ -84,6 +84,43 @@ def test_frozen_params_and_distinct_accuracy(spark, tmp_path):
     assert abs(est - 350) / 350 < 0.25  # p=8 -> ~6.5% se
 
 
+def test_value_quantile_kind(spark, tmp_path):
+    import math
+
+    from data_pipeline_spark.operators.ddsketch import dd_histogram
+
+    path = str(tmp_path / "stq")
+    store = SketchStore.create(
+        spark, path, "url", value_col="lat", dd_alpha=0.02, **PARAMS
+    )
+    union = None
+    for e in range(3):
+        df = _epoch(spark, e).withColumn(
+            "lat", F.exp((F.crc32(F.col("url")) % 60).cast("double") / 8.0)
+        )
+        store.update(df, e)
+        union = df if union is None else union.unionByName(df)
+    # folded dd state == direct build; p90 obeys the relative-error law
+    direct = dd_histogram(union, "lat", alpha=0.02)
+    assert sorted(map(tuple, store._merged("dd").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = {r["q"]: r["est"] for r in store.quantiles([0.9]).collect()}[0.9]
+    vals = sorted(r["lat"] for r in union.collect())
+    x = vals[max(math.ceil(0.9 * len(vals)), 1) - 1]
+    assert abs(est - x) <= 0.02 * abs(x) * 1.000001
+    # compact covers the dd kind too
+    store.compact()
+    assert len(store._dirs("dd")) == 1
+    assert {r["q"]: r["est"] for r in store.quantiles([0.9]).collect()}[0.9] == est
+    # keyless store without value_col refuses quantiles
+    plain = SketchStore.create(spark, str(tmp_path / "stq2"), "url", **PARAMS)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="value_col"):
+        plain.quantiles([0.5])
+
+
 def test_streaming_foreach_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     for e in range(3):
