@@ -186,6 +186,8 @@ class SketchStore:
     def _dirs(self, kind: str) -> list[str]:
         seen: dict[str, None] = {}
         for e in self.meta["epochs"]:
+            if e.get("kinds") is not None and kind not in e["kinds"]:
+                continue
             seen.setdefault(str(e.get("dir", e["epoch"])), None)
         return [os.path.join(self.path, kind, f"epoch={d}") for d in seen]
 
@@ -211,8 +213,14 @@ class SketchStore:
         if kind == "bloom":
             return raw.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
         if kind in ("cms", "dd"):
+            # zeroed counters (a retracted epoch was the sole contributor)
+            # fold away entirely, so state == a direct build of what remains
             keys = [c for c in raw.columns if c != "cnt"]
-            return raw.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+            return (
+                raw.groupBy(*keys)
+                .agg(F.sum("cnt").alias("cnt"))
+                .where(F.col("cnt") != 0)
+            )
         keys = [c for c in raw.columns if c != "rho"]
         return raw.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
@@ -281,5 +289,54 @@ class SketchStore:
             )
         for e in self.meta["epochs"]:
             e["dir"] = name
+            # the shared dir carries every kind's merged state, so any
+            # retract-entry kind restriction no longer applies
+            e.pop("kinds", None)
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return {"epochs": len(self.meta["epochs"]), "dirs": n_dirs}
+
+    def retract_epoch(self, epoch: int) -> int:
+        """Un-ingest a committed epoch (X108): a poisoned crawl batch's
+        contribution is NETTED OUT of the linear kinds (cms, dd) by
+        writing the stored epoch parts negated — exactly sound, because
+        the exact per-epoch contribution is on disk. Bloom and HLL are
+        left untouched BY SEMANTICS, not limitation: they answer
+        "ever ingested" (membership prefilter / ever-seen cardinality),
+        which retraction does not change — and as one-way sketches they
+        could only be rebuilt, not subtracted. `freq`/`quantiles` answer
+        over the net (non-retracted) corpus.
+
+        The CMS one-sided law (est >= true) survives retraction of
+        previously-added rows: every counter remains true + non-negative
+        collision mass.
+
+        Raises on unknown, already-retracted, retraction-entry, or
+        compacted epochs (compaction folds the parts away — irreversible
+        by design; retract before compacting). Returns the ledger id of
+        the retraction entry."""
+        entries = {e["epoch"]: e for e in self.meta["epochs"]}
+        if epoch not in entries:
+            raise ValueError(f"epoch {epoch} was never committed")
+        if entries[epoch].get("retracts") is not None:
+            raise ValueError(f"epoch {epoch} is itself a retraction entry")
+        if any(e.get("retracts") == epoch for e in self.meta["epochs"]):
+            raise ValueError(f"epoch {epoch} is already retracted")
+        if "dir" in entries[epoch]:
+            raise ValueError(
+                f"epoch {epoch} was compacted away; retraction needs the "
+                "per-epoch parts (retract before compact)"
+            )
+        linear = [k for k in ("cms", "dd") if k in self._kinds()]
+        rid = max(e["epoch"] for e in self.meta["epochs"]) + 1
+        for kind in linear:
+            part = self.spark.read.parquet(
+                os.path.join(self.path, kind, f"epoch={epoch}")
+            )
+            part.withColumn("cnt", -F.col("cnt")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, kind, f"epoch={rid}"))
+        self.meta["epochs"].append(
+            {"epoch": rid, "kinds": linear, "retracts": int(epoch)}
+        )
+        _atomic_write_json(os.path.join(self.path, _META), self.meta)
+        return rid

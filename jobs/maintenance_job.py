@@ -9,7 +9,8 @@ README "Maintenance runbook" as one shippable job):
       [--build-blooms] \
       [--purge-keys FILE] \
       [--expire-keep-last N] [--gc-orphans] [--gc-grace-seconds 3600] \
-      [--minhash-index DIR] [--vector-index DIR]
+      [--minhash-index DIR] [--vector-index DIR] \
+      [--sketch-store DIR [--retract-sketch-epoch N] [--compact-sketches]]
 
 --purge-keys physically removes every stored version of the keys listed in
 FILE (one key per line; blank lines ignored) — the takedown /
@@ -91,6 +92,17 @@ def main() -> None:
                          "compaction — the sidecar half of a takedown "
                          "(derived signatures/embeddings must not keep "
                          "serving after the lake rows are purged)")
+    ap.add_argument("--sketch-store", default=None,
+                    help="SketchStore dir for sketch-state maintenance")
+    ap.add_argument("--retract-sketch-epoch", type=int, default=None,
+                    metavar="EPOCH",
+                    help="with --sketch-store: net a poisoned epoch's "
+                         "contribution out of the linear kinds (cms/dd) — "
+                         "exactly sound from the stored per-epoch parts; "
+                         "must run BEFORE --compact-sketches folds them")
+    ap.add_argument("--compact-sketches", action="store_true",
+                    help="with --sketch-store: collapse epoch dirs into "
+                         "one merged dir per kind (ledger preserved)")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -112,7 +124,15 @@ def main() -> None:
                  or args.rollback_to is not None)
     if table_ops and args.table is None:
         ap.error("--table is required for table operations")
-    if not table_ops and not args.minhash_index and not args.vector_index:
+    sketch_ops = args.retract_sketch_epoch is not None or args.compact_sketches
+    if sketch_ops and not args.sketch_store:
+        ap.error("--retract-sketch-epoch / --compact-sketches require "
+                 "--sketch-store")
+    if args.sketch_store and not sketch_ops:
+        ap.error("--sketch-store needs an operation "
+                 "(--retract-sketch-epoch / --compact-sketches)")
+    if (not table_ops and not args.minhash_index and not args.vector_index
+            and not sketch_ops):
         ap.error("nothing to do: pass at least one maintenance operation")
     if args.drop_index_ids and not (args.minhash_index or args.vector_index):
         ap.error("--drop-index-ids requires --minhash-index or --vector-index")
@@ -195,6 +215,20 @@ def main() -> None:
         done["vector_index_compact"] = IVFVectorIndex.load(
             spark, args.vector_index
         ).compact(drop_ids=drop_ids)
+
+    if args.sketch_store:
+        from data_pipeline_spark.operators.sketchstate import SketchStore
+
+        store = SketchStore.load(spark, args.sketch_store)
+        # retract BEFORE compaction: compaction folds the per-epoch parts
+        # a retraction needs (enforced by retract_epoch itself too)
+        if args.retract_sketch_epoch is not None:
+            done["sketch_retracted_epoch"] = args.retract_sketch_epoch
+            done["sketch_retraction_id"] = store.retract_epoch(
+                args.retract_sketch_epoch
+            )
+        if args.compact_sketches:
+            done["sketch_compact"] = store.compact()
 
     print(json.dumps(done))
     spark.stop()

@@ -121,6 +121,79 @@ def test_value_quantile_kind(spark, tmp_path):
         plain.quantiles([0.5])
 
 
+def test_retract_epoch(spark, tmp_path):
+    path = str(tmp_path / "str")
+    store = SketchStore.create(
+        spark, path, "url", value_col="lat", dd_alpha=0.02, **PARAMS
+    )
+    frames = []
+    for e in range(3):
+        df = _epoch(spark, e).withColumn(
+            "lat", F.exp((F.crc32(F.col("url")) % 40).cast("double") / 6.0)
+        )
+        frames.append(df)
+        store.update(df, e)
+    rid = store.retract_epoch(1)
+    assert rid > 2
+    # linear kinds net back to a direct build of the REMAINING epochs
+    remaining = frames[0].unionByName(frames[2])
+    direct_cms = cms_build(remaining, "url", 4, PARAMS["cms_width"], "sketch")
+    assert sorted(map(tuple, store._merged("cms").collect())) == sorted(
+        map(tuple, direct_cms.collect())
+    )
+    from data_pipeline_spark.operators.ddsketch import dd_histogram
+
+    direct_dd = dd_histogram(remaining, "lat", alpha=0.02)
+    assert sorted(map(tuple, store._merged("dd").collect())) == sorted(
+        map(tuple, direct_dd.collect())
+    )
+    # ever-seen semantics: bloom still answers maybe for retracted keys
+    assert store.probe(frames[1]).where(~F.col("_maybe")).count() == 0
+    # guards: double retract, retracting a retraction, post-compact retract
+    with pytest.raises(ValueError, match="already retracted"):
+        store.retract_epoch(1)
+    with pytest.raises(ValueError, match="retraction entry"):
+        store.retract_epoch(rid)
+    with pytest.raises(ValueError, match="never committed"):
+        store.retract_epoch(99)
+    store.compact()
+    with pytest.raises(ValueError, match="compacted"):
+        store.retract_epoch(0)
+    # compaction preserved the netted state
+    assert sorted(map(tuple, store._merged("cms").collect())) == sorted(
+        map(tuple, direct_cms.collect())
+    )
+
+
+def test_maintenance_job_sketch_ops(spark, tmp_path, monkeypatch):
+    import sys as _sys
+
+    from jobs import maintenance_job
+
+    path = str(tmp_path / "stj")
+    store = SketchStore.create(spark, path, "url", **PARAMS)
+    for e in range(2):
+        store.update(_epoch(spark, e), e)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["maintenance_job.py", "--sketch-store", path,
+         "--retract-sketch-epoch", "1", "--compact-sketches"],
+    )
+    monkeypatch.setattr(maintenance_job, "_stop_ok", True, raising=False)
+    spark_stop = spark.stop
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    try:
+        maintenance_job.main()
+    finally:
+        monkeypatch.setattr(type(spark), "stop", lambda self: spark_stop())
+    reloaded = SketchStore.load(spark, path)
+    direct = cms_build(_epoch(spark, 0), "url", 4, PARAMS["cms_width"], "sketch")
+    assert sorted(map(tuple, reloaded._merged("cms").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert len(reloaded._dirs("cms")) == 1  # compacted after retraction
+
+
 def test_streaming_foreach_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     for e in range(3):
