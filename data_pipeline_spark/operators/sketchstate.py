@@ -134,9 +134,12 @@ class SketchStore:
 
     # -- write path ----------------------------------------------------------
 
-    def update(self, df: DataFrame, epoch: int) -> int | None:
+    def update(
+        self, df: DataFrame, epoch: int, ts: float | None = None
+    ) -> int | None:
         """Fold one epoch's keys into the state. Returns the epoch id, or
-        None if already committed (exactly-once)."""
+        None if already committed (exactly-once). ``ts`` (epoch seconds)
+        stamps the ledger entry and enables :meth:`freq_decayed`."""
         if epoch in self.committed_epochs():
             return None
         m = self.meta
@@ -167,7 +170,10 @@ class SketchStore:
             frame.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(self.path, kind, f"epoch={epoch}")
             )
-        self.meta["epochs"].append({"epoch": int(epoch)})
+        entry: dict = {"epoch": int(epoch)}
+        if ts is not None:
+            entry["ts"] = float(ts)
+        self.meta["epochs"].append(entry)
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return epoch
 
@@ -249,6 +255,88 @@ class SketchStore:
             m["cms_depth"],
             m["cms_width"],
             m["seed"],
+        )
+
+    def freq_decayed(
+        self,
+        keys: DataFrame,
+        now: float,
+        half_life_s: float,
+        key_col: str | None = None,
+    ) -> DataFrame:
+        """Exponentially time-decayed frequency estimates (X109): each
+        epoch's stored counters are scaled by 2^(-(now-ts)/half_life)
+        BEFORE the fold, so a key's estimate weights recent observations
+        over stale ones — the recrawl-scheduling signal ("how hot is this
+        url lately"), computable precisely BECAUSE the store keeps
+        per-epoch parts. One-sided law survives (each scaled counter =
+        true decayed count + non-negative scaled collision mass).
+
+        Needs every CMS epoch part intact and ts-stamped: raises on
+        compacted or unstamped epochs (compaction folds away the per-epoch
+        resolution decay needs — schedule compaction beyond the decay
+        horizon, or retract instead). Output ``(key, est double)``,
+        rounded 6dp."""
+        if half_life_s <= 0:
+            raise ValueError("need half_life_s > 0")
+        m = self.meta
+        kc = key_col or m["key_col"]
+        parts = []
+        for e in self.meta["epochs"]:
+            if "dir" in e:
+                raise ValueError(
+                    "freq_decayed needs per-epoch parts; the store was "
+                    "compacted"
+                )
+            if e.get("kinds") is not None and "cms" not in e["kinds"]:
+                continue
+            if e.get("ts") is None:
+                raise ValueError(
+                    f"epoch {e['epoch']} has no ts stamp; pass ts= to "
+                    "update() to enable decay"
+                )
+            w = 2.0 ** (-(float(now) - e["ts"]) / half_life_s)
+            part = self.spark.read.parquet(
+                os.path.join(self.path, "cms", f"epoch={e['epoch']}")
+            ).select(
+                "d", "w_idx", (F.col("cnt").cast("double") * w).alias("cnt")
+            )
+            parts.append(part)
+        if not parts:
+            return keys.where(F.col(kc).isNotNull()).select(kc).distinct() \
+                .withColumn("est", F.lit(0.0))
+        sketch = parts[0]
+        for p in parts[1:]:
+            sketch = sketch.unionByName(p)
+        sketch = sketch.groupBy("d", "w_idx").agg(F.sum("cnt").alias("cnt"))
+        from .cms import _pos
+
+        probes = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("d"),
+                        _pos(kc, i, m["cms_width"], m["seed"]).alias("w_idx"),
+                    )
+                    for i in range(m["cms_depth"])
+                ]
+            )
+        ).alias("_p")
+        q = (
+            keys.where(F.col(kc).isNotNull())
+            .select(kc)
+            .distinct()
+            .select(kc, probes)
+            .select(kc, "_p.d", "_p.w_idx")
+        )
+        return (
+            q.join(F.broadcast(sketch), ["d", "w_idx"], "left")
+            .groupBy(kc)
+            .agg(
+                F.round(
+                    F.min(F.coalesce(F.col("cnt"), F.lit(0.0))), 6
+                ).alias("est")
+            )
         )
 
     def distinct(self) -> DataFrame:

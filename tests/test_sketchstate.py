@@ -194,6 +194,40 @@ def test_maintenance_job_sketch_ops(spark, tmp_path, monkeypatch):
     assert len(reloaded._dirs("cms")) == 1  # compacted after retraction
 
 
+def test_freq_decayed(spark, tmp_path):
+    path = str(tmp_path / "std")
+    store = SketchStore.create(spark, path, "url", **PARAMS)
+    # hot key in both epochs, cold key only in the old epoch
+    old = spark.createDataFrame([("hot",)] * 4 + [("cold",)] * 6, "url string")
+    new = spark.createDataFrame([("hot",)] * 4 + [("warm",)] * 2, "url string")
+    store.update(old, 0, ts=0.0)
+    store.update(new, 1, ts=3600.0)
+    keys = spark.createDataFrame(
+        [("hot",), ("cold",), ("warm",), ("never",)], "url string"
+    )
+    est = {
+        r["url"]: r["est"]
+        for r in store.freq_decayed(keys, now=3600.0, half_life_s=3600.0).collect()
+    }
+    # exact decayed counts (wide sketch, no collisions): old weight 0.5
+    assert est["cold"] == pytest.approx(3.0, abs=1e-6)   # 6 * 0.5
+    assert est["hot"] == pytest.approx(6.0, abs=1e-6)    # 4*0.5 + 4
+    assert est["warm"] == pytest.approx(2.0, abs=1e-6)
+    assert est["never"] == 0.0
+    # undecayed freq still counts raw occurrences
+    raw = {r["url"]: r["est"] for r in store.freq(keys).collect()}
+    assert raw["cold"] == 6 and raw["hot"] == 8
+    # guards: unstamped epoch, compacted store, bad half-life
+    store.update(spark.createDataFrame([("x",)], "url string"), 2)  # no ts
+    with pytest.raises(ValueError, match="no ts stamp"):
+        store.freq_decayed(keys, 3600.0, 3600.0).collect()
+    with pytest.raises(ValueError, match="half_life"):
+        store.freq_decayed(keys, 3600.0, 0.0)
+    store.compact()
+    with pytest.raises(ValueError, match="compacted"):
+        store.freq_decayed(keys, 3600.0, 3600.0)
+
+
 def test_streaming_foreach_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     for e in range(3):
