@@ -415,7 +415,10 @@ class SketchStore:
                 "per-epoch parts (retract before compact)"
             )
         linear = [k for k in ("cms", "dd") if k in self._kinds()]
-        rid = max(e["epoch"] for e in self.meta["epochs"]) + 1
+        # retraction ids live in a NEGATIVE namespace so they can never
+        # collide with a caller's future update epoch (a collision would
+        # make that update a silent exactly-once skip)
+        rid = min(0, min(e["epoch"] for e in self.meta["epochs"])) - 1
         for kind in linear:
             part = self.spark.read.parquet(
                 os.path.join(self.path, kind, f"epoch={epoch}")
@@ -423,8 +426,11 @@ class SketchStore:
             part.withColumn("cnt", -F.col("cnt")).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(self.path, kind, f"epoch={rid}"))
-        self.meta["epochs"].append(
-            {"epoch": rid, "kinds": linear, "retracts": int(epoch)}
-        )
+        entry: dict = {"epoch": rid, "kinds": linear, "retracts": int(epoch)}
+        # the negated counters must decay with the ORIGINAL epoch's age,
+        # so freq_decayed nets out exactly what the epoch contributed
+        if entries[epoch].get("ts") is not None:
+            entry["ts"] = entries[epoch]["ts"]
+        self.meta["epochs"].append(entry)
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return rid

@@ -134,7 +134,7 @@ def test_retract_epoch(spark, tmp_path):
         frames.append(df)
         store.update(df, e)
     rid = store.retract_epoch(1)
-    assert rid > 2
+    assert rid < 0  # negative namespace: never collides with update epochs
     # linear kinds net back to a direct build of the REMAINING epochs
     remaining = frames[0].unionByName(frames[2])
     direct_cms = cms_build(remaining, "url", 4, PARAMS["cms_width"], "sketch")
@@ -217,6 +217,15 @@ def test_freq_decayed(spark, tmp_path):
     # undecayed freq still counts raw occurrences
     raw = {r["url"]: r["est"] for r in store.freq(keys).collect()}
     assert raw["cold"] == 6 and raw["hot"] == 8
+    # retraction inherits the ORIGINAL epoch's ts: netting epoch 0 out
+    # removes exactly its decayed contribution
+    store.retract_epoch(0)
+    est2 = {
+        r["url"]: r["est"]
+        for r in store.freq_decayed(keys, now=3600.0, half_life_s=3600.0).collect()
+    }
+    assert est2["cold"] == pytest.approx(0.0, abs=1e-6)
+    assert est2["hot"] == pytest.approx(4.0, abs=1e-6)
     # guards: unstamped epoch, compacted store, bad half-life
     store.update(spark.createDataFrame([("x",)], "url string"), 2)  # no ts
     with pytest.raises(ValueError, match="no ts stamp"):
