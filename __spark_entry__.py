@@ -3696,6 +3696,45 @@ def _sql_dd_contract() -> str:
     return sql_dd_histogram("events", "value", ["event_type"], alpha=0.02)
 
 
+def q_events_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta-sketch state of distinct users per event type (X110):
+    the k smallest md5 values — the ONLY mergeable distinct state that
+    also supports set algebra (intersection/containment, which HLL
+    cannot). k=64 < the sf0.01 user population, so the driver checks the
+    truncated (estimator) regime, not just stored-whole groups. String-
+    exact; the float layer is pinned in tests/test_kmv.py."""
+    from data_pipeline_spark.operators.kmv import kmv_sketch
+
+    return kmv_sketch(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"], k=64
+    )
+
+
+def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-base set algebra between event types from the X110
+    sketches alone (X111): union / intersection / Jaccard / containment
+    per (type_a, type_b), P pairs × ≤2k rows of work — the corpus-
+    overlap diagnostic ("this crawl is 83% contained in last month's")
+    at sketch cost. Same seeded md5 + IEEE754 arithmetic in the DuckDB
+    twin."""
+    from data_pipeline_spark.operators.kmv import kmv_overlap, kmv_sketch
+
+    sk = kmv_sketch(_t(spark, sf_dir, "events"), "user_id", ["event_type"], k=64)
+    return kmv_overlap(sk, "event_type", k=64)
+
+
+def _sql_kmv_sketch_contract() -> str:
+    from data_pipeline_spark.operators.kmv import sql_kmv_sketch
+
+    return sql_kmv_sketch("events", "user_id", ["event_type"], k=64)
+
+
+def _sql_kmv_overlap_contract() -> str:
+    from data_pipeline_spark.operators.kmv import sql_kmv_overlap
+
+    return sql_kmv_overlap("events", "user_id", "event_type", k=64)
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4366,6 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_registers": q_events_hll_registers,
         "sketch_state_freq": q_sketch_state_freq,
         "events_dd_histogram": q_events_dd_histogram,
+        "events_kmv_sketch": q_events_kmv_sketch,
+        "events_kmv_overlap": q_events_kmv_overlap,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4525,6 +4566,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_registers": _sql_hll_contract(),
         "sketch_state_freq": _sql_sketch_state_freq(),
         "events_dd_histogram": _sql_dd_contract(),
+        "events_kmv_sketch": _sql_kmv_sketch_contract(),
+        "events_kmv_overlap": _sql_kmv_overlap_contract(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

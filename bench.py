@@ -102,6 +102,9 @@ HEADLINE = [
     "events_hll_registers",
     "sketch_state_freq",
     "events_dd_histogram",
+    # Round-3h: KMV set algebra + maintained-sample + shard export
+    "events_kmv_sketch",
+    "events_kmv_overlap",
 ]
 
 
