@@ -3735,6 +3735,56 @@ def _sql_kmv_overlap_contract() -> str:
     return sql_kmv_overlap("events", "user_id", "event_type", k=64)
 
 
+def q_doc_sample_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained uniform sample (X112): three ingest epochs folded into
+    a persisted k=40 reservoir via the exactly-once SampleStore ledger
+    (operators/samplestate.py); docs with doc_id%7==0 are re-shipped in
+    EVERY epoch with an epoch-stamped payload, so the state must show
+    the LATEST epoch's payload for them. The DuckDB twin rebuilds the
+    same sample from the equivalent union-with-reingestion relation —
+    persistence must be invisible to the math, and k=40 < the corpus so
+    the driver checks the truncated regime."""
+    import tempfile
+
+    from data_pipeline_spark.operators.samplestate import SampleStore
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("key"),
+        "lang",
+    )
+    store = SampleStore.create(
+        spark,
+        tempfile.mkdtemp(prefix="smst_"),
+        "key",
+        k=40,
+        payload_cols=["tag"],
+    )
+    for e in range(3):
+        store.update(
+            docs.where((F.col("doc_id") % 3 == e) | (F.col("doc_id") % 7 == 0))
+            .select(
+                "key", F.concat(F.col("lang"), F.lit(f"@e{e}")).alias("tag")
+            ),
+            epoch=e,
+        )
+    return store.sample()
+
+
+def _sql_doc_sample_maintained() -> str:
+    from data_pipeline_spark.operators.samplestate import sql_maintained_sample
+
+    ingested = " UNION ALL ".join(
+        f"SELECT {e} AS epoch, 'doc' || CAST(doc_id AS VARCHAR) AS key, "
+        f"lang || '@e{e}' AS tag FROM documents "
+        f"WHERE doc_id % 3 = {e} OR doc_id % 7 = 0"
+        for e in range(3)
+    )
+    return sql_maintained_sample(
+        f"({ingested})", "key", 40, payload_cols=["tag"]
+    )
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4407,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dd_histogram": q_events_dd_histogram,
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_overlap": q_events_kmv_overlap,
+        "doc_sample_maintained": q_doc_sample_maintained,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4568,6 +4619,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dd_histogram": _sql_dd_contract(),
         "events_kmv_sketch": _sql_kmv_sketch_contract(),
         "events_kmv_overlap": _sql_kmv_overlap_contract(),
+        "doc_sample_maintained": _sql_doc_sample_maintained(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -105,6 +105,7 @@ HEADLINE = [
     # Round-3h: KMV set algebra + maintained-sample + shard export
     "events_kmv_sketch",
     "events_kmv_overlap",
+    "doc_sample_maintained",
 ]
 
 
