@@ -3785,6 +3785,34 @@ def _sql_doc_sample_maintained() -> str:
     )
 
 
+def q_doc_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-balanced shard export assignment (X113): documents → shards
+    of ≈10k chars each by running-cost prefix sum in doc_id order
+    (operators/export.py). The Spark path is a distributed prefix sum
+    (range exchange + bounded per-partition window + P-scalar driver
+    fold, never a global one-partition sort); the DuckDB twin is the
+    equivalent global window cumsum — identical row→shard map by
+    construction (the prefix sum is partition-independent)."""
+    from data_pipeline_spark.operators.export import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_shards(docs, "n_chars", 10_000, "doc_id").select(
+        "doc_id", "n_chars", "shard_id"
+    )
+
+
+def _sql_doc_shard_assign() -> str:
+    from data_pipeline_spark.operators.export import sql_assign_shards
+
+    return sql_assign_shards(
+        "(SELECT doc_id, n_chars FROM documents)",
+        "n_chars",
+        10_000,
+        "doc_id",
+        select="doc_id, n_chars",
+    )
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4458,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_sketch": q_events_kmv_sketch,
         "events_kmv_overlap": q_events_kmv_overlap,
         "doc_sample_maintained": q_doc_sample_maintained,
+        "doc_shard_assign": q_doc_shard_assign,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4620,6 +4649,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_sketch": _sql_kmv_sketch_contract(),
         "events_kmv_overlap": _sql_kmv_overlap_contract(),
         "doc_sample_maintained": _sql_doc_sample_maintained(),
+        "doc_shard_assign": _sql_doc_shard_assign(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

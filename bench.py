@@ -106,6 +106,7 @@ HEADLINE = [
     "events_kmv_sketch",
     "events_kmv_overlap",
     "doc_sample_maintained",
+    "doc_shard_assign",
 ]
 
 

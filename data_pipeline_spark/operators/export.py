@@ -1,0 +1,225 @@
+"""Cost-balanced shard export: the corpus → N shards of ≈budget tokens
+each, plus an auditable manifest (X113).
+
+The last step of a curation pipeline is physical: hand the training job
+a directory of shards whose sizes are PREDICTABLE (a data-loader reads
+shards whole; a 10× size outlier is a straggler epoch) with a manifest
+it can verify against. Hash-partitioned writes balance ROW counts;
+training cost tracks TOKENS, and web documents are heavy-tailed, so
+token balance needs a running total: shard = floor(start_offset /
+budget) over the corpus in a deterministic key order — every shard
+(except the last) then carries budget ± one document of tokens, and
+the assignment is a pure function of (corpus, budget, order), stable
+across reruns and physical partitionings.
+
+The running total is computed scale-safely — a classic distributed
+prefix sum, NOT a global single-partition window sort (the usual
+10^10-row trap):
+
+1. range-repartition by the order key (Spark's range exchange);
+2. per-partition local cumsum (bounded in-partition window);
+3. per-partition totals → driver-side running offsets (P scalars —
+   metadata-scale, the repo's documented collect budget);
+4. global cum = partition offset + local cum.
+
+The row→shard map is partition-INDEPENDENT (a prefix sum over a total
+order doesn't care where the range boundaries fell), so the output is
+deterministic even though the range sampler isn't.
+
+``export_shards`` writes one directory per shard (parquet or JSON
+lines) and a ``manifest.json`` carrying per-shard rows / cost / an
+ORDER-INDEPENDENT content hash (sum of per-row xxhash64 as a
+decimal(38) accumulator — the state-certificate trick from
+lake/statecert, cheap to recompute on the consumer side with one agg),
+so a loader can assert it received exactly what curation shipped.
+
+Reference: the Rust pipeline exports flat CSV/parquet per run
+(/root/reference/src/storage/mod.rs) with no size or integrity
+contract; this is the at-scale re-expression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+__all__ = [
+    "assign_shards",
+    "export_shards",
+    "verify_shards",
+    "sql_assign_shards",
+]
+
+
+def assign_shards(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    order_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Adds ``shard_id``: floor(running-cost-before-this-row / budget)
+    in ``order_col`` order (order_col must be a unique total order —
+    ties would make the prefix sum ambiguous). NULL/negative costs are
+    rejected up front: a silent 0 would hide upstream token-count bugs.
+
+    One range exchange + one bounded per-partition window + a P-scalar
+    driver fold; never a global sort into one partition."""
+    if budget < 1:
+        raise ValueError("need budget >= 1")
+    bad = df.where(
+        F.col(cost_col).isNull() | (F.col(cost_col) < 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(f"{cost_col} contains NULL or negative values")
+    parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_cum", F.sum(F.col(cost_col).cast("long")).over(w)
+    )
+    # partition totals -> running offsets (P scalars; metadata-scale)
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid")
+        .agg(F.max("_cum").alias("_t"))
+        .collect()
+    }
+    # range partitions are ordered by _pid, but empty ones are absent
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    start = F.element_at(off, F.col("_pid")) + F.col("_cum") - F.col(cost_col)
+    return local.withColumn(
+        "shard_id", F.floor(start / F.lit(budget)).cast("int")
+    ).drop("_pid", "_cum")
+
+
+def sql_assign_shards(
+    input_rel: str,
+    cost_col: str,
+    budget: int,
+    order_col: str,
+    select: str = "*",
+) -> str:
+    """DuckDB twin: the same assignment as one global window cumsum
+    (fine at oracle scale; the Spark path exists precisely because this
+    shape doesn't survive 10^10 rows)."""
+    return f"""
+SELECT {select}, CAST(floor(
+  (sum({cost_col}) OVER (ORDER BY {order_col}
+     ROWS UNBOUNDED PRECEDING) - {cost_col}) / {budget}) AS INTEGER
+) AS shard_id
+FROM {input_rel}
+"""
+
+
+def export_shards(
+    df: DataFrame,
+    out_dir: str,
+    cost_col: str,
+    order_col: str,
+    budget: int,
+    hash_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Assign shards, write one subdirectory per shard
+    (``shard_id=N/``), and write ``manifest.json``:
+
+    ``{"budget": B, "shards": [{"shard_id", "rows", "cost", "content_hash"},
+    ...], "total_rows": R, "total_cost": C}``
+
+    ``content_hash`` is order-independent (sum of row xxhash64 over
+    ``hash_cols``, default all non-shard columns, as a decimal(38)
+    accumulator) so the consumer can verify each shard with one agg,
+    in any engine with xxhash64. Returns the manifest dict."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError("fmt must be parquet or json")
+    assigned = assign_shards(df, cost_col, budget, order_col)
+    cols = hash_cols or [c for c in df.columns]
+    assigned.write.mode("overwrite").partitionBy("shard_id").format(fmt).save(
+        os.path.join(out_dir, "data")
+    )
+    rows = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col(cost_col).cast("long")).alias("cost"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            ).alias("content_hash"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    manifest = {
+        "budget": int(budget),
+        "cost_col": cost_col,
+        "order_col": order_col,
+        "hash_cols": cols,
+        "format": fmt,
+        "shards": [
+            {
+                "shard_id": int(r["shard_id"]),
+                "rows": int(r["rows"]),
+                "cost": int(r["cost"]),
+                "content_hash": str(r["content_hash"]),
+            }
+            for r in rows
+        ],
+        "total_rows": int(sum(r["rows"] for r in rows)),
+        "total_cost": int(sum(r["cost"] for r in rows)),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Consumer-side check: re-aggregate the written shards and diff
+    against the manifest. Returns the mismatching shard rows (empty ==
+    intact) — one scan, no driver-side row data."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    data = spark.read.format(m["format"]).load(os.path.join(out_dir, "data"))
+    got = data.groupBy("shard_id").agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col(m["cost_col"]).cast("long")).alias("cost"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in m["hash_cols"]]).cast(
+                "decimal(38,0)"
+            )
+        ).alias("content_hash"),
+    )
+    want = spark.createDataFrame(
+        [
+            (
+                s["shard_id"],
+                s["rows"],
+                s["cost"],
+                s["content_hash"],
+            )
+            for s in m["shards"]
+        ],
+        "shard_id int, rows long, cost long, content_hash string",
+    ).withColumn("content_hash", F.col("content_hash").cast("decimal(38,0)"))
+    return got.join(want, "shard_id", "full").where(
+        ~(
+            got["rows"].eqNullSafe(want["rows"])
+            & got["cost"].eqNullSafe(want["cost"])
+            & got["content_hash"].eqNullSafe(want["content_hash"])
+        )
+    )

@@ -64,6 +64,12 @@ def main() -> None:
     ap.add_argument("--pack-shards", type=int, default=64,
                     help="independent packing shards (bounds the per-shard "
                          "sort; pack ids are (shard, pack))")
+    ap.add_argument("--export-shards", type=int, default=None,
+                    metavar="BUDGET",
+                    help="after curation, export the corpus as char-cost-"
+                         "balanced shards of ~BUDGET chars each to "
+                         "<output>_shards (one dir per shard + "
+                         "manifest.json with per-shard integrity hashes)")
     ap.add_argument("--main-content", action="store_true",
                     help="re-derive text from the html column via block-"
                          "density boilerplate removal (X73) before any "
@@ -115,6 +121,8 @@ def main() -> None:
         ap.error("--pack must be >= 1")
     if args.pack_shards < 1:
         ap.error("--pack-shards must be >= 1")
+    if args.export_shards is not None and args.export_shards < 1:
+        ap.error("--export-shards must be >= 1")
     if args.dedup_index_epoch is not None and args.dedup_index is None:
         ap.error("--dedup-index-epoch requires --dedup-index")
     if (args.dsir_target is None) != (args.dsir_top is None):
@@ -200,6 +208,22 @@ def main() -> None:
         )
         packs.write.mode("overwrite").parquet(f"{args.output}_packs")
         stats["pack_rows"] = spark.read.parquet(f"{args.output}_packs").count()
+    if args.export_shards is not None:
+        import pyspark.sql.functions as F
+
+        from data_pipeline_spark.operators.export import export_shards
+
+        manifest = export_shards(
+            out.withColumn(
+                "__cost", F.coalesce(F.length(cfg.text_col), F.lit(0)).cast("long")
+            ),
+            f"{args.output}_shards",
+            "__cost",
+            cfg.url_col,
+            args.export_shards,
+        )
+        stats["export_shards"] = len(manifest["shards"])
+        stats["export_cost"] = manifest["total_cost"]
     print(json.dumps({"metric": "curate_stage_rows", **stats}))
     spark.stop()
 

@@ -1,0 +1,144 @@
+"""Cost-balanced shard export (X113): assignment vs a driver-side
+sequential truth, balance law, partition independence, NULL-cost guard,
+physical write + manifest + consumer verify, DuckDB twin parity."""
+
+import json
+
+import duckdb
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.export import (
+    assign_shards,
+    export_shards,
+    sql_assign_shards,
+    verify_shards,
+)
+
+BUDGET = 1000
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # heavy-tailed costs: mostly small docs, every 13th is 10x
+    return spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("txt"), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 13 == 0, 350 + (F.col("id") % 7) * 30)
+        .otherwise(20 + F.col("id") % 50)
+        .cast("long")
+        .alias("cost"),
+    )
+
+
+def seq_truth(rows, budget=BUDGET):
+    out, run = {}, 0
+    for doc_id, cost in sorted(rows):
+        out[doc_id] = run // budget
+        run += cost
+    return out
+
+
+def test_assignment_matches_sequential_truth(spark, docs):
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shards(docs, "cost", BUDGET, "doc_id").collect()
+    }
+    rows = [(r["doc_id"], r["cost"]) for r in docs.collect()]
+    assert got == seq_truth(rows)
+
+
+def test_balance_law_and_partition_independence(spark, docs):
+    a = assign_shards(docs, "cost", BUDGET, "doc_id", n_parts=3)
+    b = assign_shards(docs.repartition(11), "cost", BUDGET, "doc_id", n_parts=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = (
+        a.groupBy("shard_id").agg(F.sum("cost").alias("c")).orderBy("shard_id")
+    ).collect()
+    max_doc = docs.agg(F.max("cost")).first()[0]
+    for r in sizes[:-1]:  # every shard but the last ≈ budget ± one doc
+        assert BUDGET - max_doc <= r["c"] <= BUDGET + max_doc
+
+
+def test_null_cost_rejected(spark, docs):
+    bad = docs.withColumn(
+        "cost", F.when(F.col("doc_id") == 5, None).otherwise(F.col("cost"))
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        assign_shards(bad, "cost", BUDGET, "doc_id")
+
+
+def test_export_manifest_and_verify(spark, docs, tmp_path):
+    out = str(tmp_path / "exp")
+    m = export_shards(docs, out, "cost", "doc_id", BUDGET)
+    assert m["total_rows"] == 400
+    assert m["total_cost"] == docs.agg(F.sum("cost")).first()[0]
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == m
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == 400
+    assert back.select("shard_id").distinct().count() == len(m["shards"])
+    # consumer-side integrity check: intact data -> no mismatching shards
+    assert verify_shards(spark, out).count() == 0
+
+
+def test_curate_job_export_shards(spark, tmp_path, monkeypatch, capsys):
+    """--export-shards BUDGET emits <output>_shards + manifest.json and
+    the shards pass the consumer-side integrity check."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import curate_job
+
+    good = (
+        "This is an ordinary paragraph of english text that is long enough "
+        "to pass the word count rule and it keeps a healthy mix of short "
+        "and long words with the usual stopwords sprinkled in so that the "
+        "filter is happy about it as well. " * 2
+    ).strip()
+    rows = [
+        (f"https://p{i}.com/x", 100, i, good + f" tail{i}", "en")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    monkeypatch.setattr("sys.argv", [
+        "curate_job.py", "--input", src, "--output", out_dir,
+        "--no-minhash", "--export-shards", "300",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    curate_job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["export_shards"] >= 2
+    assert verify_shards(spark, out_dir + "_shards").count() == 0
+    with open(f"{out_dir}_shards/manifest.json") as f:
+        m = json.load(f)
+    assert m["total_rows"] == stats["output_rows"]
+
+
+def test_duckdb_twin_parity(spark, docs):
+    got = sorted(
+        map(
+            tuple,
+            assign_shards(docs, "cost", BUDGET, "doc_id")
+            .select("doc_id", "shard_id")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register("t", docs.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                sql_assign_shards("t", "cost", BUDGET, "doc_id", select="doc_id")
+            ).fetchall(),
+        )
+    )
+    assert got == want
