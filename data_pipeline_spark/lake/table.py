@@ -138,6 +138,28 @@ def _may_contain(file_rec: dict, key) -> bool:
     return True
 
 
+def _null_count_from_footer(path: str, col: str) -> int | None:
+    """Driver-side null count of one column from the parquet footer;
+    None when any row group lacks the statistic (callers must treat
+    unknown as 'may have nulls')."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            return None
+        total = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or st.null_count is None:
+                return None
+            total += st.null_count
+        return total
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return None
+
+
 def _row_count_from_footer(path: str) -> int | None:
     """Exact row count from the parquet footer (Iceberg's per-file
     record_count) — driver-local metadata, no Spark job."""
@@ -1783,6 +1805,117 @@ class LakeTable:
         )
         return {
             "snapshot_id": snap["snapshot_id"],
+            "files_rewritten": len(todo),
+            "rows_removed": removed,
+            "committed": True,
+        }
+
+    def apply_ttl(self, older_than, ts_col: str | None = None) -> dict:
+        """Row-level retention (X114): physically remove every row with
+        ``ts_col < older_than`` ("keep 90 days of page history"). A CDC
+        lake accretes history forever otherwise, and at 10^10 keys the
+        naive path — read, filter, rewrite everything — is a full-table
+        job every night.
+
+        Cost here is O(files that STRADDLE the cutoff), usually ~one
+        epoch's worth, because the per-file column stats the manifest
+        already keeps (the Iceberg-style analog recorded at commit) split
+        the snapshot three ways driver-side, no Spark job:
+
+        - ``max(ts) < cutoff`` → the file is dropped METADATA-ONLY (its
+          bytes are simply not referenced by the new snapshot — expiry +
+          orphan GC reclaims them, same as any rewritten file);
+        - ``min(ts) >= cutoff`` → carried by reference, untouched;
+        - otherwise (or stats missing) → rewritten with the row filter.
+
+        NULL ``ts_col`` rows are always KEPT (event-time absence is a
+        quarantine question, not an age): parquet min/max stats ignore
+        nulls, so a wholly-expired-looking file with nulls must not be
+        dropped blind — the footer's null counts are checked driver-side
+        and such files are demoted to the rewrite path.
+
+        Semantics note: ``ts_col`` defaults to the table's LWW order
+        column (``warc_ts``), and under LWW-by-(ts, lsn) a key's winner
+        always carries its max ts — so TTL can never resurrect a
+        superseded version (every superseded row is at least as old as
+        the winner, and tombstones outrank what they delete). Passing an
+        unrelated column forfeits that guarantee on MoR tables; compact
+        first.
+
+        Complete physical erasure of the dropped bytes is ``apply_ttl()``
+        then ``expire_snapshots()`` then ``remove_orphan_files()`` —
+        the same chain as :meth:`purge_keys`.
+        """
+        self._assert_current()
+        ts = ts_col or self.order_col
+        snap = self._current_snapshot()
+        files = self.files_of(snap)
+        cutoff = _stat_json(older_than)
+        if cutoff is None:
+            raise ValueError("older_than must be a concrete comparable value")
+        dropped, carried, todo = [], [], []
+        for f in files:
+            stats = f.get("stats", {}).get(ts)
+            if stats and stats[0] >= cutoff:
+                carried.append(f)
+            elif stats and stats[1] < cutoff:
+                nulls = _null_count_from_footer(
+                    os.path.join(self.path, f["path"]), ts
+                )
+                # nulls unknown (None) is conservative: rewrite, not drop
+                if nulls == 0:
+                    dropped.append(f)
+                else:
+                    todo.append(f)
+            else:
+                todo.append(f)
+        if not dropped and not todo:
+            return {
+                "snapshot_id": snap["snapshot_id"] if snap else None,
+                "files_dropped": 0,
+                "files_rewritten": 0,
+                "rows_removed": 0,
+                "committed": False,
+            }
+        removed = sum(
+            f["rows"]
+            if "rows" in f
+            else (_row_count_from_footer(os.path.join(self.path, f["path"])) or 0)
+            for f in dropped
+        )
+        new_files: list[dict] = []
+        if todo:
+            cand = self._read_files(todo)
+            kept = cand.where(
+                F.col(ts).isNull() | (F.col(ts) >= F.lit(older_than))
+            ).withColumn(BUCKET_COL, self._bucket_expr())
+            snapshot_id = self._next_snapshot_id()
+            new_files = self._write_data_files(kept, snapshot_id)
+            rows_in = sum(
+                f["rows"]
+                if "rows" in f
+                else (
+                    _row_count_from_footer(os.path.join(self.path, f["path"]))
+                    or 0
+                )
+                for f in todo
+            )
+            removed += rows_in - sum(f.get("rows") or 0 for f in new_files)
+        snap = self._commit(
+            carried + new_files,
+            {
+                "operation": "ttl",
+                "ttl-col": ts,
+                "ttl-cutoff": str(cutoff),
+                "rows-removed": removed,
+                "files-dropped": len(dropped),
+                "files-rewritten": len(todo),
+                "new-files": len(new_files),
+            },
+        )
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "files_dropped": len(dropped),
             "files_rewritten": len(todo),
             "rows_removed": removed,
             "committed": True,

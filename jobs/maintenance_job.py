@@ -76,6 +76,13 @@ def main() -> None:
                     help="physically purge every version of the keys listed "
                          "in FILE (one per line); add --expire-keep-last 1 "
                          "--gc-orphans for complete physical erasure")
+    ap.add_argument("--ttl-older-than", default=None, metavar="ISO_TS",
+                    help="physically drop rows whose event time is older "
+                         "than this ISO timestamp (e.g. 2026-01-01T00:00:00;"
+                         " wholly-expired files are dropped metadata-only)")
+    ap.add_argument("--ttl-col", default=None, metavar="COL",
+                    help="event-time column for --ttl-older-than (default: "
+                         "the table's LWW order column)")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     help="expire all but the newest N snapshots")
     ap.add_argument("--gc-orphans", action="store_true",
@@ -119,9 +126,19 @@ def main() -> None:
             "--drop-tombstones / --compact-dirty-only / --cluster-by "
             "require --compact"
         )
+    if args.ttl_col is not None and args.ttl_older_than is None:
+        ap.error("--ttl-col requires --ttl-older-than")
+    if args.ttl_older_than is not None:
+        from datetime import datetime as _dt
+
+        try:
+            _dt.fromisoformat(args.ttl_older_than)
+        except ValueError:
+            ap.error("--ttl-older-than must be an ISO timestamp")
     table_ops = (args.compact or args.build_blooms or args.purge_keys
                  or args.expire_keep_last is not None or args.gc_orphans
-                 or args.rollback_to is not None)
+                 or args.rollback_to is not None
+                 or args.ttl_older_than is not None)
     if table_ops and args.table is None:
         ap.error("--table is required for table operations")
     sketch_ops = args.retract_sketch_epoch is not None or args.compact_sketches
@@ -162,6 +179,15 @@ def main() -> None:
         done["purged_keys"] = len(keys)
         done["purge_rows_removed"] = res["rows_removed"]
         done["purge_files_rewritten"] = res["files_rewritten"]
+    if args.ttl_older_than is not None:
+        from datetime import datetime
+
+        res = table.apply_ttl(
+            datetime.fromisoformat(args.ttl_older_than), ts_col=args.ttl_col
+        )
+        done["ttl_rows_removed"] = res["rows_removed"]
+        done["ttl_files_dropped"] = res["files_dropped"]
+        done["ttl_files_rewritten"] = res["files_rewritten"]
     if args.compact:
         buckets = table.dirty_buckets() if args.compact_dirty_only else None
         if buckets == [] and not table.has_legacy_files():
