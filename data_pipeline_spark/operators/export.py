@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 __all__ = [
     "assign_shards",
     "export_shards",
+    "append_shards",
     "verify_shards",
     "sql_assign_shards",
 ]
@@ -60,11 +61,14 @@ def assign_shards(
     budget: int,
     order_col: str,
     n_parts: int | None = None,
+    base: int = 0,
 ) -> DataFrame:
-    """Adds ``shard_id``: floor(running-cost-before-this-row / budget)
-    in ``order_col`` order (order_col must be a unique total order —
-    ties would make the prefix sum ambiguous). NULL/negative costs are
-    rejected up front: a silent 0 would hide upstream token-count bugs.
+    """Adds ``shard_id``: floor((base + running-cost-before-this-row) /
+    budget) in ``order_col`` order (order_col must be a unique total
+    order — ties would make the prefix sum ambiguous). ``base`` starts
+    the running total mid-stream, which is how :func:`append_shards`
+    continues an existing export. NULL/negative costs are rejected up
+    front: a silent 0 would hide upstream token-count bugs.
 
     One range exchange + one bounded per-partition window + a P-scalar
     driver fold; never a global sort into one partition."""
@@ -95,7 +99,7 @@ def assign_shards(
         .collect()
     }
     # range partitions are ordered by _pid, but empty ones are absent
-    offsets, run = {}, 0
+    offsets, run = {}, int(base)
     for pid in sorted(totals):
         offsets[pid] = run
         run += totals[pid]
@@ -186,6 +190,80 @@ def export_shards(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict:
+    """Incremental export: fold one epoch's NEW rows into an existing
+    shard export without touching what's already shipped. At 10^10 docs
+    the nightly corpus delta is ~10^7 rows; re-exporting the corpus to
+    re-balance it would be a full-table job every night, so appends
+    continue the SAME running-cost stream the original export started:
+    the new batch's prefix sum begins at the manifest's ``total_cost``,
+    the first rows top up the last (underfull) shard, and later rows
+    open new shards — the resulting layout is byte-identical to having
+    exported old ∪ new in one pass (the prefix sum doesn't care where
+    the batches ended).
+
+    Already-shipped shards' files are untouched (new rows land as new
+    files inside the shard dirs); their manifest entries update by
+    ADDITION, which is sound because the content hash is an order-
+    independent SUM of row hashes — the one-agg consumer check keeps
+    working across any number of appends.
+
+    ``epoch`` makes the append exactly-once (the manifest carries a
+    committed-epoch ledger, same discipline as the sketch/sample
+    stores): re-running a committed epoch returns the manifest
+    unchanged. Returns the updated manifest dict."""
+    mpath = os.path.join(out_dir, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    if epoch is not None and epoch in m.get("epochs", []):
+        return m
+    # continue the corpus-wide prefix sum where the manifest left off
+    assigned = assign_shards(
+        df, m["cost_col"], m["budget"], m["order_col"],
+        base=int(m["total_cost"]),
+    )
+    cols, cost_col = m["hash_cols"], m["cost_col"]
+    assigned.write.mode("append").partitionBy("shard_id").format(
+        m["format"]
+    ).save(os.path.join(out_dir, "data"))
+    delta = {
+        int(r["shard_id"]): r
+        for r in assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col(cost_col).cast("long")).alias("cost"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            ).alias("content_hash"),
+        )
+        .collect()
+    }
+    by_id = {s["shard_id"]: s for s in m["shards"]}
+    for sid, r in delta.items():
+        if sid in by_id:
+            s = by_id[sid]
+            s["rows"] += int(r["rows"])
+            s["cost"] += int(r["cost"])
+            s["content_hash"] = str(
+                int(s["content_hash"]) + int(r["content_hash"])
+            )
+        else:
+            by_id[sid] = {
+                "shard_id": sid,
+                "rows": int(r["rows"]),
+                "cost": int(r["cost"]),
+                "content_hash": str(r["content_hash"]),
+            }
+    m["shards"] = [by_id[k] for k in sorted(by_id)]
+    m["total_rows"] = sum(s["rows"] for s in m["shards"])
+    m["total_cost"] = sum(s["cost"] for s in m["shards"])
+    if epoch is not None:
+        m.setdefault("epochs", []).append(int(epoch))
+    with open(mpath, "w") as f:
+        json.dump(m, f, indent=1)
+    return m
 
 
 def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -9,6 +9,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from data_pipeline_spark.operators.export import (
+    append_shards,
     assign_shards,
     export_shards,
     sql_assign_shards,
@@ -80,6 +81,34 @@ def test_export_manifest_and_verify(spark, docs, tmp_path):
     assert back.select("shard_id").distinct().count() == len(m["shards"])
     # consumer-side integrity check: intact data -> no mismatching shards
     assert verify_shards(spark, out).count() == 0
+
+
+def test_append_equals_one_pass_export(spark, docs, tmp_path):
+    """Exporting old then appending new must be byte-identical (same
+    shard map, same manifest totals/hashes) to exporting old ∪ new in
+    one pass — the prefix sum doesn't care where the batches ended."""
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    inc_dir, one_dir = str(tmp_path / "inc"), str(tmp_path / "one")
+    export_shards(old, inc_dir, "cost", "doc_id", BUDGET)
+    m_inc = append_shards(new, inc_dir, epoch=1)
+    m_one = export_shards(docs, one_dir, "cost", "doc_id", BUDGET)
+    assert m_inc["shards"] == m_one["shards"]
+    assert m_inc["total_rows"] == 400 and m_inc["total_cost"] == m_one["total_cost"]
+    # the physical data agrees shard-by-shard too
+    a = spark.read.parquet(f"{inc_dir}/data")
+    b = spark.read.parquet(f"{one_dir}/data")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert verify_shards(spark, inc_dir).count() == 0
+    # exactly-once: re-appending the committed epoch is a no-op
+    m_again = append_shards(new, inc_dir, epoch=1)
+    assert m_again["total_rows"] == 400
+    assert verify_shards(spark, inc_dir).count() == 0
+    # already-shipped files untouched: the old shards' first files remain
+    # (appends add files, never rewrite)
+    import glob
+
+    assert len(glob.glob(f"{inc_dir}/data/shard_id=0/*.parquet")) >= 1
 
 
 def test_curate_job_export_shards(spark, tmp_path, monkeypatch, capsys):
