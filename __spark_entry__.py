@@ -4400,8 +4400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 118 queries are checked locally by the same protocol every round —
-    # artifact: CORRECTNESS_LOCAL_r03.json, command:
+    # ALL 122 queries (118 + the round-3h KMV/sample/shard family) are
+    # checked locally by the same protocol every round — artifact:
+    # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
         # --- slots 1-13: VERDICT r2 Next-round-#1 list, verbatim ---

@@ -28,6 +28,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--as-of", default=None, metavar="SNAPSHOT_OR_REF",
+                    help="with --from-lake: curate the table AS OF this "
+                         "snapshot id, tag, or branch — pins a training "
+                         "run to a reproducible corpus version")
     ap.add_argument("--from-lake", action="store_true",
                     help="input is a lake table dir; curate its latest snapshot")
     ap.add_argument("--line-dedup", action="store_true",
@@ -123,6 +127,8 @@ def main() -> None:
         ap.error("--pack-shards must be >= 1")
     if args.export_shards is not None and args.export_shards < 1:
         ap.error("--export-shards must be >= 1")
+    if args.as_of is not None and not args.from_lake:
+        ap.error("--as-of requires --from-lake")
     if args.dedup_index_epoch is not None and args.dedup_index is None:
         ap.error("--dedup-index-epoch requires --dedup-index")
     if (args.dsir_target is None) != (args.dsir_top is None):
@@ -150,7 +156,13 @@ def main() -> None:
     if args.from_lake:
         from data_pipeline_spark.lake.table import LakeTable
 
-        df = LakeTable.load(spark, args.input).read()
+        t = LakeTable.load(spark, args.input)
+        if args.as_of is None:
+            df = t.read()
+        elif args.as_of.isdigit():
+            df = t.read(snapshot_id=int(args.as_of))
+        else:
+            df = t.read(ref=args.as_of)
     else:
         df = spark.read.parquet(args.input)
 

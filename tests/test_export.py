@@ -151,6 +151,60 @@ def test_curate_job_export_shards(spark, tmp_path, monkeypatch, capsys):
     assert m["total_rows"] == stats["output_rows"]
 
 
+def test_curate_job_as_of_pins_corpus_version(spark, tmp_path, monkeypatch, capsys):
+    """--from-lake --as-of TAG curates the table as of a pinned
+    snapshot: a training run re-launched later (after more crawls
+    landed) sees the identical corpus."""
+    import os
+    import sys
+
+    import pyspark.sql.functions as _F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import curate_job
+
+    from data_pipeline_spark.lake.table import LakeTable
+
+    good = (
+        "This is an ordinary paragraph of english text that is long enough "
+        "to pass the word count rule and it keeps a healthy mix of short "
+        "and long words with the usual stopwords sprinkled in so that the "
+        "filter is happy about it as well. " * 2
+    ).strip()
+
+    def staged(rows):
+        return spark.createDataFrame(
+            [(u, ts, op, lsn, good + " " + tail, "en")
+             for (u, ts, op, lsn, tail) in rows],
+            "url string, warc_ts timestamp, op string, lsn long, "
+            "text string, lang string",
+        ).withColumn("warc_ts", _F.lit("2026-01-01 00:00:00").cast("timestamp"))
+
+    tdir = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, tdir,
+        staged([]).drop("op", "lsn").schema, key_col="url", n_buckets=2,
+    )
+    t.merge(staged([(f"https://a{i}.com/x", None, "upsert", i, f"v1-{i}")
+                    for i in range(4)]), epoch=0)
+    t.tag("training-v1")
+    t.merge(staged([(f"https://b{i}.com/x", None, "upsert", 10 + i, f"v2-{i}")
+                    for i in range(3)]), epoch=1)
+    assert t.read().count() == 7
+
+    out_dir = str(tmp_path / "curated")
+    monkeypatch.setattr("sys.argv", [
+        "curate_job.py", "--input", tdir, "--from-lake",
+        "--as-of", "training-v1", "--output", out_dir, "--no-minhash",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    curate_job.main()
+    urls = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert urls == {f"https://a{i}.com/x" for i in range(4)}
+
+
 def test_duckdb_twin_parity(spark, docs):
     got = sorted(
         map(
