@@ -3813,6 +3813,28 @@ def _sql_doc_shard_assign() -> str:
     )
 
 
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (X115): the split is a
+    pure function of the ENTITY (source/host) hash, so near-duplicate
+    pages within a site can never straddle train and eval — the
+    contamination a row-wise randomSplit invites. One narrow
+    expression, no shuffle; the DuckDB twin is the identical CASE over
+    the same md5 buckets."""
+    from data_pipeline_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _sql_doc_split_assign() -> str:
+    from data_pipeline_spark.operators.sampling import sql_assign_split
+
+    expr = sql_assign_split("source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"SELECT doc_id, source, {expr} AS split FROM documents"
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4400,8 +4422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 122 queries (118 + the round-3h KMV/sample/shard family) are
-    # checked locally by the same protocol every round — artifact:
+    # ALL 123 queries (118 + the round-3h KMV/sample/shard/split family,
+    # X110-X115) are checked locally by the same protocol every round —
+    # artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
@@ -4488,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_overlap": q_events_kmv_overlap,
         "doc_sample_maintained": q_doc_sample_maintained,
         "doc_shard_assign": q_doc_shard_assign,
+        "doc_split_assign": q_doc_split_assign,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4651,6 +4675,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_overlap": _sql_kmv_overlap_contract(),
         "doc_sample_maintained": _sql_doc_sample_maintained(),
         "doc_shard_assign": _sql_doc_shard_assign(),
+        "doc_split_assign": _sql_doc_split_assign(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

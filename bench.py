@@ -107,6 +107,7 @@ HEADLINE = [
     "events_kmv_overlap",
     "doc_sample_maintained",
     "doc_shard_assign",
+    "doc_split_assign",
 ]
 
 

@@ -327,3 +327,69 @@ WITH ws_base AS (
 )
 SELECT * EXCLUDE (_rn) FROM ws_rn WHERE _rn <= {int(k)}
 """
+
+
+# -- leakage-safe train/val/test splits (X115) -------------------------------
+
+
+def _split_case(
+    entity_col: str, fractions: dict[str, float], seed: str, duck: bool
+) -> str:
+    """CASE expression assigning each ENTITY's hash bucket to a named
+    split by cumulative thresholds."""
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("split fractions must be non-negative")
+    names = list(fractions)
+    b = _bucket(entity_col, seed, duck)
+    cum, whens = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        whens.append(f"WHEN {b} < '{threshold_hex(cum)}' THEN {_slit(name, duck)}")
+    return f"CASE {' '.join(whens)} ELSE {_slit(names[-1], duck)} END"
+
+
+def assign_split(
+    df: DataFrame,
+    entity_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, LEAKAGE-SAFE train/val/test assignment: the split
+    is a pure function of the ENTITY (pass the host/domain, not the
+    url), so every page of a site lands in ONE split — near-duplicate
+    pages and template twins within a host can never straddle train and
+    eval, which is the classic contamination path a row-wise
+    ``randomSplit`` walks straight into. Fractions are keyspace shares
+    of ENTITIES (hosts), not rows; they must sum to 1. One narrow
+    expression, no shuffle, stable across reruns/partitionings — a
+    re-crawled page months later still routes to the same split."""
+    return df.withColumn(
+        split_col, F.expr(_split_case(entity_col, fractions, seed, duck=False))
+    )
+
+
+def sql_assign_split(
+    entity_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> str:
+    """DuckDB twin of the :func:`assign_split` expression (one column)."""
+    return _split_case(entity_col, fractions, seed, duck=True)
+
+
+def split_leakage(
+    df: DataFrame, entity_col: str, split_col: str = "split"
+) -> DataFrame:
+    """Audit: entities present in more than one split (MUST be empty —
+    one hash agg)."""
+    return (
+        df.groupBy(entity_col)
+        .agg(F.countDistinct(split_col).alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+    )

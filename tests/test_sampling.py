@@ -135,3 +135,72 @@ def test_token_budget_sample(spark):
     oracle = {r[0] for r in con.execute(
         f"SELECT doc_id FROM ({sql})").fetchall()}
     assert oracle == got2
+
+
+# -- leakage-safe splits (X115) ----------------------------------------------
+
+
+def test_assign_split_leakage_safe(spark):
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.operators.sampling import (
+        assign_split,
+        split_leakage,
+    )
+
+    # 300 hosts x 4 pages each; split must be constant per host
+    df = spark.range(0, 1200).select(
+        F.concat(F.lit("h"), (F.col("id") % 300).cast("string")).alias("host"),
+        F.col("id").alias("page"),
+    )
+    out = assign_split(df, "host", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert split_leakage(out, "host").count() == 0
+    shares = {
+        r["split"]: r["n"]
+        for r in out.select("host", "split").distinct()
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(shares) == {"train", "val", "test"}
+    # entity-share accuracy: binomial over 300 hosts, ~3 sigma bounds
+    assert abs(shares["train"] / 300 - 0.8) < 0.07
+    assert abs(shares["val"] / 300 - 0.1) < 0.06
+    assert abs(shares["test"] / 300 - 0.1) < 0.06
+    # deterministic across reruns / physical layouts
+    again = assign_split(
+        df.repartition(7), "host", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_assign_split_guards_and_twin(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from data_pipeline_spark.operators.sampling import (
+        assign_split,
+        sql_assign_split,
+    )
+
+    df = spark.range(0, 200).select(
+        F.concat(F.lit("site"), F.col("id").cast("string")).alias("host")
+    )
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(df, "host", {"train": 0.5, "val": 0.1})
+    with _pytest.raises(ValueError, match="at least two"):
+        assign_split(df, "host", {"train": 1.0})
+    fr = {"train": 0.9, "heldout": 0.1}
+    got = sorted(
+        map(tuple, assign_split(df, "host", fr).collect())
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.sql(
+                f"SELECT host, {sql_assign_split('host', fr)} AS split FROM t"
+            ).fetchall(),
+        )
+    )
+    assert got == want
