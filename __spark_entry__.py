@@ -3835,6 +3835,77 @@ def _sql_doc_split_assign() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion (X116, sources/feeds.py): even documents
+    become RSS files (CDATA title kept literal, entity-escaped link
+    decoded, guid identity, a link-less third item dropped), odd ones
+    Atom files (link is an ATTRIBUTE with rel=alternate preferred over
+    rel=self, id identity, guid→link fallback on the second entry) —
+    parsed by one native regexp_extract_all + explode per dialect. The
+    oracle runs the SAME regexes + entity decode under DuckDB/RE2."""
+    from data_pipeline_spark.sources.feeds import parse_feed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>News</title>\n<item>'
+              "<title><![CDATA[Doc "), n,
+        F.lit(" &lt;raw&gt;]]></title><link>https://news.example.com/n/"), n,
+        F.lit("?a=1&amp;b=2</link><guid>tag:n,"), n,
+        F.lit("</guid><pubDate>Mon, 02 Feb 2026 10:30:00 +0000</pubDate>"
+              "</item>\n<item><title>Plain &amp; "), n,
+        F.lit("</title><link>https://news.example.com/m/"), n,
+        F.lit("</link></item>\n<item><title>nolink</title></item>"
+              "</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n<entry>'
+              '<title type="text">Entry '), n,
+        F.lit('</title><link rel="self" href="https://blog.example.org/'
+              'feed.xml"/><link rel="alternate" '
+              'href="https://blog.example.org/p/'), n,
+        F.lit('"/><id>urn:doc:'), n,
+        F.lit("</id><updated>2026-02-03T08:00:00Z</updated></entry>\n"
+              "<entry><title><![CDATA[Second "), n,
+        F.lit(']]></title><link href="https://blog.example.org/q/'), n,
+        F.lit('"/><updated>2026-02-04</updated></entry>\n</feed>'),
+    )
+    xml = F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+    return parse_feed(d.select("doc_id", xml.alias("xml")))
+
+
+def _sql_feed_parse() -> str:
+    from data_pipeline_spark.sources.feeds import sql_parse_feed
+
+    n = "CAST(doc_id AS VARCHAR)"
+    rss = (
+        "'<rss version=\"2.0\"><channel><title>News</title>' || chr(10) ||"
+        f" '<item><title><![CDATA[Doc ' || {n} || ' &lt;raw&gt;]]></title>"
+        f"<link>https://news.example.com/n/' || {n} || '?a=1&amp;b=2</link>"
+        f"<guid>tag:n,' || {n} || '</guid>"
+        "<pubDate>Mon, 02 Feb 2026 10:30:00 +0000</pubDate></item>' || "
+        f"chr(10) || '<item><title>Plain &amp; ' || {n} || '</title>"
+        f"<link>https://news.example.com/m/' || {n} || '</link></item>' || "
+        "chr(10) || '<item><title>nolink</title></item></channel></rss>'"
+    )
+    atom = (
+        "'<feed xmlns=\"http://www.w3.org/2005/Atom\">' || chr(10) || "
+        f"'<entry><title type=\"text\">Entry ' || {n} || '</title>"
+        '<link rel="self" href="https://blog.example.org/feed.xml"/>'
+        f"<link rel=\"alternate\" href=\"https://blog.example.org/p/' || {n}"
+        f" || '\"/><id>urn:doc:' || {n} || '</id>"
+        "<updated>2026-02-03T08:00:00Z</updated></entry>' || chr(10) || "
+        f"'<entry><title><![CDATA[Second ' || {n} || ']]></title>"
+        f"<link href=\"https://blog.example.org/q/' || {n} || '\"/>"
+        "<updated>2026-02-04</updated></entry>' || chr(10) || '</feed>'"
+    )
+    files = (
+        f"SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN {rss} "
+        f"ELSE {atom} END AS xml FROM documents"
+    )
+    return sql_parse_feed(f"({files})")
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4422,9 +4493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 123 queries (118 + the round-3h KMV/sample/shard/split family,
-    # X110-X115) are checked locally by the same protocol every round —
-    # artifact:
+    # ALL 124 queries (118 + the round-3h KMV/sample/shard/split/feed
+    # family, X110-X116) are checked locally by the same protocol every
+    # round — artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
@@ -4512,6 +4583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_maintained": q_doc_sample_maintained,
         "doc_shard_assign": q_doc_shard_assign,
         "doc_split_assign": q_doc_split_assign,
+        "feed_parse": q_feed_parse,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4676,6 +4748,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_maintained": _sql_doc_sample_maintained(),
         "doc_shard_assign": _sql_doc_shard_assign(),
         "doc_split_assign": _sql_doc_split_assign(),
+        "feed_parse": _sql_feed_parse(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -108,6 +108,7 @@ HEADLINE = [
     "doc_sample_maintained",
     "doc_shard_assign",
     "doc_split_assign",
+    "feed_parse",
 ]
 
 
