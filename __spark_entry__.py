@@ -3906,6 +3906,57 @@ def _sql_feed_parse() -> str:
     return sql_parse_feed(f"({files})")
 
 
+def q_doc_tokens_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-calibrated token counting (X117): each document gets an
+    unspaced CJK suffix (doc_id%4 copies) and a Cyrillic word — the
+    whitespace counter sees the suffix as one token (starving CJK in
+    budget math) and the ASCII BPE counter sees every Cyrillic char as a
+    symbol (letting spaced non-latin scripts hog budgets); the
+    multilingual counter charges one per CJK char + one per unicode
+    letter run. All three are returned so the calibration gap itself is
+    oracle-checked."""
+    from data_pipeline_spark.functions.textstats import (
+        bpe_token_count,
+        multilingual_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mixed = F.concat(
+        F.col("text"),
+        F.lit(" слово "),
+        F.repeat(F.lit("今天天气很好"),
+                 (F.col("doc_id") % 4).cast("int")),
+    )
+    return d.select(
+        "doc_id",
+        multilingual_token_count(mixed).alias("ml_tokens"),
+        token_count(mixed).alias("ws_tokens"),
+        bpe_token_count(mixed).alias("bpe_tokens"),
+    )
+
+
+def _sql_doc_tokens_multilingual() -> str:
+    from data_pipeline_spark.functions.textstats import (
+        sql_bpe_token_count,
+        sql_multilingual_token_count,
+        sql_token_count,
+    )
+
+    mixed = (
+        "(text || ' слово ' || "
+        "repeat('今天天气很好', doc_id % 4))"
+    )
+    return f"""
+WITH mixed_docs AS (SELECT doc_id, {mixed} AS m FROM documents)
+SELECT doc_id,
+  {sql_multilingual_token_count('m')} AS ml_tokens,
+  {sql_token_count('m')} AS ws_tokens,
+  {sql_bpe_token_count('m')} AS bpe_tokens
+FROM mixed_docs
+"""
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4584,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_assign": q_doc_shard_assign,
         "doc_split_assign": q_doc_split_assign,
         "feed_parse": q_feed_parse,
+        "doc_tokens_multilingual": q_doc_tokens_multilingual,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4749,6 +4801,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_shard_assign": _sql_doc_shard_assign(),
         "doc_split_assign": _sql_doc_split_assign(),
         "feed_parse": _sql_feed_parse(),
+        "doc_tokens_multilingual": _sql_doc_tokens_multilingual(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

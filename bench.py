@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_shard_assign",
     "doc_split_assign",
     "feed_parse",
+    "doc_tokens_multilingual",
 ]
 
 

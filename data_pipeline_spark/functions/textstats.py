@@ -247,3 +247,60 @@ def sql_lang_id(col: str) -> str:
         for lg in langs
     )
     return f"(CASE {whens} ELSE 'und' END)"
+
+
+# ---------------------------------------------------------------------------
+# Multilingual token counting (X117)
+# ---------------------------------------------------------------------------
+
+#: BMP ranges of scripts written WITHOUT word spaces: CJK radicals, kana,
+#: Han (+ext A, compat), Hangul syllables, Thai, Lao. BMP-only on
+#: purpose: Spark length() counts UTF-16 code units, DuckDB counts
+#: codepoints - they agree exactly on BMP text, and astral CJK (ext B+)
+#: is vanishingly rare in web text.
+CJK_CHAR_RE = (
+    "[\u2e80-\u2eff\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff"
+    "\uac00-\ud7af\uf900-\ufaff\u0e00-\u0e7f\u0e80-\u0eff]"
+)
+
+#: like BPE_TOKEN_RE but with UNICODE letter runs: valid under both Java
+#: regex and RE2 (no lookarounds, \p{L} in both).
+UNI_TOKEN_RE = r"\p{L}+|[0-9]+|[^\p{L}0-9\s]"
+
+
+def multilingual_token_count(col: Column) -> Column:
+    """Token estimate that is calibrated across scripts, where the two
+    ASCII-era counters both fail on non-English web text:
+
+    - whitespace ``token_count`` sees an unspaced CJK/Thai sentence as
+      ONE token (10-50x undercount -> sampling quotas, shard budgets and
+      packing silently starve those languages);
+    - ``bpe_token_count``'s letter class is ASCII, so every char of a
+      SPACED non-latin script (Cyrillic, Greek, Arabic...) counts as a
+      separate symbol (5-8x overcount -> those languages hog budgets).
+
+    Real tokenizers emit roughly one token per CJK char and one per
+    short word elsewhere, so: CJK-ish chars count 1 each (blanked, not
+    deleted, before the second pass so latin words don't merge across a
+    removed ideograph), the remainder counts as UNICODE letter runs +
+    digit runs + single symbols."""
+    cjk = F.length(col) - F.length(F.regexp_replace(col, CJK_CHAR_RE, ""))
+    rest = F.regexp_count(
+        F.regexp_replace(col, CJK_CHAR_RE, " "), F.lit(UNI_TOKEN_RE)
+    )
+    return (cjk + rest).cast("long")
+
+
+def sql_multilingual_token_count(col: str) -> str:
+    """DuckDB twin of :func:`multilingual_token_count` (same patterns
+    under RE2)."""
+    cjk = (
+        f"(length({col}) - "
+        f"length(regexp_replace({col}, '{CJK_CHAR_RE}', '', 'g')))"
+    )
+    rest = (
+        f"len(regexp_extract_all("
+        f"regexp_replace({col}, '{CJK_CHAR_RE}', ' ', 'g'), "
+        f"'{UNI_TOKEN_RE}'))"
+    )
+    return f"CAST({cjk} + {rest} AS BIGINT)"

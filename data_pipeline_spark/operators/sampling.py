@@ -146,6 +146,7 @@ def token_budget_sample(
     budgets: dict[str, int],
     default_budget: int = 0,
     seed: str = "budget",
+    multilingual: bool = False,
 ) -> DataFrame:
     """Domain mixing by TOKEN budget: per stratum, keep documents in
     deterministic hash order until the stratum's token budget is reached
@@ -162,12 +163,21 @@ def token_budget_sample(
     w.r.t. content. Shape: one window cumsum per stratum (a keyed shuffle;
     strata are few) — the same plan class as sequence packing; no
     collect, nothing quadratic.
+
+    ``multilingual=True`` counts tokens with
+    :func:`functions.textstats.multilingual_token_count` instead of
+    whitespace splitting — on a mixed-language corpus the whitespace
+    counter sees an unspaced CJK/Thai document as ONE token, so those
+    languages would consume almost none of their budget (X117).
     """
     from pyspark.sql import Window
 
-    from ..functions.textstats import tokens
+    from ..functions.textstats import multilingual_token_count, tokens
 
-    n = F.size(tokens(F.col(text_col))).cast("long")
+    if multilingual:
+        n = multilingual_token_count(F.col(text_col))
+    else:
+        n = F.size(tokens(F.col(text_col))).cast("long")
     base = df.withColumn("_n_tok", n).withColumn(
         "_b", sample_bucket(key_col, seed)
     )
@@ -195,12 +205,21 @@ def sql_token_budget_sample(
     budgets: dict[str, int],
     default_budget: int = 0,
     seed: str = "budget",
+    multilingual: bool = False,
 ) -> str:
     """DuckDB twin of :func:`token_budget_sample` (md5 order is identical
     across engines — same portability trick as the fraction predicates).
     Emits all input columns."""
-    from ..functions.textstats import sql_tokens
+    from ..functions.textstats import (
+        sql_multilingual_token_count,
+        sql_tokens,
+    )
 
+    n_tok = (
+        sql_multilingual_token_count(text_col)
+        if multilingual
+        else f"CAST(len({sql_tokens(text_col)}) AS BIGINT)"
+    )
     whens = " ".join(
         f"WHEN {_slit(s, True)} THEN {int(b)}"
         for s, b in sorted(budgets.items())
@@ -210,7 +229,7 @@ def sql_token_budget_sample(
     return f"""
 WITH tbs_base AS (
   SELECT *,
-         CAST(len({sql_tokens(text_col)}) AS BIGINT) AS _n_tok,
+         {n_tok} AS _n_tok,
          {bucket} AS _b
   FROM ({input_sql})
 ), tbs_cum AS (

@@ -204,3 +204,37 @@ def test_assign_split_guards_and_twin(spark):
         )
     )
     assert got == want
+
+
+def test_token_budget_sample_multilingual(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.operators.sampling import (
+        sql_token_budget_sample,
+        token_budget_sample,
+    )
+
+    # 20 CJK docs of 50 unspaced chars each: whitespace counting sees 1
+    # token per doc and would keep ALL of them under a 200-token budget;
+    # multilingual counting (50/doc) keeps ~4.
+    zh = "今天天气很好啊" * 8  # 56 chars
+    df = spark.createDataFrame(
+        [(f"u{i}", "zh", zh) for i in range(20)],
+        "url string, lang string, text string",
+    )
+    ws = token_budget_sample(df, "url", "lang", "text", {"zh": 200})
+    ml = token_budget_sample(
+        df, "url", "lang", "text", {"zh": 200}, multilingual=True
+    )
+    assert ws.count() == 20          # budget never fills: starvation bug
+    assert ml.count() == 4           # 56 tokens/doc -> 4th doc crosses 200
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(
+        r[0] for r in con.sql(sql_token_budget_sample(
+            "SELECT * FROM t", "url", "lang", "text", {"zh": 200},
+            multilingual=True,
+        )).fetchall()
+    )
+    assert sorted(r["url"] for r in ml.collect()) == want

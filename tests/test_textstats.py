@@ -72,3 +72,58 @@ def test_lang_id_tie_breaks_by_declaration_order(spark):
     # to the earlier language in LANG_MARKERS order (es before fr).
     df = spark.createDataFrame([(1, "la la")], "doc_id long, text string")
     assert _map(df, TS.lang_id(F.col("text")))[1] == "es"
+
+
+# -- multilingual token counting (X117) --------------------------------------
+
+
+def test_multilingual_token_count(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.functions.textstats import (
+        bpe_token_count,
+        multilingual_token_count,
+        sql_multilingual_token_count,
+        token_count,
+    )
+
+    rows = [
+        ("en", "Hello, world! 42 times."),
+        ("zh", "\u4eca\u5929\u5929\u6c14\u5f88\u597d"),  # 6 han chars
+        ("ko", "\uc548\ub155\ud558\uc138\uc694"),          # 5 hangul
+        ("th", "\u0e2a\u0e27\u0e31\u0e2a\u0e14\u0e35"),  # 6 thai chars
+        ("ru", "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),  # 2 words
+        ("mix", "GPU\u52a0\u901f 2x faster \u3067\u3059"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "tag string, text string")
+    got = {
+        r["tag"]: (r["ml"], r["ws"], r["bpe"])
+        for r in df.select(
+            "tag",
+            multilingual_token_count(F.col("text")).alias("ml"),
+            token_count(F.col("text")).alias("ws"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    # pure-ASCII: identical to the BPE-ish counter (no behavior change)
+    assert got["en"][0] == got["en"][2]
+    # unspaced scripts: one per char, where whitespace sees ONE token
+    assert got["zh"] == (6, 1, 6)
+    assert got["ko"] == (5, 1, 5)
+    assert got["th"] == (6, 1, 6)
+    # spaced non-latin: letter RUNS, where BPE-ish counts every char
+    assert got["ru"] == (2, 2, 9)
+    # mixed: GPU + \u52a0 + \u901f + 2 + x + faster + \u3067 + \u3059
+    assert got["mix"][0] == 8
+    assert got["empty"][0] == 0
+    # DuckDB twin parity
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = dict(
+        con.sql(
+            f"SELECT tag, {sql_multilingual_token_count('text')} FROM t"
+        ).fetchall()
+    )
+    assert {k: v[0] for k, v in got.items()} == want
