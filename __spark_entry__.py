@@ -4544,9 +4544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 124 queries (118 + the round-3h KMV/sample/shard/split/feed
-    # family, X110-X116) are checked locally by the same protocol every
-    # round — artifact:
+    # ALL 125 queries (118 + the 7 round-3h contracts: events_kmv_sketch,
+    # events_kmv_overlap, doc_sample_maintained, doc_shard_assign,
+    # doc_split_assign, feed_parse, doc_tokens_multilingual — X110-X117)
+    # are checked locally by the same protocol every round — artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {

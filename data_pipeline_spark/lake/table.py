@@ -1886,8 +1886,21 @@ class LakeTable:
         new_files: list[dict] = []
         if todo:
             cand = self._read_files(todo)
+            # Row filter must use the SAME instant convention as the
+            # file-stat split above: _stat_json treats a naive cutoff as
+            # UTC epoch micros, while F.lit(datetime) would re-interpret
+            # it in the session timezone — on a non-UTC session those are
+            # different instants and rows in the gap would be dropped or
+            # kept depending on which file they sat in. unix_micros is
+            # session-tz-independent and matches the stats exactly.
+            import datetime as _dt
+
+            if isinstance(older_than, _dt.datetime):
+                keep_row = F.unix_micros(F.col(ts)) >= F.lit(int(cutoff))
+            else:
+                keep_row = F.col(ts) >= F.lit(older_than)
             kept = cand.where(
-                F.col(ts).isNull() | (F.col(ts) >= F.lit(older_than))
+                F.col(ts).isNull() | keep_row
             ).withColumn(BUCKET_COL, self._bucket_expr())
             snapshot_id = self._next_snapshot_id()
             new_files = self._write_data_files(kept, snapshot_id)

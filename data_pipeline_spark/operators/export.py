@@ -83,6 +83,13 @@ def assign_shards(
     ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin the partitioning (transactions.py::align_epochs discipline): the
+    # totals collect below and every later materialization of the result
+    # (data write, manifest agg) must see IDENTICAL _pid assignments —
+    # RangePartitioner re-samples boundaries per job otherwise, and an
+    # offset computed under one boundary set applied under another silently
+    # mis-shards rows.
+    ranged = ranged.localCheckpoint(eager=True)
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -139,42 +146,44 @@ def export_shards(
     budget: int,
     hash_cols: list[str] | None = None,
     fmt: str = "parquet",
+    write_cols: list[str] | None = None,
 ) -> dict:
     """Assign shards, write one subdirectory per shard
     (``shard_id=N/``), and write ``manifest.json``:
 
-    ``{"budget": B, "shards": [{"shard_id", "rows", "cost", "content_hash"},
-    ...], "total_rows": R, "total_cost": C}``
+    ``{"budget": B, "schema": <json>, "shards": [{"shard_id", "rows",
+    "cost", "content_hash"}, ...], "total_rows": R, "total_cost": C}``
 
-    ``content_hash`` is order-independent (sum of row xxhash64 over
-    ``hash_cols``, default all non-shard columns, as a decimal(38)
-    accumulator) so the consumer can verify each shard with one agg,
-    in any engine with xxhash64. Returns the manifest dict."""
+    ``write_cols`` limits what ships (default: every input column) —
+    the cost/order columns may be scratch derivations the consumer
+    never needs. ``content_hash`` is order-independent (sum of row
+    xxhash64 over ``hash_cols``, default the written columns, as a
+    decimal(38) accumulator) so the consumer can verify each shard with
+    one agg, in any engine with xxhash64. The written frame's schema is
+    recorded so :func:`verify_shards` re-reads with EXACT types — JSON
+    round-trips would otherwise re-infer timestamps as strings and hash
+    differently. Returns the manifest dict."""
     if fmt not in ("parquet", "json"):
         raise ValueError("fmt must be parquet or json")
     assigned = assign_shards(df, cost_col, budget, order_col)
-    cols = hash_cols or [c for c in df.columns]
-    assigned.write.mode("overwrite").partitionBy("shard_id").format(fmt).save(
+    cols = list(write_cols or df.columns)
+    hcols = list(hash_cols or cols)
+    missing = [c for c in hcols if c not in cols]
+    if missing:
+        raise ValueError(f"hash_cols {missing} not in written columns")
+    shipped = assigned.select(*cols, "shard_id")
+    shipped.write.mode("overwrite").partitionBy("shard_id").format(fmt).save(
         os.path.join(out_dir, "data")
     )
-    rows = (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum(F.col(cost_col).cast("long")).alias("cost"),
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
-            ).alias("content_hash"),
-        )
-        .orderBy("shard_id")
-        .collect()
-    )
+    rows = _shard_stats(assigned, cost_col, hcols).orderBy("shard_id").collect()
     manifest = {
         "budget": int(budget),
         "cost_col": cost_col,
         "order_col": order_col,
-        "hash_cols": cols,
+        "write_cols": cols,
+        "hash_cols": hcols,
         "format": fmt,
+        "schema": json.loads(shipped.drop("shard_id").schema.json()),
         "shards": [
             {
                 "shard_id": int(r["shard_id"]),
@@ -187,9 +196,27 @@ def export_shards(
         "total_rows": int(sum(r["rows"] for r in rows)),
         "total_cost": int(sum(r["cost"] for r in rows)),
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_manifest(out_dir, manifest)
     return manifest
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+
+
+def _shard_stats(assigned: DataFrame, cost_col: str, hcols: list[str]) -> DataFrame:
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col(cost_col).cast("long")).alias("cost"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in hcols]).cast("decimal(38,0)")
+        ).alias("content_hash"),
+    )
 
 
 def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict:
@@ -204,16 +231,21 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
     exported old ∪ new in one pass (the prefix sum doesn't care where
     the batches ended).
 
-    Already-shipped shards' files are untouched (new rows land as new
-    files inside the shard dirs); their manifest entries update by
-    ADDITION, which is sound because the content hash is an order-
-    independent SUM of row hashes — the one-agg consumer check keeps
-    working across any number of appends.
+    Already-shipped files are untouched; the batch lands as NEW files
+    inside the shard dirs, and manifest entries update by ADDITION,
+    which is sound because the content hash is an order-independent SUM
+    of row hashes — the one-agg consumer check keeps working across any
+    number of appends.
 
-    ``epoch`` makes the append exactly-once (the manifest carries a
-    committed-epoch ledger, same discipline as the sketch/sample
-    stores): re-running a committed epoch returns the manifest
-    unchanged. Returns the updated manifest dict."""
+    ``epoch`` makes the append exactly-once INCLUDING crash recovery:
+    the batch is staged (idempotent overwrite into
+    ``stage-epoch=N/``), prior remnants of the same epoch are swept
+    from the shard dirs, the staged files move in under DETERMINISTIC
+    names (``epochN-i.ext`` — a retry overwrites, never duplicates),
+    and only then does the manifest commit the epoch. A crash at any
+    point leaves either a committed epoch (rerun is a no-op) or an
+    uncommitted one (rerun redoes stage→sweep→move→commit from
+    scratch). Returns the updated manifest dict."""
     mpath = os.path.join(out_dir, "manifest.json")
     with open(mpath) as f:
         m = json.load(f)
@@ -224,22 +256,45 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
         df, m["cost_col"], m["budget"], m["order_col"],
         base=int(m["total_cost"]),
     )
-    cols, cost_col = m["hash_cols"], m["cost_col"]
-    assigned.write.mode("append").partitionBy("shard_id").format(
-        m["format"]
-    ).save(os.path.join(out_dir, "data"))
+    cols = m.get("write_cols") or [c for c in df.columns]
+    hcols = m["hash_cols"]
+    shipped = assigned.select(*cols, "shard_id")
     delta = {
         int(r["shard_id"]): r
-        for r in assigned.groupBy("shard_id")
-        .agg(
-            F.count("*").alias("rows"),
-            F.sum(F.col(cost_col).cast("long")).alias("cost"),
-            F.sum(
-                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
-            ).alias("content_hash"),
-        )
-        .collect()
+        for r in _shard_stats(assigned, m["cost_col"], hcols).collect()
     }
+    data_dir = os.path.join(out_dir, "data")
+    if epoch is None:
+        shipped.write.mode("append").partitionBy("shard_id").format(
+            m["format"]
+        ).save(data_dir)
+    else:
+        import glob as _glob
+        import shutil
+
+        stage = os.path.join(out_dir, f"stage-epoch={epoch}")
+        shipped.write.mode("overwrite").partitionBy("shard_id").format(
+            m["format"]
+        ).save(stage)
+        # sweep any partial prior attempt of THIS epoch, then move the
+        # staged files in under deterministic names (retry-idempotent)
+        for old in _glob.glob(
+            os.path.join(data_dir, "shard_id=*", f"epoch{epoch}-*")
+        ):
+            os.remove(old)
+        for sdir in sorted(_glob.glob(os.path.join(stage, "shard_id=*"))):
+            tdir = os.path.join(data_dir, os.path.basename(sdir))
+            os.makedirs(tdir, exist_ok=True)
+            parts = sorted(
+                fn for fn in os.listdir(sdir) if fn.startswith("part-")
+            )
+            for i, fn in enumerate(parts):
+                ext = fn.rsplit(".", 1)[-1]
+                os.replace(
+                    os.path.join(sdir, fn),
+                    os.path.join(tdir, f"epoch{epoch}-{i}.{ext}"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
     by_id = {s["shard_id"]: s for s in m["shards"]}
     for sid, r in delta.items():
         if sid in by_id:
@@ -261,21 +316,27 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
     m["total_cost"] = sum(s["cost"] for s in m["shards"])
     if epoch is not None:
         m.setdefault("epochs", []).append(int(epoch))
-    with open(mpath, "w") as f:
-        json.dump(m, f, indent=1)
+    _write_manifest(out_dir, m)
     return m
 
 
 def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Consumer-side check: re-aggregate the written shards and diff
     against the manifest. Returns the mismatching shard rows (empty ==
-    intact) — one scan, no driver-side row data."""
+    intact) — one scan, no driver-side row data. Reads with the
+    manifest's recorded schema, so JSON exports hash with the same
+    types they were written with (inference would re-type timestamps as
+    strings and report phantom corruption)."""
+    from pyspark.sql.types import StructType
+
     with open(os.path.join(out_dir, "manifest.json")) as f:
         m = json.load(f)
-    data = spark.read.format(m["format"]).load(os.path.join(out_dir, "data"))
+    reader = spark.read.format(m["format"])
+    if m.get("schema") is not None:
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    data = reader.load(os.path.join(out_dir, "data"))
     got = data.groupBy("shard_id").agg(
         F.count("*").alias("rows"),
-        F.sum(F.col(m["cost_col"]).cast("long")).alias("cost"),
         F.sum(
             F.xxhash64(*[F.col(c) for c in m["hash_cols"]]).cast(
                 "decimal(38,0)"
@@ -284,20 +345,14 @@ def verify_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     )
     want = spark.createDataFrame(
         [
-            (
-                s["shard_id"],
-                s["rows"],
-                s["cost"],
-                s["content_hash"],
-            )
+            (s["shard_id"], s["rows"], s["content_hash"])
             for s in m["shards"]
         ],
-        "shard_id int, rows long, cost long, content_hash string",
+        "shard_id int, rows long, content_hash string",
     ).withColumn("content_hash", F.col("content_hash").cast("decimal(38,0)"))
     return got.join(want, "shard_id", "full").where(
         ~(
             got["rows"].eqNullSafe(want["rows"])
-            & got["cost"].eqNullSafe(want["cost"])
             & got["content_hash"].eqNullSafe(want["content_hash"])
         )
     )

@@ -85,9 +85,15 @@ def _frac(hv: Column) -> Column:
 
 
 def _rank_topk(df: DataFrame, group_cols: list[str], k: int) -> DataFrame:
-    w = Window.partitionBy(*group_cols).orderBy("hv") if group_cols else (
-        Window.partitionBy(F.lit(1)).orderBy("hv")
-    )
+    if not group_cols:
+        # Ungrouped: a partitionBy(lit(1)) window would funnel EVERY
+        # distinct hash of the corpus through one task. orderBy+limit is
+        # TakeOrderedAndProject — per-partition top-k, driver merge of
+        # P·k rows — and the subsequent rank window sees only k rows.
+        df = df.orderBy("hv").limit(k)
+        w = Window.partitionBy(F.lit(1)).orderBy("hv")
+        return df.withColumn("pos", F.row_number().over(w).cast("int"))
+    w = Window.partitionBy(*group_cols).orderBy("hv")
     return (
         df.withColumn("pos", F.row_number().over(w).cast("int"))
         .where(F.col("pos") <= k)

@@ -169,9 +169,26 @@ class SampleStore:
         None if already committed (exactly-once)."""
         if epoch in self.committed_epochs():
             return None
-        self._candidates(df, epoch).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.path, "parts", f"epoch={epoch}"))
+        cand = self._candidates(df, epoch)
+        cand.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, "parts", f"epoch={epoch}")
+        )
+        if "sample_schema" not in self.meta:
+            # real column types of the sample output, so the no-live-
+            # epochs edge (pre-first-commit, or everything retracted)
+            # returns the SAME schema as the populated path
+            m = self.meta
+            out_cols = (
+                ([m["group_col"]] if m["group_col"] else [])
+                + [m["key_col"]]
+                + m["payload_cols"]
+            )
+            schema = json.loads(cand.select(*out_cols).schema.json())
+            for field in schema["fields"]:
+                # parquet reads everything back nullable; record the
+                # populated path's actual output contract
+                field["nullable"] = True
+            self.meta["sample_schema"] = schema
         self.meta["epochs"].append({"epoch": int(epoch)})
         _atomic_write_json(os.path.join(self.path, _META), self.meta)
         return epoch
@@ -210,9 +227,15 @@ class SampleStore:
         pcols = m["payload_cols"]
         dirs = self._live_dirs()
         if not dirs:
-            return self.spark.createDataFrame(
-                [], ", ".join(f"{c} string" for c in (*gcols, kc, *pcols))
-            )
+            from pyspark.sql.types import StructType
+
+            if self.meta.get("sample_schema") is not None:
+                schema = StructType.fromJson(self.meta["sample_schema"])
+            else:  # nothing ever committed: types unknowable, string-all
+                schema = ", ".join(
+                    f"`{c}` string" for c in (*gcols, kc, *pcols)
+                )
+            return self.spark.createDataFrame([], schema)
         raw = self.spark.read.parquet(*dirs)
         wk = Window.partitionBy(*gcols, kc).orderBy(F.col("_epoch").desc())
         latest = (

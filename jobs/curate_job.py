@@ -233,6 +233,9 @@ def main() -> None:
             "__cost",
             cfg.url_col,
             args.export_shards,
+            # ship the curated columns only — the scratch __cost column
+            # must not leak into the training shards or their hashes
+            write_cols=list(out.columns),
         )
         stats["export_shards"] = len(manifest["shards"])
         stats["export_cost"] = manifest["total_cost"]

@@ -225,3 +225,57 @@ def test_duckdb_twin_parity(spark, docs):
         )
     )
     assert got == want
+
+
+def test_append_crash_recovery_no_duplicates(spark, docs, tmp_path):
+    """A crash between the data move and the manifest commit must not
+    double-append on retry: the epoch sweep + deterministic staged file
+    names make the redo idempotent."""
+    import json as _json
+
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    out = str(tmp_path / "e")
+    export_shards(old, out, "cost", "doc_id", BUDGET)
+    append_shards(new, out, epoch=3)
+    # simulate the crash: files moved, manifest commit lost — roll the
+    # manifest back to its pre-append state
+    with open(f"{out}/manifest.json") as f:
+        m = _json.load(f)
+    pre = export_shards(old, str(tmp_path / "ref"), "cost", "doc_id", BUDGET)
+    with open(f"{out}/manifest.json", "w") as f:
+        _json.dump(pre, f)
+    m2 = append_shards(new, out, epoch=3)  # the nightly retry
+    assert m2["shards"] == m["shards"] and m2["total_rows"] == 400
+    assert spark.read.parquet(f"{out}/data").count() == 400  # no dupes
+    assert verify_shards(spark, out).count() == 0
+
+
+def test_json_export_verify_types(spark, tmp_path):
+    """fmt=json: verify_shards must hash with the WRITTEN types (the
+    manifest's schema), not inference — a timestamp round-tripped
+    through JSON re-infers as string and would hash differently."""
+    df = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("2026-02-01 10:00:00").cast("timestamp").alias("warc_ts"),
+        (F.col("id") % 7 + 10).cast("long").alias("cost"),
+    )
+    out = str(tmp_path / "j")
+    export_shards(df, out, "cost", "doc_id", 100, fmt="json")
+    assert verify_shards(spark, out).count() == 0
+
+
+def test_export_write_cols_hides_scratch(spark, docs, tmp_path):
+    out = str(tmp_path / "w")
+    m = export_shards(
+        docs, out, "cost", "doc_id", BUDGET, write_cols=["doc_id", "text"]
+    )
+    back = spark.read.parquet(f"{out}/data")
+    assert set(back.columns) == {"doc_id", "text", "shard_id"}
+    assert m["hash_cols"] == ["doc_id", "text"]
+    assert verify_shards(spark, out).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_cols"):
+        export_shards(docs, str(tmp_path / "x"), "cost", "doc_id", BUDGET,
+                      write_cols=["doc_id"], hash_cols=["cost"])

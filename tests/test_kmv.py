@@ -117,3 +117,11 @@ def test_duckdb_twin_parity(spark, corpora):
         map(tuple, con.sql(sql_kmv_overlap("t", "url", "corpus", k=K)).fetchall())
     )
     assert got_ov == want_ov
+
+
+def test_ungrouped_sketch_plan_has_no_global_window(spark, corpora):
+    """Ungrouped top-k must be TakeOrderedAndProject (per-partition
+    top-k + driver merge), not a single-partition rank window over the
+    whole corpus."""
+    plan = kmv_sketch(corpora, "url", k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -146,3 +146,19 @@ def test_duckdb_twin_parity(spark, tmp_path):
     )
     got = sorted(map(tuple, st.sample().collect()))
     assert got == want
+
+
+def test_empty_store_schema_matches_populated(spark, tmp_path):
+    """The no-live-epochs edge must return the REAL column types (from
+    the recorded first-commit schema), not string-everything."""
+    st = SampleStore.create(
+        spark, str(tmp_path / "s"), "doc_id", k=5, payload_cols=["n"]
+    )
+    df = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("n")
+    )
+    st.update(df, epoch=0)
+    populated = st.sample().schema
+    st.retract_epoch(0)
+    assert st.sample().count() == 0
+    assert st.sample().schema == populated
