@@ -47,6 +47,11 @@ def main() -> None:
                          "whose <lastmod> post-dates our last capture (or "
                          "whose url we never captured) are server-asserted "
                          "changes and jump the statistical queue")
+    ap.add_argument("--feed-dir", default=None,
+                    help="directory of fetched RSS/Atom feed files: entries "
+                         "merge into the SAME server-asserted-change signal "
+                         "as sitemaps (feeds announce changes minutes after "
+                         "they happen; freshest assertion per url wins)")
     ap.add_argument("--robots-dir", default=None,
                     help="parquet of (host, robots_txt): disallowed urls "
                          "are dropped BEFORE the budget cut and the plan "
@@ -100,14 +105,37 @@ def main() -> None:
         stats = attach_validators(stats, cdx)
     if args.default_period_s is not None:
         stats = apply_default_period(stats, args.default_period_s)
+    assertions = []
     if args.sitemap_dir is not None:
-        from data_pipeline_spark.sources.sitemap import parse_sitemap, sitemap_due
+        from data_pipeline_spark.sources.sitemap import parse_sitemap
 
         xml = (
             spark.read.option("wholetext", "true").text(args.sitemap_dir)
             .withColumnRenamed("value", "xml")
         )
-        stats = sitemap_due(stats, parse_sitemap(xml))
+        assertions.append(
+            parse_sitemap(xml).select("loc", "lastmod")
+        )
+    if args.feed_dir is not None:
+        from data_pipeline_spark.sources.feeds import (
+            feed_assertions,
+            parse_feed,
+        )
+
+        fxml = (
+            spark.read.option("wholetext", "true").text(args.feed_dir)
+            .withColumnRenamed("value", "xml")
+        )
+        assertions.append(feed_assertions(parse_feed(fxml)))
+    if assertions:
+        from data_pipeline_spark.sources.sitemap import sitemap_due
+
+        merged = assertions[0]
+        for a in assertions[1:]:
+            merged = merged.unionByName(a)
+        # sitemap_due maxes lastmod per url, so when both channels assert
+        # the same url the freshest assertion wins
+        stats = sitemap_due(stats, merged)
     else:
         stats = stats.withColumn("server_modified", F.lit(False))
     stats = stats.withColumn("host", url_host("url"))

@@ -109,3 +109,64 @@ def test_duckdb_twin_parity(spark, feeds):
     con.register("t", feeds.toPandas())
     want = sorted(map(tuple, con.sql(sql_parse_feed("t")).fetchall()))
     assert got == want
+
+
+def test_crawl_plan_job_with_feeds(spark, tmp_path, monkeypatch):
+    """In-process jobs/crawl_plan_job.py --feed-dir (+ --sitemap-dir):
+    both origin channels merge into one assertion signal; a url asserted
+    by the feed leads the plan, and when both channels assert the same
+    url the freshest assertion wins."""
+    import importlib.util
+    import sys
+    from datetime import datetime
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    rows = []
+    for d in (1, 2, 3):
+        rows.append(("https://x.org/a", datetime(2024, 3, d), f"da{d}"))
+        rows.append(("https://x.org/b", datetime(2024, 3, d), "db"))
+    cdx = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, payload_digest string"
+    )
+    cdx.write.parquet(str(tmp_path / "cdx"))
+    (tmp_path / "maps").mkdir()
+    (tmp_path / "maps" / "sitemap.xml").write_text(
+        "<urlset>"
+        "<url><loc>https://x.org/b</loc><lastmod>2024-03-02</lastmod></url>"
+        "</urlset>"
+    )  # stale assertion: before /b's last capture
+    (tmp_path / "feeds").mkdir()
+    (tmp_path / "feeds" / "news.rss").write_text(
+        '<rss version="2.0"><channel>'
+        "<item><link>https://x.org/b</link>"
+        "<pubDate>Sat, 09 Mar 2024 10:00:00 GMT</pubDate></item>"
+        "<item><link>https://x.org/fresh</link>"
+        "<pubDate>Sat, 09 Mar 2024 11:00:00 GMT</pubDate></item>"
+        "</channel></rss>"
+    )  # feed asserts /b AFTER its last capture + discovers /fresh
+    argv = [
+        "crawl_plan_job.py", "--cdx-dir", str(tmp_path / "cdx"),
+        "--sitemap-dir", str(tmp_path / "maps"),
+        "--feed-dir", str(tmp_path / "feeds"),
+        "--out", str(tmp_path / "plan"), "--budget", "4",
+    ]
+    spec = importlib.util.spec_from_file_location(
+        "cpjf", __file__.rsplit("/tests/", 1)[0] + "/jobs/crawl_plan_job.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    old = sys.argv
+    sys.argv = argv
+    try:
+        m.main()
+    finally:
+        sys.argv = old
+
+    plan = {r["url"]: r for r in spark.read.parquet(str(tmp_path / "plan")).collect()}
+    # the feed's fresh assertion beats the sitemap's stale one for /b
+    assert plan["https://x.org/b"]["server_modified"] is True
+    # feed-discovered url rides the plan
+    assert plan["https://x.org/fresh"]["server_modified"] is True
