@@ -236,21 +236,84 @@ class SampleStore:
                     f"`{c}` string" for c in (*gcols, kc, *pcols)
                 )
             return self.spark.createDataFrame([], schema)
-        raw = self.spark.read.parquet(*dirs)
+        return self._folded().select(*gcols, kc, *pcols)
+
+    def _folded(self) -> DataFrame:
+        """Latest-per-key fold of the live parts cut to top-k priority —
+        all part columns preserved. The ungrouped cut is orderBy+limit
+        (TakeOrderedAndProject), not a one-partition rank window: live
+        parts hold up to epochs×k rows, and only k survive."""
+        m = self.meta
+        kc, gcols = m["key_col"], [m["group_col"]] if m["group_col"] else []
+        raw = self.spark.read.parquet(*self._live_dirs())
         wk = Window.partitionBy(*gcols, kc).orderBy(F.col("_epoch").desc())
         latest = (
             raw.withColumn("_rk", F.row_number().over(wk))
             .where(F.col("_rk") == 1)
+            .drop("_rk")
         )
-        w = (
-            Window.partitionBy(*gcols).orderBy("_hv")
-            if gcols
-            else Window.partitionBy(F.lit(1)).orderBy("_hv")
+        if gcols:
+            w = Window.partitionBy(*gcols).orderBy("_hv")
+            return (
+                latest.withColumn("_pos", F.row_number().over(w))
+                .where(F.col("_pos") <= m["k"])
+                .drop("_pos")
+            )
+        return latest.orderBy("_hv").limit(m["k"])
+
+    # -- KMV read-outs -------------------------------------------------------
+    # The maintained sample IS a KMV synopsis: its rows are the k keys
+    # with the smallest seeded-md5 priorities, so the k-th priority is
+    # the theta order statistic — distinct-count and set-overlap
+    # estimates (operators/kmv.py math) fall out of state the store
+    # already keeps, WITH exact retraction, which the one-way HLL
+    # registers cannot offer.
+
+    def distinct_estimate(self) -> DataFrame:
+        """``(group?, distinct_est)`` over everything live: EXACT row
+        count while fewer than k keys are held (the whole key set is
+        stored), else (k-1)/theta off the k-th priority."""
+        from .kmv import _frac
+
+        m = self.meta
+        gcols = [m["group_col"]] if m["group_col"] else []
+        if not self._live_dirs():
+            return self.spark.createDataFrame(
+                [], ", ".join(f"`{c}` string" for c in gcols)
+                + (", " if gcols else "") + "distinct_est double"
+            )
+        agg = self._folded().groupBy(*gcols).agg(
+            F.count("*").alias("_n"), F.max("_hv").alias("_kth")
         )
-        return (
-            latest.withColumn("_pos", F.row_number().over(w))
-            .where(F.col("_pos") <= m["k"])
-            .select(*gcols, kc, *pcols)
+        est = F.when(
+            F.col("_n") < m["k"], F.col("_n").cast("double")
+        ).otherwise(F.lit(float(m["k"] - 1)) / _frac(F.col("_kth")))
+        return agg.select(*gcols, F.round(est, 4).alias("distinct_est"))
+
+    def overlap_with(self, other: "SampleStore") -> DataFrame:
+        """Corpus set algebra between two maintained stores (two crawls,
+        two months, two sources): union / intersection / Jaccard /
+        containment estimated from the two samples alone — the stores'
+        keys are never rescanned. Requires matching seeds (priorities
+        must be comparable) and ungrouped stores; k is the smaller of
+        the two (each sample is a valid top-k' ⊇ top-k)."""
+        from .kmv import kmv_overlap
+
+        if self.meta["seed"] != other.meta["seed"]:
+            raise ValueError("stores use different seeds; hashes are not comparable")
+        if self.meta["group_col"] or other.meta["group_col"]:
+            raise ValueError("overlap_with needs ungrouped stores")
+        k = min(self.meta["k"], other.meta["k"])
+        # cut BOTH sides to top-k: feeding a larger top-k' would put the
+        # k'-th (not k-th) value under kmv's (k-1)/theta estimator
+        a = self._folded().orderBy("_hv").limit(k).select(
+            F.lit("a").alias("g"), F.col("_hv").alias("hv")
+        )
+        b = other._folded().orderBy("_hv").limit(k).select(
+            F.lit("b").alias("g"), F.col("_hv").alias("hv")
+        )
+        return kmv_overlap(
+            a.unionByName(b).withColumn("pos", F.lit(1)), "g", k=k
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -263,23 +326,7 @@ class SampleStore:
         dirs = self._live_dirs()
         if not dirs:
             return {"epochs": 0, "dirs": 0}
-        m = self.meta
-        kc, gcols = m["key_col"], [m["group_col"]] if m["group_col"] else []
-        raw = self.spark.read.parquet(*dirs)
-        wk = Window.partitionBy(*gcols, kc).orderBy(F.col("_epoch").desc())
-        w = (
-            Window.partitionBy(*gcols).orderBy("_hv")
-            if gcols
-            else Window.partitionBy(F.lit(1)).orderBy("_hv")
-        )
-        folded = (
-            raw.withColumn("_rk", F.row_number().over(wk))
-            .where(F.col("_rk") == 1)
-            .drop("_rk")
-            .withColumn("_pos", F.row_number().over(w))
-            .where(F.col("_pos") <= m["k"])
-            .drop("_pos")
-        )
+        folded = self._folded()
         live = [
             e
             for e in self.meta["epochs"]

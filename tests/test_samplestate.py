@@ -162,3 +162,37 @@ def test_empty_store_schema_matches_populated(spark, tmp_path):
     st.retract_epoch(0)
     assert st.sample().count() == 0
     assert st.sample().schema == populated
+
+
+def test_kmv_readouts_from_sample_state(spark, tmp_path):
+    """The maintained sample doubles as a KMV synopsis: distinct
+    estimates (exact below k, ~1/sqrt(k) above) and cross-store overlap
+    — computed from state alone, surviving exact retraction."""
+    ka = 64
+    a = SampleStore.create(spark, str(tmp_path / "a"), "url", k=ka)
+    b = SampleStore.create(spark, str(tmp_path / "b"), "url", k=ka)
+    url = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url")
+    )
+    # store a: keys 0..3999 over two epochs; store b: 2000..5999
+    a.update(url(0, 2500), epoch=0)
+    a.update(url(2500, 4000), epoch=1)
+    b.update(url(2000, 6000), epoch=0)
+    est_a = a.distinct_estimate().collect()[0]["distinct_est"]
+    assert abs(est_a - 4000) / 4000 < 0.40  # 3 sigma at k=64
+    ov = a.overlap_with(b).collect()[0]
+    # truth: |a ∪ b| = 6000, |a ∩ b| = 2000, jaccard 1/3
+    assert abs(ov["union_est"] - 6000) / 6000 < 0.40
+    assert abs(ov["jaccard"] - 1 / 3) < 0.20
+    # exact regime: a tiny store holds its whole key set
+    tiny = SampleStore.create(spark, str(tmp_path / "tiny"), "url", k=ka)
+    tiny.update(url(0, 30), epoch=0)
+    assert tiny.distinct_estimate().collect()[0]["distinct_est"] == 30.0
+    # retraction flows through: epoch 1 retracted -> estimate of 0..2499
+    a.retract_epoch(1)
+    est_a2 = a.distinct_estimate().collect()[0]["distinct_est"]
+    assert abs(est_a2 - 2500) / 2500 < 0.40
+    # guards
+    c = SampleStore.create(spark, str(tmp_path / "c"), "url", k=ka, seed="other")
+    with pytest.raises(ValueError, match="seeds"):
+        a.overlap_with(c)
