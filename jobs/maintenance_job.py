@@ -110,6 +110,17 @@ def main() -> None:
     ap.add_argument("--compact-sketches", action="store_true",
                     help="with --sketch-store: collapse epoch dirs into "
                          "one merged dir per kind (ledger preserved)")
+    ap.add_argument("--sample-store", default=None,
+                    help="SampleStore dir for maintained-sample maintenance")
+    ap.add_argument("--retract-sample-epoch", type=int, default=None,
+                    metavar="EPOCH",
+                    help="with --sample-store: drop a poisoned epoch's part "
+                         "from the fold — EXACT un-sampling (keys ingested "
+                         "in other epochs survive via their parts); must "
+                         "run BEFORE --compact-samples folds the parts")
+    ap.add_argument("--compact-samples", action="store_true",
+                    help="with --sample-store: collapse live parts into one "
+                         "folded dir (ledger preserved)")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -148,8 +159,16 @@ def main() -> None:
     if args.sketch_store and not sketch_ops:
         ap.error("--sketch-store needs an operation "
                  "(--retract-sketch-epoch / --compact-sketches)")
+    sample_ops = (args.retract_sample_epoch is not None
+                  or args.compact_samples)
+    if sample_ops and not args.sample_store:
+        ap.error("--retract-sample-epoch / --compact-samples require "
+                 "--sample-store")
+    if args.sample_store and not sample_ops:
+        ap.error("--sample-store needs an operation "
+                 "(--retract-sample-epoch / --compact-samples)")
     if (not table_ops and not args.minhash_index and not args.vector_index
-            and not sketch_ops):
+            and not sketch_ops and not sample_ops):
         ap.error("nothing to do: pass at least one maintenance operation")
     if args.drop_index_ids and not (args.minhash_index or args.vector_index):
         ap.error("--drop-index-ids requires --minhash-index or --vector-index")
@@ -255,6 +274,20 @@ def main() -> None:
             )
         if args.compact_sketches:
             done["sketch_compact"] = store.compact()
+
+    if args.sample_store:
+        from data_pipeline_spark.operators.samplestate import SampleStore
+
+        sstore = SampleStore.load(spark, args.sample_store)
+        # retract BEFORE compaction: compaction folds the per-epoch parts
+        # a retraction needs (enforced by retract_epoch itself too)
+        if args.retract_sample_epoch is not None:
+            done["sample_retracted_epoch"] = args.retract_sample_epoch
+            done["sample_retraction_id"] = sstore.retract_epoch(
+                args.retract_sample_epoch
+            )
+        if args.compact_samples:
+            done["sample_compact"] = sstore.compact()
 
     print(json.dumps(done))
     spark.stop()

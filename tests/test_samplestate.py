@@ -196,3 +196,39 @@ def test_kmv_readouts_from_sample_state(spark, tmp_path):
     c = SampleStore.create(spark, str(tmp_path / "c"), "url", k=ka, seed="other")
     with pytest.raises(ValueError, match="seeds"):
         a.overlap_with(c)
+
+
+def test_maintenance_job_sample_ops(spark, tmp_path, monkeypatch, capsys):
+    """--sample-store drives retraction + compaction from the cron-able
+    maintenance CLI, in the safe retract-before-compact order."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    p = str(tmp_path / "s")
+    st = SampleStore.create(spark, p, "url", k=K, payload_cols=["body"])
+    for e, df in enumerate(mk_epochs(spark)):
+        st.update(df, epoch=e)
+    monkeypatch.setattr("sys.argv", [
+        "maintenance_job.py", "--sample-store", p,
+        "--retract-sample-epoch", "1", "--compact-samples",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    maintenance_job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["sample_retracted_epoch"] == 1
+    assert stats["sample_compact"]["dirs"] == 2  # epochs 0 and 2 folded
+    # post-maintenance state == fresh rebuild from epochs 0 and 2
+    ref = SampleStore.create(
+        spark, str(tmp_path / "ref"), "url", k=K, payload_cols=["body"]
+    )
+    epochs = mk_epochs(spark)
+    ref.update(epochs[0], epoch=0)
+    ref.update(epochs[2], epoch=2)
+    got = sorted(map(tuple, SampleStore.load(spark, p).sample().collect()))
+    assert got == sorted(map(tuple, ref.sample().collect()))
