@@ -3957,6 +3957,24 @@ FROM mixed_docs
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card (X118, operators/report.py): the datasheet
+    numbers — rows, char/token mass (whitespace AND script-calibrated,
+    so the gap itself is a diagnostic), quality mean, Gopher pass rate,
+    exact-dup ratio, per-language shares — in one aggregation pass,
+    emitted as a tidy (metric, dimension, value) frame. The DuckDB twin
+    composes the SAME oracle-checked expression twins."""
+    from data_pipeline_spark.operators.report import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_report() -> str:
+    from data_pipeline_spark.operators.report import sql_corpus_report
+
+    return sql_corpus_report("documents")
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4544,10 +4562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 125 queries (118 + the 7 round-3h contracts: events_kmv_sketch,
+    # ALL 126 queries (118 + the 8 round-3h contracts: events_kmv_sketch,
     # events_kmv_overlap, doc_sample_maintained, doc_shard_assign,
-    # doc_split_assign, feed_parse, doc_tokens_multilingual — X110-X117)
-    # are checked locally by the same protocol every round — artifact:
+    # doc_split_assign, feed_parse, doc_tokens_multilingual,
+    # corpus_report — X110-X118) are checked locally by the same protocol
+    # every round — artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
@@ -4637,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_doc_split_assign,
         "feed_parse": q_feed_parse,
         "doc_tokens_multilingual": q_doc_tokens_multilingual,
+        "corpus_report": q_corpus_report,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4803,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": _sql_doc_split_assign(),
         "feed_parse": _sql_feed_parse(),
         "doc_tokens_multilingual": _sql_doc_tokens_multilingual(),
+        "corpus_report": _sql_corpus_report(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

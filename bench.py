@@ -110,6 +110,7 @@ HEADLINE = [
     "doc_split_assign",
     "feed_parse",
     "doc_tokens_multilingual",
+    "corpus_report",
 ]
 
 

@@ -74,6 +74,10 @@ def main() -> None:
                          "balanced shards of ~BUDGET chars each to "
                          "<output>_shards (one dir per shard + "
                          "manifest.json with per-shard integrity hashes)")
+    ap.add_argument("--report", action="store_true",
+                    help="after curation, write the corpus report card "
+                         "(rows/tokens/lang mix/quality/dup ratio as a tidy "
+                         "metric frame) to <output>_report")
     ap.add_argument("--main-content", action="store_true",
                     help="re-derive text from the html column via block-"
                          "density boilerplate removal (X73) before any "
@@ -239,6 +243,13 @@ def main() -> None:
         )
         stats["export_shards"] = len(manifest["shards"])
         stats["export_cost"] = manifest["total_cost"]
+    if args.report:
+        from data_pipeline_spark.operators.report import corpus_report
+
+        corpus_report(
+            out, text_col=cfg.text_col,
+            lang_col=cfg.lang_col if cfg.lang_col in out.columns else None,
+        ).write.mode("overwrite").parquet(f"{args.output}_report")
     print(json.dumps({"metric": "curate_stage_rows", **stats}))
     spark.stop()
 
