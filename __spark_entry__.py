@@ -3975,6 +3975,77 @@ def _sql_corpus_report() -> str:
     return sql_corpus_report("documents")
 
 
+def q_corpus_report_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained report card (X119): three ingest epochs folded into a
+    lake-persisted ReportStore via the exactly-once ledger
+    (operators/reportstate.py); docs with doc_id%7==0 are re-shipped in
+    EVERY epoch, so the maintained sums must count them three times.
+    The contract checks the INTEGER-EXACT metrics (rows, chars, token
+    masses, lang shares) against a DuckDB rebuild from the equivalent
+    union-with-duplicates relation — persistence must be invisible to
+    the math; the HLL dup-ratio float layer is pinned by
+    tests/test_reportstate.py tolerance bounds instead."""
+    import tempfile
+
+    from data_pipeline_spark.operators.reportstate import ReportStore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    store = ReportStore.create(
+        spark, tempfile.mkdtemp(prefix="repst_"), hll_p=8
+    )
+    for e in range(3):
+        store.update(
+            docs.where((F.col("doc_id") % 3 == e) | (F.col("doc_id") % 7 == 0)),
+            epoch=e,
+        )
+    return store.report().where(
+        F.col("metric").isin(
+            "rows", "chars_total", "tokens_ws_total", "tokens_ml_total",
+            "lang_share",
+        )
+    )
+
+
+def _sql_corpus_report_maintained() -> str:
+    from data_pipeline_spark.functions.textstats import (
+        sql_multilingual_token_count,
+        sql_token_count,
+    )
+
+    ingested = " UNION ALL ".join(
+        f"SELECT text, lang FROM documents "
+        f"WHERE doc_id % 3 = {e} OR doc_id % 7 = 0"
+        for e in range(3)
+    )
+    return f"""
+WITH mrep_docs AS (
+  SELECT lang, length(text) AS _chars,
+         {sql_token_count('text')} AS _ws,
+         {sql_multilingual_token_count('text')} AS _ml
+  FROM ({ingested})
+),
+mrep_globals AS (
+  SELECT count(*) AS rows, CAST(sum(_chars) AS DOUBLE) AS chars_total,
+         CAST(sum(_ws) AS DOUBLE) AS tokens_ws_total,
+         CAST(sum(_ml) AS DOUBLE) AS tokens_ml_total
+  FROM mrep_docs
+)
+SELECT 'rows' AS metric, 'all' AS dimension,
+       round(CAST(rows AS DOUBLE), 6) AS value FROM mrep_globals
+UNION ALL
+SELECT 'chars_total', 'all', round(chars_total, 6) FROM mrep_globals
+UNION ALL
+SELECT 'tokens_ws_total', 'all', round(tokens_ws_total, 6) FROM mrep_globals
+UNION ALL
+SELECT 'tokens_ml_total', 'all', round(tokens_ml_total, 6) FROM mrep_globals
+UNION ALL
+SELECT 'lang_share', lang,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM mrep_docs), 6)
+FROM mrep_docs GROUP BY lang
+"""
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4562,11 +4633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 126 queries (118 + the 8 round-3h contracts: events_kmv_sketch,
+    # ALL 127 queries (118 + the 9 round-3h contracts: events_kmv_sketch,
     # events_kmv_overlap, doc_sample_maintained, doc_shard_assign,
     # doc_split_assign, feed_parse, doc_tokens_multilingual,
-    # corpus_report — X110-X118) are checked locally by the same protocol
-    # every round — artifact:
+    # corpus_report, corpus_report_maintained — X110-X119) are checked
+    # locally by the same protocol every round — artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
@@ -4657,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_parse": q_feed_parse,
         "doc_tokens_multilingual": q_doc_tokens_multilingual,
         "corpus_report": q_corpus_report,
+        "corpus_report_maintained": q_corpus_report_maintained,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4824,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_parse": _sql_feed_parse(),
         "doc_tokens_multilingual": _sql_doc_tokens_multilingual(),
         "corpus_report": _sql_corpus_report(),
+        "corpus_report_maintained": _sql_corpus_report_maintained(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

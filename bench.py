@@ -111,6 +111,7 @@ HEADLINE = [
     "feed_parse",
     "doc_tokens_multilingual",
     "corpus_report",
+    "corpus_report_maintained",
 ]
 
 

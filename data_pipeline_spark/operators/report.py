@@ -41,7 +41,25 @@ from ..functions.textstats import (
     token_count,
 )
 
-__all__ = ["corpus_report", "sql_corpus_report"]
+__all__ = ["corpus_report", "per_doc_signals", "sql_corpus_report"]
+
+
+def per_doc_signals(
+    df: DataFrame, text_col: str = "text", lang_col: str | None = "lang"
+) -> DataFrame:
+    """The narrow per-document projection every report derives from:
+    ``(lang?, _chars, _ws, _ml, _q, _gopher, _fp)`` — all native
+    expressions (shared with the maintained ReportStore, X119)."""
+    t = F.col(text_col)
+    return df.select(
+        *([F.col(lang_col)] if lang_col else []),
+        F.length(t).alias("_chars"),
+        token_count(t).alias("_ws"),
+        multilingual_token_count(t).alias("_ml"),
+        quality_score(t).alias("_q"),
+        gopher_pass(text_col).cast("int").alias("_gopher"),
+        fingerprint(t).alias("_fp"),
+    )
 
 
 def corpus_report(
@@ -52,16 +70,7 @@ def corpus_report(
     """``(metric string, dimension string, value double)`` — global
     metrics carry dimension 'all'; ``lang_share`` carries the language.
     Values rounded to 6dp. One narrow projection + two hash aggs."""
-    t = F.col(text_col)
-    per_doc = df.select(
-        *( [F.col(lang_col)] if lang_col else [] ),
-        F.length(t).alias("_chars"),
-        token_count(t).alias("_ws"),
-        multilingual_token_count(t).alias("_ml"),
-        quality_score(t).alias("_q"),
-        gopher_pass(text_col).cast("int").alias("_gopher"),
-        fingerprint(t).alias("_fp"),
-    )
+    per_doc = per_doc_signals(df, text_col, lang_col)
     g = per_doc.agg(
         F.count("*").alias("rows"),
         F.sum("_chars").cast("double").alias("chars_total"),

@@ -121,6 +121,17 @@ def main() -> None:
     ap.add_argument("--compact-samples", action="store_true",
                     help="with --sample-store: collapse live parts into one "
                          "folded dir (ledger preserved)")
+    ap.add_argument("--report-store", default=None,
+                    help="ReportStore dir for maintained-report maintenance")
+    ap.add_argument("--retract-report-epoch", type=int, default=None,
+                    metavar="EPOCH",
+                    help="with --report-store: drop a poisoned epoch's "
+                         "parts from the fold — exact for the sums AND the "
+                         "HLL (per-epoch register parts refold); before "
+                         "--compact-report")
+    ap.add_argument("--compact-report", action="store_true",
+                    help="with --report-store: collapse live parts into "
+                         "one folded dir per kind (ledger preserved)")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -167,8 +178,16 @@ def main() -> None:
     if args.sample_store and not sample_ops:
         ap.error("--sample-store needs an operation "
                  "(--retract-sample-epoch / --compact-samples)")
+    report_ops = (args.retract_report_epoch is not None
+                  or args.compact_report)
+    if report_ops and not args.report_store:
+        ap.error("--retract-report-epoch / --compact-report require "
+                 "--report-store")
+    if args.report_store and not report_ops:
+        ap.error("--report-store needs an operation "
+                 "(--retract-report-epoch / --compact-report)")
     if (not table_ops and not args.minhash_index and not args.vector_index
-            and not sketch_ops and not sample_ops):
+            and not sketch_ops and not sample_ops and not report_ops):
         ap.error("nothing to do: pass at least one maintenance operation")
     if args.drop_index_ids and not (args.minhash_index or args.vector_index):
         ap.error("--drop-index-ids requires --minhash-index or --vector-index")
@@ -288,6 +307,18 @@ def main() -> None:
             )
         if args.compact_samples:
             done["sample_compact"] = sstore.compact()
+
+    if args.report_store:
+        from data_pipeline_spark.operators.reportstate import ReportStore
+
+        rstore = ReportStore.load(spark, args.report_store)
+        if args.retract_report_epoch is not None:
+            done["report_retracted_epoch"] = args.retract_report_epoch
+            done["report_retraction_id"] = rstore.retract_epoch(
+                args.retract_report_epoch
+            )
+        if args.compact_report:
+            done["report_compact"] = rstore.compact()
 
     print(json.dumps(done))
     spark.stop()

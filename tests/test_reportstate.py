@@ -1,0 +1,128 @@
+"""Maintained report card (X119): fold == one-pass corpus_report of
+the union (linear metrics exact, dup ratio HLL-approximate),
+exactly-once, exact part-drop retraction incl. the HLL refold,
+compaction invariance, cold reload, frozen params."""
+
+import pytest
+import pyspark.sql.functions as F
+
+from data_pipeline_spark.operators.report import corpus_report
+from data_pipeline_spark.operators.reportstate import ReportStore
+
+GOOD = (
+    "This is an ordinary paragraph of english text that is long enough to "
+    "pass the word count rule and it keeps a healthy mix of short and long "
+    "words with the usual stopwords sprinkled in so that the filter is "
+    "happy about it as well. " * 2
+).strip()
+
+
+def mk_epochs(spark):
+    """Three epochs; every 7th doc is re-shipped in every epoch (same
+    text → duplicate fingerprints across epochs) + one junk doc."""
+    out = []
+    for e in range(3):
+        rows = [
+            (GOOD + f" unique{i}", "en" if i % 4 else "de")
+            for i in range(300)
+            if i % 3 == e or i % 7 == 0
+        ]
+        rows.append(("junk", "en"))
+        out.append(spark.createDataFrame(rows, "text string, lang string"))
+    return out
+
+
+def union_all(dfs):
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u
+
+
+def as_map(df):
+    return {(r["metric"], r["dimension"]): r["value"] for r in df.collect()}
+
+
+def test_fold_equals_direct_and_exactly_once(spark, tmp_path):
+    epochs = mk_epochs(spark)
+    st = ReportStore.create(spark, str(tmp_path / "r"), hll_p=10)
+    for e, df in enumerate(epochs):
+        assert st.update(df, epoch=e) == e
+    assert st.update(epochs[0], epoch=0) is None
+    got = as_map(st.report())
+    want = as_map(corpus_report(union_all(epochs)))
+    # linear metrics: exact (sums of longs; means agree to rounding)
+    for m in ("rows", "chars_total", "tokens_ws_total", "tokens_ml_total"):
+        assert got[(m, "all")] == want[(m, "all")], m
+    for m in ("quality_mean", "gopher_pass_rate"):
+        assert abs(got[(m, "all")] - want[(m, "all")]) < 1e-5, m
+    for k, v in want.items():
+        if k[0] == "lang_share":
+            assert abs(got[k] - v) < 1e-9, k
+    # dup ratio: HLL-approximate vs the exact one-pass number
+    assert abs(got[("dup_ratio_est", "all")] - want[("exact_dup_ratio", "all")]) < 0.08
+
+
+def test_retraction_is_exact_including_hll(spark, tmp_path):
+    epochs = mk_epochs(spark)
+    st = ReportStore.create(spark, str(tmp_path / "a"), hll_p=10)
+    for e, df in enumerate(epochs):
+        st.update(df, epoch=e)
+    st.retract_epoch(1)
+    ref = ReportStore.create(spark, str(tmp_path / "b"), hll_p=10)
+    ref.update(epochs[0], epoch=0)
+    ref.update(epochs[2], epoch=2)
+    assert as_map(st.report()) == as_map(ref.report())
+    with pytest.raises(ValueError, match="already retracted"):
+        st.retract_epoch(1)
+
+
+def test_compaction_and_cold_reload(spark, tmp_path):
+    epochs = mk_epochs(spark)
+    p = str(tmp_path / "c")
+    st = ReportStore.create(spark, p, hll_p=10)
+    for e, df in enumerate(epochs):
+        st.update(df, epoch=e)
+    before = as_map(st.report())
+    st2 = ReportStore.load(spark, p)
+    assert as_map(st2.report()) == before
+    info = st2.compact()
+    assert info["dirs"] == 3
+    assert as_map(st2.report()) == before
+    with pytest.raises(ValueError, match="compacted"):
+        st2.retract_epoch(0)
+    # post-compaction epochs still fold in
+    st2.update(epochs[0].limit(5), epoch=9)
+    assert as_map(st2.report())[("rows", "all")] == before[("rows", "all")] + 5
+    with pytest.raises(ValueError, match="frozen"):
+        ReportStore.create(spark, p, hll_p=11)
+
+
+def test_maintenance_job_report_ops(spark, tmp_path, monkeypatch, capsys):
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    epochs = mk_epochs(spark)
+    p = str(tmp_path / "r")
+    st = ReportStore.create(spark, p, hll_p=10)
+    for e, df in enumerate(epochs):
+        st.update(df, epoch=e)
+    monkeypatch.setattr("sys.argv", [
+        "maintenance_job.py", "--report-store", p,
+        "--retract-report-epoch", "0", "--compact-report",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    maintenance_job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["report_retracted_epoch"] == 0
+    assert stats["report_compact"]["dirs"] == 2
+    ref = ReportStore.create(spark, str(tmp_path / "ref"), hll_p=10)
+    ref.update(epochs[1], epoch=1)
+    ref.update(epochs[2], epoch=2)
+    assert as_map(ReportStore.load(spark, p).report()) == as_map(ref.report())
