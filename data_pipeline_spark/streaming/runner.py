@@ -188,6 +188,7 @@ class ReplayRunner:
         quarantine_dir: str | None = None,
         audit_sequence: bool = False,
         skip_unchanged_cols: list[str] | None = None,
+        state_stores: list | None = None,
     ):
         """``merge_mode``: "cow" rewrites touched buckets per epoch (reads
         stay cheap); "mor" appends winner deltas per epoch — O(epoch)
@@ -225,7 +226,19 @@ class ReplayRunner:
         listed columns null-safely equal the stored row are dropped before
         the merge, and the per-epoch metrics gain ``suppressed_unchanged``.
         The big write-amplification lever for re-crawl-heavy tails — see
-        filter_unchanged's docstring for the (ts, lsn)-advancement caveat."""
+        filter_unchanged's docstring for the (ts, lsn)-advancement caveat.
+
+        ``state_stores`` rides maintained state alongside the replay:
+        after each applied epoch, every store's ``update(df, epoch)`` is
+        fed that epoch's NON-DELETE staged winners under the SAME epoch
+        id — so the sketch/sample/report stores (X106/X112/X119) stay
+        current at O(batch) with no second pass over the log, and their
+        own exactly-once ledgers make a crash-retried epoch a no-op.
+        The stores observe the INGESTED winner stream (what this epoch
+        asserted), not post-merge table state: rows later deleted stay
+        in the observation counts, and a poisoned epoch is un-ingested
+        with each store's ``retract_epoch`` — the documented semantics
+        of every store in the family."""
         self.spark = spark
         self.log_dir = log_dir
         self.table = table
@@ -237,6 +250,7 @@ class ReplayRunner:
         self.quarantine_dir = quarantine_dir
         self.audit_sequence = audit_sequence
         self.skip_unchanged_cols = skip_unchanged_cols
+        self.state_stores = list(state_stores or [])
         # lazy: re-seeded from the last applied epoch's record on resume
         self._prev_lsn_max: int | None = None
         self._prev_seeded = False
@@ -341,6 +355,10 @@ class ReplayRunner:
         merge_metrics = self.table.merge(
             staged, epoch=epoch, mode=self.merge_mode, branch=self.branch
         )
+        if not merge_metrics.get("skipped") and self.state_stores:
+            winners = staged.where(F.col("op") != "delete")
+            for store in self.state_stores:
+                store.update(winners, epoch=epoch)
         if not merge_metrics.get("skipped"):
             self._applied_since_compact += 1
             if (

@@ -59,11 +59,21 @@ def main() -> None:
                     help="record per-epoch lsn continuity (holes, cross-"
                          "epoch gaps) in the checkpoint metrics — rides "
                          "the merge job, no extra pass")
+    ap.add_argument("--report-store", default=None,
+                    help="maintain a corpus report card (X119) alongside "
+                         "the replay: each applied epoch's winners fold in "
+                         "under the same epoch id (exactly-once)")
+    ap.add_argument("--sample-store", default=None, metavar="DIR[:K]",
+                    help="maintain a k-row uniform corpus sample (X112) "
+                         "alongside the replay (default k 1024)")
     args = ap.parse_args()
     if args.audit_publish and not args.branch:
         ap.error("--audit-publish requires --branch")
     if args.streaming and args.branch:
         ap.error("--branch applies to the batch epoch loop (drop --streaming)")
+    if args.streaming and (args.report_store or args.sample_store):
+        ap.error("--report-store/--sample-store ride the batch epoch loop; "
+                 "for streaming attach the stores' foreach_batch adapters")
 
     # Import AFTER spark-submit has put the --py-files zip on sys.path.
     from pyspark.sql import SparkSession
@@ -89,6 +99,24 @@ def main() -> None:
             registry=registry, merge_mode=args.mode,
         ).run_available()
     else:
+        stores = []
+        if args.report_store:
+            from data_pipeline_spark.operators.reportstate import ReportStore
+
+            stores.append(ReportStore.create(spark, args.report_store))
+        if args.sample_store:
+            from data_pipeline_spark.operators.samplestate import SampleStore
+
+            spec = args.sample_store
+            sdir, _, k = spec.rpartition(":")
+            if sdir and k.isdigit():
+                stores.append(
+                    SampleStore.create(spark, sdir, table.key_col, k=int(k))
+                )
+            else:
+                stores.append(
+                    SampleStore.create(spark, spec, table.key_col, k=1024)
+                )
         runner = ReplayRunner(
             spark, args.log_dir, table, CheckpointStore(args.checkpoint_dir),
             registry, merge_mode=args.mode, compact_every=args.compact_every,
@@ -98,6 +126,7 @@ def main() -> None:
                 [c.strip() for c in args.skip_unchanged.split(",") if c.strip()]
                 if args.skip_unchanged else None
             ),
+            state_stores=stores,
         )
         results = runner.run(max_epochs=args.max_epochs)
     applied = [r for r in results if not r.get("skipped")]
