@@ -175,3 +175,57 @@ def test_replay_runner_rides_state_stores(spark, tmp_path):
     ) if "rows_in" in cp.metrics_df(spark).columns else None
     if applied is not None:
         assert card[("rows", "all")] <= applied  # winners <= raw events
+
+
+def test_streaming_foreach_batch_exactly_once(spark, tmp_path):
+    """ReportStore/SampleStore.foreach_batch in a REAL Structured
+    Streaming run: stream-fed state == a direct one-pass build over the
+    same docs, and a second run over the same checkpoint re-delivers
+    nothing (ledger epochs are micro-batch ids)."""
+    from data_pipeline_spark.operators.reportstate import (
+        STREAM_EPOCH_BASE,
+        ReportStore,
+    )
+    from data_pipeline_spark.operators.samplestate import SampleStore
+
+    log = str(tmp_path / "doclog")
+    rows = []
+    for part in range(4):
+        for i in range(10):
+            rows.append((part, GOOD + f" unique{part * 100 + i}", "en"))
+    docs = spark.createDataFrame(rows, "part int, text string, lang string")
+    docs.write.mode("overwrite").partitionBy("part").parquet(log)
+
+    rep = ReportStore.create(spark, str(tmp_path / "rep"), hll_p=10)
+    smp = SampleStore.create(spark, str(tmp_path / "smp"), "text", k=7)
+
+    def both(batch_df, batch_id):
+        rep.foreach_batch()(batch_df, batch_id)
+        smp.foreach_batch()(batch_df, batch_id)
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(log).schema)
+            .option("basePath", log)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(log + "/part=*")
+        )
+        q = (
+            stream.drop("part").writeStream.foreachBatch(both)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    card = as_map(rep.report())
+    direct = as_map(corpus_report(docs.drop("part")))
+    assert card[("rows", "all")] == direct[("rows", "all")] == 40.0
+    assert card[("tokens_ml_total", "all")] == direct[("tokens_ml_total", "all")]
+    assert all(e >= STREAM_EPOCH_BASE for e in rep.committed_epochs())
+    assert smp.sample().count() == 7
+    before = sorted(map(tuple, smp.sample().collect()))
+    run()  # restart over the same checkpoint: nothing re-delivers
+    assert as_map(rep.report()) == card
+    assert sorted(map(tuple, smp.sample().collect())) == before
