@@ -132,6 +132,11 @@ def main() -> None:
     ap.add_argument("--compact-report", action="store_true",
                     help="with --report-store: collapse live parts into "
                          "one folded dir per kind (ledger preserved)")
+    ap.add_argument("--verify-export", default=None, metavar="DIR",
+                    help="consumer-side shard-export integrity check "
+                         "(operators/export.py::verify_shards): re-aggregate "
+                         "the shards against manifest.json; exits non-zero "
+                         "and lists the mismatching shard ids on corruption")
     args = ap.parse_args()
     if args.expire_keep_last is not None and args.expire_keep_last < 1:
         # keep_last=0 would be a silent no-op (list[-0:] is the whole
@@ -187,7 +192,8 @@ def main() -> None:
         ap.error("--report-store needs an operation "
                  "(--retract-report-epoch / --compact-report)")
     if (not table_ops and not args.minhash_index and not args.vector_index
-            and not sketch_ops and not sample_ops and not report_ops):
+            and not sketch_ops and not sample_ops and not report_ops
+            and not args.verify_export):
         ap.error("nothing to do: pass at least one maintenance operation")
     if args.drop_index_ids and not (args.minhash_index or args.vector_index):
         ap.error("--drop-index-ids requires --minhash-index or --vector-index")
@@ -319,6 +325,20 @@ def main() -> None:
             )
         if args.compact_report:
             done["report_compact"] = rstore.compact()
+
+    if args.verify_export:
+        from data_pipeline_spark.operators.export import verify_shards
+
+        bad = verify_shards(spark, args.verify_export)
+        bad_ids = sorted(
+            r["shard_id"] for r in bad.select("shard_id").collect()
+        )
+        done["export_verified"] = not bad_ids
+        done["export_bad_shards"] = bad_ids
+        if bad_ids:
+            print(json.dumps(done))
+            spark.stop()
+            raise SystemExit(3)
 
     print(json.dumps(done))
     spark.stop()

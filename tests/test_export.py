@@ -279,3 +279,36 @@ def test_export_write_cols_hides_scratch(spark, docs, tmp_path):
     with _pytest.raises(ValueError, match="hash_cols"):
         export_shards(docs, str(tmp_path / "x"), "cost", "doc_id", BUDGET,
                       write_cols=["doc_id"], hash_cols=["cost"])
+
+
+def test_maintenance_job_verify_export(spark, docs, tmp_path, monkeypatch, capsys):
+    """--verify-export: green on an intact export; non-zero exit naming
+    the corrupted shards after tampering."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    out = str(tmp_path / "exp")
+    export_shards(docs, out, "cost", "doc_id", BUDGET)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    monkeypatch.setattr("sys.argv", [
+        "maintenance_job.py", "--verify-export", out,
+    ])
+    maintenance_job.main()
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["export_verified"] is True and stats["export_bad_shards"] == []
+    victim = sorted(glob.glob(f"{out}/data/shard_id=2/*.parquet"))[0]
+    os.remove(victim)
+    monkeypatch.setattr("sys.argv", [
+        "maintenance_job.py", "--verify-export", out,
+    ])
+    with pytest.raises(SystemExit) as e:
+        maintenance_job.main()
+    assert e.value.code == 3
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 2 in stats["export_bad_shards"]
