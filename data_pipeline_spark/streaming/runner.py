@@ -352,13 +352,24 @@ class ReplayRunner:
             os.path.getsize(os.path.join(epoch_dir, fn)) for fn in input_files
         )
 
-        merge_metrics = self.table.merge(
-            staged, epoch=epoch, mode=self.merge_mode, branch=self.branch
-        )
-        if not merge_metrics.get("skipped") and self.state_stores:
-            winners = staged.where(F.col("op") != "delete")
-            for store in self.state_stores:
-                store.update(winners, epoch=epoch)
+        if self.state_stores:
+            # The store updates re-materialize the staged lineage AFTER the
+            # merge — without a cache that re-runs per-key dedup and the
+            # extract UDF (the replay's dominant kernel) once per store.
+            # Persist the winner frame across merge + store updates; the
+            # epoch's winners are O(distinct keys), not O(events).
+            staged = staged.persist()
+        try:
+            merge_metrics = self.table.merge(
+                staged, epoch=epoch, mode=self.merge_mode, branch=self.branch
+            )
+            if not merge_metrics.get("skipped") and self.state_stores:
+                winners = staged.where(F.col("op") != "delete")
+                for store in self.state_stores:
+                    store.update(winners, epoch=epoch)
+        finally:
+            if self.state_stores:
+                staged.unpersist()
         if not merge_metrics.get("skipped"):
             self._applied_since_compact += 1
             if (
