@@ -159,7 +159,9 @@ class ReportStore:
 
     # -- read path -----------------------------------------------------------
 
-    def _live_dirs(self, kind: str) -> list[str]:
+    def _live_dirs(
+        self, kind: str, epochs: set[int] | None = None
+    ) -> list[str]:
         retracted = {
             e["retracts"]
             for e in self.meta["epochs"]
@@ -169,14 +171,33 @@ class ReportStore:
         for e in self.meta["epochs"]:
             if e.get("retracts") is not None or e["epoch"] in retracted:
                 continue
+            if epochs is not None:
+                if e["epoch"] not in epochs:
+                    continue
+                if "dir" in e:
+                    raise ValueError(
+                        f"epoch {e['epoch']} was compacted away; "
+                        "epoch-scoped reports need the per-epoch parts"
+                    )
             seen.setdefault(str(e.get("dir", e["epoch"])), None)
         return [os.path.join(self.path, kind, f"epoch={d}") for d in seen]
 
-    def report(self) -> DataFrame:
+    def report(self, epochs: list[int] | None = None) -> DataFrame:
         """The current card: same tidy ``(metric, dimension, value)``
         shape as the one-pass ``corpus_report``; linear metrics exact,
-        ``dup_ratio_est`` from the folded HLL registers."""
-        dirs = self._live_dirs("sums")
+        ``dup_ratio_est`` from the folded HLL registers.
+
+        ``epochs`` scopes the card to a SUBSET of committed epochs —
+        "what did last night's ingest add", "this week's corpus" —
+        computable precisely BECAUSE the store keeps per-epoch parts
+        (the same property that makes retraction exact); raises on
+        compacted or unknown epochs rather than folding wrong."""
+        if epochs is not None:
+            unknown = set(epochs) - self.committed_epochs()
+            if unknown:
+                raise ValueError(f"unknown epochs: {sorted(unknown)}")
+        scope = set(epochs) if epochs is not None else None
+        dirs = self._live_dirs("sums", scope)
         if not dirs:
             return self.spark.createDataFrame(
                 [], "metric string, dimension string, value double"
@@ -207,7 +228,7 @@ class ReportStore:
         regs = hll_merge(
             *[
                 self.spark.read.parquet(d)
-                for d in self._live_dirs("hll")
+                for d in self._live_dirs("hll", scope)
             ]
         )
         distinct = hll_estimate(regs, m["hll_p"]).collect()[0]["est"]

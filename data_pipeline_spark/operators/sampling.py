@@ -412,3 +412,44 @@ def split_leakage(
         .agg(F.countDistinct(split_col).alias("n_splits"))
         .where(F.col("n_splits") > 1)
     )
+
+
+def split_neardup_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Cross-split NEAR-duplicate audit: entity-hash splits
+    (:func:`assign_split`) guarantee a host's pages share a split, but
+    syndicated/mirrored content crosses hosts — a press release on 40
+    sites can land its copies in train AND eval, which no entity
+    discipline catches. This runs the MinHash-LSH near-dup detector
+    (operators/textdedup.py — band equi-join, never all-pairs) over the
+    split corpus and returns the verified pairs that STRADDLE splits:
+    ``(id_a, id_b, jaccard, split_a, split_b)``, empty == no leakage.
+    The fix for flagged pairs is a policy choice (drop the eval copy,
+    or collapse near-dup clusters to one split via
+    operators/components.py cluster ids); the audit makes the leak
+    visible before a benchmark number does."""
+    from .textdedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    s = df.select(F.col(id_col), F.col(split_col))
+    return (
+        pairs.join(
+            s.select(
+                F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

@@ -229,3 +229,22 @@ def test_streaming_foreach_batch_exactly_once(spark, tmp_path):
     run()  # restart over the same checkpoint: nothing re-delivers
     assert as_map(rep.report()) == card
     assert sorted(map(tuple, smp.sample().collect())) == before
+
+
+def test_epoch_scoped_report(spark, tmp_path):
+    """report(epochs=[...]) answers "what did these ingests add" from
+    the per-epoch parts; raises on unknown or compacted epochs."""
+    epochs = mk_epochs(spark)
+    st = ReportStore.create(spark, str(tmp_path / "r"), hll_p=10)
+    for e, df in enumerate(epochs):
+        st.update(df, epoch=e)
+    scoped = as_map(st.report(epochs=[1, 2]))
+    ref = ReportStore.create(spark, str(tmp_path / "ref"), hll_p=10)
+    ref.update(epochs[1], epoch=1)
+    ref.update(epochs[2], epoch=2)
+    assert scoped == as_map(ref.report())
+    with pytest.raises(ValueError, match="unknown"):
+        st.report(epochs=[7])
+    st.compact()
+    with pytest.raises(ValueError, match="compacted"):
+        st.report(epochs=[1])

@@ -238,3 +238,49 @@ def test_token_budget_sample_multilingual(spark):
         )).fetchall()
     )
     assert sorted(r["url"] for r in ml.collect()) == want
+
+
+def test_split_neardup_leakage(spark):
+    """Syndicated content crossing hosts lands in different entity-hash
+    splits; the near-dup audit surfaces exactly those pairs."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark.operators.sampling import (
+        assign_split,
+        split_neardup_leakage,
+    )
+
+    syndicated = (
+        "breaking news wire story repeated verbatim across many partner "
+        "sites with only the byline differing between the copies of it "
+    ) * 3
+    rows = []
+    # 40 hosts with unique articles
+    for i in range(40):
+        rows.append((f"h{i}.com/a{i}", f"h{i}.com",
+                     f"entirely unique article {i} " + " ".join(
+                         f"w{i}x{j}" for j in range(40))))
+    # the same wire story on two different hosts (+ tiny suffix)
+    rows.append(("h1.com/wire", "h1.com", syndicated + " via h1"))
+    rows.append(("h2.com/wire", "h2.com", syndicated + " via h2"))
+    df = spark.createDataFrame(rows, "url string, host string, text string")
+    # force the two wire hosts into different splits deterministically:
+    # try seeds until they split apart (seeded md5 -> stable choice)
+    for seed in ("split", "s1", "s2", "s3", "s4"):
+        out = assign_split(
+            df, "host", {"train": 0.5, "eval": 0.5}, seed=seed
+        )
+        two = {
+            r["split"]
+            for r in out.where(F.col("host").isin("h1.com", "h2.com")).collect()
+        }
+        if len(two) == 2:
+            break
+    assert len(two) == 2, "pick another seed list"
+    leaks = split_neardup_leakage(
+        out, "url", "text", num_hashes=24, bands=6, threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in leaks} == {
+        ("h1.com/wire", "h2.com/wire")
+    }
+    assert all(r["split_a"] != r["split_b"] for r in leaks)
