@@ -4046,6 +4046,100 @@ FROM mrep_docs GROUP BY lang
 """
 
 
+def _dhash_media_df(spark: SparkSession, sf_dir: str):
+    """Synthetic media for the X121 contracts: every 10th doc becomes a
+    REAL binary P6 PPM of nine uniform column blocks whose brightness
+    encodes doc_id's low nine bits (200 if set else 50) — chosen so the
+    dHash of the DECODED image has a closed form DuckDB can compute
+    from doc_id arithmetic alone: bit j of each row = (bit_j=1 AND
+    bit_{j+1}=0), all eight rows identical → hash = rowbyte ×
+    0x0101010101010101 (two's-complement into a signed 64)."""
+    import pandas as pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                cols = [
+                    200 if (int(doc_id) >> j) & 1 else 50 for j in range(9)
+                ]
+                roww = b"".join(bytes((v, v, v)) * 4 for v in cols)
+                out.append(b"P6\n36 32\n255\n" + roww * 32)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": out}
+            )
+
+    return d.mapInPandas(gen, "media_id long, content binary").withColumn(
+        "media_type", F.lit("image/x-portable-pixmap")
+    )
+
+
+_SQL_DHASH_CTE = """
+dhash_rows AS (
+  SELECT doc_id AS media_id,
+    ({B}) AS _rb
+  FROM documents WHERE doc_id % 10 = 0
+),
+dhash_vals AS (
+  SELECT media_id,
+    CAST(CAST(_rb AS HUGEINT) * 72340172838076673
+         - CASE WHEN _rb >= 128 THEN CAST(18446744073709551616 AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+  FROM dhash_rows
+)
+""".format(
+    B=" + ".join(
+        f"(CASE WHEN ((doc_id >> {j}) & 1) = 1 AND ((doc_id >> {j + 1}) & 1) = 0 "
+        f"THEN {2 ** (7 - j)} ELSE 0 END)"
+        for j in range(8)
+    )
+)
+
+
+def q_media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing through the REAL decode path (X121,
+    operators/imagedup.py): binary PPM → luma plane → 9×8 block means →
+    64-bit difference hash, via mapInPandas. The oracle computes the
+    closed-form expected hash from doc_id arithmetic (see
+    _dhash_media_df) — so the decoder + block-mean + bit-packing math
+    is verified end-to-end against independent math, not a fake."""
+    from data_pipeline_spark.operators.imagedup import image_dhash
+
+    return image_dhash(_dhash_media_df(spark, sf_dir), id_col="media_id")
+
+
+def _sql_media_dhash() -> str:
+    return f"WITH {_SQL_DHASH_CTE} SELECT media_id, dhash FROM dhash_vals"
+
+
+def q_media_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs (X121): pigeonhole banding over the real
+    hashes — chunk equi-joins, never all-pairs — verified by
+    bit_count(xor). The oracle brute-forces the same pairs from the
+    closed-form hashes (50 media rows → trivially exact in SQL), so the
+    banding's completeness at the distance bound is what's checked."""
+    from data_pipeline_spark.operators.imagedup import dhash_pairs, image_dhash
+
+    hashes = image_dhash(_dhash_media_df(spark, sf_dir), id_col="media_id")
+    return dhash_pairs(hashes, id_col="media_id", max_hamming=8)
+
+
+def _sql_media_dhash_pairs() -> str:
+    return f"""
+WITH {_SQL_DHASH_CTE}
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM dhash_vals a JOIN dhash_vals b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+"""
+
+
 def q_dedup_history_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact dedup against a historical corpus (X100):
     even-doc history, odd-doc ∪ re-keyed-history-copies as the incoming
@@ -4633,11 +4727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 44 contracts new since the r02 driver run. The 9 new contracts that
     # don't fit (each with an in-window sibling exercising the same operator
     # family) follow immediately after slot 50 and lead next round's window;
-    # ALL 127 queries (118 + the 9 round-3h contracts: events_kmv_sketch,
+    # ALL 129 queries (118 + the 11 round-3h contracts: events_kmv_sketch,
     # events_kmv_overlap, doc_sample_maintained, doc_shard_assign,
     # doc_split_assign, feed_parse, doc_tokens_multilingual,
-    # corpus_report, corpus_report_maintained — X110-X119) are checked
-    # locally by the same protocol every round — artifact:
+    # corpus_report, corpus_report_maintained, media_dhash,
+    # media_dhash_pairs — X110-X121) are checked locally by the same
+    # protocol every round — artifact:
     # CORRECTNESS_LOCAL_r03.json, command:
     # `python tools/check_contract.py /root/testdata/sf0.01`.
     return {
@@ -4729,6 +4824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens_multilingual": q_doc_tokens_multilingual,
         "corpus_report": q_corpus_report,
         "corpus_report_maintained": q_corpus_report_maintained,
+        "media_dhash": q_media_dhash,
+        "media_dhash_pairs": q_media_dhash_pairs,
         # --- stable contracts (green rows in CORRECTNESS_r02.json) ---
         # CDC core
         "cdc_lww_latest": q_cdc_lww_latest,
@@ -4897,6 +4994,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens_multilingual": _sql_doc_tokens_multilingual(),
         "corpus_report": _sql_corpus_report(),
         "corpus_report_maintained": _sql_corpus_report_maintained(),
+        "media_dhash": _sql_media_dhash(),
+        "media_dhash_pairs": _sql_media_dhash_pairs(),
         "dedup_lines": _SQL_LINE_DEDUP,
         "dedup_exact_groups": _SQL_EXACT_DEDUP,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_tokens_multilingual",
     "corpus_report",
     "corpus_report_maintained",
+    "media_dhash_pairs",
 ]
 
 
