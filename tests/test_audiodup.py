@@ -1,0 +1,91 @@
+"""Perceptual audio near-dup (X122): exact amplitude invariance, noise
+robustness, tone discrimination, corrupt-media NULLs, Spark-path parity,
+banding == brute force via the shared pigeonhole machinery."""
+
+import math
+import random
+
+import pytest
+
+from data_pipeline_spark.operators.audiodup import (
+    afp_pairs,
+    audio_fingerprint,
+    audio_fingerprint64,
+)
+from tests.test_multimodal import _encode_wav
+
+RATE = 8000
+
+
+def _tone(freqs, seconds=1.0, amp=8000, noise=0, seed=0):
+    rng = random.Random(seed)
+    n = int(RATE * seconds)
+    out = []
+    for i in range(n):
+        v = sum(amp * math.sin(2 * math.pi * f * i / RATE) for f in freqs)
+        v /= max(len(freqs), 1)
+        if noise:
+            v += rng.gauss(0, noise)
+        out.append(max(-32767, min(32767, int(v))))
+    return _encode_wav(RATE, out)
+
+
+def hamming(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_amplitude_invariance_up_to_requantization():
+    a = audio_fingerprint64(_tone([440, 1200], amp=8000))
+    b = audio_fingerprint64(_tone([440, 1200], amp=800))
+    # volume scales every band energy equally; only requantization noise
+    # in empty bands can flip near-tie comparisons
+    assert hamming(a, b) <= 6
+
+
+def test_noise_robust_and_tones_discriminate():
+    clean = audio_fingerprint64(_tone([440, 1200]))
+    noisy = audio_fingerprint64(_tone([440, 1200], noise=300, seed=7))
+    other = audio_fingerprint64(_tone([900, 2400]))
+    assert hamming(clean, noisy) <= 6
+    assert hamming(clean, other) > 10
+
+
+def test_corrupt_and_short_clips():
+    with pytest.raises(Exception):
+        audio_fingerprint64(b"RIFFnot-really-a-wav")
+    with pytest.raises(ValueError):
+        audio_fingerprint64(_encode_wav(RATE, [0] * 10))
+
+
+def test_spark_path_and_pairs(spark):
+    rows = []
+    base_freqs = [(300 + 150 * i, 900 + 220 * i) for i in range(8)]
+    for i, (f1, f2) in enumerate(base_freqs):
+        rows.append((f"a{i}", bytearray(_tone([f1, f2], seed=i))))
+    rows.append(("a0_quiet", bytearray(_tone([300, 900], amp=500))))
+    rows.append(("a0_noisy", bytearray(_tone([300, 900], noise=250, seed=9))))
+    rows.append(("broken", bytearray(b"RIFFgarbage")))
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    fps = audio_fingerprint(df)
+    got = {r["media_id"]: r["afp"] for r in fps.collect()}
+    assert got["broken"] is None
+    want = {}
+    for mid, content in rows:
+        try:
+            want[mid] = audio_fingerprint64(bytes(content))
+        except Exception:
+            want[mid] = None
+    assert got == want  # Spark path == driver-side function
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in afp_pairs(fps, max_hamming=6).collect()
+    }
+    ok = {k: v for k, v in want.items() if v is not None}
+    brute = {
+        tuple(sorted((a, b)))
+        for a in ok for b in ok
+        if a < b and hamming(ok[a], ok[b]) <= 6
+    }
+    assert pairs == brute
+    assert ("a0", "a0_quiet") in pairs  # exact-invariance copy found
+    assert ("a0", "a0_noisy") in pairs  # noisy copy found
