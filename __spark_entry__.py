@@ -584,7 +584,7 @@ WITH tx AS (
   FROM tx
 )
 SELECT CAST(floor(start / 500) AS int) AS epoch,
-       count(*) AS n_tx, sum(n) AS n_events, max(commit_lsn) AS hi_commit
+       count(*) AS n_tx, CAST(sum(n) AS BIGINT) AS n_events, max(commit_lsn) AS hi_commit
 FROM ordered GROUP BY 1
 """
 
@@ -2365,7 +2365,7 @@ WITH v1e AS (
 ),
 caps AS (
   SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
-         to_timestamp(1700000000 + c.c * 86400) AS warc_ts,
+         CAST(to_timestamp(1700000000 + c.c * 86400) AS TIMESTAMP) AS warc_ts,
          CASE WHEN c.c = 0 THEN text
               WHEN c.c = 1 THEN t1
               ELSE CASE WHEN doc_id % 3 = 0

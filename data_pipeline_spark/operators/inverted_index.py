@@ -152,7 +152,7 @@ def sql_search_postings(
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qs)
     having = f"HAVING count(DISTINCT term) = {len(qs)}" if mode == "and" else ""
     return f"""
-SELECT doc_id, count(DISTINCT term) AS n_terms, sum(tf) AS score
+SELECT doc_id, count(DISTINCT term) AS n_terms, CAST(sum(tf) AS BIGINT) AS score
 FROM ({postings_sql})
 WHERE term IN ({in_list})
 GROUP BY doc_id
