@@ -245,11 +245,23 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
     and only then does the manifest commit the epoch. A crash at any
     point leaves either a committed epoch (rerun is a no-op) or an
     uncommitted one (rerun redoes stage→sweep→move→commit from
-    scratch). Returns the updated manifest dict."""
+    scratch). Returns the updated manifest dict.
+
+    ``epoch=None`` (ADVICE r3) no longer takes a separate non-atomic
+    append path — a crash between the data write and the manifest update
+    left shipped rows unaccounted and a rerun duplicated the batch.
+    Instead the next epoch id is allocated from the manifest
+    (``max(epochs)+1``) and the append flows through the same
+    staged/deterministic-rename/commit machinery. Callers that want
+    cross-process exactly-once must still pass an explicit epoch (an
+    auto-allocated id can't recognize a retry of the same batch), but
+    every append is now crash-atomic."""
     mpath = os.path.join(out_dir, "manifest.json")
     with open(mpath) as f:
         m = json.load(f)
-    if epoch is not None and epoch in m.get("epochs", []):
+    if epoch is None:
+        epoch = max(m.get("epochs", []), default=-1) + 1
+    elif epoch in m.get("epochs", []):
         return m
     # continue the corpus-wide prefix sum where the manifest left off
     assigned = assign_shards(
@@ -264,37 +276,32 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
         for r in _shard_stats(assigned, m["cost_col"], hcols).collect()
     }
     data_dir = os.path.join(out_dir, "data")
-    if epoch is None:
-        shipped.write.mode("append").partitionBy("shard_id").format(
-            m["format"]
-        ).save(data_dir)
-    else:
-        import glob as _glob
-        import shutil
+    import glob as _glob
+    import shutil
 
-        stage = os.path.join(out_dir, f"stage-epoch={epoch}")
-        shipped.write.mode("overwrite").partitionBy("shard_id").format(
-            m["format"]
-        ).save(stage)
-        # sweep any partial prior attempt of THIS epoch, then move the
-        # staged files in under deterministic names (retry-idempotent)
-        for old in _glob.glob(
-            os.path.join(data_dir, "shard_id=*", f"epoch{epoch}-*")
-        ):
-            os.remove(old)
-        for sdir in sorted(_glob.glob(os.path.join(stage, "shard_id=*"))):
-            tdir = os.path.join(data_dir, os.path.basename(sdir))
-            os.makedirs(tdir, exist_ok=True)
-            parts = sorted(
-                fn for fn in os.listdir(sdir) if fn.startswith("part-")
+    stage = os.path.join(out_dir, f"stage-epoch={epoch}")
+    shipped.write.mode("overwrite").partitionBy("shard_id").format(
+        m["format"]
+    ).save(stage)
+    # sweep any partial prior attempt of THIS epoch, then move the
+    # staged files in under deterministic names (retry-idempotent)
+    for old in _glob.glob(
+        os.path.join(data_dir, "shard_id=*", f"epoch{epoch}-*")
+    ):
+        os.remove(old)
+    for sdir in sorted(_glob.glob(os.path.join(stage, "shard_id=*"))):
+        tdir = os.path.join(data_dir, os.path.basename(sdir))
+        os.makedirs(tdir, exist_ok=True)
+        parts = sorted(
+            fn for fn in os.listdir(sdir) if fn.startswith("part-")
+        )
+        for i, fn in enumerate(parts):
+            ext = fn.rsplit(".", 1)[-1]
+            os.replace(
+                os.path.join(sdir, fn),
+                os.path.join(tdir, f"epoch{epoch}-{i}.{ext}"),
             )
-            for i, fn in enumerate(parts):
-                ext = fn.rsplit(".", 1)[-1]
-                os.replace(
-                    os.path.join(sdir, fn),
-                    os.path.join(tdir, f"epoch{epoch}-{i}.{ext}"),
-                )
-        shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     by_id = {s["shard_id"]: s for s in m["shards"]}
     for sid, r in delta.items():
         if sid in by_id:
@@ -314,8 +321,7 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
     m["shards"] = [by_id[k] for k in sorted(by_id)]
     m["total_rows"] = sum(s["rows"] for s in m["shards"])
     m["total_cost"] = sum(s["cost"] for s in m["shards"])
-    if epoch is not None:
-        m.setdefault("epochs", []).append(int(epoch))
+    m.setdefault("epochs", []).append(int(epoch))
     _write_manifest(out_dir, m)
     return m
 

@@ -124,10 +124,13 @@ class ReportStore:
             return None
         m = self.meta
         per_doc = per_doc_signals(df, m["text_col"], m["lang_col"])
+        # NULL language is stored AS NULL (groupBy and parquet both handle
+        # NULL keys natively) — an in-band sentinel would conflate a real
+        # lang value equal to the sentinel with NULL (ADVICE r3).
         lang = (
-            [F.coalesce(F.col(m["lang_col"]), F.lit("∅")).alias("lang")]
+            [F.col(m["lang_col"]).alias("lang")]
             if m["lang_col"]
-            else [F.lit("∅").alias("lang")]
+            else [F.lit(None).cast("string").alias("lang")]
         )
         sums = per_doc.groupBy(*lang).agg(
             F.count("*").alias("rows"),
@@ -269,11 +272,7 @@ class ReportStore:
         total = sums.agg(F.sum("rows")).first()[0]
         shares = sums.select(
             F.lit("lang_share").alias("metric"),
-            # the storage placeholder for NULL language maps back to NULL,
-            # matching the one-pass corpus_report's dimension
-            F.when(F.col("lang") == "∅", None)
-            .otherwise(F.col("lang"))
-            .alias("dimension"),
+            F.col("lang").alias("dimension"),
             F.round(
                 F.col("rows").cast("double") / F.lit(float(total)), 6
             ).alias("value"),

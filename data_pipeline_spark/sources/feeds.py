@@ -151,6 +151,9 @@ def published_ts(col="published") -> Column:
     # "Mon, 02 Feb 2026 10:30:00 GMT" -> "02 Feb 2026 10:30:00 +0000"
     rfc = F.regexp_replace(c, r"^[A-Za-z]{3},\s*", "")
     rfc = F.regexp_replace(rfc, r"\s+(GMT|UTC?|Z)\s*$", " +0000")
+    # RFC 822 allows a single-digit day ("Mon, 2 Feb 2026 ...") which the
+    # strict dd pattern nulls out (ADVICE r3) — left-pad it to two digits.
+    rfc = F.regexp_replace(rfc, r"^(\d)\s", "0$1 ")
     return F.coalesce(
         F.try_to_timestamp(c),
         F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),

@@ -363,7 +363,15 @@ class ReplayRunner:
             merge_metrics = self.table.merge(
                 staged, epoch=epoch, mode=self.merge_mode, branch=self.branch
             )
-            if not merge_metrics.get("skipped") and self.state_stores:
+            if self.state_stores:
+                # Deliver the epoch to the stores UNCONDITIONALLY, even when
+                # the table merge skipped as already-committed: a crash (or a
+                # store.update failure) between the table commit and the store
+                # updates would otherwise strand the stores one epoch behind
+                # forever — the retried epoch arrives with skipped=True and
+                # the old gate dropped it. Each store keeps its own
+                # exactly-once epoch ledger, so re-delivery of an epoch a
+                # store already folded is a no-op on the store side.
                 winners = staged.where(F.col("op") != "delete")
                 for store in self.state_stores:
                     store.update(winners, epoch=epoch)

@@ -170,3 +170,25 @@ def test_crawl_plan_job_with_feeds(spark, tmp_path, monkeypatch):
     assert plan["https://x.org/b"]["server_modified"] is True
     # feed-discovered url rides the plan
     assert plan["https://x.org/fresh"]["server_modified"] is True
+
+
+def test_published_ts_single_digit_day(spark):
+    """ADVICE r3 (feeds.py:157): RFC 822 permits a one-digit day
+    ("Mon, 2 Feb 2026 ...") — common in the wild — which the strict dd
+    pattern nulled out, silently dropping those entries' freshness
+    assertions. The parser must left-pad and parse it."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("Mon, 2 Feb 2026 10:30:00 GMT",),
+            ("Mon, 02 Feb 2026 10:30:00 GMT",),
+            ("2 Feb 2026 10:30:00 +0100",),
+            ("not a date",),
+        ],
+        "published string",
+    ).withColumn("ts", published_ts("published"))
+    got = [r["ts"] for r in df.collect()]
+    assert got[0] == got[1] == dt.datetime(2026, 2, 2, 10, 30)  # UTC session
+    assert got[2] is not None
+    assert got[3] is None

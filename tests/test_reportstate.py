@@ -248,3 +248,84 @@ def test_epoch_scoped_report(spark, tmp_path):
     st.compact()
     with pytest.raises(ValueError, match="compacted"):
         st.report(epochs=[1])
+
+
+def test_crash_between_merge_and_store_update_heals_on_retry(spark, tmp_path):
+    """ADVICE r3 (runner.py:366): if a run dies AFTER table.merge commits an
+    epoch but BEFORE the state stores fold it, the retried epoch arrives
+    with merge skipped=True ('epoch already committed'). The runner must
+    still deliver it to the stores — their own ledgers make duplicate
+    delivery a no-op — otherwise the maintained state desyncs forever."""
+    from data_pipeline_spark.plans.registry import SchemaRegistry
+    from data_pipeline_spark.sources import changelog
+    from data_pipeline_spark.sources.datagen import gen_changes
+    from data_pipeline_spark.streaming.checkpoint import CheckpointStore
+    from data_pipeline_spark.streaming.runner import (
+        ReplayRunner,
+        make_table_for_log,
+    )
+
+    ws = tmp_path
+    changelog.write_log(
+        gen_changes(spark, 2000, events_per_epoch=1000, seed=5),
+        str(ws / "log"),
+    )
+    reg = SchemaRegistry()
+    table = make_table_for_log(spark, str(ws / "table"), reg, n_buckets=4)
+    rep = ReportStore.create(spark, str(ws / "rep"), hll_p=10)
+
+    class CrashOnce:
+        """Store proxy that dies on its first sight of epoch 1 — after
+        the table merge for epoch 1 has already committed."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.crashed = False
+
+        def update(self, df, epoch):
+            if epoch == 1 and not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before store fold")
+            return self.inner.update(df, epoch=epoch)
+
+    proxy = CrashOnce(rep)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ReplayRunner(
+            spark, str(ws / "log"), table, CheckpointStore(str(ws / "cp")),
+            reg, state_stores=[proxy],
+        ).run()
+    assert rep.committed_epochs() == {0}
+    # retry: epoch 1's merge now skips (already committed) but the store
+    # must still receive and fold it
+    ReplayRunner(
+        spark, str(ws / "log"), table, CheckpointStore(str(ws / "cp")),
+        reg, state_stores=[proxy],
+    ).run()
+    assert rep.committed_epochs() == {0, 1}
+    # and the healed state equals a clean single-run build
+    ref_tbl = make_table_for_log(spark, str(ws / "t2"), SchemaRegistry(), n_buckets=4)
+    ref = ReportStore.create(spark, str(ws / "rep2"), hll_p=10)
+    ReplayRunner(
+        spark, str(ws / "log"), ref_tbl, CheckpointStore(str(ws / "cp2")),
+        SchemaRegistry(), state_stores=[ref],
+    ).run()
+    assert as_map(rep.report()) == as_map(ref.report())
+
+
+def test_null_lang_is_not_conflated_with_sentinel_string(spark, tmp_path):
+    """ADVICE r3 (reportstate.py:128): NULL language is stored as a real
+    NULL, so a document whose lang value is literally '∅' keeps its own
+    lang_share dimension instead of being rewritten to NULL."""
+    docs = spark.createDataFrame(
+        [(GOOD + " a", None), (GOOD + " b", "∅"), (GOOD + " c", "en")],
+        "text string, lang string",
+    )
+    st = ReportStore.create(spark, str(tmp_path / "r"), hll_p=10)
+    st.update(docs, epoch=0)
+    got = as_map(st.report())
+    want = as_map(corpus_report(docs))
+    shares_got = {k: v for k, v in got.items() if k[0] == "lang_share"}
+    shares_want = {k: v for k, v in want.items() if k[0] == "lang_share"}
+    assert shares_got == shares_want
+    assert ("lang_share", "∅") in shares_got
+    assert ("lang_share", None) in shares_got
