@@ -125,6 +125,14 @@ class CurateConfig:
     # makes its band key quadratic in the probe join; 50 representatives
     # per bucket is far more than dedup verdicts need.
     dedup_index_max_bucket: int | None = 50
+    # multimodal near-dup dedup (stage 6.7): when curate() is given a
+    # ``media`` frame (one image per page, keyed by the RAW url), pages
+    # whose attached image perceptually near-duplicates another page's
+    # image (dHash hamming <= media_max_hamming) keep only the cluster's
+    # canonical survivor. Pages without media pass through untouched.
+    media_content_col: str = "content"
+    media_type_col: str = "media_type"
+    media_max_hamming: int = 6
     # DSIR importance selection (Xie et al. 2023): keep the dsir_top
     # documents most like the target domain, where the target sample is
     # the survivors matching this SQL predicate (e.g. "lang = 'en'").
@@ -135,7 +143,10 @@ class CurateConfig:
 
 
 def curate(
-    df: DataFrame, cfg: CurateConfig, bench: DataFrame | None = None
+    df: DataFrame,
+    cfg: CurateConfig,
+    bench: DataFrame | None = None,
+    media: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the pipeline; returns (curated DataFrame, stage-count stats).
 
@@ -146,6 +157,12 @@ def curate(
     (bench_id, text) — when given, documents sharing any
     ``cfg.decontaminate_ngram``-gram with the benchmark are dropped after
     dedup (step 6.5).
+
+    ``media`` (optional): one image per page, columns (cfg.url_col RAW —
+    canonicalized here to match the stage-1 re-key, cfg.media_content_col
+    binary, cfg.media_type_col) — when given, pages whose image is a
+    perceptual near-dup of another page's image keep only the cluster's
+    canonical survivor (step 6.7: dHash → banded pairs → components).
     """
     stats: dict[str, int] = {}
     u, t = cfg.url_col, cfg.text_col
@@ -320,6 +337,28 @@ def curate(
             n=cfg.decontaminate_ngram, min_hits=cfg.decontaminate_min_hits,
         ).localCheckpoint(eager=True)
         stats["after_decontaminate"] = deduped.count()
+
+    # 6.7 multimodal near-dup dedup (optional): decode → dHash → banded
+    # pairs → components → canonical survivor, over the page-attached
+    # images (operators/imagedup.py::media_dedup — the same component
+    # machinery as stage 6, so text and image dedup share one tuned
+    # closure). A page with a non-surviving image is dropped; pages
+    # without media are untouched. Runs after the text stages so a page
+    # already gone (quality/text-dup) never costs an image decode pair.
+    if media is not None:
+        from .imagedup import media_dedup as _media_dedup
+
+        mcarried = [c for c in media.columns if c != u]
+        m_canon = media.select(WU.canonical_url(u).alias(u), *mcarried)
+        labels = _media_dedup(
+            m_canon, id_col=u, content_col=cfg.media_content_col,
+            type_col=cfg.media_type_col, max_hamming=cfg.media_max_hamming,
+        )
+        drop = labels.where(~F.col("is_survivor")).select(u).distinct()
+        deduped = deduped.join(drop, u, "left_anti").localCheckpoint(
+            eager=True
+        )
+        stats["after_media_dedup"] = deduped.count()
 
     # 6.8 DSIR importance selection (optional): fit target/raw unigram LMs
     # on the curated survivors, keep the dsir_top most-target-like docs.

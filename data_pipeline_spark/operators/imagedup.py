@@ -37,7 +37,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["dhash64", "image_dhash", "dhash_pairs"]
+__all__ = ["dhash64", "image_dhash", "dhash_pairs", "media_dedup"]
 
 DHASH_BITS = 64
 _TH, _TW = 8, 9  # target grid: 8 rows x 9 cols -> 8x8 neighbour bits
@@ -223,4 +223,45 @@ def dhash_pairs(
         cand.withColumn("hamming", ham.cast("integer"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def media_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    type_col: str = "media_type",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """End-to-end perceptual image dedup (VERDICT r3 stretch #7): decode →
+    dHash → pigeonhole near-dup pairs → connected components
+    (large-star/small-star, operators/components.py) → canonical survivor
+    per cluster.
+
+    Returns ``(id_col, component, is_survivor)`` for EVERY input row:
+    ``component`` is the cluster's minimum id (the near-dup group label),
+    ``is_survivor`` marks the one row per cluster a curation pipeline
+    keeps. Undecodable payloads (NULL dHash — the corrupt-media contract)
+    cannot be compared, so each is its own singleton component and
+    survives; dropping them is a quality-gate decision, not a dedup one.
+
+    Scale shape: the only non-native step is the Arrow-batched decode
+    (``mapInPandas``); pairing is chunk equi-joins (never all-pairs) and
+    the component closure is O(log n) rounds of star operations — the
+    same machinery the text near-dup stage rides, so a 1000-executor run
+    shares one tuned code path for text and images.
+    """
+    from .components import connected_components
+
+    hashes = image_dhash(
+        media, id_col=id_col, content_col=content_col, type_col=type_col
+    ).localCheckpoint(eager=True)  # component loop iterates actions on it
+    pairs = dhash_pairs(hashes, id_col=id_col, hash_col="dhash",
+                        max_hamming=max_hamming)
+    nodes = hashes.select(id_col)
+    comp = connected_components(nodes, pairs, "id_a", "id_b", id_col)
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_survivor"),
     )

@@ -107,6 +107,13 @@ def main() -> None:
     ap.add_argument("--compression-band", default=None, metavar="LO,HI",
                     help="keep docs with LO <= zlib-compression ratio <= HI "
                          "(machine-generated-spam signal)")
+    ap.add_argument("--media-dedup", default=None, metavar="PARQUET",
+                    help="parquet of (url, content binary, media_type): "
+                         "perceptual image near-dup dedup — pages whose "
+                         "attached image near-duplicates another page's "
+                         "keep only the cluster's canonical survivor")
+    ap.add_argument("--media-hamming", type=int, default=6,
+                    help="max dHash hamming distance for --media-dedup")
     args = ap.parse_args()
     if args.compression_band is not None:
         parts = args.compression_band.split(",")
@@ -208,9 +215,11 @@ def main() -> None:
             tuple(float(x) for x in args.compression_band.split(","))
             if args.compression_band else None
         ),
+        media_max_hamming=args.media_hamming,
     )
     bench = spark.read.parquet(args.bench) if args.bench else None
-    out, stats = curate(df, cfg, bench=bench)
+    media = spark.read.parquet(args.media_dedup) if args.media_dedup else None
+    out, stats = curate(df, cfg, bench=bench, media=media)
     out.write.mode("overwrite").parquet(args.output)
     if args.pack is not None:
         from data_pipeline_spark.operators.textprep import pack_sequences

@@ -450,3 +450,73 @@ def test_dsir_selection_stage(spark):
     # the 6 target docs plus the target-like raw doc win the selection
     assert "https://r.com/lookalike" in kept
     assert all(f"https://t.com/{i}" in kept for i in range(6))
+
+
+def test_curate_media_dedup_stage(spark, tmp_path, monkeypatch, capsys):
+    """Stage 6.7 (VERDICT r3 stretch #7): pages whose attached image is a
+    planted re-encode of another page's image keep only the cluster's
+    canonical survivor; pages without media and pages with distinct or
+    undecodable images are untouched. Also drives the --media-dedup job
+    flag end-to-end in-process."""
+    import json as _json
+    import os
+    import sys
+
+    from tests.test_imagedup import _encode_ppm, _gradient
+    from tests.test_multimodal import _encode_bmp
+
+    rows = [(f"https://m{i}.com/x", 100, i, GOOD + " " + _uniq(f"m{i}"), "en")
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    g = _gradient(64, 48)
+    media_rows = [
+        # m0/m1/m2 share one image (BMP, PPM re-container, noisy rescale)
+        ("https://m0.com/x", _encode_bmp(64, 48, g), "image/bmp"),
+        ("https://m1.com/x", _encode_ppm(64, 48, g), "image/x-portable-pixmap"),
+        ("https://m2.com/x",
+         _encode_bmp(96, 72, _gradient(96, 72, seed=1, noise=8)), "image/bmp"),
+        # m3: distinct image; m4: corrupt payload; m5: no media at all
+        ("https://m3.com/x",
+         _encode_ppm(64, 48, [[(255 - r, 255 - g2, 255 - b) for (r, g2, b) in row]
+                              for row in g]), "image/x-portable-pixmap"),
+        ("https://m4.com/x", b"BMgarbage", "image/bmp"),
+    ]
+    media = spark.createDataFrame(
+        media_rows, "url string, content binary, media_type string"
+    )
+    from data_pipeline_spark.operators.curate import CurateConfig, curate
+
+    out, stats = curate(
+        df,
+        CurateConfig(minhash=None, media_max_hamming=8),
+        media=media,
+    )
+    kept = {r["url"] for r in out.collect()}
+    assert kept == {
+        "https://m0.com/x",  # cluster survivor (min canonical url)
+        "https://m3.com/x",  # distinct image
+        "https://m4.com/x",  # undecodable -> singleton, quality's problem
+        "https://m5.com/x",  # no media
+    }
+    assert stats["after_media_dedup"] == 4
+
+    # job flag drives the same stage
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import curate_job
+
+    src, mdir, out_dir = (str(tmp_path / d) for d in ("src", "media", "out"))
+    df.write.parquet(src)
+    media.write.parquet(mdir)
+    monkeypatch.setattr("sys.argv", [
+        "curate_job.py", "--input", src, "--output", out_dir,
+        "--no-minhash", "--media-dedup", mdir, "--media-hamming", "8",
+    ])
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    curate_job.main()
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["after_media_dedup"] == 4 and stats["output_rows"] == 4
+    assert {r["url"] for r in spark.read.parquet(out_dir).collect()} == kept

@@ -133,3 +133,41 @@ def test_image_dhash_and_pairs(spark):
     # the plan is chunk equi-joins, never a cartesian product
     plan = dhash_pairs(hashes)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_media_dedup_e2e_planted_reencodes(spark):
+    """VERDICT r3 stretch #7: the full curation stage — decode → dHash →
+    banded pairs → connected components → canonical survivor — on a
+    corpus with PLANTED re-encoded copies: the same image shipped as BMP
+    and PPM, a noisy rescale of it, two genuinely different images, and
+    one corrupt payload. The three re-encodes collapse to one cluster
+    with one survivor; distinct images and the corrupt row survive as
+    singletons."""
+    from data_pipeline_spark.operators.imagedup import media_dedup
+
+    g = _gradient(64, 48)
+    rows = [
+        (1, _encode_bmp(64, 48, g), "image/bmp"),                      # original
+        (2, _encode_ppm(64, 48, g), "image/x-portable-pixmap"),        # re-container
+        (3, _encode_bmp(96, 72, _gradient(96, 72, seed=1, noise=8)),
+         "image/bmp"),                                                 # noisy rescale
+        (4, _encode_bmp(64, 48, _checker(64, 48)), "image/bmp"),       # different
+        (5, _encode_ppm(64, 48, [[(255 - r, 255 - g, 255 - b)
+                                  for (r, g, b) in row]
+                                 for row in g]),
+         "image/x-portable-pixmap"),                                   # different
+        (6, b"BMgarbage", "image/bmp"),                                # corrupt
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    )
+    out = {r["media_id"]: r for r in media_dedup(media, max_hamming=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # planted copies form ONE cluster labeled by the min id, one survivor
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert [out[i]["is_survivor"] for i in (1, 2, 3)] == [True, False, False]
+    # distinct content + the undecodable row are their own survivors
+    for i in (4, 5, 6):
+        assert out[i]["component"] == i and out[i]["is_survivor"]
+    # different images never share a cluster
+    assert out[4]["component"] != out[5]["component"]
