@@ -107,6 +107,17 @@ def _gray_ppm(content: bytes) -> np.ndarray:
     return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
 
 
+def _gray_png(content: bytes) -> np.ndarray:
+    """Luma plane of an 8-bit PNG (decode via multimodal.png_pixels —
+    pure stdlib zlib + spec filters; gray/palette/alpha handled there)."""
+    from .multimodal import png_pixels
+
+    px = png_pixels(content).astype(np.float64)
+    if px.shape[2] >= 3:
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return px[:, :, 0]
+
+
 def _block_means(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
     h, w = gray.shape
     if h < th or w < tw:
@@ -127,6 +138,8 @@ def dhash64(content: bytes, media_type: str) -> int:
         gray = _gray_bmp(content)
     elif media_type in ("image/x-portable-pixmap", "image/ppm"):
         gray = _gray_ppm(content)
+    elif media_type == "image/png":
+        gray = _gray_png(content)
     else:
         raise NotImplementedError(f"no dHash decoder for {media_type}")
     cells = _block_means(gray, _TH, _TW)

@@ -9,13 +9,15 @@ input_hint; reference analog: `raw_html` carried per record,
 The Spark-side plumbing (schema, Arrow batch shape, `mapInPandas`
 partition-wise processing, deterministic frame sampling) is real and tested.
 The codec step is real for uncompressed containers — pure-stdlib decoders
-for BMP (struct), binary PPM, and PCM WAV (wave) dispatch on magic bytes in
-`real_decode` — while compressed formats (JPEG/PNG/MP3/H.264) still raise a
-clearly-marked `NotImplementedError` (PIL/cv2/ffmpeg are not in this
-container). `fake_decode` — a deterministic md5-seeded stand-in with the
-same signature and output schema — remains for shape-only tests. Swapping
-in a library decoder is a one-argument change; no plan/schema/partitioning
-changes.
+for BMP (struct), binary PPM, and PCM WAV (wave) — and (round 4) for PNG,
+the one compressed web-image format whose codec lives in the standard
+library (DEFLATE via zlib + the five spec filters, `png_pixels`). All
+dispatch on magic bytes in `real_decode`. The remaining compressed formats
+(JPEG/MP3/H.264) still raise a clearly-marked `NotImplementedError`
+(PIL/cv2/ffmpeg are not in this container). `fake_decode` — a deterministic
+md5-seeded stand-in with the same signature and output schema — remains for
+shape-only tests. Swapping in a library decoder is a one-argument change;
+no plan/schema/partitioning changes.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import math
 import struct
 import sys
 import wave
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -152,6 +155,135 @@ def decode_ppm(content: bytes) -> list[float]:
     ]
 
 
+def png_pixels(content: bytes):
+    """Pure-stdlib PNG decode to an (H, W, C) uint8 numpy array.
+
+    PNG is the one compressed web-image format whose codec IS in the
+    standard library: DEFLATE via ``zlib`` plus the five per-row byte
+    filters (None/Sub/Up/Average/Paeth) from the PNG spec, reconstructed
+    here directly. Supported: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    i.e. what encoders actually emit for web images. 16-bit and Adam7
+    raise ``NotImplementedError``; structural corruption raises
+    ``ValueError`` (the corrupt-media contract: callers map decode
+    errors to NULL/undecoded rows, never task death).
+
+    Filter reconstruction is numpy row-at-a-time: Up is fully
+    vectorized; Sub/Average/Paeth need the already-reconstructed left
+    neighbour so they walk the row in C-order — still bounded by row
+    width, not image size, per step.
+    """
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(content)
+    ihdr, plte, idat = None, None, []
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with non-standard compression/filter method")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG header declares non-positive dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG: fewer scanlines than header claims")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, offset=off + 1).astype(
+            np.int32
+        )
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:  # None
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp and y else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idxs = px[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[idxs]
+    return px
+
+
+def decode_png(content: bytes) -> list[float]:
+    """Feature row for a PNG payload — same layout as `decode_bmp`
+    (decoded flag, w/4096, h/4096, mean R/G/B, aspect, bpp/32), over the
+    real `png_pixels` decode. Gray/gray-alpha replicate the single
+    channel into the RGB means; alpha never contributes."""
+    import numpy as np
+
+    px = png_pixels(content)
+    h, w, c = px.shape
+    rgb = px[:, :, :3] if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    return [
+        1.0,
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        w / max(w + h, 1),
+        (c * 8) / 32.0,
+    ]
+
+
 def decode_wav(content: bytes) -> list[float]:
     """Pure-stdlib decoder for PCM WAV (8/16-bit) via the `wave` module.
 
@@ -207,11 +339,13 @@ def real_decode(content: bytes, media_type: str) -> list[float]:
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     raise NotImplementedError(
         f"no pure-stdlib codec for {media_type!r} (magic {content[:4]!r}); "
-        "compressed formats need PIL/cv2/ffmpeg — inject a decode_fn"
+        "JPEG/MP3/H.264 need PIL/cv2/ffmpeg — inject a decode_fn"
     )
 
 
@@ -229,6 +363,7 @@ def decode_features(
     content_col: str = "content",
     id_col: str = "media_id",
     meta_col: str = "meta",
+    null_on_error: bool = True,
 ) -> DataFrame:
     """binary media → per-item feature vector via `mapInPandas`.
 
@@ -236,7 +371,22 @@ def decode_features(
     runs per batch (vectorizable when the real decoder accepts batch input).
     Partitioning is preserved — no shuffle; at scale, repartition upstream by
     size so decode work balances.
+
+    ``null_on_error`` (round 4) applies the corrupt-media contract at the
+    plumbing level, matching the dHash path (imagedup.image_dhash): a
+    payload the decoder rejects yields a NULL feature row instead of
+    killing the task — at 10^10 media rows SOME payloads are always
+    corrupt, and one bad byte-string must never fail a 100-GB partition.
+    Pass ``null_on_error=False`` to surface decoder bugs in tests.
     """
+
+    def decode_one(c, t):
+        if not null_on_error:
+            return decode_fn(c, t)
+        try:
+            return decode_fn(c, t)
+        except Exception:  # noqa: BLE001 — corrupt-media contract
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -253,7 +403,7 @@ def decode_features(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "features": [
-                        decode_fn(c, t) for c, t in zip(content, mtype)
+                        decode_one(c, t) for c, t in zip(content, mtype)
                     ],
                 }
             )

@@ -77,8 +77,10 @@ def test_corrupt_and_tiny_media():
         dhash64(b"BMgarbage", "image/bmp")
     with pytest.raises(ValueError):
         dhash64(_encode_bmp(4, 4, _gradient(4, 4)), "image/bmp")  # < grid
+    with pytest.raises(ValueError):
+        dhash64(b"xx", "image/png")  # decodable type, corrupt payload
     with pytest.raises(NotImplementedError):
-        dhash64(b"xx", "image/png")
+        dhash64(b"xx", "image/jpeg")
 
 
 def test_image_dhash_and_pairs(spark):

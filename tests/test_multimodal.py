@@ -91,8 +91,13 @@ def test_real_decode_wav():
 
 
 def test_real_decode_compressed_still_raises():
-    with pytest.raises(NotImplementedError):
+    # PNG decodes since round 4 (pure-stdlib zlib path) — a CORRUPT PNG
+    # is a ValueError (corrupt-media contract), while formats with no
+    # stdlib codec (JPEG/MP3) still raise NotImplementedError.
+    with pytest.raises(ValueError):
         MM.real_decode(b"\x89PNG\r\n\x1a\nabc", "image/png")
+    with pytest.raises(NotImplementedError):
+        MM.real_decode(b"\xff\xd8\xff\xe0jfif", "image/jpeg")
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"", "application/octet-stream")
 
