@@ -189,6 +189,105 @@ WHERE p.price <> c.price OR p.st <> c.st
 """
 
 
+def q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained grouped rollup WITH min/max (round 4,
+    `lake/incremental.py::IncrementalRollup(minmax_cols=)`): a real
+    LakeTable is bootstrapped from orders-derived change events, the
+    rollup state (count/sum + min/max per group) is committed, then an
+    epoch of deletes (including group-extremum holders), value updates,
+    group moves and fresh inserts lands and the rollup advances
+    INCREMENTALLY — additive delta for count/sum, monotone fold for
+    untouched-extremum groups, affected-group-only rescan for removed
+    extrema (the Materialize-style non-retractable-aggregate treatment).
+    The DuckDB twin aggregates the final table state directly, so parity
+    proves incremental == full recompute across every change mode."""
+    import tempfile
+
+    from data_pipeline_spark.lake.incremental import IncrementalRollup
+    from data_pipeline_spark.lake.table import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("val"),
+    )
+    k = F.col("o_orderkey")
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    base = o.where(k % 2 == 0).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        (F.col("o_custkey") % 20).cast("int").alias("grp"),
+        F.col("val"),
+        k.alias("lsn"),
+    )
+    deletes = o.where((k % 2 == 0) & (k % 10 == 0)).select(
+        F.lit("delete").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        F.lit(None).cast("int").alias("grp"),
+        F.lit(None).cast("double").alias("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    updates = o.where((k % 2 == 0) & (k % 10 != 0) & (k % 6 == 0)).select(
+        F.lit("update").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        ((F.col("o_custkey") + 1) % 20).cast("int").alias("grp"),
+        (F.col("val") + 100).alias("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    inserts = o.where((k % 2 == 1) & (k % 3 == 0)).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        (F.col("o_custkey") % 20).cast("int").alias("grp"),
+        F.col("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    ws = tempfile.mkdtemp(prefix="rollupq-")
+    schema = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, grp int, val double"
+    ).schema
+    table = LakeTable.create(
+        spark, f"{ws}/t", schema, key_col="url", n_buckets=8
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], f"{ws}/roll", minmax_cols=["val"]
+    )
+    table.merge(base, epoch=0, mode="mor")
+    roll.refresh()
+    table.merge(
+        deletes.unionByName(updates).unionByName(inserts), epoch=1, mode="mor"
+    )
+    info = roll.refresh()
+    assert info["mode"] == "incremental", info
+    return roll.read().select(
+        "grp",
+        "n_rows",
+        F.round("sum_val", 4).alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+_SQL_ROLLUP_INCREMENTAL = """
+WITH final_rows AS (
+  SELECT CASE WHEN o_orderkey % 6 = 0 THEN CAST((o_custkey + 1) % 20 AS INT)
+              ELSE CAST(o_custkey % 20 AS INT) END AS grp,
+         CASE WHEN o_orderkey % 6 = 0 THEN round(o_totalprice, 2) + 100
+              ELSE round(o_totalprice, 2) END AS val
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT CAST(o_custkey % 20 AS INT) AS grp, round(o_totalprice, 2) AS val
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+)
+SELECT grp, count(*) AS n_rows, round(sum(val), 4) AS sum_val,
+       min(val) AS min_val, max(val) AS max_val
+FROM final_rows GROUP BY grp
+"""
+
+
 def q_cdc_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental join-view maintenance (`lake/incremental_join.py`): the
     materialized orders⋈customer view advanced from its previous state by
@@ -4834,6 +4933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_filter": q_doc_gopher_filter,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # --- slot 51+: new round-4 contracts past the window (local-only
+        # evidence this round — the type-strict checker + judge protocol —
+        # they lead round 5's window) ---
+        "cdc_rollup_incremental": q_cdc_rollup_incremental,
         # --- out-of-window: every contract below has a driver-green row in
         # r01-r03 (see VERDICT r3 coverage table) + the r04 local artifact ---
         # dedup / ANN / media (r03 driver-green)
@@ -4950,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_generic": _SQL_MERGE_INTO,
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
+        "cdc_rollup_incremental": _SQL_ROLLUP_INCREMENTAL,
         "cdc_chunked_snapshot": _SQL_CHUNKED_SNAPSHOT,
         "cdc_offset_epochs": _SQL_OFFSET_EPOCHS,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,

@@ -27,10 +27,24 @@ snapshots GC'd past it) raises from read_changes; `refresh(rebuild=True)`
 re-bootstraps with one full recompute.
 
 Maintained aggregates: n_rows (count) and sum_<col> for each numeric
-``sum_cols`` entry. Averages are derived (sum/n) at read time; aggregates
-needing full history (min/max under deletes) are out of scope and
-documented as such — that is the same contract Materialize/Flink give for
-retractable vs non-retractable aggregates.
+``sum_cols`` entry (fully retractable — pure addition), and since round 4
+min_<col>/max_<col> for each ``minmax_cols`` entry. Min/max are NOT
+retractable by algebra, so they follow the standard IVM treatment
+(Materialize's "reduction" operator, Flink's retract-amended aggregates):
+
+* insert-only groups fold monotonically (``least``/``greatest`` against
+  the stored extremum — no rescan ever);
+* a group is **affected** only when a removed pre-image could have HELD
+  the stored extremum (pre-image min ≤ stored min, or pre-image max ≥
+  stored max, per column); only affected groups re-aggregate, from the
+  TO snapshot restricted to exactly those groups. Cost is O(affected
+  groups' rows) — at 10^10 rows the restricting predicate is an
+  ``isin`` over a metadata-scale group list, so parquet row-group stats
+  prune the rescan when the table is clustered by the group columns
+  (``compact(cluster_by=group_cols)``), and a delete that does not touch
+  a group's extremum costs nothing beyond the delta math.
+
+Averages are derived (sum/n) at read time.
 
 Reference parity: the reference recomputes everything per run (its only
 "derived" artifact is the re-written parquet); incremental maintenance is
@@ -59,13 +73,26 @@ class IncrementalRollup:
         group_cols: list[str],
         sum_cols: list[str],
         state_dir: str,
+        minmax_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.table = table
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.minmax_cols = list(minmax_cols or [])
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+
+    def _check_meta_cols(self, m: dict) -> None:
+        """The maintained column set is frozen at the first commit — a
+        drift between configured and stored aggregates would silently
+        read garbage columns. Changing the set needs refresh(rebuild=True)."""
+        stored = m.get("minmax_cols", [])
+        if stored != self.minmax_cols:
+            raise ValueError(
+                f"rollup state maintains minmax_cols={stored}, configured "
+                f"{self.minmax_cols}; pass rebuild=True to change the set"
+            )
 
     # -- state I/O ---------------------------------------------------------
 
@@ -120,6 +147,7 @@ class IncrementalRollup:
                 "snapshot_id": snapshot_id,
                 "version": version,
                 "data": name,
+                "minmax_cols": self.minmax_cols,
                 "committed_at": time.time(),
             }),
         )
@@ -157,6 +185,25 @@ class IncrementalRollup:
         out = out.groupBy(*self.group_cols).agg(*aggs)
         return out.where(F.col("n_rows") != 0) if prune else out
 
+    def _mm_aggs(self, prefix: str = "") -> list:
+        """min/max aggregate exprs in the columns' NATIVE types."""
+        return [
+            F.min(c).alias(f"{prefix}min_{c}") for c in self.minmax_cols
+        ] + [F.max(c).alias(f"{prefix}max_{c}") for c in self.minmax_cols]
+
+    def _mm_names(self) -> list[str]:
+        return [f"min_{c}" for c in self.minmax_cols] + [
+            f"max_{c}" for c in self.minmax_cols
+        ]
+
+    def _with_minmax(self, sums: DataFrame, rows: DataFrame) -> DataFrame:
+        """Full-recompute path: attach min/max per group to the count/sum
+        state (same scan, second hash agg on the shuffled groups)."""
+        if not self.minmax_cols:
+            return sums
+        mm = rows.groupBy(*self.group_cols).agg(*self._mm_aggs())
+        return sums.join(mm, self.group_cols, "left")
+
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
         """Distinct bucket ids of the changed keys (≤ n_buckets values —
         metadata-scale collect, same posture as the hot-key list)."""
@@ -176,11 +223,11 @@ class IncrementalRollup:
         to_snap = self.table.meta["current_snapshot_id"] or 0
         m = self._meta()
         if m is None or rebuild:
-            state = self._contrib(
-                self.table.read(snapshot_id=to_snap or None), +1
-            )
+            rows = self.table.read(snapshot_id=to_snap or None)
+            state = self._with_minmax(self._contrib(rows, +1), rows)
             self._commit(state, to_snap, (m["version"] + 1) if m else 1)
             return {"mode": "full", "from": None, "to": to_snap}
+        self._check_meta_cols(m)
         from_snap = m["snapshot_id"] or 0
         if from_snap == to_snap:
             return {"mode": "noop", "from": from_snap, "to": to_snap}
@@ -210,15 +257,103 @@ class IncrementalRollup:
         delta = self._merge_deltas(
             [self._contrib(new, +1), self._contrib(old, -1)]
         )
-        merged = self._merge_deltas(
-            [self.read(), delta], prune=True
-        ).localCheckpoint(eager=True)  # sever lineage from the OLD state
-        # files before the commit swaps them out underneath the plan
+        state = self.read()
+        mm_names = self._mm_names()
+        state_cs = state.drop(*mm_names) if mm_names else state
+        merged = self._merge_deltas([state_cs, delta], prune=True)
+        n_affected = 0
+        if self.minmax_cols:
+            mm_final, n_affected = self._refresh_minmax(
+                state.select(*self.group_cols, *mm_names), old, new, to_snap
+            )
+            merged = merged.join(mm_final, self.group_cols, "left")
+        merged = merged.localCheckpoint(
+            eager=True
+        )  # sever lineage from the OLD state files before the commit
+        # swaps them out underneath the plan
         self._commit(merged, to_snap, m["version"] + 1)
-        return {
+        out = {
             "mode": "incremental",
             "from": from_snap,
             "to": to_snap,
             "changed_keys": n_changed,
             "buckets_scanned": len(buckets),
         }
+        if self.minmax_cols:
+            out["minmax_recomputed_groups"] = n_affected
+        return out
+
+    # -- min/max IVM -------------------------------------------------------
+
+    #: above this many affected groups the rescan predicate switches from a
+    #: driver-side isin list (parquet row-group pruning) to a broadcast
+    #: semi-join (no 100k-literal plans)
+    _MM_ISIN_CAP = 10_000
+
+    def _refresh_minmax(
+        self, state_mm: DataFrame, old: DataFrame, new: DataFrame, to_snap: int
+    ) -> tuple[DataFrame, int]:
+        """Advance min_*/max_* per group: monotone fold for groups whose
+        removed pre-images could not have held the stored extremum,
+        TO-snapshot re-aggregation restricted to the (metadata-scale)
+        affected group set otherwise. Returns (per-group minmax frame
+        covering ALL live groups, n recomputed groups)."""
+        g = self.group_cols
+        old_mm = old.groupBy(*g).agg(*self._mm_aggs(prefix="old_"))
+        new_mm = new.groupBy(*g).agg(*self._mm_aggs(prefix="new_"))
+        touched = old_mm.join(new_mm, g, "full").join(state_mm, g, "left")
+        # affected ⇔ some removed pre-image value ties-or-beats the stored
+        # extremum for some column (each guarded term is non-null boolean)
+        pred = F.lit(False)
+        for c in self.minmax_cols:
+            pred = pred | (
+                F.col(f"old_min_{c}").isNotNull()
+                & F.col(f"min_{c}").isNotNull()
+                & (F.col(f"old_min_{c}") <= F.col(f"min_{c}"))
+            ) | (
+                F.col(f"old_max_{c}").isNotNull()
+                & F.col(f"max_{c}").isNotNull()
+                & (F.col(f"old_max_{c}") >= F.col(f"max_{c}"))
+            )
+        touched = touched.localCheckpoint(eager=True)  # reused 3×
+        affected = touched.where(pred).select(*g)
+        # unaffected (incl. brand-new groups): least/greatest skip nulls,
+        # so state-less groups take the post-image extremum directly
+        folded = touched.where(~pred).select(
+            *g,
+            *[
+                F.least(F.col(f"min_{c}"), F.col(f"new_min_{c}")).alias(
+                    f"min_{c}"
+                )
+                for c in self.minmax_cols
+            ],
+            *[
+                F.greatest(F.col(f"max_{c}"), F.col(f"new_max_{c}")).alias(
+                    f"max_{c}"
+                )
+                for c in self.minmax_cols
+            ],
+        )
+        affected = affected.localCheckpoint(eager=True)
+        n_affected = affected.count()
+        if n_affected == 0:
+            recomputed = None
+        elif len(g) == 1 and n_affected <= self._MM_ISIN_CAP:
+            # driver-side literal list → pushed to the parquet scan, so
+            # row-group stats prune when the table clusters by the group
+            scan = self.table.read(snapshot_id=to_snap).where(
+                F.col(g[0]).isin([r[0] for r in affected.collect()])
+            )
+            recomputed = scan.groupBy(*g).agg(*self._mm_aggs())
+        else:
+            recomputed = (
+                self.table.read(snapshot_id=to_snap)
+                .join(F.broadcast(affected), g, "left_semi")
+                .groupBy(*g)
+                .agg(*self._mm_aggs())
+            )
+        untouched = state_mm.join(touched.select(*g), g, "left_anti")
+        out = untouched.unionByName(folded)
+        if recomputed is not None:
+            out = out.unionByName(recomputed)
+        return out, n_affected

@@ -185,3 +185,117 @@ def test_bootstrap_on_empty_table_then_data(spark, table, tmp_path):
     r = roll.refresh()
     assert r["mode"] == "incremental"
     assert _state(roll) == _recompute(table) == {"g": (1, 3.0), "h": (1, 4.0)}
+
+
+def _recompute_mm(table):
+    return {
+        r["grp"]: (r["n"], round(r["s"], 6), r["lo"], r["hi"])
+        for r in table.read()
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("val").alias("s"),
+             F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    }
+
+
+def _state_mm(rollup):
+    return {
+        r["grp"]: (r["n_rows"], round(r["sum_val"], 6),
+                   r["min_val"], r["max_val"])
+        for r in rollup.read().collect()
+    }
+
+
+def test_minmax_maintenance_matches_recompute(spark, table, tmp_path):
+    """Round-4 min/max IVM: monotone fold for untouched-extremum groups,
+    affected-group-only rescan when a removed pre-image held the stored
+    extremum; state == full recompute after every refresh."""
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "ab"[i % 2], 10 + i, i) for i in range(10)
+        ]),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "mm"),
+        minmax_cols=["val"],
+    )
+    assert roll.refresh()["mode"] == "full"
+    assert _state_mm(roll) == _recompute_mm(table)
+
+    # epoch 1: inserts + a mid-range delete — NO extremum touched, so the
+    # fold path handles everything and zero groups rescan
+    table.merge(
+        _events(spark, [
+            ("insert", "u90", 100, "a", 30.0, 100),  # new a max (fold)
+            ("insert", "u91", 101, "c", 1.0, 101),   # brand-new group
+            ("delete", "u4", 102, None, 0, 102),     # a's mid value 14
+        ]),
+        epoch=1, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental"
+    assert r["minmax_recomputed_groups"] == 0
+    assert _state_mm(roll) == _recompute_mm(table)
+
+    # epoch 2: kill the min-holder of 'a' (u0, val 10) and the max-holder
+    # of 'b' (u9 moved out by group move) — both groups must rescan
+    table.merge(
+        _events(spark, [
+            ("delete", "u0", 200, None, 0, 200),
+            ("update", "u9", 201, "c", 19.0, 201),   # grp move b -> c
+        ]),
+        epoch=2, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["minmax_recomputed_groups"] >= 1
+    assert _state_mm(roll) == _recompute_mm(table)
+
+    # epoch 3: equality tie — two rows share b's min; deleting one keeps
+    # the same extremum (conservative rescan must return the tied value)
+    table.merge(
+        _events(spark, [
+            ("insert", "tie1", 300, "b", 11.0, 300),
+            ("insert", "tie2", 301, "b", 11.0, 301),
+        ]),
+        epoch=3, mode="mor",
+    )
+    roll.refresh()
+    table.merge(
+        _events(spark, [("delete", "tie1", 400, None, 0, 400)]),
+        epoch=4, mode="mor",
+    )
+    roll.refresh()
+    got = _state_mm(roll)
+    assert got == _recompute_mm(table)
+    assert got["b"][2] == 11.0
+
+    # group emptied entirely -> pruned from the state incl. minmax
+    table.merge(
+        _events(spark, [("delete", "u91", 500, None, 0, 500)]),
+        epoch=5, mode="mor",
+    )
+    roll.refresh()
+    state = _state_mm(roll)
+    assert state == _recompute_mm(table)
+
+
+def test_minmax_cols_frozen_until_rebuild(spark, table, tmp_path):
+    table.merge(
+        _events(spark, [("insert", "u1", 0, "a", 1.0, 0)]), epoch=0, mode="mor"
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "fz"),
+        minmax_cols=["val"],
+    )
+    roll.refresh()
+    other = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "fz")
+    )
+    table.merge(
+        _events(spark, [("insert", "u2", 1, "a", 2.0, 1)]), epoch=1, mode="mor"
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        other.refresh()
+    assert other.refresh(rebuild=True)["mode"] == "full"
+    assert "min_val" not in other.read().columns
