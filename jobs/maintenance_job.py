@@ -132,6 +132,20 @@ def main() -> None:
     ap.add_argument("--compact-report", action="store_true",
                     help="with --report-store: collapse live parts into "
                          "one folded dir per kind (ledger preserved)")
+    ap.add_argument("--rollup-state", default=None, metavar="DIR",
+                    help="incrementally-maintained group-by rollup "
+                         "(lake/incremental.py::IncrementalRollup): advance "
+                         "it to --table's current snapshot in O(delta)")
+    ap.add_argument("--rollup-group", default=None, metavar="COL[,COL]",
+                    help="rollup group columns (required with --rollup-state)")
+    ap.add_argument("--rollup-sum", default="", metavar="COL[,COL]",
+                    help="numeric columns summed per group")
+    ap.add_argument("--rollup-minmax", default="", metavar="COL[,COL]",
+                    help="columns min/max-maintained per group (X125: "
+                         "monotone fold + affected-group-only rescan)")
+    ap.add_argument("--rollup-rebuild", action="store_true",
+                    help="full recompute (bootstrap, cursor reset, or a "
+                         "maintained-column-set change)")
     ap.add_argument("--verify-export", default=None, metavar="DIR",
                     help="consumer-side shard-export integrity check "
                          "(operators/export.py::verify_shards): re-aggregate "
@@ -162,10 +176,15 @@ def main() -> None:
             _dt.fromisoformat(args.ttl_older_than)
         except ValueError:
             ap.error("--ttl-older-than must be an ISO timestamp")
+    if args.rollup_state and not args.rollup_group:
+        ap.error("--rollup-state requires --rollup-group")
+    if (args.rollup_group or args.rollup_rebuild) and not args.rollup_state:
+        ap.error("--rollup-group / --rollup-rebuild require --rollup-state")
     table_ops = (args.compact or args.build_blooms or args.purge_keys
                  or args.expire_keep_last is not None or args.gc_orphans
                  or args.rollback_to is not None
-                 or args.ttl_older_than is not None)
+                 or args.ttl_older_than is not None
+                 or args.rollup_state is not None)
     if table_ops and args.table is None:
         ap.error("--table is required for table operations")
     sketch_ops = args.retract_sketch_epoch is not None or args.compact_sketches
@@ -325,6 +344,18 @@ def main() -> None:
             )
         if args.compact_report:
             done["report_compact"] = rstore.compact()
+
+    if args.rollup_state:
+        from data_pipeline_spark.lake.incremental import IncrementalRollup
+
+        roll = IncrementalRollup(
+            spark, table,
+            [c for c in args.rollup_group.split(",") if c],
+            [c for c in args.rollup_sum.split(",") if c],
+            args.rollup_state,
+            minmax_cols=[c for c in args.rollup_minmax.split(",") if c],
+        )
+        done["rollup_refresh"] = roll.refresh(rebuild=args.rollup_rebuild)
 
     if args.verify_export:
         from data_pipeline_spark.operators.export import verify_shards

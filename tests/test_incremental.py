@@ -299,3 +299,46 @@ def test_minmax_cols_frozen_until_rebuild(spark, table, tmp_path):
         other.refresh()
     assert other.refresh(rebuild=True)["mode"] == "full"
     assert "min_val" not in other.read().columns
+
+
+def test_maintenance_job_rollup_refresh(spark, table, tmp_path, monkeypatch, capsys):
+    """maintenance_job --rollup-state: the nightly cron path advances the
+    rollup (incl. min/max) in O(delta) and reports the refresh stats."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "ab"[i % 2], 10 + i, i) for i in range(8)
+        ]),
+        epoch=0, mode="mor",
+    )
+    state = str(tmp_path / "jobroll")
+
+    def run(extra=()):
+        monkeypatch.setattr("sys.argv", [
+            "maintenance_job.py", "--table", table.path,
+            "--rollup-state", state, "--rollup-group", "grp",
+            "--rollup-sum", "val", "--rollup-minmax", "val", *extra,
+        ])
+        from pyspark.sql import SparkSession
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        maintenance_job.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run()["rollup_refresh"]["mode"] == "full"
+    table.merge(
+        _events(spark, [("delete", "u0", 100, None, 0, 100)]),
+        epoch=1, mode="mor",
+    )
+    r = run()["rollup_refresh"]
+    assert r["mode"] == "incremental" and r["minmax_recomputed_groups"] == 1
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], state, minmax_cols=["val"]
+    )
+    assert _state_mm(roll) == _recompute_mm(table)
