@@ -198,7 +198,9 @@ def q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     group moves and fresh inserts lands and the rollup advances
     INCREMENTALLY — additive delta for count/sum, monotone fold for
     untouched-extremum groups, affected-group-only rescan for removed
-    extrema (the Materialize-style non-retractable-aggregate treatment).
+    extrema (the Materialize-style non-retractable-aggregate treatment),
+    and exact per-group count-distinct retraction via the per-(group,
+    value) aux relation.
     The DuckDB twin aggregates the final table state directly, so parity
     proves incremental == full recompute across every change mode."""
     import tempfile
@@ -253,7 +255,8 @@ def q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{ws}/t", schema, key_col="url", n_buckets=8
     )
     roll = IncrementalRollup(
-        spark, table, ["grp"], ["val"], f"{ws}/roll", minmax_cols=["val"]
+        spark, table, ["grp"], ["val"], f"{ws}/roll", minmax_cols=["val"],
+        distinct_cols=["val"],
     )
     table.merge(base, epoch=0, mode="mor")
     roll.refresh()
@@ -268,6 +271,7 @@ def q_cdc_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_val", 4).alias("sum_val"),
         "min_val",
         "max_val",
+        "n_distinct_val",
     )
 
 
@@ -283,7 +287,8 @@ WITH final_rows AS (
   FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
 )
 SELECT grp, count(*) AS n_rows, round(sum(val), 4) AS sum_val,
-       min(val) AS min_val, max(val) AS max_val
+       min(val) AS min_val, max(val) AS max_val,
+       count(DISTINCT val) AS n_distinct_val
 FROM final_rows GROUP BY grp
 """
 

@@ -44,6 +44,17 @@ retractable by algebra, so they follow the standard IVM treatment
   (``compact(cluster_by=group_cols)``), and a delete that does not touch
   a group's extremum costs nothing beyond the delta math.
 
+``distinct_cols`` entries maintain an exact n_distinct_<col> per group —
+the one aggregate that IS exactly retractable, via the auxiliary
+per-(group, value) count relation the IVM literature keeps for it:
+deletes decrement value counts, a value leaves the group only when its
+count hits zero, and the per-group distinct is the aux relation's group
+cardinality. The aux rides the same atomic version-dir commit as the
+main state (one ``os.rename`` publishes both) and costs O(live distinct
+(group, value) pairs) of state — the price of exactness; the mergeable
+approximate alternative at unbounded cardinality is the HLL/KMV sketch
+family (`operators/hll.py`, `operators/kmv.py`).
+
 Averages are derived (sum/n) at read time.
 
 Reference parity: the reference recomputes everything per run (its only
@@ -74,12 +85,23 @@ class IncrementalRollup:
         sum_cols: list[str],
         state_dir: str,
         minmax_cols: list[str] | None = None,
+        distinct_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.table = table
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols or [])
+        self.distinct_cols = list(distinct_cols or [])
+        overlap = set(self.distinct_cols) & set(self.group_cols)
+        if overlap:
+            # n_distinct of a grouping column is identically 1 — and the
+            # aux relation would carry a duplicate column name. Refuse
+            # loudly instead of maintaining a meaningless aggregate.
+            raise ValueError(
+                f"distinct_cols {sorted(overlap)} are group columns; "
+                "their per-group distinct is always 1"
+            )
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
 
@@ -87,12 +109,16 @@ class IncrementalRollup:
         """The maintained column set is frozen at the first commit — a
         drift between configured and stored aggregates would silently
         read garbage columns. Changing the set needs refresh(rebuild=True)."""
-        stored = m.get("minmax_cols", [])
-        if stored != self.minmax_cols:
-            raise ValueError(
-                f"rollup state maintains minmax_cols={stored}, configured "
-                f"{self.minmax_cols}; pass rebuild=True to change the set"
-            )
+        for field, want in (
+            ("minmax_cols", self.minmax_cols),
+            ("distinct_cols", self.distinct_cols),
+        ):
+            stored = m.get(field, [])
+            if stored != want:
+                raise ValueError(
+                    f"rollup state maintains {field}={stored}, configured "
+                    f"{want}; pass rebuild=True to change the set"
+                )
 
     # -- state I/O ---------------------------------------------------------
 
@@ -110,16 +136,40 @@ class IncrementalRollup:
         m = self._meta()
         return None if m is None else m["snapshot_id"]
 
+    def _data_root(self, m: dict) -> str:
+        return os.path.join(self.state_dir, m["data"])
+
     def read(self) -> DataFrame:
-        """Current rollup: (group_cols, n_rows, sum_*...)."""
+        """Current rollup: (group_cols, n_rows, sum_*, min_*/max_*,
+        n_distinct_*...)."""
         m = self._meta()
         if m is None:
             raise ValueError("rollup has no state yet — call refresh()")
+        root = self._data_root(m)
+        # layout 2 (round 4, with aux relations): main relation nests under
+        # <state>/main; layout 1 states ARE the parquet dir
+        if m.get("layout", 1) >= 2:
+            return self.spark.read.parquet(os.path.join(root, "main"))
+        return self.spark.read.parquet(root)
+
+    def read_aux(self, col: str) -> DataFrame:
+        """The per-(group, value) count relation backing n_distinct_<col>
+        — the exactly-retractable auxiliary the IVM literature keeps for
+        distinct aggregates."""
+        m = self._meta()
+        if m is None or col not in m.get("distinct_cols", []):
+            raise ValueError(f"no distinct aux maintained for {col!r}")
         return self.spark.read.parquet(
-            os.path.join(self.state_dir, m["data"])
+            os.path.join(self._data_root(m), f"aux_distinct_{col}")
         )
 
-    def _commit(self, df: DataFrame, snapshot_id: int, version: int) -> None:
+    def _commit(
+        self,
+        df: DataFrame,
+        snapshot_id: int,
+        version: int,
+        aux: dict[str, DataFrame] | None = None,
+    ) -> None:
         """Atomic: write data to a tmp dir, rename it in, then fsync-swap
         meta.json (the cursor advances in the same commit as the data).
         Readers only ever follow meta.json, so a crash at any point leaves
@@ -138,7 +188,13 @@ class IncrementalRollup:
                 shutil.rmtree(p, ignore_errors=True)
         name = f"state-v{version}"
         tmp = tempfile.mkdtemp(dir=self.state_dir, prefix=".tmp-")
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        # main + any aux relations nest under ONE version dir, so a single
+        # os.rename publishes them together (atomic multi-relation commit)
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data", "main"))
+        for aux_name, aux_df in (aux or {}).items():
+            aux_df.write.mode("overwrite").parquet(
+                os.path.join(tmp, "data", aux_name)
+            )
         final = os.path.join(self.state_dir, name)
         os.rename(os.path.join(tmp, "data"), final)
         _atomic_write(  # write+flush+fsync+replace, same as table metadata
@@ -147,7 +203,9 @@ class IncrementalRollup:
                 "snapshot_id": snapshot_id,
                 "version": version,
                 "data": name,
+                "layout": 2,
                 "minmax_cols": self.minmax_cols,
+                "distinct_cols": self.distinct_cols,
                 "committed_at": time.time(),
             }),
         )
@@ -204,6 +262,36 @@ class IncrementalRollup:
         mm = rows.groupBy(*self.group_cols).agg(*self._mm_aggs())
         return sums.join(mm, self.group_cols, "left")
 
+    def _nd_names(self) -> list[str]:
+        return [f"n_distinct_{c}" for c in self.distinct_cols]
+
+    def _aux_counts(self, rows: DataFrame, c: str, sign: int) -> DataFrame:
+        """±count per (group, value) — NULL values never count toward a
+        distinct (SQL count(DISTINCT c) semantics)."""
+        out = (
+            rows.where(F.col(c).isNotNull())
+            .groupBy(*self.group_cols, c)
+            .agg((F.count("*") * sign).cast("long").alias("cnt"))
+        )
+        return out
+
+    def _attach_distinct(
+        self, state: DataFrame, aux: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Join per-group distinct counts (derived from the aux relations)
+        into the main state; a live group whose values are all NULL gets 0."""
+        for c in self.distinct_cols:
+            nd = (
+                aux[f"aux_distinct_{c}"]
+                .groupBy(*self.group_cols)
+                .agg(F.count("*").cast("long").alias(f"n_distinct_{c}"))
+            )
+            state = state.join(nd, self.group_cols, "left").withColumn(
+                f"n_distinct_{c}",
+                F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0).cast("long")),
+            )
+        return state
+
     def _touched_buckets(self, keys: DataFrame) -> list[int]:
         """Distinct bucket ids of the changed keys (≤ n_buckets values —
         metadata-scale collect, same posture as the hot-key list)."""
@@ -225,7 +313,16 @@ class IncrementalRollup:
         if m is None or rebuild:
             rows = self.table.read(snapshot_id=to_snap or None)
             state = self._with_minmax(self._contrib(rows, +1), rows)
-            self._commit(state, to_snap, (m["version"] + 1) if m else 1)
+            aux = {
+                f"aux_distinct_{c}": self._aux_counts(
+                    rows, c, +1
+                ).localCheckpoint(eager=True)
+                for c in self.distinct_cols
+            }
+            state = self._attach_distinct(state, aux)
+            self._commit(
+                state, to_snap, (m["version"] + 1) if m else 1, aux=aux
+            )
             return {"mode": "full", "from": None, "to": to_snap}
         self._check_meta_cols(m)
         from_snap = m["snapshot_id"] or 0
@@ -258,20 +355,37 @@ class IncrementalRollup:
             [self._contrib(new, +1), self._contrib(old, -1)]
         )
         state = self.read()
-        mm_names = self._mm_names()
-        state_cs = state.drop(*mm_names) if mm_names else state
+        derived = self._mm_names() + self._nd_names()
+        state_cs = state.drop(*derived) if derived else state
         merged = self._merge_deltas([state_cs, delta], prune=True)
         n_affected = 0
         if self.minmax_cols:
+            mm_names = self._mm_names()
             mm_final, n_affected = self._refresh_minmax(
                 state.select(*self.group_cols, *mm_names), old, new, to_snap
             )
             merged = merged.join(mm_final, self.group_cols, "left")
+        aux_out: dict[str, DataFrame] = {}
+        for c in self.distinct_cols:
+            # exactly-retractable distinct: fold ±(group, value) counts
+            # into the stored aux relation, prune exhausted values
+            merged_aux = (
+                self.read_aux(c)
+                .unionByName(self._aux_counts(new, c, +1))
+                .unionByName(self._aux_counts(old, c, -1))
+                .groupBy(*self.group_cols, c)
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .where(F.col("cnt") > 0)
+                .localCheckpoint(eager=True)  # sever from old aux files
+            )
+            aux_out[f"aux_distinct_{c}"] = merged_aux
+        if self.distinct_cols:
+            merged = self._attach_distinct(merged, aux_out)
         merged = merged.localCheckpoint(
             eager=True
         )  # sever lineage from the OLD state files before the commit
         # swaps them out underneath the plan
-        self._commit(merged, to_snap, m["version"] + 1)
+        self._commit(merged, to_snap, m["version"] + 1, aux=aux_out)
         out = {
             "mode": "incremental",
             "from": from_snap,

@@ -143,6 +143,10 @@ def main() -> None:
     ap.add_argument("--rollup-minmax", default="", metavar="COL[,COL]",
                     help="columns min/max-maintained per group (X125: "
                          "monotone fold + affected-group-only rescan)")
+    ap.add_argument("--rollup-distinct", default="", metavar="COL[,COL]",
+                    help="columns with an exact maintained per-group "
+                         "count-distinct (retractable via the per-value "
+                         "aux relation)")
     ap.add_argument("--rollup-rebuild", action="store_true",
                     help="full recompute (bootstrap, cursor reset, or a "
                          "maintained-column-set change)")
@@ -354,6 +358,7 @@ def main() -> None:
             [c for c in args.rollup_sum.split(",") if c],
             args.rollup_state,
             minmax_cols=[c for c in args.rollup_minmax.split(",") if c],
+            distinct_cols=[c for c in args.rollup_distinct.split(",") if c],
         )
         done["rollup_refresh"] = roll.refresh(rebuild=args.rollup_rebuild)
 

@@ -342,3 +342,76 @@ def test_maintenance_job_rollup_refresh(spark, table, tmp_path, monkeypatch, cap
         spark, table, ["grp"], ["val"], state, minmax_cols=["val"]
     )
     assert _state_mm(roll) == _recompute_mm(table)
+
+
+def test_distinct_maintenance_exactly_retractable(spark, table, tmp_path):
+    """Round-4 distinct IVM: n_distinct_<col> per group via the
+    per-(group, value) aux relation — deletes retract exactly (a value
+    leaves only when its last holder does), NULLs never count, and the
+    aux commits atomically with the main state."""
+    # grp a: vals 1,1,2  grp b: vals 1,2,3 + a NULL
+    rows = [
+        ("u1", "a", 1.0, 1), ("u2", "a", 1.0, 2), ("u3", "a", 2.0, 3),
+        ("u4", "b", 1.0, 4), ("u5", "b", 2.0, 5), ("u6", "b", 3.0, 6),
+        ("u7", "b", None, 7),
+    ]
+    table.merge(
+        _events(spark, [("insert", u, l, g, v if v is not None else 0, l)
+                        for u, g, v, l in rows]).withColumn(
+            "val",
+            F.when(F.col("url") == "u7", F.lit(None).cast("double"))
+            .otherwise(F.col("val")),
+        ),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], [], str(tmp_path / "nd"),
+        distinct_cols=["val"],
+    )
+    roll.refresh()
+
+    def nd():
+        return {r["grp"]: r["n_distinct_val"] for r in roll.read().collect()}
+
+    assert nd() == {"a": 2, "b": 3}
+    # delete ONE of a's two 1.0-holders: distinct must NOT drop (the
+    # value survives through u2) — this is exactly what an aux-less
+    # recompute-free scheme gets wrong
+    table.merge(
+        _events(spark, [("delete", "u1", 100, None, 0, 100)]),
+        epoch=1, mode="mor",
+    )
+    assert roll.refresh()["mode"] == "incremental"
+    assert nd() == {"a": 2, "b": 3}
+    # delete the LAST holder of a's 1.0 and b's NULL row: a drops to 1,
+    # b stays (NULL never counted)
+    table.merge(
+        _events(spark, [("delete", "u2", 200, None, 0, 200),
+                        ("delete", "u7", 201, None, 0, 201)]),
+        epoch=2, mode="mor",
+    )
+    roll.refresh()
+    assert nd() == {"a": 1, "b": 3}
+    # value update moves u3 2.0 -> 9.0: cardinality same, SET changes
+    table.merge(
+        _events(spark, [("update", "u3", 300, "a", 9.0, 300)]),
+        epoch=3, mode="mor",
+    )
+    roll.refresh()
+    assert nd() == {"a": 1, "b": 3}
+    aux = {(r["grp"], r["val"]): r["cnt"] for r in roll.read_aux("val").collect()}
+    assert aux == {("a", 9.0): 1, ("b", 1.0): 1, ("b", 2.0): 1, ("b", 3.0): 1}
+    # full parity with a cold recompute
+    want = {
+        r["grp"]: r["n"] for r in table.read().groupBy("grp")
+        .agg(F.count_distinct("val").alias("n")).collect()
+    }
+    assert nd() == want
+    # frozen-set guard covers distinct_cols too
+    other = IncrementalRollup(spark, table, ["grp"], [], str(tmp_path / "nd"))
+    table.merge(
+        _events(spark, [("insert", "u9", 400, "a", 1.0, 400)]),
+        epoch=4, mode="mor",
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        other.refresh()
