@@ -39,10 +39,16 @@ retractable by algebra, so they follow the standard IVM treatment
   stored max, per column); only affected groups re-aggregate, from the
   TO snapshot restricted to exactly those groups. Cost is O(affected
   groups' rows) — at 10^10 rows the restricting predicate is an
-  ``isin`` over a metadata-scale group list, so parquet row-group stats
-  prune the rescan when the table is clustered by the group columns
-  (``compact(cluster_by=group_cols)``), and a delete that does not touch
-  a group's extremum costs nothing beyond the delta math.
+  ``isin`` over a metadata-scale group list, which reaches the parquet
+  reader (PushedFilters → row-group pruning) on COMPACTED state when
+  the table clusters by the group columns
+  (``compact(cluster_by=group_cols)``); on un-compacted merge-on-read
+  state the predicate correctly stays above the scan-time LWW resolve
+  (a pre-LWW filter on a mutable group column could flip which version
+  wins) — both shapes pinned in
+  ``test_incremental.py::test_minmax_rescan_pushes_isin_to_scan``. A
+  delete that does not touch a group's extremum costs nothing beyond
+  the delta math.
 
 ``distinct_cols`` entries maintain an exact n_distinct_<col> per group —
 the one aggregate that IS exactly retractable, via the auxiliary

@@ -415,3 +415,51 @@ def test_distinct_maintenance_exactly_retractable(spark, table, tmp_path):
     )
     with pytest.raises(ValueError, match="rebuild"):
         other.refresh()
+
+
+def test_minmax_rescan_pushes_isin_to_scan(spark, table, tmp_path):
+    """The affected-group rescan's isin predicate reaches the parquet
+    scan (PushedFilters) on COMPACTED state, so row-group stats prune
+    when the table clusters by the group columns. On un-compacted
+    merge-on-read state the filter correctly sits ABOVE the scan-time
+    LWW aggregate — a pre-LWW filter on a mutable group column could
+    change which version wins — and that non-pushability is pinned
+    here too, as the documented cost of rescanning between
+    compactions."""
+    import pyspark.sql.functions as SF
+
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "ab"[i % 2], 10 + i, i) for i in range(8)
+        ]),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "pin"),
+        minmax_cols=["val"],
+    )
+    roll.refresh()
+    table.merge(
+        _events(spark, [("delete", "u0", 100, None, 0, 100)]),
+        epoch=1, mode="mor",
+    )
+
+    def rescan_plan():
+        scan = table.read(
+            snapshot_id=table.meta["current_snapshot_id"]
+        ).where(SF.col("grp").isin(["a"]))
+        return scan._jdf.queryExecution().executedPlan().toString()
+
+    # un-compacted MoR: filter must NOT push below the LWW resolve
+    assert "PushedFilters: []" in rescan_plan()
+    # and the refresh is correct on that state
+    roll.refresh()
+    assert _state_mm(roll) == _recompute_mm(table)
+    # compacted state: plain scan, the group predicate reaches the reader
+    table.compact()
+    plan = rescan_plan()
+    assert "max_by" not in plan
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "grp" in pushed.group(1), plan[:1500]
