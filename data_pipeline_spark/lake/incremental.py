@@ -477,3 +477,55 @@ class IncrementalRollup:
         if recomputed is not None:
             out = out.unionByName(recomputed)
         return out, n_affected
+
+
+class StreamingRollup:
+    """Continuous rollup maintenance: Structured Streaming drives
+    :meth:`IncrementalRollup.refresh` on a processing-time trigger — the
+    same rate-clock composition as :class:`StreamingJoinView` and
+    :class:`lake.sync.StreamingTableSync`, completing the maintained
+    derived-table triangle (join views, SCD2 history, grouped rollups).
+
+    The streamed rows are only a clock; state lives entirely on disk:
+    the snapshot cursor is re-read each tick and only advances in the
+    same atomic commit as the rollup data (main + aux relations under one
+    version-dir rename), so exactly-once survives driver restarts WITHOUT
+    depending on the stream checkpoint — a re-fired trigger sees an
+    already-advanced cursor and records a no-op.
+    """
+
+    def __init__(self, rollup: IncrementalRollup, keep_results: int = 100):
+        import collections
+
+        self.rollup = rollup
+        # Bounded: an always-on trigger would otherwise leak one dict per
+        # tick on the driver for the stream's lifetime.
+        self.results: "collections.deque" = collections.deque(
+            maxlen=keep_results
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # The base table is typically written by another process (the
+        # replay job); re-read its metadata each tick so new snapshots
+        # are seen.
+        self.rollup.table.refresh()
+        self.results.append(self.rollup.refresh())
+
+    def start(
+        self,
+        checkpoint_dir: str,
+        interval: str = "1 second",
+        rows_per_second: int = 1,
+    ):
+        spark = self.rollup.spark
+        clock = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        return (
+            clock.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=interval)
+            .start()
+        )

@@ -463,3 +463,57 @@ def test_minmax_rescan_pushes_isin_to_scan(spark, table, tmp_path):
 
     pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed and "grp" in pushed.group(1), plan[:1500]
+
+
+def test_streaming_rollup_maintenance(spark, table, tmp_path):
+    """StreamingRollup: a rate-clock stream drives refresh() ticks while
+    the base table takes new merges from 'another process'; the rollup
+    (incl. min/max + distinct) converges to the full recompute, cursor
+    no-ops are recorded between merges, and the state commit — not the
+    stream checkpoint — carries exactly-once."""
+    import time as _time
+
+    from data_pipeline_spark.lake.incremental import StreamingRollup
+    from data_pipeline_spark.lake.table import LakeTable
+
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "ab"[i % 2], 10 + i, i) for i in range(8)
+        ]),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "sr"),
+        minmax_cols=["val"], distinct_cols=["val"],
+    )
+    stream = StreamingRollup(roll)
+    q = stream.start(str(tmp_path / "cp"), interval="1 second")
+    try:
+        # writer-side handle, as a separate process would hold it
+        writer = LakeTable.load(spark, table.path)
+        deadline = _time.time() + 60
+        while not stream.results and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert stream.results and stream.results[0]["mode"] == "full"
+        writer.merge(
+            _events(spark, [
+                ("delete", "u0", 100, None, 0, 100),      # a's min holder
+                ("insert", "u9", 101, "b", 10.0, 101),    # dup value in b
+            ]),
+            epoch=1, mode="mor",
+        )
+        while (
+            not any(r["mode"] == "incremental" for r in stream.results)
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    modes = [r["mode"] for r in stream.results]
+    assert "incremental" in modes and "noop" in modes, modes
+    assert _state_mm(roll) == _recompute_mm(table)
+    nd = {r["grp"]: r["n_distinct_val"] for r in roll.read().collect()}
+    want = {r["grp"]: r["n"] for r in table.read().groupBy("grp")
+            .agg(F.count_distinct("val").alias("n")).collect()}
+    assert nd == want
