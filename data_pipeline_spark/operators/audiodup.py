@@ -132,3 +132,23 @@ def afp_pairs(
     return dhash_pairs(
         fingerprints, id_col=id_col, hash_col="afp", max_hamming=max_hamming
     )
+
+
+def audio_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """End-to-end perceptual AUDIO dedup (round 4): decode → band-energy
+    fingerprint → the shared banded-pairs/components/survivor tail
+    (imagedup.hash_component_dedup) — one tuned closure for image and
+    audio alike. Returns ``(id_col, component, is_survivor)``;
+    undecodable clips are singleton survivors (a quality-gate decision,
+    not a dedup one)."""
+    from .imagedup import hash_component_dedup
+
+    fps = audio_fingerprint(media, id_col=id_col, content_col=content_col)
+    return hash_component_dedup(
+        fps, id_col=id_col, hash_col="afp", max_hamming=max_hamming
+    )

@@ -37,7 +37,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["dhash64", "image_dhash", "dhash_pairs", "media_dedup"]
+__all__ = ["dhash64", "image_dhash", "dhash_pairs", "media_dedup",
+           "hash_component_dedup"]
 
 DHASH_BITS = 64
 _TH, _TW = 8, 9  # target grid: 8 rows x 9 cols -> 8x8 neighbour bits
@@ -264,13 +265,33 @@ def media_dedup(
     same machinery the text near-dup stage rides, so a 1000-executor run
     shares one tuned code path for text and images.
     """
-    from .components import connected_components
-
     hashes = image_dhash(
         media, id_col=id_col, content_col=content_col, type_col=type_col
-    ).localCheckpoint(eager=True)  # component loop iterates actions on it
-    pairs = dhash_pairs(hashes, id_col=id_col, hash_col="dhash",
-                        max_hamming=max_hamming)
+    )
+    return hash_component_dedup(
+        hashes, id_col=id_col, hash_col="dhash", max_hamming=max_hamming
+    )
+
+
+def hash_component_dedup(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Shared tail of every perceptual-hash dedup stage: banded pairs →
+    connected components → canonical survivor. Works for ANY 64-bit
+    signature family (image dHash, audio band-energy fingerprint) — the
+    pigeonhole pairing and the star-operation closure are hash-agnostic.
+    NULL signatures (undecodable payloads) become singleton survivors."""
+    from .components import connected_components
+
+    hashes = hashes.localCheckpoint(
+        eager=True
+    )  # the component loop iterates actions on it
+    pairs = dhash_pairs(
+        hashes, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming
+    )
     nodes = hashes.select(id_col)
     comp = connected_components(nodes, pairs, "id_a", "id_b", id_col)
     return comp.select(

@@ -89,3 +89,25 @@ def test_spark_path_and_pairs(spark):
     assert pairs == brute
     assert ("a0", "a0_quiet") in pairs  # exact-invariance copy found
     assert ("a0", "a0_noisy") in pairs  # noisy copy found
+
+
+def test_audio_dedup_e2e_planted_reencodes(spark):
+    """Round-4 e2e: requantized/noisy copies of one clip collapse to a
+    single survivor through the shared banded-pairs/components tail; a
+    different tone and a corrupt clip survive as singletons."""
+    from data_pipeline_spark.operators.audiodup import audio_dedup
+
+    rows = [
+        (1, _tone([440, 1200], amp=8000)),
+        (2, _tone([440, 1200], amp=800)),              # volume change
+        (3, _tone([440, 1200], noise=300, seed=5)),    # noisy copy
+        (4, _tone([900, 2400])),                       # different content
+        (5, b"RIFFgarbageWAVE"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in audio_dedup(media, max_hamming=8).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+    assert [out[i]["is_survivor"] for i in (1, 2, 3)] == [True, False, False]
+    for i in (4, 5):
+        assert out[i]["component"] == i and out[i]["is_survivor"]
