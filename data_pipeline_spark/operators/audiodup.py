@@ -152,3 +152,55 @@ def audio_dedup(
     return hash_component_dedup(
         fps, id_col=id_col, hash_col="afp", max_hamming=max_hamming
     )
+
+
+def mixed_media_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    type_col: str = "media_type",
+    image_hamming: int = 6,
+    audio_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual dedup over a MIXED media frame (round 4): rows split by
+    ``media_type`` family — ``audio/*`` through the band-energy
+    fingerprint, everything else through the image dHash — each family
+    deduped with the shared component tail, labels unioned. Families are
+    deduped SEPARATELY by construction: a dHash and an audio fingerprint
+    are unrelated 64-bit spaces, so a cross-family banding join could
+    pair an image with a clip on a numeric coincidence; the split makes
+    that impossible rather than unlikely. Returns the same
+    ``(id_col, component, is_survivor)`` shape as the per-family stages.
+    """
+    import pyspark.sql.functions as F
+
+    from .imagedup import media_dedup
+
+    is_audio = F.col(type_col).startswith("audio/")
+    audio = media.where(is_audio)
+    image = media.where(~is_audio)
+    parts = []
+    if image.take(1):
+        parts.append(
+            media_dedup(
+                image, id_col=id_col, content_col=content_col,
+                type_col=type_col, max_hamming=image_hamming,
+            )
+        )
+    if audio.take(1):
+        parts.append(
+            audio_dedup(
+                audio, id_col=id_col, content_col=content_col,
+                max_hamming=audio_hamming,
+            )
+        )
+    if not parts:
+        return media.select(id_col).limit(0).select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.lit(True).alias("is_survivor"),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -346,13 +346,18 @@ def curate(
     # without media are untouched. Runs after the text stages so a page
     # already gone (quality/text-dup) never costs an image decode pair.
     if media is not None:
-        from .imagedup import media_dedup as _media_dedup
+        from .audiodup import mixed_media_dedup as _media_dedup
 
         mcarried = [c for c in media.columns if c != u]
         m_canon = media.select(WU.canonical_url(u).alias(u), *mcarried)
+        # mixed dispatch: audio/* payloads fingerprint through the
+        # band-energy path, everything else through the image dHash —
+        # families dedup separately (unrelated 64-bit signature spaces)
         labels = _media_dedup(
             m_canon, id_col=u, content_col=cfg.media_content_col,
-            type_col=cfg.media_type_col, max_hamming=cfg.media_max_hamming,
+            type_col=cfg.media_type_col,
+            image_hamming=cfg.media_max_hamming,
+            audio_hamming=cfg.media_max_hamming,
         )
         drop = labels.where(~F.col("is_survivor")).select(u).distinct()
         deduped = deduped.join(drop, u, "left_anti").localCheckpoint(

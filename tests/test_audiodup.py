@@ -111,3 +111,31 @@ def test_audio_dedup_e2e_planted_reencodes(spark):
     assert [out[i]["is_survivor"] for i in (1, 2, 3)] == [True, False, False]
     for i in (4, 5):
         assert out[i]["component"] == i and out[i]["is_survivor"]
+
+
+def test_mixed_media_dedup_families_never_cross(spark):
+    """Images and clips dedup inside their own signature family; a clip
+    can never pair with an image even if the 64-bit values collide."""
+    from data_pipeline_spark.operators.audiodup import mixed_media_dedup
+    from tests.test_imagedup import _gradient
+    from tests.test_multimodal import _encode_bmp
+
+    g = _gradient(64, 48)
+    rows = [
+        (1, _encode_bmp(64, 48, g), "image/bmp"),
+        (2, _encode_bmp(96, 72, _gradient(96, 72, seed=1, noise=8)),
+         "image/bmp"),                                   # image near-dup of 1
+        (10, _tone([440, 1200], amp=8000), "audio/wav"),
+        (11, _tone([440, 1200], amp=800), "audio/wav"),  # clip near-dup of 10
+        (12, _tone([900, 2400]), "audio/wav"),           # distinct clip
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    )
+    out = {r["media_id"]: r for r in
+           mixed_media_dedup(media, image_hamming=8, audio_hamming=8).collect()}
+    assert set(out) == {1, 2, 10, 11, 12}
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[10]["component"] == out[11]["component"] == 10
+    assert out[12]["component"] == 12 and out[12]["is_survivor"]
+    assert out[2]["is_survivor"] is False and out[11]["is_survivor"] is False
