@@ -517,3 +517,60 @@ def test_streaming_rollup_maintenance(spark, table, tmp_path):
     want = {r["grp"]: r["n"] for r in table.read().groupBy("grp")
             .agg(F.count_distinct("val").alias("n")).collect()}
     assert nd == want
+
+
+def test_rollup_across_schema_evolution(spark, tmp_path):
+    """Schema evolution mid-stream: rows written BEFORE a maintained
+    column existed read back as NULL under the lake's scan-time schema
+    resolution, and the incremental refresh treats them exactly as the
+    full recompute does — sums/min/max skip them, distinct never counts
+    them, and deleting a pre-evolution row retracts cleanly."""
+    from data_pipeline_spark.lake.table import LakeTable
+    from pyspark.sql.types import StructType
+
+    v1 = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, grp string"
+    ).schema
+    table = LakeTable.create(
+        spark, str(tmp_path / "ev"), v1, key_col="url", n_buckets=4
+    )
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+
+    def ev1(rows):
+        return spark.createDataFrame(
+            rows, "op string, url string, grp string, lsn long"
+        ).select("op", "url", ts.alias("warc_ts"), "grp", "lsn")
+
+    table.merge(ev1([("insert", f"o{i}", "a", i) for i in range(4)]),
+                epoch=0, mode="mor")
+    # evolve: add val double, then write v2 rows
+    v2 = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, grp string, val double"
+    ).schema
+    table.evolve(StructType(v2.fields))
+    table.merge(
+        _events(spark, [("insert", f"n{i}", 10 + i, "a", 5.0 + i, 10 + i)
+                        for i in range(3)]),
+        epoch=1, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "evr"),
+        minmax_cols=["val"], distinct_cols=["val"],
+    )
+    roll.refresh()
+    assert _state_mm(roll) == _recompute_mm(table)
+    got = roll.read().collect()[0]
+    assert got["n_rows"] == 7 and got["min_val"] == 5.0  # NULL vals skipped
+    assert got["n_distinct_val"] == 3
+    # delete a PRE-evolution (null-val) row and a v2 min-holder
+    table.merge(
+        _events(spark, [("delete", "o0", 100, None, 0, 100),
+                        ("delete", "n0", 101, None, 0, 101)]),
+        epoch=2, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental"
+    assert _state_mm(roll) == _recompute_mm(table)
+    got = roll.read().collect()[0]
+    assert got["n_rows"] == 5 and got["min_val"] == 6.0
+    assert got["n_distinct_val"] == 2
