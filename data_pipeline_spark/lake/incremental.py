@@ -57,9 +57,26 @@ deletes decrement value counts, a value leaves the group only when its
 count hits zero, and the per-group distinct is the aux relation's group
 cardinality. The aux rides the same atomic version-dir commit as the
 main state (one ``os.rename`` publishes both) and costs O(live distinct
-(group, value) pairs) of state — the price of exactness; the mergeable
-approximate alternative at unbounded cardinality is the HLL/KMV sketch
-family (`operators/hll.py`, `operators/kmv.py`).
+(group, value) pairs) of state — the price of exactness.
+
+``distinct_mode="hll"`` (round 5) swaps the exact aux for per-group HLL
+register tables (`operators/hll.py`, precision ``hll_p``): state drops
+to O(groups × 2^p) — bounded per group no matter the value cardinality,
+which is what a 10^10-row table with a high-cardinality distinct column
+needs. Registers merge loss-free on inserts (pointwise max, the HLL
+union law); they cannot retract, so groups that lost a pre-image with a
+non-NULL value get the same non-retractable treatment as min/max — a
+register rebuild from the TO snapshot restricted to exactly the
+affected groups (shared ``_restricted_scan``). ``n_distinct_<col>``
+keeps its name and long type (now a bias-corrected estimate); the mode
+and precision are recorded in meta.json and frozen until
+``rebuild=True``. Exact stays the default.
+
+NULL group keys are first-class (round 5): SQL GROUP BY treats NULL as
+its own group, the count/sum delta path (union+groupBy) always has, and
+every min/max/distinct attach, diff, and rescan join now goes through a
+null-safe ``eqNullSafe`` equi-join (``_ns_join``) — a plain name-list
+join would silently hand the NULL group NULL extrema and 0 distinct.
 
 Averages are derived (sum/n) at read time.
 
@@ -92,6 +109,8 @@ class IncrementalRollup:
         state_dir: str,
         minmax_cols: list[str] | None = None,
         distinct_cols: list[str] | None = None,
+        distinct_mode: str = "exact",
+        hll_p: int = 12,
     ):
         self.spark = spark
         self.table = table
@@ -99,6 +118,10 @@ class IncrementalRollup:
         self.sum_cols = list(sum_cols)
         self.minmax_cols = list(minmax_cols or [])
         self.distinct_cols = list(distinct_cols or [])
+        if distinct_mode not in ("exact", "hll"):
+            raise ValueError("distinct_mode must be 'exact' or 'hll'")
+        self.distinct_mode = distinct_mode
+        self.hll_p = int(hll_p)
         overlap = set(self.distinct_cols) & set(self.group_cols)
         if overlap:
             # n_distinct of a grouping column is identically 1 — and the
@@ -115,15 +138,24 @@ class IncrementalRollup:
         """The maintained column set is frozen at the first commit — a
         drift between configured and stored aggregates would silently
         read garbage columns. Changing the set needs refresh(rebuild=True)."""
-        for field, want in (
-            ("minmax_cols", self.minmax_cols),
-            ("distinct_cols", self.distinct_cols),
+        for field, want, dflt in (
+            ("minmax_cols", self.minmax_cols, []),
+            ("distinct_cols", self.distinct_cols, []),
+            ("distinct_mode", self.distinct_mode, "exact"),
         ):
-            stored = m.get(field, [])
+            stored = m.get(field, dflt)
             if stored != want:
                 raise ValueError(
                     f"rollup state maintains {field}={stored}, configured "
                     f"{want}; pass rebuild=True to change the set"
+                )
+        if self.distinct_cols and self.distinct_mode == "hll":
+            stored_p = m.get("hll_p", self.hll_p)
+            if stored_p != self.hll_p:
+                # registers built at a different precision cannot merge
+                raise ValueError(
+                    f"rollup state maintains hll_p={stored_p}, configured "
+                    f"{self.hll_p}; pass rebuild=True to change it"
                 )
 
     # -- state I/O ---------------------------------------------------------
@@ -159,9 +191,12 @@ class IncrementalRollup:
         return self.spark.read.parquet(root)
 
     def read_aux(self, col: str) -> DataFrame:
-        """The per-(group, value) count relation backing n_distinct_<col>
-        — the exactly-retractable auxiliary the IVM literature keeps for
-        distinct aggregates."""
+        """The auxiliary relation backing n_distinct_<col>: in ``exact``
+        mode the per-(group, value) count relation (the exactly-retractable
+        auxiliary the IVM literature keeps for distinct aggregates); in
+        ``hll`` mode the per-(group, idx) max-rho HLL register table
+        (``operators/hll.py``) — O(groups × 2^p) state instead of O(live
+        (group, value) pairs)."""
         m = self._meta()
         if m is None or col not in m.get("distinct_cols", []):
             raise ValueError(f"no distinct aux maintained for {col!r}")
@@ -212,6 +247,8 @@ class IncrementalRollup:
                 "layout": 2,
                 "minmax_cols": self.minmax_cols,
                 "distinct_cols": self.distinct_cols,
+                "distinct_mode": self.distinct_mode,
+                "hll_p": self.hll_p,
                 "committed_at": time.time(),
             }),
         )
@@ -249,6 +286,44 @@ class IncrementalRollup:
         out = out.groupBy(*self.group_cols).agg(*aggs)
         return out.where(F.col("n_rows") != 0) if prune else out
 
+    def _ns_join(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        how: str,
+        broadcast_right: bool = False,
+    ) -> DataFrame:
+        """Null-safe equi-join on the group columns. A NULL group key is a
+        real group under SQL GROUP BY (the union+groupBy delta path treats
+        it as one), so every attach/diff join here must match NULL to NULL
+        — a plain name-list join (null-unsafe ``=``) would silently give
+        that group NULL min/max and 0 distinct. Right-side group columns
+        are renamed before the join and coalesced/dropped after, so outer
+        shapes keep exactly one copy of each group column."""
+        g = self.group_cols
+        r = right
+        for c in g:
+            r = r.withColumnRenamed(c, f"__r_{c}")
+        if broadcast_right:
+            # hint applied AFTER the renames so it sits directly under the
+            # join in the plan (a rename above the hint can strand it)
+            r = F.broadcast(r)
+        cond = F.lit(True)
+        for c in g:
+            cond = cond & left[c].eqNullSafe(F.col(f"__r_{c}"))
+        out = left.join(r, cond, how)
+        if how in ("left_semi", "left_anti"):
+            return out
+        if how == "full":
+            # matched NULL-key rows coalesce to NULL (correct: the key IS
+            # NULL); right-only rows take the right copy
+            sel = [F.coalesce(left[c], F.col(f"__r_{c}")).alias(c) for c in g]
+        else:
+            sel = [left[c] for c in g]
+        lkeep = [left[c] for c in left.columns if c not in g]
+        rkeep = [F.col(c2) for c2 in r.columns if not c2.startswith("__r_")]
+        return out.select(*sel, *lkeep, *rkeep)
+
     def _mm_aggs(self, prefix: str = "") -> list:
         """min/max aggregate exprs in the columns' NATIVE types."""
         return [
@@ -260,13 +335,19 @@ class IncrementalRollup:
             f"max_{c}" for c in self.minmax_cols
         ]
 
-    def _with_minmax(self, sums: DataFrame, rows: DataFrame) -> DataFrame:
-        """Full-recompute path: attach min/max per group to the count/sum
-        state (same scan, second hash agg on the shuffled groups)."""
-        if not self.minmax_cols:
-            return sums
-        mm = rows.groupBy(*self.group_cols).agg(*self._mm_aggs())
-        return sums.join(mm, self.group_cols, "left")
+    def _full_state(self, rows: DataFrame) -> DataFrame:
+        """Full-recompute path: count/sum/min/max in ONE hash agg — no
+        attach join at all, so NULL group keys are handled natively by
+        GROUP BY and the scan is aggregated exactly once."""
+        aggs = (
+            [F.count("*").cast("long").alias("n_rows")]
+            + [
+                F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
+                for c in self.sum_cols
+            ]
+            + self._mm_aggs()
+        )
+        return rows.groupBy(*self.group_cols).agg(*aggs)
 
     def _nd_names(self) -> list[str]:
         return [f"n_distinct_{c}" for c in self.distinct_cols]
@@ -281,18 +362,40 @@ class IncrementalRollup:
         )
         return out
 
+    def _hll_regs(self, rows: DataFrame, c: str) -> DataFrame:
+        """Per-group sparse HLL register table for column ``c`` (NULL
+        values excluded, matching count(DISTINCT c))."""
+        from ..operators.hll import hll_registers
+
+        return hll_registers(
+            rows, c, group_cols=self.group_cols, p=self.hll_p,
+            seed=f"rollup:{c}",
+        )
+
     def _attach_distinct(
         self, state: DataFrame, aux: dict[str, DataFrame]
     ) -> DataFrame:
         """Join per-group distinct counts (derived from the aux relations)
-        into the main state; a live group whose values are all NULL gets 0."""
+        into the main state; a live group whose values are all NULL gets 0.
+        In ``hll`` mode the count is the bias-corrected register estimate,
+        rounded to a long (same column name/type as exact mode — the mode
+        is recorded in meta.json)."""
+        from ..operators.hll import hll_estimate
+
         for c in self.distinct_cols:
-            nd = (
-                aux[f"aux_distinct_{c}"]
-                .groupBy(*self.group_cols)
-                .agg(F.count("*").cast("long").alias(f"n_distinct_{c}"))
-            )
-            state = state.join(nd, self.group_cols, "left").withColumn(
+            a = aux[f"aux_distinct_{c}"]
+            if self.distinct_mode == "hll":
+                nd = hll_estimate(
+                    a, p=self.hll_p, group_cols=self.group_cols
+                ).select(
+                    *self.group_cols,
+                    F.round("est").cast("long").alias(f"n_distinct_{c}"),
+                )
+            else:
+                nd = a.groupBy(*self.group_cols).agg(
+                    F.count("*").cast("long").alias(f"n_distinct_{c}")
+                )
+            state = self._ns_join(state, nd, "left").withColumn(
                 f"n_distinct_{c}",
                 F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0).cast("long")),
             )
@@ -318,10 +421,12 @@ class IncrementalRollup:
         m = self._meta()
         if m is None or rebuild:
             rows = self.table.read(snapshot_id=to_snap or None)
-            state = self._with_minmax(self._contrib(rows, +1), rows)
+            state = self._full_state(rows)
             aux = {
-                f"aux_distinct_{c}": self._aux_counts(
-                    rows, c, +1
+                f"aux_distinct_{c}": (
+                    self._hll_regs(rows, c)
+                    if self.distinct_mode == "hll"
+                    else self._aux_counts(rows, c, +1)
                 ).localCheckpoint(eager=True)
                 for c in self.distinct_cols
             }
@@ -370,21 +475,28 @@ class IncrementalRollup:
             mm_final, n_affected = self._refresh_minmax(
                 state.select(*self.group_cols, *mm_names), old, new, to_snap
             )
-            merged = merged.join(mm_final, self.group_cols, "left")
+            merged = self._ns_join(merged, mm_final, "left")
         aux_out: dict[str, DataFrame] = {}
+        nd_rescanned = 0
         for c in self.distinct_cols:
-            # exactly-retractable distinct: fold ±(group, value) counts
-            # into the stored aux relation, prune exhausted values
-            merged_aux = (
-                self.read_aux(c)
-                .unionByName(self._aux_counts(new, c, +1))
-                .unionByName(self._aux_counts(old, c, -1))
-                .groupBy(*self.group_cols, c)
-                .agg(F.sum("cnt").cast("long").alias("cnt"))
-                .where(F.col("cnt") > 0)
-                .localCheckpoint(eager=True)  # sever from old aux files
+            if self.distinct_mode == "hll":
+                merged_aux, n_re = self._refresh_hll_aux(c, old, new, to_snap)
+                nd_rescanned = max(nd_rescanned, n_re)
+            else:
+                # exactly-retractable distinct: fold ±(group, value) counts
+                # into the stored aux relation, prune exhausted values
+                merged_aux = (
+                    self.read_aux(c)
+                    .unionByName(self._aux_counts(new, c, +1))
+                    .unionByName(self._aux_counts(old, c, -1))
+                    .groupBy(*self.group_cols, c)
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                    .where(F.col("cnt") > 0)
+                )
+            # sever from the old aux files before the commit swaps them
+            aux_out[f"aux_distinct_{c}"] = merged_aux.localCheckpoint(
+                eager=True
             )
-            aux_out[f"aux_distinct_{c}"] = merged_aux
         if self.distinct_cols:
             merged = self._attach_distinct(merged, aux_out)
         merged = merged.localCheckpoint(
@@ -401,7 +513,40 @@ class IncrementalRollup:
         }
         if self.minmax_cols:
             out["minmax_recomputed_groups"] = n_affected
+        if self.distinct_cols and self.distinct_mode == "hll":
+            out["distinct_recomputed_groups"] = nd_rescanned
         return out
+
+    def _refresh_hll_aux(
+        self, c: str, old: DataFrame, new: DataFrame, to_snap: int
+    ) -> tuple[DataFrame, int]:
+        """Advance the HLL register aux for ``c``. Registers merge loss-
+        free on INSERTS (pointwise max — the HLL union law), but cannot
+        retract: any group that lost a pre-image with a non-NULL ``c``
+        might have lost a distinct value, so those groups get the same
+        non-retractable treatment as min/max — register rebuild from the
+        TO snapshot restricted to exactly the affected groups (the shared
+        ``_restricted_scan``, O(affected groups' rows)). Insert-only
+        groups never rescan. Returns (merged register table, n rescanned
+        groups)."""
+        from ..operators.hll import hll_merge
+
+        stored = self.read_aux(c)
+        new_regs = self._hll_regs(new, c)
+        affected = (
+            old.where(F.col(c).isNotNull())
+            .select(*self.group_cols)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_aff = affected.count()
+        if n_aff == 0:
+            return hll_merge(stored, new_regs), 0
+        scan = self._restricted_scan(affected, n_aff, to_snap)
+        recomputed = self._hll_regs(scan, c)
+        keep = self._ns_join(stored, affected, "left_anti")
+        fresh = self._ns_join(new_regs, affected, "left_anti")
+        return hll_merge(keep, fresh, recomputed), n_aff
 
     # -- min/max IVM -------------------------------------------------------
 
@@ -409,6 +554,30 @@ class IncrementalRollup:
     #: driver-side isin list (parquet row-group pruning) to a broadcast
     #: semi-join (no 100k-literal plans)
     _MM_ISIN_CAP = 10_000
+
+    def _restricted_scan(
+        self, affected: DataFrame, n_affected: int, to_snap: int
+    ) -> DataFrame:
+        """TO-snapshot rows restricted to the (metadata-scale) affected
+        group set — the shared rescan primitive for the non-retractable
+        aggregates (min/max, HLL distinct). Single-column group sets under
+        the cap become a driver-side isin literal list (pushed to the
+        parquet reader → row-group pruning on compacted state, with an
+        explicit IS NULL arm for a NULL-keyed group); larger/composite
+        sets use a broadcast null-safe semi-join."""
+        g = self.group_cols
+        if len(g) == 1 and n_affected <= self._MM_ISIN_CAP:
+            vals = [r[0] for r in affected.collect()]
+            pred_scan = F.col(g[0]).isin([v for v in vals if v is not None])
+            if any(v is None for v in vals):
+                pred_scan = pred_scan | F.col(g[0]).isNull()
+            return self.table.read(snapshot_id=to_snap).where(pred_scan)
+        return self._ns_join(
+            self.table.read(snapshot_id=to_snap),
+            affected,
+            "left_semi",
+            broadcast_right=True,
+        )
 
     def _refresh_minmax(
         self, state_mm: DataFrame, old: DataFrame, new: DataFrame, to_snap: int
@@ -421,7 +590,9 @@ class IncrementalRollup:
         g = self.group_cols
         old_mm = old.groupBy(*g).agg(*self._mm_aggs(prefix="old_"))
         new_mm = new.groupBy(*g).agg(*self._mm_aggs(prefix="new_"))
-        touched = old_mm.join(new_mm, g, "full").join(state_mm, g, "left")
+        touched = self._ns_join(
+            self._ns_join(old_mm, new_mm, "full"), state_mm, "left"
+        )
         # affected ⇔ some removed pre-image value ties-or-beats the stored
         # extremum for some column (each guarded term is non-null boolean)
         pred = F.lit(False)
@@ -458,21 +629,10 @@ class IncrementalRollup:
         n_affected = affected.count()
         if n_affected == 0:
             recomputed = None
-        elif len(g) == 1 and n_affected <= self._MM_ISIN_CAP:
-            # driver-side literal list → pushed to the parquet scan, so
-            # row-group stats prune when the table clusters by the group
-            scan = self.table.read(snapshot_id=to_snap).where(
-                F.col(g[0]).isin([r[0] for r in affected.collect()])
-            )
-            recomputed = scan.groupBy(*g).agg(*self._mm_aggs())
         else:
-            recomputed = (
-                self.table.read(snapshot_id=to_snap)
-                .join(F.broadcast(affected), g, "left_semi")
-                .groupBy(*g)
-                .agg(*self._mm_aggs())
-            )
-        untouched = state_mm.join(touched.select(*g), g, "left_anti")
+            scan = self._restricted_scan(affected, n_affected, to_snap)
+            recomputed = scan.groupBy(*g).agg(*self._mm_aggs())
+        untouched = self._ns_join(state_mm, touched.select(*g), "left_anti")
         out = untouched.unionByName(folded)
         if recomputed is not None:
             out = out.unionByName(recomputed)

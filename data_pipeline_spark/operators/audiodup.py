@@ -176,31 +176,37 @@ def mixed_media_dedup(
 
     from .imagedup import media_dedup
 
-    is_audio = F.col(type_col).startswith("audio/")
-    audio = media.where(is_audio)
-    image = media.where(~is_audio)
-    parts = []
-    if image.take(1):
-        parts.append(
-            media_dedup(
-                image, id_col=id_col, content_col=content_col,
-                type_col=type_col, max_hamming=image_hamming,
-            )
-        )
-    if audio.take(1):
-        parts.append(
-            audio_dedup(
-                audio, id_col=id_col, content_col=content_col,
-                max_hamming=audio_hamming,
-            )
-        )
-    if not parts:
-        return media.select(id_col).limit(0).select(
-            F.col(id_col),
-            F.col(id_col).alias("component"),
-            F.lit(True).alias("is_survivor"),
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # NULL-typed payloads make startswith NULL — coalesce so the three
+    # predicates partition the frame exactly (a NULL predicate in where()
+    # would silently drop the row from every family).
+    is_audio = F.coalesce(
+        F.col(type_col).startswith("audio/"), F.lit(False)
+    )
+    # untyped payloads go through the image path (its decoder sniffs
+    # magic bytes); typed NON-image, NON-audio payloads (video/*,
+    # application/*, ...) have no 64-bit fingerprint family here, so they
+    # are labeled singleton survivors EXPLICITLY rather than being pushed
+    # through the image decoder to fail one by one (round-5 ADVICE: they
+    # were silently dHash-routed).
+    is_image = ~is_audio & F.coalesce(
+        F.col(type_col).startswith("image/"), F.lit(True)
+    )
+    other = media.where(~is_audio & ~is_image).select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.lit(True).alias("is_survivor"),
+    )
+    # Every branch is built unconditionally: dedup of an empty family
+    # frame is a cheap no-op, whereas the previous emptiness probe
+    # (take(1) per family) cost a driver action over the raw binary
+    # frame and then recomputed the same filtered frames inside the
+    # dedup passes (round-5 ADVICE).
+    image_labels = media_dedup(
+        media.where(is_image), id_col=id_col, content_col=content_col,
+        type_col=type_col, max_hamming=image_hamming,
+    )
+    audio_labels = audio_dedup(
+        media.where(is_audio), id_col=id_col, content_col=content_col,
+        max_hamming=audio_hamming,
+    )
+    return image_labels.unionByName(audio_labels).unionByName(other)

@@ -343,13 +343,20 @@ def curate(
     # images (operators/imagedup.py::media_dedup — the same component
     # machinery as stage 6, so text and image dedup share one tuned
     # closure). A page with a non-surviving image is dropped; pages
-    # without media are untouched. Runs after the text stages so a page
-    # already gone (quality/text-dup) never costs an image decode pair.
+    # without media are untouched. Runs after the text stages, and the
+    # media frame is first restricted to the pages still alive, so a page
+    # already gone (quality/text-dup) never costs an image decode pair —
+    # and, just as important, a DROPPED page can never be elected a
+    # cluster's canonical survivor (which would silently delete every
+    # live member of that cluster; round-5 ADVICE).
     if media is not None:
         from .audiodup import mixed_media_dedup as _media_dedup
 
         mcarried = [c for c in media.columns if c != u]
         m_canon = media.select(WU.canonical_url(u).alias(u), *mcarried)
+        m_canon = m_canon.join(
+            deduped.select(u).distinct(), u, "left_semi"
+        )
         # mixed dispatch: audio/* payloads fingerprint through the
         # band-energy path, everything else through the image dHash —
         # families dedup separately (unrelated 64-bit signature spaces)

@@ -255,7 +255,15 @@ def append_shards(df: DataFrame, out_dir: str, epoch: int | None = None) -> dict
     staged/deterministic-rename/commit machinery. Callers that want
     cross-process exactly-once must still pass an explicit epoch (an
     auto-allocated id can't recognize a retry of the same batch), but
-    every append is now crash-atomic."""
+    every append is now crash-atomic.
+
+    SINGLE WRITER REQUIRED for ``epoch=None`` (round-5 ADVICE): the
+    read-manifest → allocate → commit sequence has no lock, so two
+    CONCURRENT auto-epoch appenders can allocate the same id, sweep each
+    other's staged files, and last-writer-win the manifest. Concurrent
+    appends need externally-coordinated explicit epochs (each writer its
+    own id); auto-allocation is for the single-writer cron/job path —
+    the same contract the lake table's single-writer commit has."""
     mpath = os.path.join(out_dir, "manifest.json")
     with open(mpath) as f:
         m = json.load(f)

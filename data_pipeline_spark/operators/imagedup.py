@@ -131,11 +131,21 @@ def _block_means(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
     return cells / areas
 
 
-def dhash64(content: bytes, media_type: str) -> int:
-    """64-bit difference hash of one decoded payload ('image/bmp' or
-    'image/x-portable-pixmap'); raises on undecodable/too-small input
-    (callers map errors to NULL — the corrupt-media contract)."""
-    if media_type == "image/bmp":
+def dhash64(content: bytes, media_type: str | None) -> int:
+    """64-bit difference hash of one decoded payload (BMP, binary PPM, or
+    PNG); raises on undecodable/too-small input (callers map errors to
+    NULL — the corrupt-media contract). The payload's MAGIC BYTES pick
+    the codec first — on a real crawl the declared content-type is
+    routinely missing or wrong — with the declared type as fallback for
+    magic-less payloads."""
+    head = (content or b"")[:8]
+    if head[:2] == b"BM":
+        gray = _gray_bmp(content)
+    elif head[:2] == b"P6":
+        gray = _gray_ppm(content)
+    elif head == b"\x89PNG\r\n\x1a\n":
+        gray = _gray_png(content)
+    elif media_type == "image/bmp":
         gray = _gray_bmp(content)
     elif media_type in ("image/x-portable-pixmap", "image/ppm"):
         gray = _gray_ppm(content)

@@ -139,3 +139,39 @@ def test_mixed_media_dedup_families_never_cross(spark):
     assert out[10]["component"] == out[11]["component"] == 10
     assert out[12]["component"] == 12 and out[12]["is_survivor"]
     assert out[2]["is_survivor"] is False and out[11]["is_survivor"] is False
+
+
+def test_mixed_media_non_av_payloads_are_flagged_singletons(spark):
+    """Round-5 ADVICE: typed non-image, non-audio payloads (video/*,
+    application/*) get explicit singleton labels instead of being routed
+    through the image decoder; untyped payloads still go through the
+    image path (magic-byte sniff); no emptiness probe — an all-'other'
+    frame works with both family branches built on empty input."""
+    from data_pipeline_spark.operators.audiodup import mixed_media_dedup
+    from tests.test_imagedup import _gradient
+    from tests.test_multimodal import _encode_bmp
+
+    g = _gradient(64, 48)
+    rows = [
+        (1, _encode_bmp(64, 48, g), "image/bmp"),
+        (2, _encode_bmp(64, 48, g), None),  # untyped -> sniffed as image
+        (3, b"\x00\x01videobytes", "video/mp4"),
+        (4, b"%PDF-1.7 ...", "application/pdf"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string"
+    )
+    out = {r["media_id"]: r for r in mixed_media_dedup(media).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # the untyped BMP paired with the typed identical image
+    assert out[1]["component"] == out[2]["component"] == 1
+    # video/pdf: their own singleton components, always survivors
+    for i in (3, 4):
+        assert out[i]["component"] == i and out[i]["is_survivor"]
+
+    only_other = spark.createDataFrame(
+        [(7, b"x", "video/webm")],
+        "media_id long, content binary, media_type string",
+    )
+    got = mixed_media_dedup(only_other).collect()
+    assert len(got) == 1 and got[0]["is_survivor"]

@@ -520,3 +520,42 @@ def test_curate_media_dedup_stage(spark, tmp_path, monkeypatch, capsys):
     stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["after_media_dedup"] == 4 and stats["output_rows"] == 4
     assert {r["url"] for r in spark.read.parquet(out_dir).collect()} == kept
+
+
+def test_media_dedup_survivor_elected_among_live_pages(spark):
+    """Round-5 ADVICE: the media frame is restricted to pages still alive
+    before stage 6.7, so a page already dropped by a text stage can never
+    be elected a cluster's canonical survivor (which would silently drop
+    every live member of the cluster) — and its image is never decoded."""
+    from tests.test_imagedup import _encode_ppm, _gradient
+    from tests.test_multimodal import _encode_bmp
+
+    rows = [
+        # m0 sorts FIRST canonically but fails the word-count gate
+        ("https://a0.com/x", 100, 0, "too short", "en"),
+        ("https://m1.com/x", 100, 1, GOOD + " " + _uniq("m1"), "en"),
+        ("https://m2.com/x", 100, 2, GOOD + " " + _uniq("m2"), "en"),
+        ("https://z9.com/x", 100, 3, GOOD + " " + _uniq("z9"), "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts long, lsn long, text string, lang string"
+    )
+    g = _gradient(64, 48)
+    media = spark.createDataFrame(
+        [
+            ("https://a0.com/x", _encode_bmp(64, 48, g), "image/bmp"),
+            ("https://m1.com/x", _encode_ppm(64, 48, g),
+             "image/x-portable-pixmap"),
+            ("https://m2.com/x",
+             _encode_bmp(96, 72, _gradient(96, 72, seed=1, noise=8)),
+             "image/bmp"),
+        ],
+        "url string, content binary, media_type string",
+    )
+    out, stats = curate(df, CurateConfig(minhash=None, media_max_hamming=8),
+                        media=media)
+    kept = {r["url"] for r in out.collect()}
+    # the dead page a0 must NOT eat the live cluster: exactly one of
+    # m1/m2 survives (the canonical min among LIVE members = m1)
+    assert kept == {"https://m1.com/x", "https://z9.com/x"}
+    assert stats["after_media_dedup"] == 2

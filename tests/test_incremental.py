@@ -574,3 +574,171 @@ def test_rollup_across_schema_evolution(spark, tmp_path):
     got = roll.read().collect()[0]
     assert got["n_rows"] == 5 and got["min_val"] == 6.0
     assert got["n_distinct_val"] == 2
+
+
+def test_null_group_key_is_its_own_group(spark, table, tmp_path):
+    """Round-5 ADVICE fix: NULL is a real group under SQL GROUP BY. The
+    count/sum delta path (union+groupBy) always treated it that way, but
+    the round-4 min/max/distinct attach joins and the rescan predicate
+    were null-UNSAFE — the NULL group silently got NULL extrema and 0
+    distinct. All of those now go through eqNullSafe (and the isin rescan
+    grows an IS NULL arm), so maintained state must equal a cold
+    recompute with NULL-keyed rows present at every step."""
+    table.merge(
+        _events(spark, [
+            ("insert", "n1", 0, None, 5.0, 0),
+            ("insert", "n2", 1, None, 9.0, 1),
+            ("insert", "n3", 2, None, 5.0, 2),
+            ("insert", "a1", 3, "a", 7.0, 3),
+            ("insert", "a2", 4, "a", 2.0, 4),
+        ]).withColumn(
+            "grp",
+            F.when(F.col("url").startswith("n"), F.lit(None).cast("string"))
+            .otherwise(F.col("grp")),
+        ),
+        epoch=0, mode="mor",
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], str(tmp_path / "ng"),
+        minmax_cols=["val"], distinct_cols=["val"],
+    )
+    assert roll.refresh()["mode"] == "full"
+
+    def full_state():
+        return {
+            r["grp"]: (r["n_rows"], round(r["sum_val"], 6), r["min_val"],
+                       r["max_val"], r["n_distinct_val"])
+            for r in roll.read().collect()
+        }
+
+    def full_recompute():
+        return {
+            r["grp"]: (r["n"], round(r["s"], 6), r["mn"], r["mx"], r["nd"])
+            for r in table.read().groupBy("grp").agg(
+                F.count("*").alias("n"), F.sum("val").alias("s"),
+                F.min("val").alias("mn"), F.max("val").alias("mx"),
+                F.count_distinct("val").alias("nd"),
+            ).collect()
+        }
+
+    got = full_state()
+    assert got == full_recompute()
+    assert got[None] == (3, 19.0, 5.0, 9.0, 2)
+
+    # epoch 1: fold-path insert into the NULL group (new max, no rescan)
+    table.merge(
+        _events(spark, [("insert", "n4", 100, "x", 11.0, 100)]).withColumn(
+            "grp", F.lit(None).cast("string")
+        ),
+        epoch=1, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["mode"] == "incremental"
+    assert r["minmax_recomputed_groups"] == 0
+    assert full_state() == full_recompute()
+
+    # epoch 2: kill the NULL group's max holder -> the NULL key must make
+    # it through the affected-set rescan (isin path + IS NULL arm)
+    table.merge(
+        _events(spark, [("delete", "n4", 200, None, 0, 200)]),
+        epoch=2, mode="mor",
+    )
+    r = roll.refresh()
+    assert r["minmax_recomputed_groups"] >= 1
+    got = full_state()
+    assert got == full_recompute()
+    assert got[None] == (3, 19.0, 5.0, 9.0, 2)
+
+    # epoch 3: retract one duplicate value holder (distinct must hold via
+    # the aux relation, null-safely) and move a row NULL -> 'a'
+    table.merge(
+        _events(spark, [("delete", "n3", 300, None, 0, 300),
+                        ("update", "n1", 301, "a", 5.0, 301)]),
+        epoch=3, mode="mor",
+    )
+    roll.refresh()
+    got = full_state()
+    assert got == full_recompute()
+    assert got[None] == (1, 9.0, 9.0, 9.0, 1)
+    assert got["a"] == (3, 14.0, 2.0, 7.0, 3)
+
+
+def test_hll_distinct_mode_tracks_exact(spark, table, tmp_path):
+    """Round-5 distinct_mode='hll': per-group HLL registers replace the
+    exact per-(group, value) aux — O(groups x 2^p) state instead of
+    O(live pairs). At p=12 every cardinality below the linear-counting
+    knee (~hundreds here) estimates EXACTLY, so the hll rollup must
+    match the exact twin value-for-value through inserts, retractions
+    (affected-group register rebuild), and group moves; the aux relation
+    must be a register table bounded by 2^p rows per group."""
+    # grp a: 40 distinct vals (+ dups), grp b: 25, plus NULLs sprinkled
+    rows = []
+    lsn = 0
+    for i in range(40):
+        rows.append(("insert", f"a{i}", lsn, "a", float(i % 40), lsn)); lsn += 1
+    for i in range(20):  # duplicates of a's values
+        rows.append(("insert", f"ad{i}", lsn, "a", float(i), lsn)); lsn += 1
+    for i in range(25):
+        rows.append(("insert", f"b{i}", lsn, "b", float(100 + i), lsn)); lsn += 1
+    table.merge(_events(spark, rows), epoch=0, mode="mor")
+
+    exact = IncrementalRollup(
+        spark, table, ["grp"], [], str(tmp_path / "ex"), distinct_cols=["val"]
+    )
+    hll = IncrementalRollup(
+        spark, table, ["grp"], [], str(tmp_path / "hl"),
+        distinct_cols=["val"], distinct_mode="hll", hll_p=12,
+    )
+    exact.refresh(); hll.refresh()
+
+    def nd(r):
+        return {x["grp"]: x["n_distinct_val"] for x in r.read().collect()}
+
+    assert nd(hll) == nd(exact) == {"a": 40, "b": 25}
+    # register table is the bounded-state aux: (grp, idx, rho), <= 2^12/grp
+    aux = hll.read_aux("val")
+    assert set(aux.columns) == {"grp", "idx", "rho"}
+    assert aux.count() <= 2 * (1 << 12)
+
+    # epoch 1: insert-only -> loss-free register merge, NO rescan
+    table.merge(
+        _events(spark, [("insert", "a99", 500, "a", 999.0, 500),
+                        ("insert", "c1", 501, "c", 1.0, 501)]),
+        epoch=1, mode="mor",
+    )
+    exact.refresh()
+    r = hll.refresh()
+    assert r["mode"] == "incremental" and r["distinct_recomputed_groups"] == 0
+    assert nd(hll) == nd(exact) == {"a": 41, "b": 25, "c": 1}
+
+    # epoch 2: retractions — delete a dup-holder (a stays 41), delete b's
+    # only 124-holder (b drops), move a value a -> c. Both a and b lost
+    # pre-images, so they must rescan; estimates must re-match exact.
+    table.merge(
+        _events(spark, [("delete", "ad0", 600, None, 0, 600),
+                        ("delete", "b24", 601, None, 0, 601),
+                        ("update", "a99", 602, "c", 999.0, 602)]),
+        epoch=2, mode="mor",
+    )
+    exact.refresh()
+    r = hll.refresh()
+    assert r["distinct_recomputed_groups"] >= 2
+    assert nd(hll) == nd(exact) == {"a": 40, "b": 24, "c": 2}
+
+    # precision / mode frozen until rebuild
+    other = IncrementalRollup(
+        spark, table, ["grp"], [], str(tmp_path / "hl"),
+        distinct_cols=["val"], distinct_mode="hll", hll_p=9,
+    )
+    table.merge(
+        _events(spark, [("insert", "z1", 700, "a", 5.5, 700)]),
+        epoch=3, mode="mor",
+    )
+    with pytest.raises(ValueError, match="hll_p"):
+        other.refresh()
+    wrong_mode = IncrementalRollup(
+        spark, table, ["grp"], [], str(tmp_path / "hl"),
+        distinct_cols=["val"],
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        wrong_mode.refresh()
