@@ -293,6 +293,218 @@ FROM final_rows GROUP BY grp
 """
 
 
+def q_cdc_rollup_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-backed distinct maintenance (round 5,
+    `lake/incremental.py::IncrementalRollup(distinct_mode="hll")`): the
+    rollup's n_distinct aux is a per-group HLL register table — O(groups
+    × 2^p) state instead of O(live (group, value) pairs), the shape a
+    10^10-row table with a high-cardinality distinct column needs. The
+    contract checks the STRONGEST property: after an incremental refresh
+    across deletes, value changes, group moves and inserts, the
+    maintained register table must EQUAL the registers computed from
+    scratch over the final table state (loss-free insert merge + exact
+    affected-group rebuild — no drift, ever). The DuckDB twin builds the
+    same md5-derived registers over the final rows
+    (`operators/hll.py::sql_hll_registers`)."""
+    import tempfile
+
+    from data_pipeline_spark.lake.incremental import IncrementalRollup
+    from data_pipeline_spark.lake.table import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    k = F.col("o_orderkey")
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    cat = F.concat(F.lit("c"), (k % 350)).alias("cat")
+    base = o.where(k % 2 == 0).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        (F.col("o_custkey") % 20).cast("int").alias("grp"),
+        cat,
+        k.alias("lsn"),
+    )
+    deletes = o.where((k % 2 == 0) & (k % 10 == 0)).select(
+        F.lit("delete").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        F.lit(None).cast("int").alias("grp"),
+        F.lit(None).cast("string").alias("cat"),
+        (k + 1000000).alias("lsn"),
+    )
+    updates = o.where((k % 2 == 0) & (k % 10 != 0) & (k % 6 == 0)).select(
+        F.lit("update").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        ((F.col("o_custkey") + 1) % 20).cast("int").alias("grp"),
+        F.concat(F.lit("c"), (k + 7) % 350).alias("cat"),
+        (k + 1000000).alias("lsn"),
+    )
+    inserts = o.where((k % 2 == 1) & (k % 3 == 0)).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        (F.col("o_custkey") % 20).cast("int").alias("grp"),
+        cat,
+        (k + 1000000).alias("lsn"),
+    )
+    ws = tempfile.mkdtemp(prefix="rollhll-")
+    schema = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, grp int, cat string"
+    ).schema
+    table = LakeTable.create(
+        spark, f"{ws}/t", schema, key_col="url", n_buckets=8
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], [], f"{ws}/roll",
+        distinct_cols=["cat"], distinct_mode="hll", hll_p=10,
+    )
+    table.merge(base, epoch=0, mode="mor")
+    roll.refresh()
+    table.merge(
+        deletes.unionByName(updates).unionByName(inserts), epoch=1, mode="mor"
+    )
+    info = roll.refresh()
+    assert info["mode"] == "incremental", info
+    assert info["distinct_recomputed_groups"] >= 1, info
+    return roll.read_aux("cat").select(
+        "grp", F.col("idx").cast("int").alias("idx"),
+        F.col("rho").cast("int").alias("rho"),
+    )
+
+
+def _sql_rollup_hll_distinct() -> str:
+    from data_pipeline_spark.operators.hll import sql_hll_registers
+
+    inner = sql_hll_registers(
+        "final_rows", "cat", group_cols=["grp"], p=10, seed="rollup:cat"
+    )
+    return f"""
+WITH final_rows AS (
+  SELECT CASE WHEN o_orderkey % 6 = 0 THEN CAST((o_custkey + 1) % 20 AS INT)
+              ELSE CAST(o_custkey % 20 AS INT) END AS grp,
+         CASE WHEN o_orderkey % 6 = 0 THEN 'c' || CAST((o_orderkey + 7) % 350 AS VARCHAR)
+              ELSE 'c' || CAST(o_orderkey % 350 AS VARCHAR) END AS cat
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT CAST(o_custkey % 20 AS INT) AS grp,
+         'c' || CAST(o_orderkey % 350 AS VARCHAR) AS cat
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+)
+{inner}
+"""
+
+
+def q_cdc_rollup_null_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL group keys through the maintained rollup (round 5 ADVICE
+    fix): SQL GROUP BY treats NULL as its own group, so the rollup's
+    min/max attach, distinct attach, and affected-group rescan must all
+    match NULL to NULL (`_ns_join` / the isin IS NULL arm) — before the
+    fix that group silently got NULL extrema and 0 distinct. Events
+    derive from orders with every 7th customer's group key NULLed; an
+    incremental epoch deletes NULL-group extremum holders and moves keys
+    in/out of the NULL group. The DuckDB twin is a plain GROUP BY over
+    the final rows — which handles NULL natively — so parity proves the
+    maintained state does too."""
+    import tempfile
+
+    from data_pipeline_spark.lake.incremental import IncrementalRollup
+    from data_pipeline_spark.lake.table import LakeTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("val")
+    )
+    k = F.col("o_orderkey")
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+
+    def grp_of(custkey, orderkey):
+        return F.when(
+            custkey % 7 == 0, F.lit(None).cast("int")
+        ).otherwise((custkey % 10).cast("int"))
+
+    base = o.where(k % 2 == 0).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        grp_of(F.col("o_custkey"), k).alias("grp"),
+        F.col("val"),
+        k.alias("lsn"),
+    )
+    deletes = o.where((k % 2 == 0) & (k % 10 == 0)).select(
+        F.lit("delete").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        F.lit(None).cast("int").alias("grp"),
+        F.lit(None).cast("double").alias("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    # group move via custkey+1: keys hop INTO and OUT OF the NULL group
+    updates = o.where((k % 2 == 0) & (k % 10 != 0) & (k % 6 == 0)).select(
+        F.lit("update").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        grp_of(F.col("o_custkey") + 1, k).alias("grp"),
+        (F.col("val") + 100).alias("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    inserts = o.where((k % 2 == 1) & (k % 3 == 0)).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("k"), k).alias("url"),
+        ts.alias("warc_ts"),
+        grp_of(F.col("o_custkey"), k).alias("grp"),
+        F.col("val"),
+        (k + 1000000).alias("lsn"),
+    )
+    ws = tempfile.mkdtemp(prefix="rollnull-")
+    schema = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, grp int, val double"
+    ).schema
+    table = LakeTable.create(
+        spark, f"{ws}/t", schema, key_col="url", n_buckets=8
+    )
+    roll = IncrementalRollup(
+        spark, table, ["grp"], ["val"], f"{ws}/roll",
+        minmax_cols=["val"], distinct_cols=["val"],
+    )
+    table.merge(base, epoch=0, mode="mor")
+    roll.refresh()
+    table.merge(
+        deletes.unionByName(updates).unionByName(inserts), epoch=1, mode="mor"
+    )
+    info = roll.refresh()
+    assert info["mode"] == "incremental", info
+    return roll.read().select(
+        "grp",
+        "n_rows",
+        F.round("sum_val", 4).alias("sum_val"),
+        "min_val",
+        "max_val",
+        "n_distinct_val",
+    )
+
+
+_SQL_ROLLUP_NULL_GROUPS = """
+WITH final_rows AS (
+  SELECT CASE WHEN o_orderkey % 6 = 0
+              THEN CASE WHEN (o_custkey + 1) % 7 = 0 THEN NULL
+                        ELSE CAST((o_custkey + 1) % 10 AS INT) END
+              ELSE CASE WHEN o_custkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_custkey % 10 AS INT) END END AS grp,
+         CASE WHEN o_orderkey % 6 = 0 THEN round(o_totalprice, 2) + 100
+              ELSE round(o_totalprice, 2) END AS val
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL
+              ELSE CAST(o_custkey % 10 AS INT) END AS grp,
+         round(o_totalprice, 2) AS val
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+)
+SELECT grp, count(*) AS n_rows, round(sum(val), 4) AS sum_val,
+       min(val) AS min_val, max(val) AS max_val,
+       count(DISTINCT val) AS n_distinct_val
+FROM final_rows GROUP BY grp
+"""
+
+
 def q_cdc_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental join-view maintenance (`lake/incremental_join.py`): the
     materialized orders⋈customer view advanced from its previous state by
@@ -4870,20 +5082,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
+#: Round-5 driver window (the checker records rows for the FIRST 50
+#: queries in declaration order — queries() reorders the registry by this
+#: list). Standing policy (VERDICT r4 "Next round #1"): every contract new
+#: in round N enters round N's window before any re-check slot is spent.
+#: Slot 1: cdc_rollup_incremental — the ONLY contract of 131 without a
+#: driver-green row ever (new in r4, r4's window was spent on the r3
+#: backlog). Slots 2-3: the two new round-5 contracts (HLL distinct
+#: rollup, NULL-group-key rollup). Slots 4-7: contracts whose code paths
+#: this round touched (media dedup survivor scoping + magic-first dHash,
+#: HLL machinery). Slots 8-50: the r03 window contracts not re-checked
+#: since r03 (oldest driver evidence first), in r03 order, minus the
+#: three re-greened in r04 (content_delta, doc_search, cdc_tx_align).
+#: ALL queries are still checked locally by the type-strict twin every
+#: round: `python tools/check_contract.py /root/testdata/sf0.01`.
+_R5_WINDOW = [
+    "cdc_rollup_incremental",
+    "cdc_rollup_hll_distinct",
+    "cdc_rollup_null_groups",
+    "media_dedup_e2e",
+    "media_dhash",
+    "media_dhash_pairs",
+    "events_hll_registers",
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivf_incremental",
+    "dedup_components",
+    "dedup_embedding_lsh",
+    "dedup_index_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk",
+    "doc_decontaminate",
+    "media_features",
+    "frame_sample",
+    "merge_into_generic",
+    "field_classify_rename",
+    "dedup_semantic",
+    "doc_importance_sample",
+    "url_filter",
+    "host_rank",
+    "template_simhash",
+    "frontier_discover",
+    "robots_check",
+    "corpus_drift",
+    "doc_quality_nb",
+    "doc_span_dedup",
+    "html_metadata",
+    "host_reputation",
+    "doc_nfc_normalize",
+    "cdc_join_incremental",
+    "cdc_chunked_snapshot",
+    "cdc_offset_epochs",
+    "cdc_debezium_roundtrip",
+    "cdc_patch_apply",
+    "cdc_scd2_history",
+    "cdc_gap_audit",
+    "warc_ingest",
+    "link_extract",
+    "sitemap_parse",
+    "canonical_collapse",
+    "main_content",
+    "doc_script_profile",
+    "doc_soft404",
+    "cdc_disorder",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note (round 4): the driver's correctness checker records rows
-    # for the FIRST 50 queries in declaration order. Per VERDICT r3 "Next
-    # round #2", slots 1-34 are the 34 contracts with NO driver-green row in
-    # r01-r03: the 3 round-3 reds (oracle types now cast — content_delta,
-    # doc_search, cdc_tx_align) followed by the 31 never-windowed contracts,
-    # verbatim from the verdict list. Slots 35-50 are refill: the one new
-    # round-4 contract (media_dedup_e2e) plus 15 stable r02-green contracts
-    # chosen for breadth (one per family) and for code touched this round
-    # (cdc_replay_final_state re-checks the runner's store-delivery change).
-    # With this window green, driver-green-ever reaches 130/130 contracts
-    # across r01-r04. ALL queries are also checked locally by the
-    # type-strict twin every round — artifact: CORRECTNESS_LOCAL_r04.json,
-    # command: `python tools/check_contract.py /root/testdata/sf0.01`.
+    q = _registry()
+    assert len(_R5_WINDOW) == 50 and set(_R5_WINDOW) <= set(q)
+    out = {name: q[name] for name in _R5_WINDOW}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Full contract registry; historical declaration order (rounds 1-4).
+    # The driver-facing order is set by _R5_WINDOW above.
     return {
         # --- slots 1-3: the round-3 driver reds (oracle-type casts fixed) ---
         "content_delta": q_content_delta,
@@ -4942,6 +5219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence this round — the type-strict checker + judge protocol —
         # they lead round 5's window) ---
         "cdc_rollup_incremental": q_cdc_rollup_incremental,
+        "cdc_rollup_hll_distinct": q_cdc_rollup_hll_distinct,
+        "cdc_rollup_null_groups": q_cdc_rollup_null_groups,
         # --- out-of-window: every contract below has a driver-green row in
         # r01-r03 (see VERDICT r3 coverage table) + the r04 local artifact ---
         # dedup / ANN / media (r03 driver-green)
@@ -5059,6 +5338,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_net_changes": _SQL_NET_CHANGES,
         "cdc_join_incremental": _SQL_JOIN_INCREMENTAL,
         "cdc_rollup_incremental": _SQL_ROLLUP_INCREMENTAL,
+        "cdc_rollup_hll_distinct": _sql_rollup_hll_distinct(),
+        "cdc_rollup_null_groups": _SQL_ROLLUP_NULL_GROUPS,
         "cdc_chunked_snapshot": _SQL_CHUNKED_SNAPSHOT,
         "cdc_offset_epochs": _SQL_OFFSET_EPOCHS,
         "cdc_debezium_roundtrip": _SQL_DEBEZIUM_ROUNDTRIP,
