@@ -4465,7 +4465,13 @@ def q_media_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the hashes in closed form from doc_id arithmetic (see
     _dhash_media_df), brute-forces the pairs, and closes them with a
     recursive CTE — so decoder, banding completeness AND the iterative
-    component closure are all checked against independent math."""
+    component closure are all checked against independent math.
+    Round-5 note: the JPEG decoder (operators/jpeg.py) is deliberately
+    NOT planted here — this oracle needs closed-form EXACT hashes and
+    JPEG is lossy by construction (block-boundary ringing can flip
+    equal-column dHash bits), so the planted-JPEG-near-dup e2e lives in
+    pytest (`test_jpeg.py::test_dhash_pairs_jpeg_reencode_of_bmp`, the
+    same media_dedup stage on real encoded bytes)."""
     from data_pipeline_spark.operators.imagedup import media_dedup
 
     return media_dedup(

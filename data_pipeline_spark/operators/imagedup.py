@@ -119,6 +119,18 @@ def _gray_png(content: bytes) -> np.ndarray:
     return px[:, :, 0]
 
 
+def _gray_jpeg(content: bytes) -> np.ndarray:
+    """Luma plane of a baseline JPEG (decode via operators.jpeg — pure
+    stdlib huffman + IDCT; round 5). Unsupported variants (progressive,
+    arithmetic) raise and become NULL hashes like any corrupt payload."""
+    from .jpeg import jpeg_pixels
+
+    px = jpeg_pixels(content).astype(np.float64)
+    if px.shape[2] >= 3:
+        return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return px[:, :, 0]
+
+
 def _block_means(gray: np.ndarray, th: int, tw: int) -> np.ndarray:
     h, w = gray.shape
     if h < th or w < tw:
@@ -145,12 +157,16 @@ def dhash64(content: bytes, media_type: str | None) -> int:
         gray = _gray_ppm(content)
     elif head == b"\x89PNG\r\n\x1a\n":
         gray = _gray_png(content)
+    elif head[:3] == b"\xff\xd8\xff":
+        gray = _gray_jpeg(content)
     elif media_type == "image/bmp":
         gray = _gray_bmp(content)
     elif media_type in ("image/x-portable-pixmap", "image/ppm"):
         gray = _gray_ppm(content)
     elif media_type == "image/png":
         gray = _gray_png(content)
+    elif media_type in ("image/jpeg", "image/jpg"):
+        gray = _gray_jpeg(content)
     else:
         raise NotImplementedError(f"no dHash decoder for {media_type}")
     cells = _block_means(gray, _TH, _TW)

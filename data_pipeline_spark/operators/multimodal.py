@@ -9,15 +9,16 @@ input_hint; reference analog: `raw_html` carried per record,
 The Spark-side plumbing (schema, Arrow batch shape, `mapInPandas`
 partition-wise processing, deterministic frame sampling) is real and tested.
 The codec step is real for uncompressed containers — pure-stdlib decoders
-for BMP (struct), binary PPM, and PCM WAV (wave) — and (round 4) for PNG,
-the one compressed web-image format whose codec lives in the standard
-library (DEFLATE via zlib + the five spec filters, `png_pixels`). All
+for BMP (struct), binary PPM, and PCM WAV (wave) — and for the two
+compressed web-image formats: PNG (round 4 — DEFLATE via zlib + the five
+spec filters, `png_pixels`) and baseline-sequential JPEG (round 5 —
+huffman + IDCT from the T.81 spec, `operators/jpeg.py::jpeg_pixels`). All
 dispatch on magic bytes in `real_decode`. The remaining compressed formats
-(JPEG/MP3/H.264) still raise a clearly-marked `NotImplementedError`
-(PIL/cv2/ffmpeg are not in this container). `fake_decode` — a deterministic
-md5-seeded stand-in with the same signature and output schema — remains for
-shape-only tests. Swapping in a library decoder is a one-argument change;
-no plan/schema/partitioning changes.
+(progressive JPEG, MP3, H.264) still raise a clearly-marked
+`NotImplementedError` (ffmpeg-class codecs are not in this container).
+`fake_decode` — a deterministic md5-seeded stand-in with the same signature
+and output schema — remains for shape-only tests. Swapping in a library
+decoder is a one-argument change; no plan/schema/partitioning changes.
 """
 
 from __future__ import annotations
@@ -327,12 +328,39 @@ def decode_wav(content: bytes) -> list[float]:
     ]
 
 
+def decode_jpeg(content: bytes) -> list[float]:
+    """Feature row for a baseline JPEG payload — same layout as
+    `decode_bmp`/`decode_png` (decoded flag, w/4096, h/4096, mean R/G/B,
+    aspect, bpp/32), over the real `operators.jpeg.jpeg_pixels` decode
+    (round 5). Grayscale replicates the single channel into the RGB
+    means."""
+    import numpy as np
+
+    from .jpeg import jpeg_pixels
+
+    px = jpeg_pixels(content)
+    h, w, c = px.shape
+    rgb = px if c >= 3 else np.repeat(px[:, :, :1], 3, axis=2)
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    return [
+        1.0,
+        min(w / 4096.0, 1.0),
+        min(h / 4096.0, 1.0),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        w / max(w + h, 1),
+        (c * 8) / 32.0,
+    ]
+
+
 def real_decode(content: bytes, media_type: str) -> list[float]:
     """Real decoder: dispatches on the payload's magic bytes to a pure-stdlib
-    codec (uncompressed BMP, binary PPM, PCM WAV). Compressed formats
-    (JPEG/PNG/MP3/H.264) still raise — those libraries (PIL/cv2/ffmpeg) are
-    not in this container; plug them in here in production. The Spark
-    plumbing (schema, Arrow batching, partitioning) is identical either way.
+    codec (uncompressed BMP, binary PPM, PCM WAV, DEFLATE PNG, baseline
+    JPEG). The remaining compressed formats (MP3/H.264) still raise —
+    those libraries (ffmpeg) are not in this container; plug them in here
+    in production. The Spark plumbing (schema, Arrow batching,
+    partitioning) is identical either way.
     """
     content = content or b""
     if content[:2] == b"BM":
@@ -341,11 +369,13 @@ def real_decode(content: bytes, media_type: str) -> list[float]:
         return decode_ppm(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
+    if content[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     raise NotImplementedError(
         f"no pure-stdlib codec for {media_type!r} (magic {content[:4]!r}); "
-        "JPEG/MP3/H.264 need PIL/cv2/ffmpeg — inject a decode_fn"
+        "MP3/H.264 need ffmpeg — inject a decode_fn"
     )
 
 

@@ -79,8 +79,10 @@ def test_corrupt_and_tiny_media():
         dhash64(_encode_bmp(4, 4, _gradient(4, 4)), "image/bmp")  # < grid
     with pytest.raises(ValueError):
         dhash64(b"xx", "image/png")  # decodable type, corrupt payload
+    with pytest.raises(ValueError):
+        dhash64(b"xx", "image/jpeg")  # decodable since round 5 — corrupt
     with pytest.raises(NotImplementedError):
-        dhash64(b"xx", "image/jpeg")
+        dhash64(b"xx", "image/webp")  # genuinely no codec
 
 
 def test_image_dhash_and_pairs(spark):

@@ -91,15 +91,18 @@ def test_real_decode_wav():
 
 
 def test_real_decode_compressed_still_raises():
-    # PNG decodes since round 4 (pure-stdlib zlib path) — a CORRUPT PNG
-    # is a ValueError (corrupt-media contract), while formats with no
-    # stdlib codec (JPEG/MP3) still raise NotImplementedError.
+    # PNG decodes since round 4 and baseline JPEG since round 5 — a
+    # CORRUPT payload of either is a ValueError (corrupt-media contract),
+    # while formats with no stdlib codec (MP3/H.264) still raise
+    # NotImplementedError.
     with pytest.raises(ValueError):
         MM.real_decode(b"\x89PNG\r\n\x1a\nabc", "image/png")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         MM.real_decode(b"\xff\xd8\xff\xe0jfif", "image/jpeg")
     with pytest.raises(NotImplementedError):
         MM.real_decode(b"", "application/octet-stream")
+    with pytest.raises(NotImplementedError):
+        MM.real_decode(b"ID3\x04mp3bytes", "audio/mpeg")
 
 
 def test_real_decode_through_mapinpandas(spark, tmp_path):
