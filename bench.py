@@ -117,13 +117,32 @@ HEADLINE = [
 
 # Tier 2 (round 4, VERDICT r3 ask #5): EVERY remaining contract gets a
 # tracked per-query time so no family is perf-invisible. Tier-2 queries are
-# timed with a SINGLE run (not best-of-3) to bound harness wall-clock; the
+# timed with a SINGLE run (except TIER2_BEST3) to bound harness wall-clock; the
 # headline `value` stays the sum of HEADLINE only, so the round-over-round
 # comparison the judge reads is unaffected by this widening. The list is
 # computed, not hand-maintained: any future contract added to queries()
 # lands here automatically until promoted to HEADLINE.
 def tier2_queries() -> list[str]:
     return sorted(set(entrymod.queries()) - set(HEADLINE))
+
+
+# Round 5 (VERDICT r4 ask #6): the expensive multi-commit stateful tier-2
+# queries sit inside the host noise band on a single run, so a real
+# regression could hide — promote everything that measured >2 s in
+# BENCH_r04 (plus the two new round-5 rollup contracts, same commit-heavy
+# shape) to best-of-3. Everything else in tier 2 stays single-run to
+# bound harness wall-clock.
+TIER2_BEST3 = {
+    "cdc_rollup_incremental",
+    "cdc_rollup_hll_distinct",
+    "cdc_rollup_null_groups",
+    "doc_decontaminate",
+    "dedup_index_incremental",
+    "cdc_state_drilldown",
+    "ann_ivf_incremental",
+    "dedup_ngram_jaccard",
+    "media_dedup_e2e",
+}
 
 
 def main() -> None:
@@ -161,11 +180,17 @@ def main() -> None:
     for name in tier2:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# tier2 {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        reps = 3 if name in TIER2_BEST3 else 1
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            wall = time.monotonic() - t0
+            best = wall if best is None or wall < best else best
+        timings[name] = round(best, 3)
+        tag = "tier2-b3" if reps == 3 else "tier2"
+        print(f"# {tag} {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -174,7 +199,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "tier2_single_run": tier2,
+                "tier2_single_run": sorted(set(tier2) - TIER2_BEST3),
+                "tier2_best_of_3": sorted(TIER2_BEST3 & set(tier2)),
                 "sf": float(sf) if sf else None,
             }
         )

@@ -39,6 +39,8 @@ def cmd_gen(args: argparse.Namespace) -> None:
         n_events=args.events,
         events_per_epoch=args.epoch_size,
         seed=42,
+        hot_key_share=args.hot_share,
+        n_hot_keys=args.hot_keys,
     )
     # Spread the log across files so every parallelism level can split it.
     write_log(df.repartition(64, "url"), args.log_dir)
@@ -145,6 +147,10 @@ def main() -> None:
     g.add_argument("--events", type=int, default=200_000)
     g.add_argument("--epoch-size", type=int, default=50_000)
     g.add_argument("--log-dir", default="/tmp/cdc_bench_log")
+    g.add_argument("--hot-share", type=int, default=0,
+                   help="percent of events hammering --hot-keys urls "
+                        "(Zipf-pathology log for the skew scaling run)")
+    g.add_argument("--hot-keys", type=int, default=4)
     g.set_defaults(fn=cmd_gen)
     r = sub.add_parser("replay")
     r.add_argument("--cpus", type=int, default=32)

@@ -154,13 +154,23 @@ def main() -> None:
                     help="tmpfs by default: storage bandwidth on a real "
                          "cluster scales with executors; a single local disk "
                          "would bottleneck both levels identically")
+    ap.add_argument("--hot-share", type=int, default=0,
+                    help="percent of events hammering --hot-keys urls — "
+                         "the skewed-log variant (VERDICT r4 #3): hot keys "
+                         "exercise the LWW salting/two-level-agg path "
+                         "under N vs 4N")
+    ap.add_argument("--hot-keys", type=int, default=4)
+    ap.add_argument("--out", default="scaling.json",
+                    help="artifact filename under BENCH/")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/cdc_bench/spark-local")
     py = sys.executable
     bench = os.path.join(HERE, "cdc_bench.py")
     run([py, bench, "gen", "--events", str(args.events),
-         "--epoch-size", str(args.epoch_size), "--log-dir", args.log_dir])
+         "--epoch-size", str(args.epoch_size), "--log-dir", args.log_dir,
+         "--hot-share", str(args.hot_share),
+         "--hot-keys", str(args.hot_keys)])
 
     results: dict[int, dict] = {}
     # Interleave levels so slow host phases hit both levels evenly.
@@ -191,6 +201,8 @@ def main() -> None:
         "input_events": lo["n_events"],
         "epochs": lo["epochs"],
         "mode": args.mode,
+        "hot_share_pct": args.hot_share,
+        "n_hot_keys": args.hot_keys,
         "low": {"cpus": args.low, **lo},
         "high": {"cpus": args.high, **hi},
         "scaling_efficiency": round(eff, 3),
@@ -222,7 +234,7 @@ def main() -> None:
         }
         summary["efficiency_vs_workload_ceiling"] = round(eff / w_ceiling, 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
 
