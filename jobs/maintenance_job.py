@@ -147,6 +147,15 @@ def main() -> None:
                     help="columns with an exact maintained per-group "
                          "count-distinct (retractable via the per-value "
                          "aux relation)")
+    ap.add_argument("--rollup-distinct-mode", default="exact",
+                    choices=["exact", "hll"],
+                    help="'hll' swaps the exact per-value aux for "
+                         "per-group HLL registers (O(groups x 2^p) state "
+                         "— the high-cardinality posture; round 5); "
+                         "frozen in rollup meta until --rollup-rebuild")
+    ap.add_argument("--rollup-hll-p", type=int, default=12,
+                    help="HLL precision for --rollup-distinct-mode hll "
+                         "(2^p registers per group)")
     ap.add_argument("--rollup-rebuild", action="store_true",
                     help="full recompute (bootstrap, cursor reset, or a "
                          "maintained-column-set change)")
@@ -359,6 +368,8 @@ def main() -> None:
             args.rollup_state,
             minmax_cols=[c for c in args.rollup_minmax.split(",") if c],
             distinct_cols=[c for c in args.rollup_distinct.split(",") if c],
+            distinct_mode=args.rollup_distinct_mode,
+            hll_p=args.rollup_hll_p,
         )
         done["rollup_refresh"] = roll.refresh(rebuild=args.rollup_rebuild)
 

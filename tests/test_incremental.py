@@ -742,3 +742,64 @@ def test_hll_distinct_mode_tracks_exact(spark, table, tmp_path):
     )
     with pytest.raises(ValueError, match="rebuild"):
         wrong_mode.refresh()
+
+
+def test_maintenance_job_hll_distinct_mode(spark, table, tmp_path,
+                                           monkeypatch, capsys):
+    """maintenance_job --rollup-distinct-mode hll: the cron path drives
+    the sketch-backed distinct (round 5) — registers advance per run,
+    estimates match the exact count at low cardinality, and the mode is
+    frozen in meta (a later exact-mode run without --rollup-rebuild must
+    fail loudly)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from jobs import maintenance_job
+
+    table.merge(
+        _events(spark, [
+            ("insert", f"u{i}", i, "ab"[i % 2], float(i % 6), i)
+            for i in range(12)
+        ]),
+        epoch=0, mode="mor",
+    )
+    state = str(tmp_path / "jobhll")
+
+    def run(extra=()):
+        monkeypatch.setattr("sys.argv", [
+            "maintenance_job.py", "--table", table.path,
+            "--rollup-state", state, "--rollup-group", "grp",
+            "--rollup-distinct", "val", *extra,
+        ])
+        from pyspark.sql import SparkSession
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        maintenance_job.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    hll = ("--rollup-distinct-mode", "hll", "--rollup-hll-p", "12")
+    assert run(hll)["rollup_refresh"]["mode"] == "full"
+    table.merge(
+        _events(spark, [("delete", "u0", 100, None, 0, 100),
+                        ("insert", "u99", 101, "a", 99.0, 101)]),
+        epoch=1, mode="mor",
+    )
+    r = run(hll)["rollup_refresh"]
+    assert r["mode"] == "incremental" and r["distinct_recomputed_groups"] >= 1
+    roll = IncrementalRollup(
+        spark, table, ["grp"], [], state,
+        distinct_cols=["val"], distinct_mode="hll", hll_p=12,
+    )
+    got = {x["grp"]: x["n_distinct_val"] for x in roll.read().collect()}
+    want = {x["grp"]: x["n"] for x in table.read().groupBy("grp").agg(
+        F.count_distinct("val").alias("n")).collect()}
+    assert got == want
+    # frozen mode: an exact-mode cron against the same state must refuse
+    table.merge(
+        _events(spark, [("insert", "u98", 200, "b", 1.5, 200)]),
+        epoch=2, mode="mor",
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        run()

@@ -108,11 +108,18 @@ def test_real_decode_compressed_still_raises():
 def test_real_decode_through_mapinpandas(spark, tmp_path):
     """Real on-disk media bytes through the SAME mapInPandas path the
     contract query uses (VERDICT r2 Next round #3)."""
+    import numpy as np
+
+    from data_pipeline_spark.operators.jpeg import encode_baseline
+
     bmp = _encode_bmp(2, 2, [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
     wav = _encode_wav(16000, [1000, -1000] * 50)
+    jpg = encode_baseline(
+        np.tile(np.arange(0, 240, 10, dtype=np.uint8), (24, 1)), quality=90
+    )
     p = str(tmp_path / "media.parquet")
     spark.createDataFrame(
-        [(1, bmp, "image/bmp"), (2, wav, "audio/wav")],
+        [(1, bmp, "image/bmp"), (2, wav, "audio/wav"), (3, jpg, "image/jpeg")],
         "media_id long, content binary, mt string",
     ).write.parquet(p)
     media = spark.read.parquet(p).select(
@@ -123,6 +130,7 @@ def test_real_decode_through_mapinpandas(spark, tmp_path):
     out = {r["media_id"]: r for r in MM.decode_features(media, MM.real_decode).collect()}
     assert list(out[1]["features"]) == pytest.approx(MM.real_decode(bmp, "image/bmp"))
     assert list(out[2]["features"]) == pytest.approx(MM.real_decode(wav, "audio/wav"))
+    assert list(out[3]["features"]) == pytest.approx(MM.real_decode(jpg, "image/jpeg"))
     assert out[1]["byte_len"] == len(bmp)
 
 
