@@ -285,6 +285,12 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
 
 def _decode_scan(frame, comps, qts, dc_tabs, ac_tabs, restart, segs):
     w, h = frame["w"], frame["h"]
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is one data unit and the declared sampling factors play no role
+        # (some encoders still write 2x2 on grayscale; honoring it would
+        # mis-lay the blocks on a 4x grid).
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:

@@ -113,3 +113,20 @@ def test_dhash_pairs_jpeg_reencode_of_bmp(spark):
     assert out[1]["is_survivor"] and not out[2]["is_survivor"]
     assert out[3]["component"] == 3 and out[3]["is_survivor"]
     assert out[4]["component"] == 4 and out[4]["is_survivor"]
+
+
+def test_grayscale_with_declared_sampling_factors():
+    """T.81 A.2: a single-component scan is non-interleaved — sampling
+    factors are ignored. Some encoders write 2x2 on grayscale; the
+    decode must be identical to the 1x1 declaration, not a 4x-grid
+    mislay."""
+    g = _img(40, 56, seed=4)[:, :, 0]
+    enc = bytearray(encode_baseline(g, quality=90))
+    i = enc.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then [id, hv, tq]
+    hv_off = i + 4 + 6 + 1  # the hv byte of component 1
+    assert enc[hv_off] == 0x11
+    ref = jpeg_pixels(bytes(enc))
+    enc[hv_off] = 0x22  # declare 2x2 sampling on the only component
+    got = jpeg_pixels(bytes(enc))
+    assert np.array_equal(got, ref)
