@@ -83,7 +83,12 @@ class _Bits:
             self.i += 1
             self.n += 8
         self.n -= k
-        return (self.b >> self.n) & ((1 << k) - 1)
+        out = (self.b >> self.n) & ((1 << k) - 1)
+        # Mask the accumulator to its live bits: without this it grows one
+        # byte per fill forever and every subsequent shift is O(stream) —
+        # quadratic decode on a multi-MB crawl JPEG.
+        self.b &= (1 << self.n) - 1
+        return out
 
 
 def _build_huff(bits_counts: bytes, values: bytes) -> dict:
@@ -189,8 +194,16 @@ def jpeg_pixels(content: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them instead of reading one as the code
+        while pos + 1 < n and content[pos + 1] == 0xFF:
+            pos += 1
         marker = content[pos + 1]
         if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn): no length field
             pos += 2
             continue
         (length,) = struct.unpack_from(">H", content, pos + 2)
@@ -440,6 +453,8 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # keep only the live bits (same quadratic-growth hazard as _Bits)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
@@ -520,12 +535,16 @@ def encode_baseline(
     gray = nc == 1
     if not gray and nc != 3:
         raise ValueError("need 1 or 3 channels")
-    qy = _scale_q(_STD_LUMA_Q, quality)
-    qc = _scale_q(_STD_CHROMA_Q, quality)
-    qy_nat = np.zeros(64, np.int32)
-    qc_nat = np.zeros(64, np.int32)
-    qy_nat[_ZZ] = qy
-    qc_nat[_ZZ] = qc
+    # The Annex K tables above are printed in NATURAL (row-major) order;
+    # T.81 B.2.4.1 stores DQT entries in ZIGZAG order, so emit q[_ZZ]
+    # while quantizing with the natural matrix. (Writing the natural
+    # order into DQT would silently scramble the effective quantizers —
+    # internally consistent with this decoder, but not the table the
+    # docstring promises.)
+    qy_nat = _scale_q(_STD_LUMA_Q, quality)
+    qc_nat = _scale_q(_STD_CHROMA_Q, quality)
+    qy = qy_nat[_ZZ]
+    qc = qc_nat[_ZZ]
     if gray:
         y_pl, cb_pl, cr_pl = px[:, :, 0], None, None
     else:

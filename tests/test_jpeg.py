@@ -130,3 +130,50 @@ def test_grayscale_with_declared_sampling_factors():
     enc[hv_off] = 0x22  # declare 2x2 sampling on the only component
     got = jpeg_pixels(bytes(enc))
     assert np.array_equal(got, ref)
+
+
+def test_large_image_codec_is_linear_not_quadratic():
+    """Round-5 review fix: the bit reader/writer accumulators are masked
+    to their live bits — without that, every shift is O(stream) and a
+    512x512 image took minutes (measured 158s decode / 93s encode); with
+    the mask both run in ~a second. Generous wall bound so a slow CI
+    host never flakes, but a quadratic regression blows it by 10x+."""
+    import time
+
+    img = _img(512, 512, seed=9, noise=40)
+    t0 = time.monotonic()
+    enc = encode_baseline(img, quality=85, subsample=True)
+    enc_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    dec = jpeg_pixels(enc)
+    dec_s = time.monotonic() - t0
+    assert dec.shape == (512, 512, 3)
+    assert enc_s < 20 and dec_s < 20, (enc_s, dec_s)
+
+
+def test_dqt_emitted_in_zigzag_order():
+    """T.81 B.2.4.1: DQT entries are stored in zigzag order. At quality
+    50 the Annex K luma table is emitted unscaled, so the DQT payload
+    must equal the NATURAL table permuted by the zigzag scan — e.g. the
+    3rd zigzag entry is natural (1,0)=12, not the natural-order 3rd
+    entry 16 the pre-fix encoder wrote."""
+    from data_pipeline_spark.operators.jpeg import _STD_LUMA_Q, _ZZ
+
+    enc = encode_baseline(_img(16, 16, seed=2), quality=50)
+    i = enc.find(b"\xff\xdb")
+    payload = enc[i + 5 : i + 5 + 64]  # after marker, length, pq/tq byte
+    assert list(payload) == list(_STD_LUMA_Q[_ZZ])
+
+
+def test_fill_bytes_and_standalone_markers_in_header():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker,
+    and TEM/RSTn are standalone (no length field). Both are spec-legal
+    in real encoder output and must not desync the header parse."""
+    img = _img(24, 24, seed=5)
+    enc = encode_baseline(img, quality=88)
+    ref = jpeg_pixels(enc)
+    i = enc.find(b"\xff\xdb")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]       # fill bytes
+    assert np.array_equal(jpeg_pixels(padded), ref)
+    padded = enc[:i] + b"\xff\x01" + enc[i:]           # TEM standalone
+    assert np.array_equal(jpeg_pixels(padded), ref)
